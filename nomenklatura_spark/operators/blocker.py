@@ -1,0 +1,391 @@
+"""The blocking index — candidate generation for entity resolution.
+
+This is the engine's scalability core (SURVEY.md §2.4 J1-J5, §2.5 A1-A6,
+§2.6 W1-W2). Reference semantics: ``nomenklatura/blocker/index.py`` — there
+the blocker is a set of DuckDB SQL queries; here the same relational
+algebra is declared through the DataFrame API so Catalyst plans it
+(partial aggregation, broadcast of the tiny schema-pair dim, AQE skew
+handling on hot tokens).
+
+Scale design notes (100 TB):
+
+- The **dynamic stopword** computation (``build_token_stats``) is the single
+  most important device: any token whose compatible-pair cost exceeds the
+  budget is dropped *before* the self-join, bounding the join output
+  quadratically (reference: index.py:59-71,232-306).
+- The token self-join shuffles both sides on (token, field) — identical
+  partitioning on both sides, so AQE sees one symmetric shuffle; skewed
+  (hot) tokens are already bounded by the stopword cap, and
+  ``spark.sql.adaptive.skewJoin`` splits any residue.
+- The schema-compatibility pair table is a few hundred rows → broadcast.
+- Per-subject top-K runs as a window; Spark ≥3.5 pushes the rank filter
+  into the window operator (InferWindowGroupLimit), so candidate rows past
+  ``max_candidates`` are never ships/sorted fully.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+NAME_PART_FIELD = "np"
+SYMBOL_FIELD = "sy"
+WORD_FIELD = "wd"
+
+# Field boost weights (reference: nomenklatura/blocker/index.py:87-95).
+BOOSTS: dict[str, float] = {
+    NAME_PART_FIELD: 5.0,
+    WORD_FIELD: 0.5,
+    "name": 15.0,
+    "phone": 10.0,
+    "email": 10.0,
+    "address": 1.0,
+    "identifier": 10.0,
+}
+
+DEFAULT_MAX_BUCKET_SIZE = 60
+DEFAULT_MAX_CANDIDATES = 75
+# Candidates below this fraction of their subject's best score are noise
+# (ten 20%-wide bands: 0.8^10) — reference index.py:60-63.
+DEFAULT_MIN_SCORE_RATIO = 0.1
+
+
+def bucket_pair_cost(bucket_size: int, cross: bool = False) -> int:
+    """Pair budget implied by a max bucket size (index.py:66-71):
+    triangular for dedupe self-join, full cross for matching."""
+    if bucket_size < 0:
+        raise ValueError("max_bucket_size must be >= 0")
+    if cross:
+        return bucket_size * bucket_size
+    return bucket_size * max(0, bucket_size - 1) // 2
+
+
+def boosts_df(spark: SparkSession, extra: dict[str, float] | None = None) -> DataFrame:
+    rows = dict(BOOSTS)
+    rows.update(extra or {})
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in rows.items()], "field string, boost double"
+    )
+
+
+def token_entries(tokens: DataFrame) -> DataFrame:
+    """T2 — aggregate a raw (schema, id, field, token) token stream into the
+    ``entries`` relation with per-entity counts and token truncation to 40
+    chars (reference index.py:156-173)."""
+    return (
+        tokens.select(
+            "schema",
+            "id",
+            "field",
+            F.substring("token", 1, 40).alias("token"),
+        )
+        .groupBy("schema", "id", "field", "token")
+        .agg(F.count(F.lit(1)).cast("int").alias("count"))
+    )
+
+
+def build_token_stats(
+    entries: DataFrame,
+    schemata: DataFrame,
+    max_pair_cost: int,
+) -> DataFrame:
+    """A1 + A2 — dynamic stopword detection.
+
+    Per (token, schema) doc-frequencies, then the *compatible pair cost* of
+    each token: the number of candidate pairs it would emit in the dedupe
+    self-join, summed over schema-compatible pairs (triangular within one
+    schema, cross between two). Tokens above ``max_pair_cost`` are flagged
+    as stopwords. Reference: index.py:238-306.
+
+    ``schemata`` is the matchable-pair dimension (left, right) — tiny,
+    broadcast.
+    """
+    tsc = entries.groupBy("token", "schema").agg(
+        F.first("field").alias("field"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum("count").alias("freq"),
+    )
+
+    schema_pairs = (
+        schemata.select(
+            F.least("left", "right").alias("left_schema"),
+            F.greatest("left", "right").alias("right_schema"),
+        ).distinct()
+    )
+
+    l = tsc.select(
+        F.col("token"), F.col("schema").alias("l_schema"), F.col("df").alias("l_df")
+    )
+    r = tsc.select(
+        F.col("token"), F.col("schema").alias("r_schema"), F.col("df").alias("r_df")
+    )
+    # Pair cost sums can overflow long at extreme scale → decimal(38,0)
+    # (the reference uses HUGEINT here).
+    cost = (
+        l.join(r, "token")
+        .where(F.col("l_schema") <= F.col("r_schema"))
+        .join(
+            F.broadcast(schema_pairs),
+            (F.col("l_schema") == F.col("left_schema"))
+            & (F.col("r_schema") == F.col("right_schema")),
+        )
+        .groupBy("token")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_schema") == F.col("r_schema"),
+                    (F.col("l_df") * (F.col("l_df") - 1) / 2).cast("decimal(38,0)"),
+                ).otherwise((F.col("l_df") * F.col("r_df")).cast("decimal(38,0)"))
+            ).alias("compatible_pair_cost")
+        )
+    )
+
+    totals = tsc.groupBy("token").agg(
+        F.first("field").alias("field"),
+        F.sum("freq").alias("freq"),
+        F.sum("df").alias("df"),
+    )
+    return totals.join(cost, "token", "left").select(
+        "token",
+        "field",
+        "freq",
+        "df",
+        F.coalesce("compatible_pair_cost", F.lit(0).cast("decimal(38,0)")).alias(
+            "compatible_pair_cost"
+        ),
+        (
+            F.coalesce("compatible_pair_cost", F.lit(0).cast("decimal(38,0)"))
+            > F.lit(max_pair_cost)
+        ).alias("stopword"),
+    )
+
+
+def stopwords_from_stats(token_stats: DataFrame) -> DataFrame:
+    return token_stats.where("stopword").select(
+        "token", "field", "freq", "df", "compatible_pair_cost"
+    )
+
+
+def apply_stopwords(entries: DataFrame, stopwords: DataFrame | None) -> DataFrame:
+    """J3 — stopword anti-join (reference index.py:480-487)."""
+    if stopwords is None:
+        return entries
+    return entries.join(stopwords.select("token"), "token", "left_anti")
+
+
+def term_frequencies(entries: DataFrame, boosts: DataFrame) -> DataFrame:
+    """A3 + A4 + J5 — per-row term weight.
+
+    weight = boost(field) * idf(token), dampened by 1/sqrt(n_names) for
+    name-part and symbol fields (aliases multiply with the number of
+    names). idf = 1 + ln(N / df). Reference: index.py:499-531.
+
+    ``boosts`` is tiny → broadcast; ``token_idf`` re-aggregates the entries
+    relation and joins back on token (shuffle on token, same key as the
+    downstream pair join, so the exchange is reusable).
+    """
+    n_entities = entries.select("id").distinct().count()
+    token_idf = entries.groupBy("token").agg(
+        (1.0 + F.log(F.lit(float(n_entities)) / F.countDistinct("id"))).alias("idf")
+    )
+    name_counts = (
+        entries.where(F.col("field") == "name")
+        .groupBy("id")
+        .agg(F.greatest(F.lit(1), F.sum("count")).alias("n_names"))
+    )
+    dampened = F.col("field").isin(NAME_PART_FIELD, SYMBOL_FIELD)
+    return (
+        entries.join(token_idf, "token")
+        .join(name_counts, "id", "left")
+        .join(F.broadcast(boosts), "field", "left")
+        .select(
+            "schema",
+            "field",
+            "token",
+            "id",
+            F.when(
+                dampened,
+                F.coalesce("boost", F.lit(1.0))
+                * F.col("idf")
+                / F.sqrt(F.coalesce("n_names", F.lit(1))),
+            )
+            .otherwise(F.coalesce("boost", F.lit(1.0)) * F.col("idf"))
+            .alias("weight"),
+        )
+    )
+
+
+def candidate_pairs(
+    tf: DataFrame,
+    schemata: DataFrame,
+    max_pairs: int = 10_000,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """J1 + A5 + W2 — the dedupe pair-generation self-join.
+
+    Self-join term_frequencies on (token, field), keep schema-compatible
+    pairs, dedup the triangle with ``l.id > r.id``; two-level scoring: per
+    (pair, field) take ``max(l.weight + r.weight)`` and the field-evidence
+    count, then per pair ``sum(maxw * (1 + ln(n)))`` (logarithmic credit
+    for correlated evidence within one field). Global top-``max_pairs``.
+    Reference: index.py:588-635.
+
+    Output: (lid, rid, score) ordered by score desc, lid, rid.
+    """
+    l = tf.select(
+        F.col("id").alias("lid"),
+        F.col("schema").alias("l_schema"),
+        "field",
+        "token",
+        F.col("weight").alias("l_weight"),
+    )
+    r = tf.select(
+        F.col("id").alias("rid"),
+        F.col("schema").alias("r_schema"),
+        "field",
+        "token",
+        F.col("weight").alias("r_weight"),
+    )
+    field_scores = (
+        l.join(r, ["token", "field"])
+        .where(F.col("lid") > F.col("rid"))
+        .join(
+            F.broadcast(schemata),
+            (F.col("l_schema") == F.col("left"))
+            & (F.col("r_schema") == F.col("right")),
+        )
+        .groupBy("lid", "rid", "field")
+        .agg(
+            F.max(F.col("l_weight") + F.col("r_weight")).alias("maxw"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    score = F.sum(F.col("maxw") * (1.0 + F.log("n"))).alias("score")
+    scored = field_scores.groupBy("lid", "rid").agg(score)
+    if score_decimals is not None:
+        # Round *before* ordering so the top-K cut is stable across
+        # engines/float orderings; ties break on (lid, rid).
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    return scored.orderBy(F.desc("score"), "lid", "rid").limit(max_pairs)
+
+
+def build_matching_token_stats(
+    matching_entries: DataFrame,
+    indexed_entries: DataFrame,
+    schemata: DataFrame,
+    max_match_pair_cost: int,
+) -> DataFrame:
+    """Matching-side dynamic stopwords: cost = sum over schema-compatible
+    (matching_df × indexed_df) per token (reference index.py:309-383).
+    Directional: matching schema on the ``left`` of the pair table."""
+    m = matching_entries.groupBy("token", "schema").agg(
+        F.first("field").alias("field"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum("count").alias("freq"),
+    )
+    i = indexed_entries.groupBy("token", "schema").agg(F.count(F.lit(1)).alias("df"))
+
+    cost = (
+        m.select("token", F.col("schema").alias("m_schema"), F.col("df").alias("m_df"))
+        .join(
+            i.select(
+                "token", F.col("schema").alias("i_schema"), F.col("df").alias("i_df")
+            ),
+            "token",
+        )
+        .join(
+            F.broadcast(schemata),
+            (F.col("m_schema") == F.col("left")) & (F.col("i_schema") == F.col("right")),
+        )
+        .groupBy("token")
+        .agg(
+            F.sum((F.col("m_df") * F.col("i_df")).cast("decimal(38,0)")).alias(
+                "compatible_pair_cost"
+            )
+        )
+    )
+    totals = m.groupBy("token").agg(
+        F.first("field").alias("field"),
+        F.sum("freq").alias("freq"),
+        F.sum("df").alias("df"),
+    )
+    return totals.join(cost, "token", "left").select(
+        "token",
+        "field",
+        "freq",
+        "df",
+        F.coalesce("compatible_pair_cost", F.lit(0).cast("decimal(38,0)")).alias(
+            "compatible_pair_cost"
+        ),
+        (
+            F.coalesce("compatible_pair_cost", F.lit(0).cast("decimal(38,0)"))
+            > F.lit(max_match_pair_cost)
+        ).alias("stopword"),
+    )
+
+
+def match_candidates(
+    matching: DataFrame,
+    tf_all: DataFrame,
+    schemata: DataFrame,
+    max_candidates: int = DEFAULT_MAX_CANDIDATES,
+    min_score_ratio: float = DEFAULT_MIN_SCORE_RATIO,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """J2 + W1 — match external subjects against the index.
+
+    Join matching tokens to indexed term frequencies on (token, field) with
+    ``tf.id != m.id``; per (subject, candidate, field) take
+    ``max(tf.weight)``; per pair ``sum(maxw * (1 + ln(n)))``; then
+    per-subject top-K with a relative score floor — the window filter runs
+    *inside* the plan, so rows past the cap are never fully sorted/shipped
+    (reference: index.py:669-694 and issue #351; Spark's
+    InferWindowGroupLimit gives the same pushdown).
+
+    Output: (matching_id, matches_id, score) ordered by matching_id, rank.
+    """
+    m = matching.select(
+        F.col("id").alias("matching_id"),
+        F.col("schema").alias("m_schema"),
+        "field",
+        "token",
+    )
+    field_scores = (
+        m.join(tf_all.select(
+            F.col("id").alias("matches_id"),
+            F.col("schema").alias("t_schema"),
+            "field",
+            "token",
+            "weight",
+        ), ["token", "field"])
+        .where(F.col("matches_id") != F.col("matching_id"))
+        .join(
+            F.broadcast(schemata),
+            (F.col("m_schema") == F.col("left")) & (F.col("t_schema") == F.col("right")),
+        )
+        .groupBy("matching_id", "matches_id", "field")
+        .agg(F.max("weight").alias("maxw"), F.count(F.lit(1)).alias("n"))
+    )
+    pair_scores = field_scores.groupBy("matching_id", "matches_id").agg(
+        F.sum(F.col("maxw") * (1.0 + F.log("n"))).alias("score")
+    )
+    if score_decimals is not None:
+        pair_scores = pair_scores.withColumn(
+            "score", F.round("score", score_decimals)
+        )
+    w = Window.partitionBy("matching_id").orderBy(F.desc("score"), "matches_id")
+    return (
+        pair_scores.select(
+            "matching_id",
+            "matches_id",
+            "score",
+            F.row_number().over(w).alias("rn"),
+            F.first_value("score").over(w).alias("best"),
+        )
+        .where(
+            (F.col("rn") <= max_candidates)
+            & (F.col("score") >= F.col("best") * min_score_ratio)
+        )
+        .select("matching_id", "matches_id", "score", "rn")
+        .orderBy("matching_id", "rn")
+    )

@@ -1,0 +1,984 @@
+"""Driver-contract query suite: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus an equivalent DuckDB oracle SQL.
+
+The TPC-H-ish testdata tables are mapped into the engine's statement model
+(SURVEY.md §1) so the ER operators (tokenizer, blocker, resolver, linker)
+run on driver-provided data; the LLM-pipeline extensions (dedup, text
+analysis, ANN) run on the ``documents`` / ``embeddings`` tables directly.
+
+Determinism rules for the oracle hash-compare:
+- every float is rounded *before* any ranking/limit that depends on it;
+- every computed column is aliased identically in Spark and SQL;
+- ties in any top-K are broken by explicit id columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from nomenklatura_spark.ann.brute import cosine_topk
+from nomenklatura_spark.dedup.exact import content_hash
+from nomenklatura_spark.dedup.ngram import ngram_jaccard_pairs
+from nomenklatura_spark.functions.normalize import LEGAL_FORMS, STOP_TOKENS
+from nomenklatura_spark.functions.tokenize import tokenize_statements
+from nomenklatura_spark.model.statement import statements_from_wide_table
+from nomenklatura_spark.operators.assembly import adjacency, assemble_properties
+from nomenklatura_spark.operators.blocker import (
+    apply_stopwords,
+    boosts_df,
+    build_matching_token_stats,
+    build_token_stats,
+    candidate_pairs,
+    match_candidates,
+    stopwords_from_stats,
+    term_frequencies,
+    token_entries,
+)
+from nomenklatura_spark.resolver.components import connected_components
+from nomenklatura_spark.resolver.linker import apply_linker
+from nomenklatura_spark.session import load_table
+from nomenklatura_spark.textops.analysis import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+MAX_PAIR_COST = 1770       # 60*59/2 — reference default budget
+MAX_MATCH_PAIR_COST = 3600  # 60*60
+MAX_PAIRS = 5000
+MAX_CANDIDATES = 10
+MIN_SCORE_RATIO = 0.1
+
+SCHEMATA_PAIRS = [
+    ("Part", "Part"),
+    ("Customer", "Customer"),
+    ("Supplier", "Supplier"),
+    ("Customer", "Supplier"),
+    ("Supplier", "Customer"),
+]
+
+
+def _sql_list(items: list[str]) -> str:
+    return "(" + ", ".join("'" + i.replace("'", "''") + "'" for i in items) + ")"
+
+
+STOP_IN = _sql_list(STOP_TOKENS)
+LEGAL_IN = _sql_list(LEGAL_FORMS)
+
+# ---------------------------------------------------------------------------
+# statement construction (Spark side)
+
+
+def er_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part + customer + supplier as statement rows (the ER corpus)."""
+    part = statements_from_wide_table(
+        load_table(spark, sf_dir, "part"),
+        "p_partkey",
+        "Part",
+        {"p_name": "name", "p_brand": "brand", "p_type": "typeText"},
+        "testdata",
+        prop_types={"name": "name", "brand": "string", "typeText": "string"},
+    )
+    customer = statements_from_wide_table(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+        "Customer",
+        {"c_name": "name", "c_mktsegment": "segment"},
+        "testdata",
+        prop_types={"name": "name", "segment": "string"},
+    )
+    supplier = statements_from_wide_table(
+        load_table(spark, sf_dir, "supplier"),
+        "s_suppkey",
+        "Supplier",
+        {"s_name": "name"},
+        "testdata",
+        prop_types={"name": "name"},
+    )
+    return part.unionByName(customer).unionByName(supplier)
+
+
+def order_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return statements_from_wide_table(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "Order",
+        {"o_custkey": "customer", "o_orderdate": "date", "o_orderstatus": "status"},
+        "testdata",
+        prop_types={"date": "date", "status": "string"},
+        entity_props={"customer": "Customer"},
+    )
+
+
+def er_schemata(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(SCHEMATA_PAIRS, "left string, right string")
+
+
+def er_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entries(tokenize_statements(er_statements(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL fragments
+
+# statement rows (schema, id, prop_type, value) for the ER corpus
+_ER_STMTS_SQL = """
+    SELECT 'Part' AS schema, 'part-' || p_partkey AS id, 'name' AS prop_type, p_name AS value FROM part
+    UNION ALL SELECT 'Part', 'part-' || p_partkey, 'string', p_brand FROM part
+    UNION ALL SELECT 'Part', 'part-' || p_partkey, 'string', p_type FROM part
+    UNION ALL SELECT 'Customer', 'customer-' || c_custkey, 'name', c_name FROM customer
+    UNION ALL SELECT 'Customer', 'customer-' || c_custkey, 'string', c_mktsegment FROM customer
+    UNION ALL SELECT 'Supplier', 'supplier-' || s_suppkey, 'name', s_name FROM supplier
+"""
+
+# normalized token arrays per statement
+_NORM_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(strip_accents(value)),"
+    " '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')"
+)
+
+_ER_TOKENS_SQL = f"""
+    WITH stmts AS ({_ER_STMTS_SQL}),
+    name_toks AS (
+        SELECT schema, id, {_NORM_TOKS} AS toks
+        FROM stmts WHERE prop_type = 'name'
+    ),
+    np AS (
+        SELECT schema, id, 'np' AS field, 'np:' || tok AS token
+        FROM (
+            SELECT schema, id, unnest(list_distinct(list_filter(toks,
+                t -> len(t) >= 3 AND len(t) <= 30
+                     AND t NOT IN {LEGAL_IN} AND t NOT IN {STOP_IN}))) AS tok
+            FROM name_toks
+        )
+    ),
+    fp AS (
+        SELECT schema, id, 'name' AS field, 'n:' || fp AS token
+        FROM (
+            SELECT schema, id,
+                array_to_string(list_sort(list_distinct(list_filter(toks,
+                    t -> t NOT IN {LEGAL_IN} AND t NOT IN {STOP_IN}))), '') AS fp
+            FROM name_toks
+        )
+        WHERE len(fp) > 3 AND len(fp) < 200
+    ),
+    wd AS (
+        SELECT schema, id, 'wd' AS field, 'wd:' || tok AS token
+        FROM (
+            SELECT schema, id, unnest(list_filter({_NORM_TOKS},
+                t -> len(t) >= 6 AND t NOT IN {STOP_IN})) AS tok
+            FROM stmts WHERE prop_type IN ('text', 'string', 'identifier')
+        )
+    ),
+    all_toks AS (
+        SELECT * FROM np UNION ALL SELECT * FROM fp UNION ALL SELECT * FROM wd
+    )
+    SELECT schema, id, field, substr(token, 1, 40) AS token,
+           CAST(count(*) AS INT) AS count
+    FROM all_toks
+    GROUP BY schema, id, field, substr(token, 1, 40)
+"""
+
+_SCHEMATA_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{a}', '{b}')" for a, b in SCHEMATA_PAIRS)
+    + ") AS schemata(sl, sr)"
+)
+
+_TOKEN_STATS_SQL = f"""
+    WITH entries AS ({_ER_TOKENS_SQL}),
+    schemata AS ({_SCHEMATA_SQL}),
+    tsc AS (
+        SELECT token, any_value(field) AS field, schema,
+               count(*) AS df, sum("count") AS freq
+        FROM entries GROUP BY token, schema
+    ),
+    schema_pairs AS (
+        SELECT DISTINCT least(sl, sr) AS left_schema, greatest(sl, sr) AS right_schema
+        FROM schemata
+    ),
+    compatible AS (
+        SELECT l.token,
+            sum(CASE WHEN l.schema = r.schema
+                THEN CAST(l.df * (l.df - 1) / 2 AS HUGEINT)
+                ELSE CAST(l.df * r.df AS HUGEINT) END) AS compatible_pair_cost
+        FROM tsc l
+        JOIN tsc r ON l.token = r.token AND l.schema <= r.schema
+        JOIN schema_pairs s ON s.left_schema = l.schema AND s.right_schema = r.schema
+        GROUP BY l.token
+    ),
+    totals AS (
+        SELECT token, any_value(field) AS field, sum(freq) AS freq, sum(df) AS df
+        FROM tsc GROUP BY token
+    )
+    SELECT totals.token, totals.field,
+           CAST(totals.freq AS BIGINT) AS freq,
+           CAST(totals.df AS BIGINT) AS df,
+           CAST(ifnull(compatible.compatible_pair_cost, 0) AS BIGINT) AS compatible_pair_cost,
+           ifnull(compatible.compatible_pair_cost, 0) > {MAX_PAIR_COST} AS stopword
+    FROM totals LEFT JOIN compatible ON compatible.token = totals.token
+"""
+
+_BOOSTS_SQL = (
+    "SELECT * FROM (VALUES ('np', 5.0), ('wd', 0.5), ('name', 15.0),"
+    " ('phone', 10.0), ('email', 10.0), ('address', 1.0), ('identifier', 10.0)"
+    ") AS boosts(field, boost)"
+)
+
+_TF_SQL = f"""
+    WITH entries AS ({_ER_TOKENS_SQL}),
+    boosts AS ({_BOOSTS_SQL}),
+    entity_count AS (SELECT count(DISTINCT id) AS n FROM entries),
+    token_idf AS (
+        SELECT e.token, 1.0 + ln(c.n / count(DISTINCT e.id)) AS idf
+        FROM entries e, entity_count c
+        GROUP BY e.token, c.n
+    ),
+    name_counts AS (
+        SELECT id, greatest(1, sum("count")) AS n_names
+        FROM entries WHERE field = 'name' GROUP BY id
+    )
+    SELECT e.schema, e.field, e.token, e.id,
+        CASE WHEN e.field IN ('np', 'sy')
+            THEN ifnull(boo.boost, 1) * i.idf / sqrt(ifnull(nc.n_names, 1))
+            ELSE ifnull(boo.boost, 1) * i.idf
+        END AS weight
+    FROM entries e
+    JOIN token_idf i ON i.token = e.token
+    LEFT OUTER JOIN name_counts nc ON nc.id = e.id
+    LEFT OUTER JOIN boosts boo ON e.field = boo.field
+"""
+
+_PAIRS_SQL = f"""
+    WITH tf_all AS ({_TF_SQL}),
+    token_stats AS ({_TOKEN_STATS_SQL}),
+    stopwords AS (SELECT token FROM token_stats WHERE stopword),
+    tf AS (
+        SELECT t.* FROM tf_all t
+        LEFT OUTER JOIN stopwords sw ON sw.token = t.token
+        WHERE sw.token IS NULL
+    ),
+    schemata AS ({_SCHEMATA_SQL}),
+    field_scores AS (
+        SELECT l.id AS lid, r.id AS rid, l.field AS field,
+               max(l.weight + r.weight) AS maxw, count(*) AS n
+        FROM tf l
+        JOIN tf r ON l.token = r.token AND l.field = r.field
+        INNER JOIN schemata s ON s.sl = l.schema AND s.sr = r.schema
+        WHERE l.id > r.id
+        GROUP BY l.id, r.id, l.field
+    )
+    SELECT lid, rid, round(sum(maxw * (1.0 + ln(n))), 6) AS score
+    FROM field_scores
+    GROUP BY lid, rid
+    ORDER BY score DESC, lid, rid
+    LIMIT {MAX_PAIRS}
+"""
+
+_MATCHING_ENTRIES_SQL = f"""
+    SELECT * FROM ({_ER_TOKENS_SQL}) WHERE schema = 'Supplier'
+"""
+
+_MATCH_SQL = f"""
+    WITH tf_all AS ({_TF_SQL}),
+    matching AS ({_MATCHING_ENTRIES_SQL}),
+    schemata AS ({_SCHEMATA_SQL}),
+    m_tsc AS (
+        SELECT token, schema, count(*) AS df FROM matching GROUP BY token, schema
+    ),
+    i_tsc AS (
+        SELECT token, schema, count(*) AS df
+        FROM ({_ER_TOKENS_SQL}) GROUP BY token, schema
+    ),
+    m_cost AS (
+        SELECT m.token, sum(CAST(m.df * i.df AS HUGEINT)) AS cost
+        FROM m_tsc m
+        JOIN i_tsc i ON i.token = m.token
+        JOIN schemata s ON s.sl = m.schema AND s.sr = i.schema
+        GROUP BY m.token
+    ),
+    m_stop AS (SELECT token FROM m_cost WHERE cost > {MAX_MATCH_PAIR_COST}),
+    matching_filtered AS (
+        SELECT m.* FROM matching m
+        LEFT OUTER JOIN m_stop sw ON sw.token = m.token
+        WHERE sw.token IS NULL
+    ),
+    field_scores AS (
+        SELECT m.id AS matching_id, tf.id AS matches_id, tf.field AS field,
+               max(tf.weight) AS maxw, count(*) AS n
+        FROM matching_filtered m
+        JOIN tf_all tf ON m.token = tf.token AND m.field = tf.field AND tf.id != m.id
+        INNER JOIN schemata s ON s.sl = m.schema AND s.sr = tf.schema
+        GROUP BY m.id, tf.id, tf.field
+    ),
+    pair_scores AS (
+        SELECT matching_id, matches_id,
+               round(sum(maxw * (1.0 + ln(n))), 6) AS score
+        FROM field_scores
+        GROUP BY matching_id, matches_id
+    )
+    SELECT matching_id, matches_id, score, rn
+    FROM (
+        SELECT matching_id, matches_id, score,
+            row_number() OVER w AS rn,
+            first_value(score) OVER w AS best
+        FROM pair_scores
+        WINDOW w AS (PARTITION BY matching_id ORDER BY score DESC, matches_id)
+    )
+    WHERE rn <= {MAX_CANDIDATES} AND score >= best * {MIN_SCORE_RATIO}
+    ORDER BY matching_id, rn
+"""
+
+# word trigram near-dup pairs over documents
+_DOC_WORDS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text),"
+    " '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')"
+)
+
+_NGRAM_PAIRS_SQL_BODY = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tri AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 2, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM ws
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    hot AS (SELECT sh FROM tri GROUP BY sh HAVING count(*) > 100),
+    tri_f AS (
+        SELECT t.* FROM tri t LEFT OUTER JOIN hot h ON h.sh = t.sh
+        WHERE h.sh IS NULL
+    ),
+    inter AS (
+        SELECT l.doc_id AS lid, r.doc_id AS rid, count(*) AS n_common
+        FROM tri_f l JOIN tri_f r ON l.sh = r.sh
+        WHERE l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id
+    ),
+    jac AS (
+        SELECT lid, rid,
+               round(n_common * 1.0 / (ls.n + rs.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes ls ON ls.doc_id = lid
+        JOIN sizes rs ON rs.doc_id = rid
+    )
+    SELECT lid, rid, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def _spark_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_df=100, mode="word"
+    )
+    return pairs.select(
+        "lid", "rid", F.round("jaccard", 6).alias("jaccard")
+    ).where(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation over lineitem (warm-up relational op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(avg(l_quantity), 4) AS avg_qty,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: revenue by customer nation (broadcast dims)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_TOP_NATIONS_SQL = """
+    SELECT n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def q_events_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-shaped per-key top-K with tie-broken ordering."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    )
+
+
+_EVENTS_TOPK_SQL = """
+    SELECT user_id, event_id, value, rn FROM (
+        SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    ORDER BY user_id, rn
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the streaming tumbling-window aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_JSON_SQL = """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def q_statements_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/F1 — the statement model itself: wide table → statement rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    stmts = statements_from_wide_table(
+        customer,
+        "c_custkey",
+        "Customer",
+        {"c_name": "name", "c_mktsegment": "segment", "c_nationkey": "nation"},
+        "testdata",
+        prop_types={"name": "name", "segment": "string"},
+        entity_props={"nation": "Nation"},
+    )
+    return stmts.select(
+        "id", "entity_id", "canonical_id", "prop", "prop_type", "schema",
+        "value", "dataset", "external",
+    )
+
+
+_STATEMENTS_SQL = """
+    WITH raw AS (
+        SELECT 'customer-' || c_custkey AS entity_id, 'name' AS prop,
+               'name' AS prop_type, c_name AS value FROM customer
+        UNION ALL
+        SELECT 'customer-' || c_custkey, 'segment', 'string', c_mktsegment FROM customer
+        UNION ALL
+        SELECT 'customer-' || c_custkey, 'nation', 'entity',
+               'nation-' || c_nationkey FROM customer
+    )
+    SELECT sha256(entity_id || chr(30) || prop || chr(30) || value) AS id,
+           entity_id, entity_id AS canonical_id, prop, prop_type,
+           'Customer' AS schema, value, 'testdata' AS dataset,
+           FALSE AS external
+    FROM raw
+"""
+
+
+def q_entity_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — entity assembly to (canonical_id, prop, values)."""
+    stmts = er_statements(spark, sf_dir)
+    props = assemble_properties(stmts)
+    return props.select(
+        "canonical_id",
+        "schema",
+        "prop",
+        F.array_join("values", "|").alias("vals"),
+    ).orderBy("canonical_id", "prop")
+
+
+_ENTITY_PROPS_SQL = f"""
+    WITH stmts AS (
+        SELECT 'Part' AS schema, 'part-' || p_partkey AS id, 'name' AS prop, p_name AS value FROM part
+        UNION ALL SELECT 'Part', 'part-' || p_partkey, 'brand', p_brand FROM part
+        UNION ALL SELECT 'Part', 'part-' || p_partkey, 'typeText', p_type FROM part
+        UNION ALL SELECT 'Customer', 'customer-' || c_custkey, 'name', c_name FROM customer
+        UNION ALL SELECT 'Customer', 'customer-' || c_custkey, 'segment', c_mktsegment FROM customer
+        UNION ALL SELECT 'Supplier', 'supplier-' || s_suppkey, 'name', s_name FROM supplier
+    )
+    SELECT id AS canonical_id, schema, prop,
+           array_to_string(list_sort(list_distinct(list(value))), '|') AS vals
+    FROM stmts
+    GROUP BY id, schema, prop
+    ORDER BY canonical_id, prop
+"""
+
+
+def q_adjacency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — property-graph adjacency: orders →(customer)→ customer names."""
+    stmts = er_statements(spark, sf_dir).unionByName(
+        order_statements(spark, sf_dir)
+    )
+    adj = adjacency(stmts)
+    return (
+        adj.where((F.col("edge_prop") == "customer") & (F.col("dst_prop") == "name"))
+        .groupBy(F.col("dst_id").alias("customer_id"), F.col("dst_value").alias("customer_name"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("customer_id")
+    )
+
+
+_ADJACENCY_SQL = """
+    SELECT 'customer-' || c_custkey AS customer_id,
+           c_name AS customer_name,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    ORDER BY customer_id
+"""
+
+
+def q_blocker_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 — tokenizer + counted entries relation."""
+    return er_entries(spark, sf_dir).orderBy("schema", "id", "field", "token")
+
+
+def q_blocker_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 — doc frequencies and dynamic-stopword pair costs."""
+    stats = build_token_stats(
+        er_entries(spark, sf_dir), er_schemata(spark), MAX_PAIR_COST
+    )
+    return stats.select(
+        "token",
+        "field",
+        F.col("freq").cast("long").alias("freq"),
+        F.col("df").cast("long").alias("df"),
+        F.col("compatible_pair_cost").cast("long").alias("compatible_pair_cost"),
+        "stopword",
+    ).orderBy("token")
+
+
+def q_blocker_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4+J5 — boosted/IDF term weights."""
+    entries = er_entries(spark, sf_dir)
+    tf = term_frequencies(entries, boosts_df(spark))
+    return tf.select(
+        "schema", "field", "token", "id", F.round("weight", 6).alias("weight")
+    ).orderBy("id", "field", "token")
+
+
+_TF_ROUNDED_SQL = f"""
+    SELECT schema, field, token, id, round(weight, 6) AS weight
+    FROM ({_TF_SQL})
+    ORDER BY id, field, token
+"""
+
+
+def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A5+W2 — dedupe candidate pair generation (the flagship)."""
+    entries = er_entries(spark, sf_dir)
+    schemata = er_schemata(spark)
+    stats = build_token_stats(entries, schemata, MAX_PAIR_COST)
+    tf = term_frequencies(entries, boosts_df(spark))
+    tf_filtered = apply_stopwords(tf, stopwords_from_stats(stats))
+    return candidate_pairs(
+        tf_filtered, schemata, max_pairs=MAX_PAIRS, score_decimals=6
+    )
+
+
+def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+W1 — match suppliers (subjects) against the full index."""
+    entries = er_entries(spark, sf_dir)
+    schemata = er_schemata(spark)
+    matching = entries.where(F.col("schema") == "Supplier")
+    m_stats = build_matching_token_stats(
+        matching, entries, schemata, MAX_MATCH_PAIR_COST
+    )
+    matching_f = apply_stopwords(matching, stopwords_from_stats(m_stats))
+    tf_all = term_frequencies(entries, boosts_df(spark))
+    return match_candidates(
+        matching_f,
+        tf_all,
+        schemata,
+        max_candidates=MAX_CANDIDATES,
+        min_score_ratio=MIN_SCORE_RATIO,
+        score_decimals=6,
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (bag-of-words fingerprint so the
+    synthetic corpus, which has no byte-exact dups, still exercises it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", doc_fingerprint(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .orderBy("h")
+    )
+
+
+_DEDUP_EXACT_SQL = f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_DOC_WORDS})), ' ')) AS h,
+           count(*) AS n_dups,
+           min(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY h
+"""
+
+
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-duplicate pairs."""
+    return _spark_ngram_pairs(spark, sf_dir).orderBy("lid", "rid")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — connected components over the near-dup pair graph."""
+    pairs = _spark_ngram_pairs(spark, sf_dir)
+    comps = connected_components(pairs, src="lid", dst="rid")
+    return comps.orderBy("node")
+
+
+_DEDUP_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
+    edges AS (
+        SELECT lid AS a, rid AS b FROM pairs
+        UNION SELECT rid, lid FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, reached) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
+    )
+    SELECT node, min(reached) AS component
+    FROM walk GROUP BY node ORDER BY node
+"""
+
+
+def q_linker_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/J7 — canonicalize statements through an id mapping (broadcast)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    mapping = supplier.select(
+        F.concat(F.lit("customer-"), F.col("s_suppkey").cast("string")).alias("node"),
+        F.concat(F.lit("supplier-"), F.col("s_suppkey").cast("string")).alias(
+            "canonical_id"
+        ),
+    )
+    stmts = order_statements(spark, sf_dir)
+    out = apply_linker(stmts, mapping)
+    return out.select(
+        "entity_id", "canonical_id", "prop", "value", "original_value"
+    ).orderBy("entity_id", "prop")
+
+
+_LINKER_SQL = """
+    WITH stmts AS (
+        SELECT 'order-' || o_orderkey AS entity_id, 'customer' AS prop,
+               'entity' AS prop_type, 'customer-' || o_custkey AS value FROM orders
+        UNION ALL
+        SELECT 'order-' || o_orderkey, 'date', 'date', CAST(o_orderdate AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'order-' || o_orderkey, 'status', 'string', o_orderstatus FROM orders
+    ),
+    mapping AS (
+        SELECT 'customer-' || s_suppkey AS node,
+               'supplier-' || s_suppkey AS canonical_id
+        FROM supplier
+    )
+    SELECT s.entity_id,
+           s.entity_id AS canonical_id,
+           s.prop,
+           CASE WHEN s.prop_type = 'entity' AND m.canonical_id IS NOT NULL
+                THEN m.canonical_id ELSE s.value END AS value,
+           CASE WHEN s.prop_type = 'entity' AND m.canonical_id IS NOT NULL
+                     AND m.canonical_id != s.value
+                THEN s.value ELSE NULL END AS original_value
+    FROM stmts s
+    LEFT JOIN mapping m ON m.node = s.value
+    ORDER BY entity_id, prop
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document fingerprinting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+_DOC_STATS_SQL = f"""
+    SELECT doc_id,
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+        md5(array_to_string(list_sort(list_distinct(
+            list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}'']+'), x -> x != '')
+        )), ' ')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def _langid_sql() -> str:
+    words = (
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+        " x -> x != '')"
+    )
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = _sql_list(LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(ws, w -> w IN {markers})) * 1.0"
+            f" / greatest(len(ws), 1) AS s_{lang}"
+        )
+    # Tie-break must match Spark's greatest-of-(score, lang)-structs:
+    # highest score wins; on ties the lexicographically greatest lang.
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, {', '.join(score_cols)}
+            FROM (SELECT doc_id, {words} AS ws FROM documents)
+        ),
+        best AS (
+            SELECT doc_id, greatest(s_de, s_en, s_es, s_fr) AS m,
+                   s_de, s_en, s_es, s_fr
+            FROM scored
+        ),
+        pred AS (
+            SELECT doc_id,
+                CASE WHEN m < 0.02 THEN 'und'
+                     WHEN s_fr = m THEN 'fr'
+                     WHEN s_es = m THEN 'es'
+                     WHEN s_en = m THEN 'en'
+                     ELSE 'de' END AS lang_pred
+            FROM best
+        )
+        SELECT lang_pred, count(*) AS n_docs
+        FROM pred GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs, "text").select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_words",
+        "q_mean_word_len",
+        "q_punct_ratio",
+        "q_stop_ratio",
+        "q_keep",
+    ).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    words = (
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+        " x -> x != '')"
+    )
+    en = _sql_list(LANG_MARKERS["en"])
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, {words} AS ws, length(text) AS n_chars
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, n_chars, len(ws) AS n_words,
+                CASE WHEN len(ws) > 0
+                    THEN list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)
+                    ELSE 0.0 END AS mean_word_len,
+                CASE WHEN n_chars > 0
+                    THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / n_chars
+                    ELSE 0.0 END AS punct_ratio,
+                CASE WHEN len(ws) > 0
+                    THEN len(list_filter(ws, w -> w IN {en})) * 1.0 / len(ws)
+                    ELSE 0.0 END AS stop_ratio
+            FROM base
+        )
+        SELECT doc_id,
+            n_chars AS q_n_chars,
+            n_words AS q_n_words,
+            round(mean_word_len, 4) AS q_mean_word_len,
+            round(punct_ratio, 4) AS q_punct_ratio,
+            round(stop_ratio, 4) AS q_stop_ratio,
+            (n_words >= 5 AND mean_word_len >= 2 AND mean_word_len <= 12
+             AND punct_ratio <= 0.3) AS q_keep
+        FROM feats
+        ORDER BY doc_id
+    """
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=5, score_decimals=6)
+
+
+_ANN_SQL = """
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(list_cosine_similarity(
+                CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])
+            ), 6) AS cosine_sim,
+            row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY round(list_cosine_similarity(
+                    CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])
+                ), 6) DESC, c.vec_id
+            ) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id % 50 = 0
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_nations": q_top_revenue_nations,
+    "events_user_topk": q_events_user_topk,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "statements_unpivot": q_statements_unpivot,
+    "entity_properties": q_entity_properties,
+    "adjacency_orders": q_adjacency_orders,
+    "blocker_entries": q_blocker_entries,
+    "blocker_token_stats": q_blocker_token_stats,
+    "blocker_term_frequencies": q_blocker_term_frequencies,
+    "blocker_pairs": q_blocker_pairs,
+    "blocker_match": q_blocker_match,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_components": q_dedup_components,
+    "linker_apply": q_linker_apply,
+    "doc_stats": q_doc_stats,
+    "doc_langid": q_doc_langid,
+    "doc_quality": q_doc_quality,
+    "ann_topk": q_ann_topk,
+}
+
+ORACLES = {
+    "pricing_summary": _PRICING_SQL,
+    "top_revenue_nations": _TOP_NATIONS_SQL,
+    "events_user_topk": _EVENTS_TOPK_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+    "events_json": _EVENTS_JSON_SQL,
+    "statements_unpivot": _STATEMENTS_SQL,
+    "entity_properties": _ENTITY_PROPS_SQL,
+    "adjacency_orders": _ADJACENCY_SQL,
+    "blocker_entries": f"SELECT * FROM ({_ER_TOKENS_SQL}) ORDER BY schema, id, field, token",
+    "blocker_token_stats": f"SELECT * FROM ({_TOKEN_STATS_SQL}) ORDER BY token",
+    "blocker_term_frequencies": _TF_ROUNDED_SQL,
+    "blocker_pairs": _PAIRS_SQL,
+    "blocker_match": _MATCH_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_pairs": f"SELECT * FROM ({_NGRAM_PAIRS_SQL_BODY}) ORDER BY lid, rid",
+    "dedup_components": _DEDUP_COMPONENTS_SQL,
+    "linker_apply": _LINKER_SQL,
+    "doc_stats": _DOC_STATS_SQL,
+    "doc_langid": _langid_sql(),
+    "doc_quality": _quality_sql(),
+    "ann_topk": _ANN_SQL,
+}

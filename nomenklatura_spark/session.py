@@ -1,0 +1,91 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local test runs use ``local[N]``; on a real cluster the same configs apply
+(AQE, adaptive skew join, Arrow) and the master/memory settings come from
+the cluster manager instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "nomenklatura_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    - AQE on: runtime partition coalescing + skew-join splitting matter for
+      the blocker's token self-join, where hot tokens are the classic skew
+      case (reference bounds these via dynamic stopwords; AQE handles the
+      residue).
+    - Arrow on: every pandas UDF in the matcher library rides Arrow batches.
+    - shuffle.partitions sized to cores in local mode; a cluster deployment
+      should size it to ~2-3x total executor cores or rely on AQE coalesce.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default — read it as a long (runtime-settable legacy conf)
+    and convert to a microsecond timestamp (integer DIV keeps precision;
+    DuckDB's nanosecond reads agree at the microsecond level).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return spark.read.parquet(path)
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql queries."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,71 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry and compare with its oracle_sql() via DuckDB — row count, column
+names, and order-insensitive value comparison."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+def _normalize(rows, colnames):
+    """Rows → sorted list of tuples with columns sorted by name and floats
+    rounded, mirroring the driver's order-insensitive value-hash."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+            if isinstance(v, bool):
+                v = int(v)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert name in oracles, f"query {name} lacks an oracle"
+
+    sdf = queries[name](spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(oracles[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns = _normalize(spark_rows, spark_cols)
+    nd = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (a, b) for a, b in zip(ns, nd) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
