@@ -78,7 +78,10 @@ def ngram_jaccard_pairs(
     the true shingle-set jaccard; the cap only limits which pairs can be
     discovered (a pair must share at least one sub-cap shingle).
     """
-    sh = shingle_rows(df, id_col, text_col, k, mode)
+    # The shingle relation feeds four consumers (sizes, hot-filter, both
+    # join sides) — materialize it once, like the reference materializes
+    # its DuckDB token tables (index.py entries/term_frequencies).
+    sh = shingle_rows(df, id_col, text_col, k, mode).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hot = (
         sh.groupBy("shingle")
@@ -86,7 +89,7 @@ def ngram_jaccard_pairs(
         .where(F.col("df") > max_df)
         .select("shingle")
     )
-    sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.join(hot, "shingle", "left_anti").persist()
 
     l = sh.select(F.col("id").alias("lid"), "shingle")
     r = sh.select(F.col("id").alias("rid"), "shingle")

@@ -122,7 +122,10 @@ def er_schemata(spark: SparkSession) -> DataFrame:
 
 
 def er_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_entries(tokenize_statements(er_statements(spark, sf_dir)))
+    """The ``entries`` relation, materialized: every blocker stage (stats,
+    stopwords, IDF, self-join) re-reads it — the reference materializes it
+    as a DuckDB table for the same reason (index.py:148-195)."""
+    return token_entries(tokenize_statements(er_statements(spark, sf_dir))).persist()
 
 
 # ---------------------------------------------------------------------------
@@ -659,7 +662,8 @@ def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     schemata = er_schemata(spark)
     stats = build_token_stats(entries, schemata, MAX_PAIR_COST)
     tf = term_frequencies(entries, boosts_df(spark))
-    tf_filtered = apply_stopwords(tf, stopwords_from_stats(stats))
+    # Self-joined below — materialize so both sides read cached blocks.
+    tf_filtered = apply_stopwords(tf, stopwords_from_stats(stats)).persist()
     return candidate_pairs(
         tf_filtered, schemata, max_pairs=MAX_PAIRS, score_decimals=6
     )
@@ -674,7 +678,7 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         matching, entries, schemata, MAX_MATCH_PAIR_COST
     )
     matching_f = apply_stopwords(matching, stopwords_from_stats(m_stats))
-    tf_all = term_frequencies(entries, boosts_df(spark))
+    tf_all = term_frequencies(entries, boosts_df(spark)).persist()
     return match_candidates(
         matching_f,
         tf_all,

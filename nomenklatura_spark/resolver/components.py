@@ -50,8 +50,14 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a").isNotNull() & F.col("b").isNotNull()
     )
-    # Undirected: symmetrize once.
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # Undirected: symmetrize once. Materialize — the edge set is read every
+    # iteration and its lineage may be an arbitrarily expensive upstream
+    # pipeline (e.g. a similarity join).
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
