@@ -1,0 +1,303 @@
+"""C3/C7 — name comparisons that need per-pair imperative logic:
+Jaro-Winkler person-name alignment and phonetic token matching.
+
+These are the engine's canonical pandas-UDF features: Arrow-batched,
+operating on pre-normalized name arrays (the blocking stage bounds how
+many pairs ever reach them). Reference semantics:
+``nomenklatura/matching/compare/names.py:19-69`` and
+``logic_v1/phonetic.py``.
+
+The Jaro-Winkler and metaphone implementations below are standard
+published algorithms (Winkler 1990; Philips 1990), written from the
+public algorithm descriptions.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
+
+
+# --- pure-python string kernels -------------------------------------------
+
+def jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        start = max(0, i - match_window)
+        end = min(i + match_window + 1, len2)
+        for j in range(start, end):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    k = 0
+    transpositions = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                transpositions += 1
+            k += 1
+    t = transpositions / 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, max_prefix: int = 4) -> float:
+    j = jaro(s1, s2)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for c1, c2 in zip(s1, s2):
+        if c1 != c2 or prefix >= max_prefix:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1 - j)
+
+
+def levenshtein_plausible(a: str, b: str, max_edits: int = 4, max_rate: int = 3) -> bool:
+    """Gate mirroring rigour's is_levenshtein_plausible: only consider pairs
+    whose length difference is within the edit budget (1 edit per
+    ``max_rate`` chars, capped at ``max_edits``)."""
+    budget = min(max_edits, min(len(a), len(b)) // max_rate)
+    return abs(len(a) - len(b)) <= max(1, budget)
+
+
+def _name_tokens(name: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", name.lower()) if t]
+
+
+def align_name_parts(query: list[str], result: list[str]) -> float:
+    """Greedy best-pair alignment of person-name parts, multiplying the
+    per-pair JW scores (compare/names.py:19-51)."""
+    if not query or not result:
+        return 0.0
+    scores: dict[tuple[str, str], float] = {}
+    for qn, rn in product(set(query), set(result)):
+        s = jaro_winkler(qn, rn)
+        if s > 0.0 and levenshtein_plausible(qn, rn):
+            scores[(qn, rn)] = s
+    query = list(query)
+    result = list(result)
+    length = len(query)
+    total = 1.0
+    pairs = []
+    for (qn, rn), s in sorted(scores.items(), key=lambda i: i[1], reverse=True):
+        while qn in query and rn in result:
+            query.remove(qn)
+            result.remove(rn)
+            total *= s
+            pairs.append((qn, rn))
+    if len(pairs) < length:
+        return 0.0
+    qa = "".join(p[0] for p in pairs[::-1])
+    ra = "".join(p[1] for p in pairs[::-1])
+    if not levenshtein_plausible(qa, ra):
+        return 0.0
+    return total
+
+
+def person_name_jw(query_names: list[str], result_names: list[str]) -> float:
+    """C3 — person-name JW with part alignment (compare/names.py:55-69)."""
+    score = 0.0
+    q_parts = [_name_tokens(n) for n in query_names or []]
+    r_parts = [_name_tokens(n) for n in result_names or []]
+    for qn, rn in product(q_parts, r_parts):
+        qns, rns = "".join(qn), "".join(rn)
+        if not qns or not rns:
+            continue
+        if levenshtein_plausible(qns, rns):
+            score = max(score, jaro_winkler(qns, rns) ** len(qns))
+        score = max(score, align_name_parts(list(qn), list(rn)))
+    return score
+
+
+# --- metaphone (Philips 1990, simplified single-result variant) -----------
+
+_VOWELS = set("AEIOU")
+
+
+def metaphone(word: str) -> str:
+    w = "".join(c for c in word.upper() if c.isalpha())
+    if not w:
+        return ""
+    # initial-letter exceptions
+    if w[:2] in ("AE", "GN", "KN", "PN", "WR"):
+        w = w[1:]
+    elif w[:1] == "X":
+        w = "S" + w[1:]
+    elif w[:2] == "WH":
+        w = "W" + w[2:]
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        c = w[i]
+        nxt = w[i + 1] if i + 1 < n else ""
+        prev = w[i - 1] if i > 0 else ""
+        if c in _VOWELS:
+            if i == 0:
+                out.append(c)
+        elif c == "B":
+            if not (i == n - 1 and prev == "M"):
+                out.append("B")
+        elif c == "C":
+            if nxt == "I" and i + 2 < n and w[i + 2] == "A":
+                out.append("X")
+            elif nxt == "H":
+                out.append("X")
+                i += 1
+            elif nxt in "IEY":
+                out.append("S")
+            else:
+                out.append("K")
+        elif c == "D":
+            if nxt == "G" and i + 2 < n and w[i + 2] in "EYI":
+                out.append("J")
+                i += 2
+            else:
+                out.append("T")
+        elif c == "G":
+            if nxt == "H":
+                if i + 2 >= n or w[i + 2] in _VOWELS:
+                    out.append("K")
+                    i += 1
+            elif nxt == "N":
+                pass
+            elif nxt in "IEY":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "H":
+            if prev in _VOWELS and nxt not in _VOWELS:
+                pass
+            elif prev in "CSPTG":
+                pass
+            else:
+                out.append("H")
+        elif c in "FJLMNR":
+            out.append(c)
+        elif c == "K":
+            if prev != "C":
+                out.append("K")
+        elif c == "P":
+            if nxt == "H":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if nxt == "H":
+                out.append("X")
+                i += 1
+            elif nxt == "I" and i + 2 < n and w[i + 2] in "OA":
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if nxt == "H":
+                out.append("0")
+                i += 1
+            elif nxt == "I" and i + 2 < n and w[i + 2] in "OA":
+                out.append("X")
+            else:
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c == "W":
+            if nxt in _VOWELS:
+                out.append("W")
+        elif c == "X":
+            out.append("KS")
+        elif c == "Y":
+            if nxt in _VOWELS:
+                out.append("Y")
+        elif c == "Z":
+            out.append("S")
+        i += 1
+    # dedupe consecutive repeats
+    res = []
+    for ch in "".join(out):
+        if not res or res[-1] != ch:
+            res.append(ch)
+    return "".join(res)
+
+
+def name_metaphone_overlap(query_names: list[str], result_names: list[str]) -> float:
+    """C7 — share of query phonetic tokens present on the result side
+    (logic_v1/phonetic.py token-set compare)."""
+    q_tokens = {
+        metaphone(t)
+        for n in query_names or []
+        for t in _name_tokens(n)
+        if len(t) >= 3
+    }
+    r_tokens = {
+        metaphone(t)
+        for n in result_names or []
+        for t in _name_tokens(n)
+        if len(t) >= 3
+    }
+    q_tokens.discard("")
+    r_tokens.discard("")
+    if not q_tokens or not r_tokens:
+        return 0.0
+    return len(q_tokens & r_tokens) / min(len(q_tokens), len(r_tokens))
+
+
+# --- pandas UDF wrappers ---------------------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def person_name_jaro_winkler_udf(q: pd.Series, r: pd.Series) -> pd.Series:
+    return pd.Series(
+        [person_name_jw(list(a or []), list(b or [])) for a, b in zip(q, r)],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def name_metaphone_match_udf(q: pd.Series, r: pd.Series) -> pd.Series:
+    return pd.Series(
+        [name_metaphone_overlap(list(a or []), list(b or [])) for a, b in zip(q, r)],
+        dtype="float64",
+    )
+
+
+def soundex_token_overlap(q_names: Column, r_names: Column) -> Column:
+    """C7 — soundex token-set overlap as a pure column expression (Spark's
+    soundex() is built-in; no UDF needed for this variant)."""
+
+    def sdx(names: Column) -> Column:
+        toks = F.flatten(
+            F.transform(names, lambda n: F.split(F.lower(n), r"[^a-z0-9]+"))
+        )
+        return F.array_distinct(
+            F.transform(
+                F.filter(toks, lambda t: F.length(t) >= 3), lambda t: F.soundex(t)
+            )
+        )
+
+    qs, rs = sdx(q_names), sdx(r_names)
+    inter = F.size(F.array_intersect(qs, rs))
+    return F.when(
+        (F.size(qs) > 0) & (F.size(rs) > 0),
+        inter / F.least(F.size(qs), F.size(rs)),
+    ).otherwise(F.lit(0.0))

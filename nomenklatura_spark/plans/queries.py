@@ -689,6 +689,100 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 + C2/C5/C15 + X1 — score blocker candidate pairs with matcher
+    features (literal name match, strict Levenshtein, numbers qualifier)."""
+    from nomenklatura_spark.functions import compare as Cmp
+    from nomenklatura_spark.functions.scoring import Feature, heuristic_score
+    from nomenklatura_spark.operators.pairs import assemble_pairs, entity_features
+
+    pairs = q_blocker_pairs(spark, sf_dir).select("lid", "rid")
+    feats = entity_features(er_statements(spark, sf_dir))
+    assembled = assemble_pairs(pairs, feats)
+    featured = assembled.select(
+        "lid",
+        "rid",
+        Cmp.name_literal_match(F.col("l_names"), F.col("r_names")).alias(
+            "f_name_literal"
+        ),
+        F.round(
+            Cmp.best_name_levenshtein(F.col("l_names"), F.col("r_names")), 6
+        ).alias("f_name_levenshtein"),
+        Cmp.numbers_mismatch(F.col("l_all_values"), F.col("r_all_values")).alias(
+            "f_numbers_mismatch"
+        ),
+    )
+    scored = heuristic_score(
+        featured,
+        [
+            Feature("f_name_literal", 1.0),
+            Feature("f_name_levenshtein", 0.9),
+            Feature("f_numbers_mismatch", -0.1, qualifier=True),
+        ],
+    )
+    return scored.select(
+        "lid",
+        "rid",
+        "f_name_literal",
+        "f_name_levenshtein",
+        "f_numbers_mismatch",
+        F.round("score", 6).alias("score"),
+    ).orderBy("lid", "rid")
+
+
+_PAIR_SCORES_SQL = f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    feats AS (
+        SELECT 'part-' || p_partkey AS id, [p_name] AS names,
+               [p_name, p_brand, p_type] AS all_values FROM part
+        UNION ALL
+        SELECT 'customer-' || c_custkey, [c_name], [c_name, c_mktsegment] FROM customer
+        UNION ALL
+        SELECT 'supplier-' || s_suppkey, [s_name], [s_name] FROM supplier
+    ),
+    assembled AS (
+        SELECT p.lid, p.rid,
+               lf.names AS l_names, rf.names AS r_names,
+               lf.all_values AS l_all, rf.all_values AS r_all
+        FROM pairs p
+        JOIN feats lf ON lf.id = p.lid
+        JOIN feats rf ON rf.id = p.rid
+    ),
+    featured AS (
+        SELECT lid, rid,
+            CASE WHEN len(list_intersect(
+                list_distinct(list_transform(l_names, n -> trim(regexp_replace(lower(n), '\\s+', ' ', 'g')))),
+                list_distinct(list_transform(r_names, n -> trim(regexp_replace(lower(n), '\\s+', ' ', 'g'))))
+            )) > 0 THEN 1.0 ELSE 0.0 END AS f_name_literal,
+            round(ifnull(list_max(flatten(list_transform(l_names, ln ->
+                list_transform(r_names, rn ->
+                    CASE WHEN ln = rn THEN 1.0
+                         WHEN floor(greatest(length(ln), length(rn)) / 4) < 1 THEN 0.0
+                         WHEN levenshtein(ln, rn) > floor(greatest(length(ln), length(rn)) / 4) THEN 0.0
+                         ELSE pow(1.0 - levenshtein(ln, rn) * 1.0 / greatest(length(ln), length(rn)),
+                                  floor(greatest(length(ln), length(rn)) / 4))
+                    END)))), 0.0), 6) AS f_name_levenshtein,
+            CASE WHEN len(list_distinct(flatten(list_transform(l_all, v -> regexp_extract_all(v, '\\d+'))))) > 0
+                  AND len(list_distinct(flatten(list_transform(r_all, v -> regexp_extract_all(v, '\\d+'))))) > 0
+                  AND len(list_intersect(
+                        list_distinct(flatten(list_transform(l_all, v -> regexp_extract_all(v, '\\d+')))),
+                        list_distinct(flatten(list_transform(r_all, v -> regexp_extract_all(v, '\\d+'))))
+                  )) = 0
+            THEN 1.0 ELSE 0.0 END AS f_numbers_mismatch
+        FROM assembled
+    )
+    SELECT lid, rid, f_name_literal, f_name_levenshtein, f_numbers_mismatch,
+        round(CASE
+            WHEN greatest(f_name_literal * 1.0, f_name_levenshtein * 0.9) <= 0.0 THEN 0.0
+            ELSE least(1.0, greatest(0.0,
+                greatest(f_name_literal * 1.0, f_name_levenshtein * 0.9)
+                + f_numbers_mismatch * -0.1))
+        END, 6) AS score
+    FROM featured
+    ORDER BY lid, rid
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by content hash (bag-of-words fingerprint so the
     synthetic corpus, which has no byte-exact dups, still exercises it)."""
@@ -953,6 +1047,7 @@ QUERIES = {
     "blocker_term_frequencies": q_blocker_term_frequencies,
     "blocker_pairs": q_blocker_pairs,
     "blocker_match": q_blocker_match,
+    "pair_scores": q_pair_scores,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_components": q_dedup_components,
@@ -977,6 +1072,7 @@ ORACLES = {
     "blocker_term_frequencies": _TF_ROUNDED_SQL,
     "blocker_pairs": _PAIRS_SQL,
     "blocker_match": _MATCH_SQL,
+    "pair_scores": _PAIR_SCORES_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": f"SELECT * FROM ({_NGRAM_PAIRS_SQL_BODY}) ORDER BY lid, rid",
     "dedup_components": _DEDUP_COMPONENTS_SQL,
