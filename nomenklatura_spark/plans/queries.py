@@ -834,6 +834,137 @@ _DEDUP_COMPONENTS_SQL = f"""
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-min gap) — Spark's session_window vs
+    the classic gaps-and-islands SQL as oracle."""
+    from nomenklatura_spark.streaming.events import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events, gap="30 minutes")
+    return sess.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("user_id", "session_start")
+
+
+_SESSIONIZE_SQL = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL '30 minutes' THEN 1
+                       ELSE 0 END AS new_sess
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs with estimated jaccard."""
+    from nomenklatura_spark.dedup.minhash import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, mode="word", n_hashes=32, band_size=4,
+        threshold=0.5,
+    )
+    return pairs.select(
+        "lid", "rid", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).orderBy("lid", "rid")
+
+
+_MINHASH_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tri AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 2, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM ws
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    hashes AS (
+        SELECT doc_id, seed,
+               CAST(('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15)) AS BIGINT) AS h
+        FROM tri, seeds
+    ),
+    sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM hashes GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+        FROM sigs GROUP BY 1, 2
+    ),
+    cands AS (
+        SELECT DISTINCT l.doc_id AS lid, r.doc_id AS rid
+        FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+        WHERE l.doc_id < r.doc_id
+    ),
+    sim AS (
+        SELECT lid, rid,
+               sum(CASE WHEN ls.minhash = rs.minhash THEN 1 ELSE 0 END) * 1.0
+                   / count(*) AS est_jaccard
+        FROM cands
+        JOIN sigs ls ON ls.doc_id = lid
+        JOIN sigs rs ON rs.doc_id = rid AND rs.seed = ls.seed
+        GROUP BY lid, rid
+    )
+    SELECT lid, rid, round(est_jaccard, 6) AS est_jaccard
+    FROM sim WHERE est_jaccard >= 0.5
+    ORDER BY lid, rid
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints per document."""
+    from nomenklatura_spark.dedup.simhash import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text").orderBy("id")
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"
+        for b in range(32)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest({_DOC_WORDS}) AS tok FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        h AS (
+            SELECT doc_id, cnt,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+            FROM toks
+        ),
+        votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id AS id, {fp} AS simhash
+        FROM votes ORDER BY id
+    """
+
+
 def q_linker_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/J7 — canonicalize statements through an id mapping (broadcast)."""
     supplier = load_table(spark, sf_dir, "supplier")
@@ -1050,7 +1181,10 @@ QUERIES = {
     "pair_scores": q_pair_scores,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
+    "events_sessionize": q_events_sessionize,
     "linker_apply": q_linker_apply,
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,
@@ -1075,7 +1209,10 @@ ORACLES = {
     "pair_scores": _PAIR_SCORES_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": f"SELECT * FROM ({_NGRAM_PAIRS_SQL_BODY}) ORDER BY lid, rid",
+    "dedup_minhash": _MINHASH_SQL,
+    "dedup_simhash": _simhash_sql(),
     "dedup_components": _DEDUP_COMPONENTS_SQL,
+    "events_sessionize": _SESSIONIZE_SQL,
     "linker_apply": _LINKER_SQL,
     "doc_stats": _DOC_STATS_SQL,
     "doc_langid": _langid_sql(),

@@ -1,0 +1,70 @@
+"""Dedup-tier semantics tests: MinHash estimate quality, SimHash banding
+completeness vs brute force, exact dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nomenklatura_spark.session import load_table
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
+    """MinHash-estimated jaccard must correlate with the exact n-gram
+    jaccard on the planted near-dups: every exact pair ≥ 0.8 should be
+    found by LSH with estimate ≥ 0.5."""
+    from nomenklatura_spark.dedup.minhash import minhash_dedup_pairs
+    from nomenklatura_spark.dedup.ngram import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["lid"], r["rid"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8, max_df=100, mode="word"
+        ).collect()
+    }
+    est = {
+        (r["lid"], r["rid"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", k=3, mode="word", threshold=0.5
+        ).collect()
+    }
+    assert exact, "expected planted near-duplicates in the corpus"
+    missed = exact - est
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_banding_complete_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole guarantee: banded candidate generation must find every
+    pair within hamming distance 3 that brute force finds."""
+    from nomenklatura_spark.dedup.simhash import hamming32, simhash, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    fp = simhash(docs, "doc_id", "text").persist()
+    banded = {
+        (r["lid"], r["rid"]): r["hamming"]
+        for r in simhash_pairs(fp, max_hamming=3).collect()
+    }
+    l = fp.select(F.col("id").alias("lid"), F.col("simhash").alias("a"))
+    r = fp.select(F.col("id").alias("rid"), F.col("simhash").alias("b"))
+    brute = {
+        (x["lid"], x["rid"]): x["hamming"]
+        for x in l.crossJoin(r)
+        .where(F.col("lid") < F.col("rid"))
+        .select("lid", "rid", hamming32(F.col("a"), F.col("b")).alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_exact_dedup_keeps_one_per_hash(spark):
+    from nomenklatura_spark.dedup.exact import exact_dedup, exact_duplicate_groups
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    groups = exact_duplicate_groups(df, "id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["canonical_id"] == 1
+    kept = {r["id"] for r in exact_dedup(df, "id", "text").collect()}
+    assert kept == {1, 3}
