@@ -1,0 +1,144 @@
+"""Hyperplane (sign-random-projection) LSH for cosine similarity search.
+
+The 100 TB scale path for `ann.brute`: instead of an all-pairs cross join,
+vectors hash to ``n_planes`` sign bits (Charikar 2002 SimHash family);
+bits group into bands and only vectors sharing a (band, key) bucket meet
+in an equi-join — the same bounded-join shape as the ER blocker and the
+MinHash deduper.  Exact cosine re-ranks the candidates.
+
+Determinism: hyperplanes are Rademacher ±1 vectors derived from
+``md5(plane:dim)`` — no RNG state, no seed tables to ship; every engine
+(and every retry of a failed task) derives the same planes.
+
+Scale: signatures are one map-side pass (broadcast planes, zip_with dot);
+the bucket join shuffles only (id, band, key); candidate verification
+touches only bucketed pairs.  Recall is tunable via n_planes/band_bits —
+more bands → higher recall, more candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from nomenklatura_spark.ann.brute import cosine
+
+
+def _plane_coeffs(n_planes: int, dim: int) -> list[tuple[int, list[float]]]:
+    out = []
+    for p in range(n_planes):
+        coeffs = [
+            1.0 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] % 2 else -1.0
+            for d in range(dim)
+        ]
+        out.append((p, coeffs))
+    return out
+
+
+def signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, band, key) bucket rows — one row per (vector, band).
+
+    key = the band's bit-string; band count = n_planes / band_bits.
+    """
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        _plane_coeffs(n_planes, dim), "plane int, coeffs array<double>"
+    )
+    bits = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .crossJoin(F.broadcast(planes))
+        .select(
+            "id",
+            (F.col("plane") / band_bits).cast("int").alias("band"),
+            F.col("plane"),
+            F.when(
+                F.aggregate(
+                    F.zip_with(F.col("vec"), F.col("coeffs"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit("1"),
+            )
+            .otherwise(F.lit("0"))
+            .alias("bit"),
+        )
+    )
+    return bits.groupBy("id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("plane"), F.col("bit")))
+                ),
+                lambda s: s["bit"],
+            ),
+            "",
+        ).alias("key")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via LSH bucket join + exact re-rank.
+
+    Same output schema as ``brute.cosine_topk`` (query_id, neighbor_id,
+    cosine_sim, rank) so the brute result is a drop-in recall oracle.
+    """
+    kw = dict(
+        id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        band_bits=band_bits, dim=dim,
+    )
+    q_sig = signatures(queries, **kw).withColumnRenamed("id", "query_id")
+    c_sig = signatures(corpus, **kw).withColumnRenamed("id", "neighbor_id")
+    cands = (
+        F.broadcast(q_sig)
+        .join(c_sig, ["band", "key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if score_decimals is not None:
+        sim = F.round(sim, score_decimals)
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,81 @@
+"""Embedding-cosine near-duplicate detection.
+
+Completes the dedup tier ladder (exact → n-gram Jaccard → MinHash/LSH →
+SimHash → embedding cosine): pairs of vectors whose cosine similarity
+clears a threshold are near-duplicates.
+
+Two paths:
+
+- ``embedding_dup_pairs`` — exact all-pairs (dedup triangle ``l.id <
+  r.id``), the correctness baseline with a direct DuckDB oracle
+  (``list_cosine_similarity``).  Quadratic; fine for verification scale.
+- ``embedding_dup_pairs_lsh`` — candidates from the hyperplane-LSH bucket
+  join (``ann.lsh.signatures``), then exact cosine verification on the
+  bucketed pairs only.  This is the 100 TB path: the all-pairs product
+  never materialises, the bucket join is an equi-join AQE can handle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nomenklatura_spark.ann.brute import cosine
+from nomenklatura_spark.ann.lsh import signatures
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{side}id"),
+        F.col(vec_col).cast("array<double>").alias(f"{side}vec"),
+    )
+
+
+def _verify(pairs: DataFrame, threshold: float, decimals: int) -> DataFrame:
+    sim = F.round(cosine(F.col("lvec"), F.col("rvec")), decimals)
+    return (
+        pairs.select("lid", "rid", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+        .orderBy("lid", "rid")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact near-dup pairs: all (lid < rid) with cosine >= threshold."""
+    left = _prep(df, id_col, vec_col, "l")
+    right = _prep(df, id_col, vec_col, "r")
+    pairs = left.crossJoin(right).where(F.col("lid") < F.col("rid"))
+    return _verify(pairs, threshold, score_decimals)
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """LSH-blocked near-dup pairs: bucket join candidates, exact verify."""
+    sig = signatures(
+        df, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, band_bits=band_bits, dim=dim,
+    )
+    cands = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("lid"), F.col("b.id").alias("rid"))
+        .distinct()
+    )
+    left = _prep(df, id_col, vec_col, "l")
+    right = _prep(df, id_col, vec_col, "r")
+    pairs = cands.join(left, "lid").join(right, "rid")
+    return _verify(pairs, threshold, score_decimals)

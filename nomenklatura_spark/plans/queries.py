@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from nomenklatura_spark.ann.brute import cosine_topk
+from nomenklatura_spark.ann.lsh import lsh_topk
+from nomenklatura_spark.dedup.embedding import embedding_dup_pairs
 from nomenklatura_spark.dedup.exact import content_hash
 from nomenklatura_spark.dedup.ngram import ngram_jaccard_pairs
 from nomenklatura_spark.functions.normalize import LEGAL_FORMS, STOP_TOKENS
@@ -1161,6 +1163,99 @@ _ANN_SQL = """
 """
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: hyperplane-LSH bucket join + exact re-rank.
+
+    No SQL oracle (the bucketing is not SQL-expressible without replaying
+    the plane derivation); correctness is covered by the recall-vs-brute
+    pytest (tests/test_multimodal_ann.py) and the driver's rows-only check.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_topk(emb, queries, k=5, n_planes=16, band_bits=2)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline, oracle-checked).
+
+    The driver's synthetic embeddings are near-orthogonal (max cosine
+    ~0.51 at sf0.01) so the threshold sits at 0.35 to produce a real
+    result set; ``embedding_dup_pairs_lsh`` is the scale path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.35)
+
+
+_DEDUP_EMB_SQL = """
+    SELECT a.vec_id AS lid, b.vec_id AS rid,
+        round(list_cosine_similarity(
+            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+        ), 6) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+    ), 6) >= 0.35
+    ORDER BY lid, rid
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: synthetic assets → mapInPandas features.
+
+    Exercises the full multimodal path (binary payload + typed metadata
+    through Arrow-batched mapInPandas) with byte-verifiable outputs.
+    """
+    from nomenklatura_spark.multimodal import assets_from_documents, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(assets_from_documents(docs)).orderBy("asset_id")
+
+
+_MEDIA_FEATURES_SQL = """
+    SELECT doc_id AS asset_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        octet_length(encode(text)) AS n_bytes,
+        substring(text, 1, 4) AS header,
+        CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_chunks
+    FROM documents
+    ORDER BY asset_id
+"""
+
+
+def q_media_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-type rollup over extracted features (metadata-only agg)."""
+    from nomenklatura_spark.multimodal import assets_from_documents, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(assets_from_documents(docs))
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_chunks").alias("max_chunks"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_MEDIA_BY_TYPE_SQL = """
+    SELECT media_type, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+           max(n_chunks) AS max_chunks
+    FROM (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_chunks
+        FROM documents
+    )
+    GROUP BY media_type
+    ORDER BY media_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1190,6 +1285,10 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_quality": q_doc_quality,
     "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_embedding": q_dedup_embedding,
+    "media_features": q_media_features,
+    "media_by_type": q_media_by_type,
 }
 
 ORACLES = {
@@ -1218,4 +1317,8 @@ ORACLES = {
     "doc_langid": _langid_sql(),
     "doc_quality": _quality_sql(),
     "ann_topk": _ANN_SQL,
+    # ann_lsh_topk: deliberately no oracle — approximate op, rows-only check
+    "dedup_embedding": _DEDUP_EMB_SQL,
+    "media_features": _MEDIA_FEATURES_SQL,
+    "media_by_type": _MEDIA_BY_TYPE_SQL,
 }
