@@ -1,0 +1,340 @@
+"""C1/C14 — LogicV2-style name matching and address matching.
+
+Behavioral re-expression (NOT a port) of the reference's LogicV2 name
+matcher (``nomenklatura/matching/logic_v2/names/match.py:29-244``) and
+address comparison (``nomenklatura/matching/compare/addresses.py:25-71``).
+
+The reference's name matcher leans on rigour's cultural symbol tables
+(org-class/nick/location symbol pairing).  This engine re-expresses the
+*scoring structure* — literal early-exit, part alignment, per-category
+score/weight, extras penalties, stopword dampening, family-name boost,
+weighted-mean combination, max over the name product — with a simplified
+symbol model (legal-form tags + initials), documented here as a deviation:
+
+- symbol categories supported: ORG_CLASS (legal-form tokens, score 0.8 /
+  weight 0.7) and INITIAL (single letter vs. part initial, score 0.9 /
+  weight 0.5) — the rigour NICK/LOCATION/DOMAIN tables are cultural data
+  this engine does not bundle;
+- residue alignment is greedy best-pair on strict-Levenshtein scores
+  (``logic_v2/names/distance.py:8-20`` semantics: 1 edit budget per 4
+  chars, score ``(1 - d/len)^max_edits``) with a metaphone fallback at
+  0.6, instead of rigour's cost-folded DP;
+- family-name boost (×1.3) applies to aligned pairs whose parts appear
+  in the entity's ``lastName`` values (config default
+  ``nm_family_name_weight``, ``logic_v2/model.py:74-78``);
+- extras weights: unmatched query parts ×0.8, unmatched result parts
+  ×0.2 (``nm_extra_query_name`` / ``nm_extra_result_name`` defaults);
+- stopword single-part matches dampen ×0.7 (``match.py:92-99``).
+
+All of it runs in one Arrow-batched pandas UDF over blocked pairs; name
+normalisation happens once per side before the pair join.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from nomenklatura_spark.functions import compare as C
+from nomenklatura_spark.functions.names_compare import metaphone
+from nomenklatura_spark.functions.normalize import LEGAL_FORMS, STOP_TOKENS
+from nomenklatura_spark.functions.scoring import Feature, heuristic_score
+
+EXTRA_QUERY_WEIGHT = 0.8
+EXTRA_RESULT_WEIGHT = 0.2
+FAMILY_NAME_WEIGHT = 1.3
+STOPWORD_DAMPEN = 0.7
+ORG_CLASS_SCORE, ORG_CLASS_WEIGHT = 0.8, 0.7
+INITIAL_SCORE, INITIAL_WEIGHT = 0.9, 0.5
+METAPHONE_SCORE = 0.6
+
+_LEGAL = frozenset(LEGAL_FORMS)
+_STOP = frozenset(STOP_TOKENS)
+
+_SPLIT_RE = re.compile(r"[^0-9a-zÀ-ɏЀ-ӿ]+")
+
+
+def levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a or not b:
+        return len(a) + len(b)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@lru_cache(maxsize=100_000)
+def strict_levenshtein_py(left: str, right: str, max_rate: int = 4) -> float:
+    """1 edit allowed per ``max_rate`` chars; score (1 - d/len)^max_edits."""
+    if left == right:
+        return 1.0
+    max_len = max(len(left), len(right))
+    max_edits = max_len // max_rate
+    if max_edits < 1:
+        return 0.0
+    d = levenshtein(left, right)
+    if d > max_edits:
+        return 0.0
+    return (1 - (d / max_len)) ** max_edits
+
+
+@lru_cache(maxsize=100_000)
+def _parts(name: str) -> tuple[str, ...]:
+    return tuple(t for t in _SPLIT_RE.split(name.lower()) if t)
+
+
+def _pair_score(qp: str, rp: str) -> tuple[float, float] | None:
+    """(score, weight) for one aligned part pair, or None if no match."""
+    if qp == rp:
+        if qp in _LEGAL:
+            return 1.0, ORG_CLASS_WEIGHT
+        return 1.0, 1.0
+    if qp in _LEGAL and rp in _LEGAL:
+        return ORG_CLASS_SCORE, ORG_CLASS_WEIGHT
+    if len(qp) == 1 and rp.startswith(qp):
+        return INITIAL_SCORE, INITIAL_WEIGHT
+    if len(rp) == 1 and qp.startswith(rp):
+        return INITIAL_SCORE, INITIAL_WEIGHT
+    s = strict_levenshtein_py(qp, rp)
+    if s > 0.0:
+        return s, 1.0
+    if len(qp) >= 3 and len(rp) >= 3 and metaphone(qp) == metaphone(rp) != "":
+        return METAPHONE_SCORE, 1.0
+    return None
+
+
+def name_pair_score(
+    query: str, result: str, family: frozenset[str] = frozenset()
+) -> float:
+    qps, rps = list(_parts(query)), list(_parts(result))
+    if not qps or not rps:
+        return 0.0
+    if qps == rps:
+        return 1.0
+    # greedy best-pair alignment over the part product
+    cands: list[tuple[float, float, str, str]] = []
+    for qp in set(qps):
+        for rp in set(rps):
+            sw = _pair_score(qp, rp)
+            if sw is not None:
+                cands.append((sw[0], sw[1], qp, rp))
+    cands.sort(key=lambda x: (-x[0] * x[1], x[2], x[3]))
+    matches: list[tuple[float, float, str, str]] = []
+    q_left, r_left = list(qps), list(rps)
+    for s, w, qp, rp in cands:
+        while qp in q_left and rp in r_left:
+            q_left.remove(qp)
+            r_left.remove(rp)
+            matches.append((s, w, qp, rp))
+    # extras: unmatched parts contribute score 0 at a reduced weight
+    scored: list[tuple[float, float]] = []
+    for s, w, qp, rp in matches:
+        if (qp in _STOP) or (rp in _STOP):
+            w *= STOPWORD_DAMPEN
+        if qp in family or rp in family:
+            w *= FAMILY_NAME_WEIGHT
+        scored.append((s, w))
+    for qp in q_left:
+        w = EXTRA_QUERY_WEIGHT * (STOPWORD_DAMPEN if qp in _STOP else 1.0)
+        scored.append((0.0, w))
+    for rp in r_left:
+        w = EXTRA_RESULT_WEIGHT * (STOPWORD_DAMPEN if rp in _STOP else 1.0)
+        scored.append((0.0, w))
+    total_w = sum(w for _, w in scored)
+    if total_w <= 0.0:
+        return 0.0
+    return sum(s * w for s, w in scored) / total_w
+
+
+def name_match(
+    query_names: list[str],
+    result_names: list[str],
+    family_names: list[str] | None = None,
+) -> float:
+    """Max over the (query, result) name product with 1.0 early exit."""
+    family = frozenset(
+        p for n in (family_names or []) for p in _parts(n)
+    )
+    best = 0.0
+    for qn in query_names or []:
+        for rn in result_names or []:
+            s = name_pair_score(qn, rn, family)
+            if s > best:
+                best = s
+                if best >= 1.0:
+                    return 1.0
+    return best
+
+
+@F.pandas_udf(T.DoubleType())
+def name_match_udf(q: pd.Series, r: pd.Series, fam: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            name_match(list(qn or []), list(rn or []), list(fn or []))
+            for qn, rn, fn in zip(q, r, fam)
+        ]
+    )
+
+
+# --- address matching (C14) ------------------------------------------------
+
+_ADDR_DROP = frozenset(
+    "street str st road rd avenue ave boulevard blvd lane ln suite ste floor "
+    "fl apt unit building bldg po box".split()
+)
+
+
+@lru_cache(maxsize=100_000)
+def _addr_tokens(addr: str) -> frozenset[str]:
+    return frozenset(
+        t for t in _SPLIT_RE.split(addr.lower()) if t and t not in _ADDR_DROP
+    )
+
+
+def address_match(query_addrs: list[str], result_addrs: list[str]) -> float:
+    """Token-overlap + sorted-residue Levenshtein blend:
+    score = (|overlap| + rem * lev) / (rem + |overlap|); subset → 1.0."""
+    best = 0.0
+    q_sets = [_addr_tokens(a) for a in query_addrs or []]
+    r_sets = [_addr_tokens(a) for a in result_addrs or []]
+    for qt in q_sets:
+        for rt in r_sets:
+            if not qt or not rt:
+                continue
+            overlap = qt & rt
+            if len(overlap) == len(qt) or len(overlap) == len(rt):
+                return 1.0
+            q_rem = sorted(qt - overlap)
+            r_rem = sorted(rt - overlap)
+            q_fuzzy, r_fuzzy = " ".join(q_rem), " ".join(r_rem)
+            max_len = max(len(q_fuzzy), len(r_fuzzy))
+            lev = 1.0 - levenshtein(q_fuzzy, r_fuzzy) / max_len if max_len else 0.0
+            rem_len = max(len(q_rem), len(r_rem))
+            score = (len(overlap) + rem_len * lev) / (rem_len + len(overlap))
+            best = max(best, score)
+    return best
+
+
+@F.pandas_udf(T.DoubleType())
+def address_match_udf(q: pd.Series, r: pd.Series) -> pd.Series:
+    return pd.Series(
+        [address_match(list(qn or []), list(rn or [])) for qn, rn in zip(q, r)]
+    )
+
+
+# --- identifier format matchers (C12, logic_v2/identifiers.py:57-173) ------
+
+ID_FORMATS = {
+    # format: (regex over cleaned uppercase values, score)
+    "lei": (r"^[0-9A-Z]{18}[0-9]{2}$", 0.95),
+    "isin": (r"^[A-Z]{2}[0-9A-Z]{9}[0-9]$", 0.98),
+    "bic": (r"^[A-Z]{4}[A-Z]{2}[0-9A-Z]{2}([0-9A-Z]{3})?$", 0.95),
+    "ogrn": (r"^[15][0-9]{12}$", 0.95),
+    "inn": (r"^[0-9]{10}([0-9]{2})?$", 0.95),
+    "imo": (r"^IMO[0-9]{7}$", 0.95),
+}
+
+
+def format_identifier_scores(l_ids, r_ids) -> list:
+    """One column per identifier format: 1.0 iff a value matching the
+    format's shape appears on both sides.  Pure column expressions
+    (upper + filter + arrays_overlap) — no UDF."""
+    cols = []
+    for name, (pattern, _w) in ID_FORMATS.items():
+        lf = F.filter(
+            F.transform(l_ids, lambda x: F.upper(F.regexp_replace(x, r"[\s-]", ""))),
+            lambda x: x.rlike(pattern),
+        )
+        rf = F.filter(
+            F.transform(r_ids, lambda x: F.upper(F.regexp_replace(x, r"[\s-]", ""))),
+            lambda x: x.rlike(pattern),
+        )
+        cols.append(
+            F.when(F.arrays_overlap(lf, rf), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias(f"f_id_{name}")
+        )
+    return cols
+
+
+# --- LogicV2 matcher -------------------------------------------------------
+
+LOGIC_V2_FEATURES = [
+    Feature("f_name_v2", 1.0),
+    Feature("f_address_entity", 0.98),
+    Feature("f_crypto_wallet", 0.98),
+    Feature("f_id_isin", 0.98),
+    Feature("f_id_lei", 0.95),
+    Feature("f_id_ogrn", 0.95),
+    Feature("f_id_imo", 0.95),
+    Feature("f_id_inn", 0.95),
+    Feature("f_id_bic", 0.95),
+    Feature("f_identifier", 0.85),
+    Feature("f_weak_alias", 0.8),
+    Feature("f_address_prop", 0.2, qualifier=True),
+    Feature("f_country_mismatch", -0.2, qualifier=True),
+    Feature("f_dob_year_disjoint", -0.15, qualifier=True),
+    Feature("f_dob_day_disjoint", -0.25, qualifier=True),
+    Feature("f_gender_mismatch", -0.2, qualifier=True),
+]
+
+
+def score_pairs_logic_v2(pairs: DataFrame) -> DataFrame:
+    """LogicV2 scoring over an assembled pair frame (X1 combination).
+
+    Expects the pair frame from ``operators.pairs`` (l_/r_ prefixed
+    feature arrays incl. ``l_addresses``/``l_last_names``).
+    """
+    is_address = (F.col("l_schema") == "Address") & (F.col("r_schema") == "Address")
+    df = pairs.select(
+        "*",
+        name_match_udf(
+            F.col("l_names"), F.col("r_names"), F.col("r_last_names")
+        ).alias("f_name_v2"),
+        F.when(
+            is_address,
+            address_match_udf(F.col("l_addresses"), F.col("r_addresses")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f_address_entity"),
+        F.when(
+            ~is_address,
+            address_match_udf(F.col("l_addresses"), F.col("r_addresses")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f_address_prop"),
+        C.crypto_wallet_address(
+            F.col("l_public_keys"),
+            F.col("r_public_keys"),
+            F.col("l_schema"),
+            F.col("r_schema"),
+        ).alias("f_crypto_wallet"),
+        C.identifier_match(F.col("l_identifiers"), F.col("r_identifiers")).alias(
+            "f_identifier"
+        ),
+        C.weak_alias_match(F.col("l_names"), F.col("r_weak_aliases")).alias(
+            "f_weak_alias"
+        ),
+        C.country_mismatch(F.col("l_countries"), F.col("r_countries")).alias(
+            "f_country_mismatch"
+        ),
+        C.dob_year_disjoint(F.col("l_birth_dates"), F.col("r_birth_dates")).alias(
+            "f_dob_year_disjoint"
+        ),
+        C.dob_day_disjoint(F.col("l_birth_dates"), F.col("r_birth_dates")).alias(
+            "f_dob_day_disjoint"
+        ),
+        C.gender_mismatch(F.col("l_genders"), F.col("r_genders")).alias(
+            "f_gender_mismatch"
+        ),
+        *format_identifier_scores(F.col("l_identifiers"), F.col("r_identifiers")),
+    )
+    return heuristic_score(df, LOGIC_V2_FEATURES)

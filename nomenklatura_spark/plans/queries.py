@@ -1163,6 +1163,57 @@ _ANN_SQL = """
 """
 
 
+def _assembled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nomenklatura_spark.operators.pairs import assemble_pairs, entity_features
+
+    pairs = q_blocker_pairs(spark, sf_dir).select("lid", "rid")
+    feats = entity_features(er_statements(spark, sf_dir))
+    return assemble_pairs(pairs, feats)
+
+
+def q_pair_scores_ofac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8/X2 — OFAC Sanctions-List-Search score emulation on blocker pairs.
+
+    No SQL oracle: the score is Jaro-Winkler-based and DuckDB's
+    ``jaro_similarity`` implements a non-standard match-window variant
+    (measured: disagrees with the Winkler-1990 definition on ~5% of
+    random strings), so a bit-exact SQL replica is impossible.  The
+    scoring kernels are pinned by tests/test_matching_v2.py instead;
+    the driver records the rows-only check.
+    """
+    from nomenklatura_spark.matching.ofac import score_pairs_ofac
+
+    assembled = _assembled_pairs(spark, sf_dir)
+    missing = [
+        c for c in ("l_birth_dates", "l_genders")
+        if c not in assembled.columns
+    ]
+    assert not missing, f"pair frame lacks {missing}"
+    return (
+        score_pairs_ofac(assembled)
+        .select("lid", "rid", F.round("score", 6).alias("score"))
+        .orderBy("lid", "rid")
+    )
+
+
+def q_pair_scores_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C14/X1 — LogicV2-style scoring (symbolic name alignment,
+    address blend, identifier formats) on blocker pairs.
+
+    No SQL oracle: the greedy part-alignment inside ``name_match`` is an
+    iterative assignment procedure, not expressible as a SQL scalar
+    without replaying the algorithm; kernel behavior is pinned by
+    tests/test_matching_v2.py.
+    """
+    from nomenklatura_spark.matching.names_v2 import score_pairs_logic_v2
+
+    return (
+        score_pairs_logic_v2(_assembled_pairs(spark, sf_dir))
+        .select("lid", "rid", F.round("score", 6).alias("score"))
+        .orderBy("lid", "rid")
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: hyperplane-LSH bucket join + exact re-rank.
 
@@ -1274,6 +1325,8 @@ QUERIES = {
     "blocker_pairs": q_blocker_pairs,
     "blocker_match": q_blocker_match,
     "pair_scores": q_pair_scores,
+    "pair_scores_ofac": q_pair_scores_ofac,
+    "pair_scores_v2": q_pair_scores_v2,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_minhash": q_dedup_minhash,
