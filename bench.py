@@ -26,9 +26,12 @@ BENCH_QUERIES = [
     "blocker_match",
     "dedup_ngram_pairs",
     "dedup_components",
+    "dedup_embedding",
     "doc_stats",
     "doc_quality",
     "ann_topk",
+    "ann_lsh_topk",
+    "media_features",
 ]
 
 
@@ -40,6 +43,25 @@ def main() -> None:
     spark = get_spark("nomenklatura-spark-bench", cpus=cpus,
                       shuffle_partitions=cpus)
     from nomenklatura_spark.plans.queries import QUERIES
+
+    # Warm up the JVM, parquet footer cache, codegen and the Arrow/pandas
+    # UDF worker pool before timing — steady-state throughput is what a
+    # long-lived cluster job sees; without this the first queries absorb
+    # one-time session costs (measured: 5-10s attributed to query 1).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which the pandas_udf hint-inference can't resolve for local imports
+    def _warm_fn(v):
+        return v * 1.0
+
+    _warm = F.pandas_udf(_warm_fn, "double", PandasUDFType.SCALAR)
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.select(_warm(warm["l_quantity"]).alias("w")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -19,19 +19,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nomenklatura_spark.ann.brute import cosine
+from nomenklatura_spark.ann.brute import dot, normalized
 from nomenklatura_spark.ann.lsh import signatures
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(f"{side}id"),
-        F.col(vec_col).cast("array<double>").alias(f"{side}vec"),
-    )
+    """Unit-normalize once per vector so pair verification is a bare dot."""
+    return normalized(df, id_col, vec_col, f"{side}id", f"{side}vec")
 
 
 def _verify(pairs: DataFrame, threshold: float, decimals: int) -> DataFrame:
-    sim = F.round(cosine(F.col("lvec"), F.col("rvec")), decimals)
+    sim = F.round(dot(F.col("lvec"), F.col("rvec")), decimals)
     return (
         pairs.select("lid", "rid", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
@@ -47,9 +45,11 @@ def embedding_dup_pairs(
     score_decimals: int = 6,
 ) -> DataFrame:
     """Exact near-dup pairs: all (lid < rid) with cosine >= threshold."""
-    left = _prep(df, id_col, vec_col, "l")
+    left = _prep(df, id_col, vec_col, "l").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     right = _prep(df, id_col, vec_col, "r")
-    pairs = left.crossJoin(right).where(F.col("lid") < F.col("rid"))
+    pairs = left.crossJoin(F.broadcast(right)).where(F.col("lid") < F.col("rid"))
     return _verify(pairs, threshold, score_decimals)
 
 
