@@ -1307,6 +1307,155 @@ _MEDIA_BY_TYPE_SQL = """
 """
 
 
+def q_xref_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — xref score summary over the scored candidate pairs."""
+    from nomenklatura_spark.operators.diffs import xref_stats
+
+    return xref_stats(q_pair_scores(spark, sf_dir))
+
+
+_XREF_STATS_SQL = f"""
+    SELECT count(*) AS n_pairs,
+           round(avg(score), 6) AS avg_score,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score
+    FROM ({_PAIR_SCORES_SQL})
+"""
+
+
+def q_conflicting_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — conflict triangles: two entities matching the same candidate
+    while negatively judged against each other.
+
+    The match table and negative edge set are derived deterministically
+    from the customer table (customers match the supplier with key ≡
+    custkey mod 100; customers 100 apart are negatively judged) so both
+    engines construct identical inputs.
+    """
+    from nomenklatura_spark.operators.diffs import conflicting_matches
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    matches = cust.select(
+        F.concat(F.lit("supplier-"), (F.col("k") % 100).cast("string")).alias(
+            "matching_id"
+        ),
+        F.concat(F.lit("customer-"), F.col("k").cast("string")).alias("matches_id"),
+        F.lit(0.9).alias("score"),
+    )
+    shifted = cust.select((F.col("k") + 100).alias("k"))
+    edge_keys = cust.join(shifted, "k")  # custkey where custkey-100 also exists
+    edges = edge_keys.select(
+        F.concat(F.lit("customer-"), (F.col("k") - 100).cast("string")).alias(
+            "target"
+        ),
+        F.concat(F.lit("customer-"), F.col("k").cast("string")).alias("source"),
+        F.lit("negative").alias("judgement"),
+        F.lit(None).cast("string").alias("deleted_at"),
+    )
+    return conflicting_matches(matches, edges, threshold=0.5).orderBy(
+        "candidate_id", "left_id", "right_id"
+    )
+
+
+_CONFLICTS_SQL = """
+    WITH matches AS (
+        SELECT 'supplier-' || CAST(c_custkey % 100 AS VARCHAR) AS matching_id,
+               'customer-' || CAST(c_custkey AS VARCHAR) AS matches_id,
+               0.9 AS score
+        FROM customer
+    ),
+    sym AS (
+        SELECT matching_id AS candidate_id, matches_id AS match_id FROM matches
+        UNION
+        SELECT matches_id, matching_id FROM matches
+    ),
+    combos AS (
+        SELECT l.candidate_id, l.match_id AS left_id, r.match_id AS right_id
+        FROM sym l JOIN sym r ON l.candidate_id = r.candidate_id
+        WHERE l.match_id < r.match_id
+    ),
+    negative AS (
+        SELECT least('customer-' || CAST(c_custkey - 100 AS VARCHAR),
+                     'customer-' || CAST(c_custkey AS VARCHAR)) AS left_id,
+               greatest('customer-' || CAST(c_custkey - 100 AS VARCHAR),
+                        'customer-' || CAST(c_custkey AS VARCHAR)) AS right_id
+        FROM customer
+        WHERE (c_custkey - 100) IN (SELECT c_custkey FROM customer)
+    )
+    SELECT c.candidate_id, c.left_id, c.right_id
+    FROM combos c JOIN negative n
+      ON c.left_id = n.left_id AND c.right_id = n.right_id
+    ORDER BY c.candidate_id, c.left_id, c.right_id
+"""
+
+
+def q_entity_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — ADD/MOD/DEL entity diff between two statement snapshots.
+
+    old = corpus minus customers with custkey%10=3 (→ ADD in new), with
+    part brands rewritten for partkey%10=7 (→ MOD); new = corpus minus
+    suppliers with suppkey%10=1 (→ DEL).
+    """
+    from nomenklatura_spark.operators.diffs import entity_delta
+    from nomenklatura_spark.model.statement import _stmt_id
+
+    stmts = er_statements(spark, sf_dir)
+    key = F.element_at(F.split(F.col("entity_id"), "-"), 2).cast("long")
+    old_val = F.when(
+        (F.col("schema") == "Part") & (key % 10 == 7) & (F.col("prop") == "brand"),
+        F.concat(F.lit("OLD-"), F.col("value")),
+    ).otherwise(F.col("value"))
+    old = (
+        stmts.where(~((F.col("schema") == "Customer") & (key % 10 == 3)))
+        .withColumn("value", old_val)
+        .withColumn("id", _stmt_id(F.col("entity_id"), F.col("prop"), F.col("value")))
+    )
+    new = stmts.where(~((F.col("schema") == "Supplier") & (key % 10 == 1)))
+    return entity_delta(old, new).orderBy("canonical_id")
+
+
+_ENTITY_DELTA_SQL = """
+    WITH stmts AS (
+        SELECT 'Part' AS schema, 'part-' || p_partkey AS entity_id, 'name' AS prop, p_name AS value FROM part
+        UNION ALL SELECT 'Part', 'part-' || p_partkey, 'brand', p_brand FROM part
+        UNION ALL SELECT 'Part', 'part-' || p_partkey, 'typeText', p_type FROM part
+        UNION ALL SELECT 'Customer', 'customer-' || c_custkey, 'name', c_name FROM customer
+        UNION ALL SELECT 'Customer', 'customer-' || c_custkey, 'segment', c_mktsegment FROM customer
+        UNION ALL SELECT 'Supplier', 'supplier-' || s_suppkey, 'name', s_name FROM supplier
+    ),
+    keyed AS (
+        SELECT *, CAST(string_split(entity_id, '-')[2] AS BIGINT) AS k FROM stmts
+    ),
+    old AS (
+        SELECT entity_id,
+            sha256(entity_id || chr(30) || prop || chr(30) ||
+                CASE WHEN schema = 'Part' AND k % 10 = 7 AND prop = 'brand'
+                     THEN 'OLD-' || value ELSE value END) AS id
+        FROM keyed
+        WHERE NOT (schema = 'Customer' AND k % 10 = 3)
+    ),
+    new AS (
+        SELECT entity_id,
+            sha256(entity_id || chr(30) || prop || chr(30) || value) AS id
+        FROM keyed
+        WHERE NOT (schema = 'Supplier' AND k % 10 = 1)
+    ),
+    o AS (SELECT entity_id, list_sort(list(DISTINCT id)) AS ids FROM old GROUP BY entity_id),
+    n AS (SELECT entity_id, list_sort(list(DISTINCT id)) AS ids FROM new GROUP BY entity_id)
+    SELECT coalesce(o.entity_id, n.entity_id) AS canonical_id,
+        CASE WHEN o.entity_id IS NULL THEN 'ADD'
+             WHEN n.entity_id IS NULL THEN 'DEL'
+             WHEN o.ids != n.ids THEN 'MOD' END AS op
+    FROM o FULL OUTER JOIN n ON o.entity_id = n.entity_id
+    WHERE CASE WHEN o.entity_id IS NULL THEN 'ADD'
+               WHEN n.entity_id IS NULL THEN 'DEL'
+               WHEN o.ids != n.ids THEN 'MOD' END IS NOT NULL
+    ORDER BY canonical_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1342,6 +1491,9 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "media_features": q_media_features,
     "media_by_type": q_media_by_type,
+    "xref_stats": q_xref_stats,
+    "conflicting_matches": q_conflicting_matches,
+    "entity_delta": q_entity_delta,
 }
 
 ORACLES = {
@@ -1374,4 +1526,7 @@ ORACLES = {
     "dedup_embedding": _DEDUP_EMB_SQL,
     "media_features": _MEDIA_FEATURES_SQL,
     "media_by_type": _MEDIA_BY_TYPE_SQL,
+    "xref_stats": _XREF_STATS_SQL,
+    "conflicting_matches": _CONFLICTS_SQL,
+    "entity_delta": _ENTITY_DELTA_SQL,
 }
