@@ -126,8 +126,14 @@ def er_schemata(spark: SparkSession) -> DataFrame:
 def er_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``entries`` relation, materialized: every blocker stage (stats,
     stopwords, IDF, self-join) re-reads it — the reference materializes it
-    as a DuckDB table for the same reason (index.py:148-195)."""
-    return token_entries(tokenize_statements(er_statements(spark, sf_dir))).persist()
+    as a DuckDB table for the same reason (index.py:148-195).
+
+    The statement input is persisted too: the tokenizer is an 8-branch
+    union and would otherwise re-scan + re-unpivot the source once per
+    branch (measured 2.6x slower at sf0.1).
+    """
+    stmts = er_statements(spark, sf_dir).persist()
+    return token_entries(tokenize_statements(stmts)).persist()
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,9 @@ def xref_pairs(
         mapping = resolver_mapping(edges)
         stmts = apply_linker(stmts, mapping)
 
+    # persist before the 8-branch tokenizer union (each branch re-reads
+    # the statement frame otherwise); entries then feeds 4 consumers
+    stmts = stmts.persist()
     entries = token_entries(tokenize_statements(stmts)).persist()
     stats = build_token_stats(
         entries, schemata, bucket_pair_cost(options.max_bucket_size)
