@@ -53,6 +53,30 @@ def internal_dataset_discount(
     ).otherwise(score)
 
 
+def explanations(df: DataFrame, features: list[Feature], out: str = "explanation") -> DataFrame:
+    """X4 — per-feature explanation struct riding beside the score.
+
+    Reference exposes lazy per-feature ``FtResult(score, detail)`` objects
+    (``matching/types.py:53-145``); columnar re-expression: one struct per
+    feature with its raw score, weight, weighted contribution, and
+    qualifier flag, collected into a map keyed by feature name.  Pure
+    column construction — no extra pass over the data, prunable when the
+    consumer doesn't select it.
+    """
+    entries = []
+    for f in features:
+        entries.append(F.lit(f.name))
+        entries.append(
+            F.struct(
+                F.col(f.name).cast("double").alias("score"),
+                F.lit(f.weight).alias("weight"),
+                (F.col(f.name) * f.weight).cast("double").alias("weighted"),
+                F.lit(f.qualifier).alias("qualifier"),
+            )
+        )
+    return df.withColumn(out, F.create_map(*entries))
+
+
 def logistic_score(df: DataFrame, coefs: dict[str, float], intercept: float, out: str = "score") -> DataFrame:
     """X3 — regression model as a column expression: sigmoid(w·x + b).
 

@@ -244,3 +244,20 @@ def test_hygiene_split_drops_contradictions(spark):
     kept = train.union(eval_df).collect()
     assert len(kept) == 1
     assert kept[0]["left_id"] == "c"
+
+
+def test_explanations_struct(spark):
+    from pyspark.sql import Row
+    from nomenklatura_spark.functions.scoring import (
+        Feature,
+        explanations,
+        heuristic_score,
+    )
+
+    df = spark.createDataFrame([Row(f_a=0.8, f_b=1.0)])
+    feats = [Feature("f_a", 0.9), Feature("f_b", -0.2, qualifier=True)]
+    out = explanations(heuristic_score(df, feats), feats).collect()[0]
+    exp = out["explanation"]
+    assert exp["f_a"]["weighted"] == pytest.approx(0.72)
+    assert exp["f_b"]["qualifier"] is True
+    assert out["score"] == pytest.approx(0.52)
