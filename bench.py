@@ -75,6 +75,47 @@ def main() -> None:
         total += elapsed
         print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
 
+    # Matcher throughput — BASELINE.md's headline ER metric (reference
+    # harness: contrib/entity_bench/perf.py avg ns/comparison).  Score the
+    # blocker's candidate pairs through both matcher stacks and report
+    # compares/sec (pair assembly excluded: time only the scoring pass
+    # over a materialized pair frame, like the reference times compare()).
+    from nomenklatura_spark.plans.queries import (
+        _assembled_pairs,
+        er_statements,
+    )
+
+    # Replicate the pair frame (like the reference's runs=2000 loop) so
+    # the measurement is dominated by comparison compute, not per-job
+    # stage/worker startup; first run warms the Python workers, second
+    # run is timed.
+    REPL = 20
+    base_pairs = _assembled_pairs(spark, sf_dir)
+    assembled = (
+        base_pairs.crossJoin(spark.range(REPL).select(F.col("id").alias("_rep")))
+        .drop("_rep")
+        .coalesce(cpus)
+        .persist()
+    )
+    n_pairs = assembled.count()
+    compare: dict[str, float] = {}
+    from nomenklatura_spark.matching.logic import score_pairs_logic_v1
+    from nomenklatura_spark.matching.names_v2 import score_pairs_logic_v2
+    from nomenklatura_spark.matching.ofac import score_pairs_ofac
+
+    for name, fn in (
+        ("logic_v1", score_pairs_logic_v1),
+        ("logic_v2", score_pairs_logic_v2),
+        ("ofac", score_pairs_ofac),
+    ):
+        scored = fn(assembled).select("score")
+        scored.write.format("noop").mode("overwrite").save()  # warm
+        start = time.perf_counter()
+        scored.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - start
+        compare[name] = round(n_pairs / wall, 1)
+        print(f"# compare {name}: {n_pairs} pairs in {wall:.2f}s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -83,6 +124,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "compares_per_sec": compare,
+                "n_scored_pairs": n_pairs,
             }
         )
     )
