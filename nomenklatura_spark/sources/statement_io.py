@@ -50,6 +50,68 @@ def write_statements_partitioned(stmts: DataFrame, path: str) -> None:
     )
 
 
+def write_statements_bucketed(
+    stmts: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Clustered store layout (SURVEY §1.2: "bucketed/sorted by
+    canonical_id"): hash-bucket + sort the statement table on
+    ``canonical_id`` so every canonical-keyed stage — entity assembly
+    (A7), the adjacency self-join (J6), linker application (J7), pair
+    feature assembly (J8) — reads co-partitioned, pre-sorted data and
+    the shuffle disappears from those plans entirely (verified by the
+    no-Exchange plan test).
+
+    This is the Spark analogue of the reference's ordered-key layouts
+    (LevelDB key design / ``ORDER BY canonical_id`` streaming group-by,
+    store/sql.py:68-87) — bucketing requires a catalog table rather than
+    a bare path, hence ``saveAsTable``.
+    """
+    (
+        stmts.write.mode("overwrite")
+        .bucketBy(n_buckets, "canonical_id")
+        .sortBy("canonical_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def salt_hot_keys(
+    df: DataFrame, key: str, hot_keys: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Skew salting for a join key: explode each hot key's rows across
+    ``n_salts`` salted keys (``k#0..k#15``); the other side replicates its
+    hot rows across all salts (``explode_salts``).  AQE's skew-join
+    handles moderate skew automatically; this is the manual tool for the
+    pathological single-key case (SCALE.md).
+    """
+    is_hot = F.col(key).isin(hot_keys)
+    return df.withColumn(
+        key,
+        F.when(
+            is_hot,
+            F.concat(
+                F.col(key),
+                F.lit("#"),
+                (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts).cast(
+                    "string"
+                ),
+            ),
+        ).otherwise(F.col(key)),
+    )
+
+
+def explode_salts(
+    df: DataFrame, key: str, hot_keys: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Build-side twin of ``salt_hot_keys``: replicate hot-key rows once
+    per salt so the salted equi-join finds every partner."""
+    is_hot = F.col(key).isin(hot_keys)
+    salts = F.array(*[F.lit(f"#{i}") for i in range(n_salts)])
+    return df.withColumn(
+        "_salt", F.explode(F.when(is_hot, salts).otherwise(F.array(F.lit(""))))
+    ).withColumn(key, F.concat(F.col(key), F.col("_salt"))).drop("_salt")
+
+
 RESOLVER_EDGE_SCHEMA = T.StructType(
     [
         T.StructField("target", T.StringType(), False),

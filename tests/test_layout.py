@@ -1,0 +1,106 @@
+"""Storage-layout claims verified against actual plans: bucketed join
+without Exchange, partition pruning on dataset, salted-join correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nomenklatura_spark.sources.statement_io import (
+    explode_salts,
+    salt_hot_keys,
+    write_statements_bucketed,
+    write_statements_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    stmts = spark.createDataFrame(
+        [(f"e{i % 50}", f"s{i}", "name", f"v{i}") for i in range(500)],
+        "canonical_id string, id string, prop string, value string",
+    )
+    spark.sql("DROP TABLE IF EXISTS stmts_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS stmts_bucketed_b")
+    write_statements_bucketed(stmts, "stmts_bucketed_a", n_buckets=4)
+    write_statements_bucketed(stmts, "stmts_bucketed_b", n_buckets=4)
+    a = spark.table("stmts_bucketed_a")
+    b = spark.table("stmts_bucketed_b").select(
+        "canonical_id", F.col("value").alias("v2")
+    )
+    # disable auto-broadcast so the planner actually uses the bucketed
+    # layout (at real scale neither side would broadcast anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "canonical_id")
+        plan = _plan(joined)
+        # bucketed co-partitioned join: no hash-partitioning shuffle
+        assert "hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan}"
+        )
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 500 * 10  # 50 keys x 10 x 10 rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS stmts_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS stmts_bucketed_b")
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    stmts = spark.createDataFrame(
+        [(f"e{i % 20}", f"s{i}", "name", f"v{i}") for i in range(200)],
+        "canonical_id string, id string, prop string, value string",
+    )
+    spark.sql("DROP TABLE IF EXISTS stmts_bucketed_g")
+    write_statements_bucketed(stmts, "stmts_bucketed_g", n_buckets=4)
+    agg = (
+        spark.table("stmts_bucketed_g")
+        .groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in _plan(agg)
+    assert agg.count() == 20
+    spark.sql("DROP TABLE IF EXISTS stmts_bucketed_g")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    path = str(tmp_path / "stmts")
+    stmts = spark.createDataFrame(
+        [
+            ("e1", "s1", "name", "A", "d1"),
+            ("e2", "s2", "name", "B", "d2"),
+        ],
+        "canonical_id string, id string, prop string, value string, dataset string",
+    )
+    write_statements_partitioned(stmts, path)
+    scan = spark.read.parquet(path).where(F.col("dataset") == "d1")
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "dataset" in plan
+    assert scan.count() == 1
+
+
+def test_salted_join_preserves_results(spark):
+    """Salting a hot key must produce exactly the plain join's output."""
+    left = spark.createDataFrame(
+        [("hot", f"l{i}") for i in range(50)] + [("cold", "lc")],
+        "k string, lv string",
+    )
+    right = spark.createDataFrame(
+        [("hot", "r1"), ("hot", "r2"), ("cold", "rc")], "k string, rv string"
+    )
+    plain = {
+        (r["k"], r["lv"], r["rv"])
+        for r in left.join(right, "k").collect()
+    }
+    salted = {
+        (r["k"].split("#")[0], r["lv"], r["rv"])
+        for r in salt_hot_keys(left, "k", ["hot"], n_salts=4)
+        .join(explode_salts(right, "k", ["hot"], n_salts=4), "k")
+        .collect()
+    }
+    assert salted == plain
+    assert len(plain) == 50 * 2 + 1
