@@ -46,6 +46,10 @@ def minhash_signatures(
     spark = df.sparkSession
     seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
     sh = shingle_rows(df, id_col, text_col, k, mode)
+    # The n_hashes × md5 projection below is the compute hot spot; spread
+    # it across the cluster even when the source is a single small file
+    # (compute parallelism should follow cores, not input file count).
+    sh = sh.repartition(spark.sparkContext.defaultParallelism, "id")
     return (
         sh.crossJoin(F.broadcast(seeds))
         .select(

@@ -10,21 +10,33 @@ quadratic join output and carry no near-dup signal, so they are dropped
 before the join. For 100 TB use the MinHash/LSH variant
 (``dedup.minhash``) which replaces the exact intersection with banded
 signatures; this exact version is its small-scale oracle.
+
+Plan shape (deliberate):
+- The normalization (regex strip + split) is materialized in a projection
+  *before* the shingle ``transform`` — Catalyst does not CSE an expression
+  that is referenced inside a lambda body, so inlining it re-evaluates the
+  regex once per array element (O(words²) per document). Binding it to a
+  column first makes it once-per-row.
+- Shingle-set sizes ride through the explode as a carried column, so the
+  Jaccard denominator needs no join back against a sizes relation — at
+  scale that removes two joins against a |docs|-sized table.
+- The document-frequency cap is a window count over the exploded relation
+  (one shuffle) instead of a groupBy + anti-join (two shuffles + a join).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def normalize_for_shingles(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
 
 
-def char_shingles(col: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of a normalized string, as an array —
-    pure column expressions (sequence + transform), no UDF."""
-    norm = normalize_for_shingles(col)
+def _char_shingles_from_norm(norm: Column, k: int) -> Column:
+    """Distinct char k-shingles from an already-materialized normalized
+    string column (must be a plain column reference, not an expression —
+    see module docstring)."""
     n = F.length(norm) - F.lit(k - 1)
     # sequence(1, n) would run *descending* for n < 1 — guard with an
     # empty array for strings shorter than k.
@@ -36,11 +48,9 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     )
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles (space-joined) of a normalized string.
-    For natural-language near-dup detection word shingles are far sparser
-    than character shingles, keeping the shingle self-join bounded."""
-    ws = F.filter(F.split(normalize_for_shingles(col), " "), lambda w: w != "")
+def _word_shingles_from_words(ws: Column, k: int) -> Column:
+    """Distinct word k-gram shingles (space-joined) from an
+    already-materialized word-array column."""
     n = F.size(ws) - F.lit(k - 1)
     positions = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
@@ -53,11 +63,53 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of a normalized string, as an array —
+    pure column expressions (sequence + transform), no UDF.
+
+    NOTE: single-expression convenience form; inside a DataFrame plan
+    prefer ``shingle_arrays`` which materializes the normalization first.
+    """
+    return _char_shingles_from_norm(normalize_for_shingles(col), k)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (space-joined) of a normalized string.
+    For natural-language near-dup detection word shingles are far sparser
+    than character shingles, keeping the shingle self-join bounded."""
+    ws = F.filter(F.split(normalize_for_shingles(col), " "), lambda w: w != "")
+    return _word_shingles_from_words(ws, k)
+
+
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, mode: str = "char"
+) -> DataFrame:
+    """(id, shingles array<string>) with the normalization materialized in
+    its own projection so the per-element lambda reads a bound column."""
+    if mode == "char":
+        prep = df.select(
+            F.col(id_col).alias("id"),
+            normalize_for_shingles(F.col(text_col)).alias("_prep"),
+        )
+        gen = _char_shingles_from_norm(F.col("_prep"), k)
+    else:
+        prep = df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(normalize_for_shingles(F.col(text_col)), " "),
+                lambda w: w != "",
+            ).alias("_prep"),
+        )
+        gen = _word_shingles_from_words(F.col("_prep"), k)
+    return prep.select("id", gen.alias("shingles"))
+
+
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, mode: str = "char"
 ) -> DataFrame:
-    gen = char_shingles(F.col(text_col), k) if mode == "char" else word_shingles(F.col(text_col), k)
-    return df.select(F.col(id_col).alias("id"), F.explode(gen).alias("shingle"))
+    return shingle_arrays(df, id_col, text_col, k, mode).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -74,41 +126,44 @@ def ngram_jaccard_pairs(
     lid < rid dedups the triangle; shingles with document frequency >
     ``max_df`` are dropped (stopword cap) before the self-join.
 
-    NOTE: sizes are computed *before* the max_df cap, so jaccard remains
-    the true shingle-set jaccard; the cap only limits which pairs can be
-    discovered (a pair must share at least one sub-cap shingle).
+    NOTE: sizes are computed *before* the max_df cap (from the distinct
+    shingle array itself), so jaccard remains the true shingle-set
+    jaccard; the cap only limits which pairs can be discovered (a pair
+    must share at least one sub-cap shingle).
     """
-    # The shingle relation feeds four consumers (sizes, hot-filter, both
-    # join sides) — materialize it once, like the reference materializes
-    # its DuckDB token tables (index.py entries/term_frequencies).
-    sh = shingle_rows(df, id_col, text_col, k, mode).persist()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_df)
-        .select("shingle")
+    arrays = shingle_arrays(df, id_col, text_col, k, mode)
+    sh = arrays.select(
+        "id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
     )
-    sh = sh.join(hot, "shingle", "left_anti").persist()
+    # Document-frequency cap: shingles are distinct per doc, so a row
+    # count per shingle == document frequency.
+    dfw = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(dfw))
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    # Self-joined below — materialize so both sides read cached blocks.
+    sh = sh.persist()
 
-    l = sh.select(F.col("id").alias("lid"), "shingle")
-    r = sh.select(F.col("id").alias("rid"), "shingle")
+    l = sh.select(
+        F.col("id").alias("lid"), F.col("n_shingles").alias("l_n"), "shingle"
+    )
+    r = sh.select(
+        F.col("id").alias("rid"), F.col("n_shingles").alias("r_n"), "shingle"
+    )
     inter = (
         l.join(r, "shingle")
         .where(F.col("lid") < F.col("rid"))
-        .groupBy("lid", "rid")
+        .groupBy("lid", "rid", "l_n", "r_n")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
-        inter.join(sizes.select(F.col("id").alias("lid"), F.col("n_shingles").alias("l_n")), "lid")
-        .join(sizes.select(F.col("id").alias("rid"), F.col("n_shingles").alias("r_n")), "rid")
-        .select(
-            "lid",
-            "rid",
-            (
-                F.col("n_common")
-                / (F.col("l_n") + F.col("r_n") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "lid",
+        "rid",
+        (
+            F.col("n_common") / (F.col("l_n") + F.col("r_n") - F.col("n_common"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
