@@ -1,0 +1,180 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second scale path for ``ann.brute`` (alongside ``ann.lsh``): partition
+the vector space into ``n_centroids`` Voronoi cells via k-means, store
+each corpus vector in its cell's inverted list, and at query time probe
+only the ``n_probe`` nearest cells — the classic IVF-Flat layout
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — the coarse-quantizer stage, without PQ compression).
+
+Spark-first shape:
+
+- **Training** is a few Lloyd iterations expressed as DataFrame ops:
+  assignment = argmin over a broadcast centroid table (``min_by`` over a
+  posexplode-free cross join), update = per-(cluster, dim) mean via
+  ``posexplode`` + ``groupBy(cluster, pos).avg``.  Centroids are tiny
+  (k × dim doubles) so they always broadcast; the corpus is scanned once
+  per iteration with no shuffle of the vectors themselves.
+- **Determinism**: initial centroids are the k corpus vectors with the
+  smallest ``md5(id)`` — no RNG, so every engine/retry trains the same
+  codebook (same device as the LSH plane derivation).  Lloyd updates are
+  averages — order-independent.
+- **At 100 TB** the assignment pass is the only full scan; the inverted
+  list is written partitioned by ``centroid`` so a query probing p cells
+  prunes to p partitions (partition pruning on the cell id — the same
+  effect as FAISS's contiguous inverted lists).  Queries broadcast; only
+  probed cells' vectors are scored.
+
+Output schema matches ``brute.cosine_topk`` so the exact result is a
+drop-in recall oracle (see tests/test_multimodal_ann.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from nomenklatura_spark.ann.brute import dot, normalized
+
+
+def _argmin_centroid(vec_df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each (id, vec) row to its nearest centroid by cosine
+    (vectors and centroids are unit-norm → max dot product)."""
+    scored = vec_df.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "vec",
+        "centroid",
+        dot(F.col("vec"), F.col("c_vec")).alias("sim"),
+    )
+    return scored.groupBy("id").agg(
+        F.max_by("centroid", F.struct(F.col("sim"), -F.col("centroid"))).alias(
+            "centroid"
+        ),
+        F.first("vec").alias("vec"),
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 3,
+) -> DataFrame:
+    """K-means codebook: (centroid int, c_vec array<double>), unit-norm.
+
+    Seeds = the ``n_centroids`` vectors with smallest md5(id); then
+    ``n_iter`` Lloyd rounds (assign → per-dimension mean → renormalize).
+    """
+    vecs = normalized(corpus, id_col, vec_col, "id", "vec").persist()
+    w = Window.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+    centroids = (
+        vecs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_centroids)
+        .select((F.col("_rk") - 1).alias("centroid"), F.col("vec").alias("c_vec"))
+    )
+    for _ in range(n_iter):
+        assigned = _argmin_centroid(vecs, centroids)
+        means = (
+            assigned.select("centroid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "centroid", F.transform("pm", lambda s: s["m"]).alias("raw")
+            )
+        )
+        norm = F.sqrt(
+            F.aggregate(F.col("raw"), F.lit(0.0), lambda a, v: a + v * v)
+        )
+        centroids = means.select(
+            "centroid",
+            F.transform(
+                "raw", lambda x: x / F.greatest(norm, F.lit(1e-12))
+            ).alias("c_vec"),
+        )
+    vecs.unpersist()
+    return centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The inverted list: (centroid, id, vec) — written partitioned by
+    ``centroid`` at rest so probes prune partitions."""
+    vecs = normalized(corpus, id_col, vec_col, "id", "vec")
+    return _argmin_centroid(vecs, centroids).select("centroid", "id", "vec")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    score_decimals: int | None = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: probe the ``n_probe`` nearest
+    cells per query, exact-rank within the probed lists.
+
+    Pass a pre-trained ``centroids`` frame to skip training (production
+    shape: train once on a sample, reuse the codebook for every query
+    batch — the codebook is a plain 2-column DataFrame on disk).
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
+        )
+    centroids = centroids.persist()
+    inv = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid",
+            dot(F.col("q_vec"), F.col("c_vec")).alias("c_sim"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "q_vec", "centroid")
+    )
+
+    sim = dot(F.col("q_vec"), F.col("vec"))
+    if score_decimals is not None:
+        sim = F.round(sim, score_decimals)
+    scored = (
+        F.broadcast(probes)
+        .join(inv, "centroid")
+        .where(F.col("id") != F.col("query_id"))
+        # each corpus vector lives in exactly one cell, so (query, neighbor)
+        # appears at most once — no dedup needed
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

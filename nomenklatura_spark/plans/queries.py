@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from nomenklatura_spark.ann.brute import cosine_topk
+from nomenklatura_spark.ann.ivf import ivf_topk
 from nomenklatura_spark.ann.lsh import lsh_topk
 from nomenklatura_spark.dedup.embedding import embedding_dup_pairs
 from nomenklatura_spark.dedup.exact import content_hash
@@ -1232,6 +1233,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_planes=16, band_bits=2)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: IVF inverted-list probe + exact re-rank.
+
+    No SQL oracle (k-means training is iterative); correctness is covered
+    by the recall / full-probe-equals-brute / determinism pytests
+    (tests/test_multimodal_ann.py) and the driver's rows-only check.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6, n_iter=2)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact baseline, oracle-checked).
 
@@ -1494,6 +1507,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
     "media_features": q_media_features,
     "media_by_type": q_media_by_type,

@@ -144,3 +144,64 @@ def test_embedding_dup_lsh_subset_of_exact(spark, sf_dir):
     assert exact, "expected some pairs at threshold 0.3"
     assert approx <= exact
     assert len(approx) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall_vs_brute(spark, sf_dir):
+    """IVF probing 4 of 8 cells must recover most true top-5 neighbors;
+    near-orthogonal synthetic vectors scatter neighbors across cells, so
+    the bar is recall ≥ 0.5 (same bar as LSH)."""
+    from nomenklatura_spark.ann.brute import cosine_topk
+    from nomenklatura_spark.ann.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=4, n_iter=2
+        ).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_full_probe_equals_brute(spark, sf_dir):
+    """Probing every cell makes IVF exhaustive — must equal brute force
+    exactly (completeness check on the inverted-list partitioning)."""
+    from nomenklatura_spark.ann.brute import cosine_topk
+    from nomenklatura_spark.ann.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    exact = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    ]
+    full = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=4, n_probe=4, n_iter=2
+        ).collect()
+    ]
+    assert exact == full
+
+
+def test_ivf_codebook_reuse_deterministic(spark, sf_dir):
+    """Training is hash-seeded → two trainings give the same codebook,
+    and a pre-trained codebook gives the same result as inline training."""
+    from nomenklatura_spark.ann.ivf import ivf_topk, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    cb1 = train_centroids(emb, n_centroids=8, n_iter=2)
+    cb2 = train_centroids(emb, n_centroids=8, n_iter=2)
+    assert sorted(map(tuple, cb1.collect())) == sorted(map(tuple, cb2.collect()))
+
+    inline = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3, n_iter=2).collect()
+    reused = ivf_topk(emb, queries, k=3, n_probe=3, centroids=cb1).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in reused]
