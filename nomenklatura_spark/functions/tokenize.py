@@ -37,59 +37,71 @@ def _prefixed(prefix: str, col: Column) -> Column:
     return F.concat(F.lit(prefix + ":"), col)
 
 
+_TOKEN_ARRAY_TYPE = "array<struct<field: string, token: string>>"
+
+
+def _empty_tokens() -> Column:
+    # built lazily: F.expr needs an active SparkContext at call time
+    return F.expr(f"CAST(array() AS {_TOKEN_ARRAY_TYPE})")
+
+
+def _tok_structs(field: str, prefix: str, toks: Column) -> Column:
+    """Token array → array of (field, token-with-prefix) structs."""
+    return F.transform(
+        toks,
+        lambda t: F.struct(
+            F.lit(field).alias("field"), _prefixed(prefix, t).alias("token")
+        ),
+    )
+
+
 def tokenize_statements(stmts: DataFrame) -> DataFrame:
     """Statements → raw token stream (schema, id, field, token).
 
     One row per (entity, field, token) occurrence; feed through
     ``blocker.token_entries`` for the counted/truncated ``entries``
     relation. Only matchable value types produce tokens.
-    """
-    base = stmts.select(
-        "schema",
-        F.col("canonical_id").alias("id"),
-        "prop_type",
-        "prop",
-        "value",
-    )
 
+    Single-pass shape: every statement row builds one
+    ``array<struct<field, token>>`` (branching on ``prop_type`` inside the
+    projection), then one ``explode``. One scan of the input instead of a
+    per-token-kind union of eight — at 100 TB that is one pass over the
+    statement table, and locally it collapses eight scan stages into one.
+    """
     ptype = F.col("prop_type")
+    value = F.col("value")
 
     # --- names: part tokens + fingerprint --------------------------------
-    names = base.where(ptype == "name")
-    nparts = names.select(
-        "schema",
-        "id",
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    name_tokens(F.col("value")),
-                    lambda t: (F.length(t) >= 3)
-                    & (F.length(t) <= 30)
-                    & ~t.isin(*LEGAL_FORMS)
-                    & ~t.isin(*STOP_TOKENS),
-                )
+    nt = name_tokens(value)
+    np_toks = _tok_structs(
+        "np",
+        "np",
+        F.array_distinct(
+            F.filter(
+                nt,
+                lambda t: (F.length(t) >= 3)
+                & (F.length(t) <= 30)
+                & ~t.isin(*LEGAL_FORMS)
+                & ~t.isin(*STOP_TOKENS),
             )
-        ).alias("tok"),
-    ).select("schema", "id", F.lit("np").alias("field"), _prefixed("np", F.col("tok")).alias("token"))
-
+        ),
+    )
     fp = F.array_join(
         F.array_sort(
             F.array_distinct(
-                F.filter(
-                    name_tokens(F.col("value")),
-                    lambda t: ~t.isin(*LEGAL_FORMS) & ~t.isin(*STOP_TOKENS),
-                )
+                F.filter(nt, lambda t: ~t.isin(*LEGAL_FORMS) & ~t.isin(*STOP_TOKENS))
             )
         ),
         "",
     )
-    nfp = (
-        names.select("schema", "id", fp.alias("fp"))
-        .where((F.length("fp") > 3) & (F.length("fp") < 200))
-        .select(
-            "schema", "id", F.lit("name").alias("field"), _prefixed("n", F.col("fp")).alias("token")
-        )
-    )
+    fp_toks = F.when(
+        (F.length(fp) > 3) & (F.length(fp) < 200),
+        F.array(
+            F.struct(
+                F.lit("name").alias("field"), _prefixed("n", fp).alias("token")
+            )
+        ),
+    ).otherwise(_empty_tokens())
 
     # --- full-value types (country/phone/email) --------------------------
     full_prefix = (
@@ -97,73 +109,62 @@ def tokenize_statements(stmts: DataFrame) -> DataFrame:
         .when(ptype == "phone", F.lit("p:"))
         .otherwise(F.lit("email:"))
     )
-    fulls = base.where(ptype.isin("country", "phone", "email")).select(
-        "schema",
-        "id",
-        F.col("prop_type").alias("field"),
-        F.concat(full_prefix, F.lower(F.substring("value", 1, 300))).alias("token"),
-    )
-
-    # --- identifiers ------------------------------------------------------
-    idents = (
-        base.where(ptype == "identifier")
-        .select("schema", "id", clean_identifier(F.col("value")).alias("cid"))
-        .where(F.col("cid").isNotNull())
-        .select(
-            "schema",
-            "id",
-            F.lit("identifier").alias("field"),
-            _prefixed("i", F.col("cid")).alias("token"),
+    full_toks = F.array(
+        F.struct(
+            ptype.alias("field"),
+            F.concat(full_prefix, F.lower(F.substring(value, 1, 300))).alias("token"),
         )
     )
 
-    # --- dates --------------------------------------------------------
-    dates = base.where(ptype == "date").select(
-        "schema",
-        "id",
-        F.lit("date").alias("field"),
-        _prefixed("d", F.substring("value", 1, 10)).alias("token"),
-    )
+    # --- identifiers: normalized value + word tokens ----------------------
+    cid = clean_identifier(value)
+    ident_toks = F.when(
+        cid.isNotNull(),
+        F.array(
+            F.struct(
+                F.lit("identifier").alias("field"),
+                _prefixed("i", cid).alias("token"),
+            )
+        ),
+    ).otherwise(_empty_tokens())
 
-    # --- addresses ------------------------------------------------------
-    addr_words = base.where(ptype == "address").select(
-        "schema",
-        "id",
-        F.explode(
-            F.filter(name_tokens(F.col("value")), lambda t: ~t.isin(*STOP_TOKENS))
-        ).alias("tok"),
-    )
-    addrs = addr_words.where(F.length("tok") > 3).select(
-        "schema", "id", F.lit("address").alias("field"), _prefixed("a", F.col("tok")).alias("token")
-    )
-    addr_wd = addr_words.where(F.length("tok") > 6).select(
-        "schema", "id", F.lit("wd").alias("field"), _prefixed("wd", F.col("tok")).alias("token")
-    )
-
-    # --- text / string / identifier words --------------------------------
-    words = (
-        base.where(ptype.isin("text", "string", "identifier"))
-        .select(
-            "schema",
-            "id",
-            F.explode(
-                F.filter(
-                    F.split(norm_text(F.col("value")), " "),
-                    lambda t: (F.length(t) >= 6) & ~t.isin(*STOP_TOKENS),
-                )
-            ).alias("tok"),
-        )
-        .select(
-            "schema", "id", F.lit("wd").alias("field"), _prefixed("wd", F.col("tok")).alias("token")
+    # --- dates ------------------------------------------------------------
+    date_toks = F.array(
+        F.struct(
+            F.lit("date").alias("field"),
+            _prefixed("d", F.substring(value, 1, 10)).alias("token"),
         )
     )
 
-    return (
-        nparts.unionByName(nfp)
-        .unionByName(fulls)
-        .unionByName(idents)
-        .unionByName(dates)
-        .unionByName(addrs)
-        .unionByName(addr_wd)
-        .unionByName(words)
+    # --- addresses: a: words (len>3) + wd: words (len>6) ------------------
+    addr_words = F.filter(nt, lambda t: ~t.isin(*STOP_TOKENS))
+    addr_toks = F.concat(
+        _tok_structs("address", "a", F.filter(addr_words, lambda t: F.length(t) > 3)),
+        _tok_structs("wd", "wd", F.filter(addr_words, lambda t: F.length(t) > 6)),
     )
+
+    # --- text / string / identifier words ---------------------------------
+    word_toks = _tok_structs(
+        "wd",
+        "wd",
+        F.filter(
+            F.split(norm_text(value), " "),
+            lambda t: (F.length(t) >= 6) & ~t.isin(*STOP_TOKENS),
+        ),
+    )
+
+    tokens = (
+        F.when(ptype == "name", F.concat(np_toks, fp_toks))
+        .when(ptype.isin("country", "phone", "email"), full_toks)
+        .when(ptype == "identifier", F.concat(ident_toks, word_toks))
+        .when(ptype == "date", date_toks)
+        .when(ptype == "address", addr_toks)
+        .when(ptype.isin("text", "string"), word_toks)
+        .otherwise(_empty_tokens())
+    )
+
+    return stmts.select(
+        "schema",
+        F.col("canonical_id").alias("id"),
+        F.explode(tokens).alias("tok"),
+    ).select("schema", "id", F.col("tok.field").alias("field"), F.col("tok.token").alias("token"))

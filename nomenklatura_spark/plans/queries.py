@@ -129,12 +129,11 @@ def er_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopwords, IDF, self-join) re-reads it — the reference materializes it
     as a DuckDB table for the same reason (index.py:148-195).
 
-    The statement input is persisted too: the tokenizer is an 8-branch
-    union and would otherwise re-scan + re-unpivot the source once per
-    branch (measured 2.6x slower at sf0.1).
+    The single-pass tokenizer scans the statement input exactly once
+    (array-build + one explode), so the statements themselves need no
+    cache.
     """
-    stmts = er_statements(spark, sf_dir).persist()
-    return token_entries(tokenize_statements(stmts)).persist()
+    return token_entries(tokenize_statements(er_statements(spark, sf_dir))).persist()
 
 
 # ---------------------------------------------------------------------------
