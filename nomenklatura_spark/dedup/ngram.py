@@ -22,11 +22,28 @@ Plan shape (deliberate):
   scale that removes two joins against a |docs|-sized table.
 - The document-frequency cap is a window count over the exploded relation
   (one shuffle) instead of a groupBy + anti-join (two shuffles + a join).
+- The explode is ``explode_outer`` + a null filter on the *exploded*
+  column: plain ``explode`` triggers InferFiltersFromGenerate, which adds
+  a ``size(shingles) > 0`` pre-filter that predicate-pushdown inlines into
+  the scan — duplicating the whole shingle expression (with the
+  normalization re-evaluated per array element inside the lambda).
+  Measured 10x slower at sf0.1.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    has fewer partitions — a small-file scan feeding a CPU-heavy projection
+    otherwise runs on one core. At scale this is a no-op: a 100 TB scan
+    already has orders of magnitude more splits than cores."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def normalize_for_shingles(col: Column) -> Column:
@@ -107,8 +124,10 @@ def shingle_arrays(
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, mode: str = "char"
 ) -> DataFrame:
-    return shingle_arrays(df, id_col, text_col, k, mode).select(
-        "id", F.explode("shingles").alias("shingle")
+    return (
+        shingle_arrays(widen_small_scan(df), id_col, text_col, k, mode)
+        .select("id", F.explode_outer("shingles").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
 
 
@@ -131,12 +150,12 @@ def ngram_jaccard_pairs(
     jaccard; the cap only limits which pairs can be discovered (a pair
     must share at least one sub-cap shingle).
     """
-    arrays = shingle_arrays(df, id_col, text_col, k, mode)
+    arrays = shingle_arrays(widen_small_scan(df), id_col, text_col, k, mode)
     sh = arrays.select(
         "id",
         F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
-    )
+        F.explode_outer("shingles").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     # Document-frequency cap: shingles are distinct per doc, so a row
     # count per shingle == document frequency.
     dfw = Window.partitionBy("shingle")

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from nomenklatura_spark.dedup.ngram import widen_small_scan
+
 N_BITS = 32
 N_BLOCKS = 4  # 8-bit blocks → catches pairs within hamming distance 3
 
@@ -27,8 +29,13 @@ def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")), " "),
         lambda t: t != "",
     )
+    # explode_outer + null filter: plain explode infers a size()>0 filter
+    # that pushdown inlines into the scan, re-running the tokenization
+    # (see ngram.py module docstring).
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        widen_small_scan(df)
+        .select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("token"))
+        .where(F.col("token").isNotNull())
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(

@@ -163,6 +163,12 @@ def tokenize_statements(stmts: DataFrame) -> DataFrame:
         .otherwise(_empty_tokens())
     )
 
+    # Plain explode (not explode_outer): the inferred size()>0 pre-filter
+    # does duplicate this expression tree into the scan filter, but the
+    # non-outer Generate keeps whole-stage codegen, which measures ~7%
+    # faster on the blocker suite than outer+isNotNull. Contrast
+    # dedup/ngram.py, where the duplicated expression re-evaluates a
+    # normalization per array element and outer wins 2x.
     return stmts.select(
         "schema",
         F.col("canonical_id").alias("id"),
