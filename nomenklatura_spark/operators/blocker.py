@@ -84,10 +84,31 @@ def token_entries(tokens: DataFrame) -> DataFrame:
     )
 
 
+def token_schema_counts(entries: DataFrame) -> DataFrame:
+    """A1 — the per-(token, schema) doc-frequency relation.
+
+    The reference materializes this as the ``token_schema_counts`` DuckDB
+    table (index.py:238-249) because every downstream stage re-reads it;
+    callers here should ``.persist()`` it for the same reason — stats
+    (3 reads), matching stats, and IDF all derive from it instead of
+    re-aggregating the much larger ``entries`` relation.
+
+    ``df`` counts entries rows, which equals per-token distinct entities:
+    tokens are field-prefixed (field is a function of the token) and an
+    entity has exactly one schema, so (id, token) is unique in ``entries``.
+    """
+    return entries.groupBy("token", "schema").agg(
+        F.first("field").alias("field"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum("count").alias("freq"),
+    )
+
+
 def build_token_stats(
     entries: DataFrame,
     schemata: DataFrame,
     max_pair_cost: int,
+    tsc: DataFrame | None = None,
 ) -> DataFrame:
     """A1 + A2 — dynamic stopword detection.
 
@@ -98,13 +119,11 @@ def build_token_stats(
     as stopwords. Reference: index.py:238-306.
 
     ``schemata`` is the matchable-pair dimension (left, right) — tiny,
-    broadcast.
+    broadcast. Pass a persisted ``tsc`` (``token_schema_counts``) to avoid
+    re-aggregating ``entries`` for each of the three reads below.
     """
-    tsc = entries.groupBy("token", "schema").agg(
-        F.first("field").alias("field"),
-        F.count(F.lit(1)).alias("df"),
-        F.sum("count").alias("freq"),
-    )
+    if tsc is None:
+        tsc = token_schema_counts(entries)
 
     schema_pairs = (
         schemata.select(
@@ -173,20 +192,33 @@ def apply_stopwords(entries: DataFrame, stopwords: DataFrame | None) -> DataFram
     return entries.join(stopwords.select("token"), "token", "left_anti")
 
 
-def term_frequencies(entries: DataFrame, boosts: DataFrame) -> DataFrame:
+def term_frequencies(
+    entries: DataFrame, boosts: DataFrame, tsc: DataFrame | None = None
+) -> DataFrame:
     """A3 + A4 + J5 — per-row term weight.
 
     weight = boost(field) * idf(token), dampened by 1/sqrt(n_names) for
     name-part and symbol fields (aliases multiply with the number of
     names). idf = 1 + ln(N / df). Reference: index.py:499-531.
 
-    ``boosts`` is tiny → broadcast; ``token_idf`` re-aggregates the entries
-    relation and joins back on token (shuffle on token, same key as the
-    downstream pair join, so the exchange is reusable).
+    ``boosts`` is tiny → broadcast. With a persisted ``tsc``
+    (``token_schema_counts``) the per-token distinct-entity count comes
+    from summing its ``df`` over schemas (exact — see token_schema_counts)
+    instead of re-aggregating ``entries``.
+
+    The corpus entity count N rides along as a broadcast 1-row aggregate
+    (scalar-subquery shape) rather than a driver-side ``.count()`` — no
+    job barrier between computing N and the weight projection.
     """
-    n_entities = entries.select("id").distinct().count()
-    token_idf = entries.groupBy("token").agg(
-        (1.0 + F.log(F.lit(float(n_entities)) / F.countDistinct("id"))).alias("idf")
+    n_df = entries.agg(F.count_distinct("id").cast("double").alias("_n"))
+    if tsc is not None:
+        token_df = tsc.groupBy("token").agg(F.sum("df").alias("_df"))
+    else:
+        token_df = entries.groupBy("token").agg(
+            F.count_distinct("id").alias("_df")
+        )
+    token_idf = token_df.crossJoin(F.broadcast(n_df)).select(
+        "token", (1.0 + F.log(F.col("_n") / F.col("_df"))).alias("idf")
     )
     name_counts = (
         entries.where(F.col("field") == "name")
@@ -274,16 +306,20 @@ def build_matching_token_stats(
     indexed_entries: DataFrame,
     schemata: DataFrame,
     max_match_pair_cost: int,
+    indexed_tsc: DataFrame | None = None,
 ) -> DataFrame:
     """Matching-side dynamic stopwords: cost = sum over schema-compatible
     (matching_df × indexed_df) per token (reference index.py:309-383).
-    Directional: matching schema on the ``left`` of the pair table."""
-    m = matching_entries.groupBy("token", "schema").agg(
-        F.first("field").alias("field"),
-        F.count(F.lit(1)).alias("df"),
-        F.sum("count").alias("freq"),
-    )
-    i = indexed_entries.groupBy("token", "schema").agg(F.count(F.lit(1)).alias("df"))
+    Directional: matching schema on the ``left`` of the pair table.
+    Pass a persisted ``indexed_tsc`` to reuse the index-side doc
+    frequencies instead of re-aggregating ``indexed_entries``."""
+    m = token_schema_counts(matching_entries)
+    if indexed_tsc is not None:
+        i = indexed_tsc.select("token", "schema", "df")
+    else:
+        i = indexed_entries.groupBy("token", "schema").agg(
+            F.count(F.lit(1)).alias("df")
+        )
 
     cost = (
         m.select("token", F.col("schema").alias("m_schema"), F.col("df").alias("m_df"))

@@ -37,6 +37,7 @@ from nomenklatura_spark.operators.blocker import (
     stopwords_from_stats,
     term_frequencies,
     token_entries,
+    token_schema_counts,
 )
 from nomenklatura_spark.resolver.components import connected_components
 from nomenklatura_spark.resolver.linker import apply_linker
@@ -668,8 +669,11 @@ def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+A5+W2 — dedupe candidate pair generation (the flagship)."""
     entries = er_entries(spark, sf_dir)
     schemata = er_schemata(spark)
-    stats = build_token_stats(entries, schemata, MAX_PAIR_COST)
-    tf = term_frequencies(entries, boosts_df(spark))
+    # One aggregation of entries feeds stats (3 reads), stopwords and IDF —
+    # the reference materializes this table for the same reason.
+    tsc = token_schema_counts(entries).persist()
+    stats = build_token_stats(entries, schemata, MAX_PAIR_COST, tsc=tsc)
+    tf = term_frequencies(entries, boosts_df(spark), tsc=tsc)
     # Self-joined below — materialize so both sides read cached blocks.
     tf_filtered = apply_stopwords(tf, stopwords_from_stats(stats)).persist()
     return candidate_pairs(
@@ -681,12 +685,13 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2+W1 — match suppliers (subjects) against the full index."""
     entries = er_entries(spark, sf_dir)
     schemata = er_schemata(spark)
+    tsc = token_schema_counts(entries).persist()
     matching = entries.where(F.col("schema") == "Supplier")
     m_stats = build_matching_token_stats(
-        matching, entries, schemata, MAX_MATCH_PAIR_COST
+        matching, entries, schemata, MAX_MATCH_PAIR_COST, indexed_tsc=tsc
     )
     matching_f = apply_stopwords(matching, stopwords_from_stats(m_stats))
-    tf_all = term_frequencies(entries, boosts_df(spark)).persist()
+    tf_all = term_frequencies(entries, boosts_df(spark), tsc=tsc).persist()
     return match_candidates(
         matching_f,
         tf_all,
