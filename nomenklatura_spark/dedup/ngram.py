@@ -186,3 +186,53 @@ def ngram_jaccard_pairs(
             F.col("n_common") / (F.col("l_n") + F.col("r_n") - F.col("n_common"))
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    k: int = 5,
+    threshold: float = 0.5,
+    mode: str = "word",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that *contain* a
+    benchmark item's n-grams (GPT-3 appendix C / Dolma-style overlap
+    filtering: containment = |shingles(doc) ∩ shingles(bench)| /
+    |shingles(bench)|, directional toward the benchmark).
+
+    Scale shape: the benchmark set is orders of magnitude smaller than the
+    corpus, so its exploded shingle relation is **broadcast** — the corpus
+    side never shuffles; the whole check is one broadcast hash join + a
+    partial aggregation per (doc, bench_item). Returns
+    (doc_id, bench_id, containment) with containment >= threshold,
+    self-pairs excluded.
+    """
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    d = shingle_rows(docs, id_col, text_col, k, mode).withColumnRenamed(
+        "id", "doc_id"
+    )
+    b = (
+        shingle_arrays(bench, bench_id_col, bench_text_col, k, mode)
+        .select(
+            F.col("id").alias("bench_id"),
+            F.size("shingles").alias("n_bench"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    hits = (
+        d.join(F.broadcast(b), "shingle")
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id", "n_bench")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return hits.select(
+        "doc_id",
+        "bench_id",
+        (F.col("n_common") / F.col("n_bench")).alias("containment"),
+    ).where(F.col("containment") >= threshold)

@@ -823,6 +823,49 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_ngram_pairs(spark, sf_dir).orderBy("lid", "rid")
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs containing >= 50% of a
+    benchmark item's word 5-grams (benchmark set = doc_id % 50 == 0,
+    standing in for an eval suite). Bench shingles broadcast — the corpus
+    side never shuffles."""
+    from nomenklatura_spark.dedup.ngram import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    hits = ngram_containment_pairs(
+        docs, bench, "doc_id", "text", k=5, threshold=0.5, mode="word"
+    )
+    return hits.select(
+        "doc_id", "bench_id", F.round("containment", 6).alias("containment")
+    ).orderBy("doc_id", "bench_id")
+
+
+_DECONTAM_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 4, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM ws
+    ),
+    bench AS (
+        SELECT doc_id AS bench_id, sh FROM grams WHERE doc_id % 50 = 0
+    ),
+    bsizes AS (SELECT bench_id, count(*) AS n_bench FROM bench GROUP BY bench_id),
+    hits AS (
+        SELECT g.doc_id, b.bench_id, count(*) AS n_common
+        FROM grams g JOIN bench b ON g.sh = b.sh
+        WHERE g.doc_id != b.bench_id
+        GROUP BY g.doc_id, b.bench_id
+    )
+    SELECT h.doc_id, h.bench_id,
+           round(h.n_common * 1.0 / s.n_bench, 6) AS containment
+    FROM hits h JOIN bsizes s USING (bench_id)
+    WHERE h.n_common * 1.0 / s.n_bench >= 0.5
+    ORDER BY doc_id, bench_id
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — connected components over the near-dup pair graph."""
     pairs = _spark_ngram_pairs(spark, sf_dir)
@@ -1501,6 +1544,7 @@ QUERIES = {
     "pair_scores_v2": q_pair_scores_v2,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "doc_decontaminate": q_doc_decontaminate,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
@@ -1537,6 +1581,7 @@ ORACLES = {
     "pair_scores": _PAIR_SCORES_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": f"SELECT * FROM ({_NGRAM_PAIRS_SQL_BODY}) ORDER BY lid, rid",
+    "doc_decontaminate": _DECONTAM_SQL,
     "dedup_minhash": _MINHASH_SQL,
     "dedup_simhash": _simhash_sql(),
     "dedup_components": _DEDUP_COMPONENTS_SQL,

@@ -68,3 +68,36 @@ def test_exact_dedup_keeps_one_per_hash(spark):
     assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["canonical_id"] == 1
     kept = {r["id"] for r in exact_dedup(df, "id", "text").collect()}
     assert kept == {1, 3}
+
+
+def test_ngram_containment_directional(spark):
+    """Containment is directional toward the benchmark: a corpus doc that
+    embeds a whole benchmark item scores 1.0 on it regardless of how much
+    extra text the doc carries; the reverse (short doc vs long bench item)
+    scores low."""
+    from nomenklatura_spark.dedup.ngram import ngram_containment_pairs
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # benchmark item verbatim inside a longer doc -> containment 1.0
+            (1, "intro words here alpha beta gamma delta epsilon zeta trailing tail"),
+            # partial overlap: 2 of the 4 bench trigrams
+            (2, "alpha beta gamma delta unrelated continuation of text"),
+            # disjoint
+            (3, "totally different content with no shared phrases at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["bench_id"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, bench, "doc_id", "text", k=3, threshold=0.0, mode="word"
+        ).collect()
+    }
+    assert rows[(1, 100)] == 1.0
+    assert abs(rows[(2, 100)] - 0.5) < 1e-9
+    assert (3, 100) not in rows
