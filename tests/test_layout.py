@@ -104,3 +104,27 @@ def test_salted_join_preserves_results(spark):
     }
     assert salted == plain
     assert len(plain) == 50 * 2 + 1
+
+
+def test_shingle_plan_evaluates_normalization_once(spark):
+    """Generate-node shape: the shingle pipeline must not let the inferred
+    size()>0 filter duplicate the normalization into the scan (it would
+    re-run the regex once per array element inside the lambda). With
+    explode_outer the whole plan carries exactly one regexp_replace."""
+    from nomenklatura_spark.dedup.ngram import shingle_arrays
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    arrays = shingle_arrays(docs, "doc_id", "text", 3, "word")
+    sh = (
+        arrays.select(
+            "id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    plan = _plan(sh)
+    assert plan.count("regexp_replace") == 1, plan
