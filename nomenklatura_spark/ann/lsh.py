@@ -47,45 +47,46 @@ def signatures(
 ) -> DataFrame:
     """(id, band, key) bucket rows — one row per (vector, band).
 
-    key = the band's bit-string; band count = n_planes / band_bits.
+    key = the band's bit-string (planes in ascending order within the
+    band); band count = n_planes / band_bits.
+
+    All ``n_planes`` sign bits are computed in ONE map-side projection
+    with the plane coefficients as literal arrays — no per-plane row
+    explosion and no (id, band) re-assembly shuffle; the only rows that
+    ever move are the final (id, band, key) bucket rows in the caller's
+    join. (A previous crossJoin+groupBy formulation shuffled 16 rows per
+    vector just to concatenate bits.)
     """
-    spark = df.sparkSession
-    planes = spark.createDataFrame(
-        _plane_coeffs(n_planes, dim), "plane int, coeffs array<double>"
-    )
-    bits = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
+    coeffs = _plane_coeffs(n_planes, dim)
+    n_bands = n_planes // band_bits
+    vec = F.col(vec_col).cast("array<double>")
+
+    def bit(p: int) -> F.Column:
+        plane = F.array(*[F.lit(c) for c in coeffs[p][1]])
+        dotv = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        .crossJoin(F.broadcast(planes))
-        .select(
-            "id",
-            (F.col("plane") / band_bits).cast("int").alias("band"),
-            F.col("plane"),
-            F.when(
-                F.aggregate(
-                    F.zip_with(F.col("vec"), F.col("coeffs"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit("1"),
+        return F.when(dotv >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[bit(b * band_bits + i) for i in range(band_bits)]
+                ).alias("key"),
             )
-            .otherwise(F.lit("0"))
-            .alias("bit"),
-        )
+            for b in range(n_bands)
+        ]
     )
-    return bits.groupBy("id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("plane"), F.col("bit")))
-                ),
-                lambda s: s["bit"],
-            ),
-            "",
-        ).alias("key")
+    # explode_outer: keeps the inferred size()>0 filter from duplicating
+    # the 16-dot-product expression into the scan (see dedup/ngram.py).
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(bands).alias("bk"))
+        .where(F.col("bk").isNotNull())
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
 
 
