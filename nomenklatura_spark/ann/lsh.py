@@ -23,7 +23,7 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from nomenklatura_spark.ann.brute import cosine
+from nomenklatura_spark.ann.brute import dot, normalized
 
 
 def _plane_coeffs(n_planes: int, dim: int) -> list[tuple[int, list[float]]]:
@@ -119,15 +119,12 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    # Normalize once per vector → per-pair scoring is a bare dot product
+    # (3 array passes per candidate pair otherwise; the candidate set is
+    # large when the data forces wide buckets).
+    q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
+    c = normalized(corpus, id_col, vec_col, "neighbor_id", "c_vec")
+    sim = dot(F.col("q_vec"), F.col("c_vec"))
     if score_decimals is not None:
         sim = F.round(sim, score_decimals)
     scored = (
