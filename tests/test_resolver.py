@@ -173,3 +173,44 @@ def test_suggest_then_decide_then_mapping_roundtrip(spark):
     mapping = {r["node"]: r["canonical_id"] for r in resolver_mapping(edges).collect()}
     assert mapping["a"] == mapping["b"]
     assert set(mapping) == {"a", "b"}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Label propagation must agree with a driver-side union-find on
+    seeded random graphs (chains, cliques, isolated pairs mixed)."""
+    import random
+
+    from nomenklatura_spark.resolver.components import connected_components
+
+    for seed in (7, 23, 99):
+        rnd = random.Random(seed)
+        nodes = [f"n{i:03d}" for i in range(60)]
+        edges = [
+            (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {
+            n: find(n)
+            for n in nodes
+            if any(n in e for e in edges)
+        }
+
+        df = spark.createDataFrame(edges, "source string, target string")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, f"seed {seed}"
