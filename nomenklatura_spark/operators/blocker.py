@@ -193,7 +193,10 @@ def apply_stopwords(entries: DataFrame, stopwords: DataFrame | None) -> DataFram
 
 
 def term_frequencies(
-    entries: DataFrame, boosts: DataFrame, tsc: DataFrame | None = None
+    entries: DataFrame,
+    boosts: DataFrame,
+    tsc: DataFrame | None = None,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """A3 + A4 + J5 — per-row term weight.
 
@@ -209,6 +212,13 @@ def term_frequencies(
     The corpus entity count N rides along as a broadcast 1-row aggregate
     (scalar-subquery shape) rather than a driver-side ``.count()`` — no
     job barrier between computing N and the weight projection.
+
+    ``rows`` restricts which entries receive a weight (e.g. the
+    stopword-filtered subset, matching the reference's order: stopwords
+    are applied *before* term_frequencies, index.py:480-531) while the
+    IDF and name-count statistics stay computed over the full ``entries``
+    relation. Stopword tokens are by construction the most frequent, so
+    at scale this keeps the heaviest rows out of the two weight joins.
     """
     n_df = entries.agg(F.count_distinct("id").cast("double").alias("_n"))
     if tsc is not None:
@@ -227,7 +237,7 @@ def term_frequencies(
     )
     dampened = F.col("field").isin(NAME_PART_FIELD, SYMBOL_FIELD)
     return (
-        entries.join(token_idf, "token")
+        (rows if rows is not None else entries).join(token_idf, "token")
         .join(name_counts, "id", "left")
         .join(F.broadcast(boosts), "field", "left")
         .select(

@@ -673,9 +673,14 @@ def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the reference materializes this table for the same reason.
     tsc = token_schema_counts(entries).persist()
     stats = build_token_stats(entries, schemata, MAX_PAIR_COST, tsc=tsc)
-    tf = term_frequencies(entries, boosts_df(spark), tsc=tsc)
+    # Stopwords BEFORE the weight joins (reference order, index.py:480-531):
+    # the dropped tokens are the most frequent rows, so the idf/name-count
+    # joins only touch the surviving subset. IDF stays corpus-wide via tsc.
+    entries_f = apply_stopwords(entries, stopwords_from_stats(stats))
     # Self-joined below — materialize so both sides read cached blocks.
-    tf_filtered = apply_stopwords(tf, stopwords_from_stats(stats)).persist()
+    tf_filtered = term_frequencies(
+        entries, boosts_df(spark), tsc=tsc, rows=entries_f
+    ).persist()
     return candidate_pairs(
         tf_filtered, schemata, max_pairs=MAX_PAIRS, score_decimals=6
     )
