@@ -97,9 +97,14 @@ def main() -> None:
     # Replicate the pair frame (like the reference's runs=2000 loop) so
     # the measurement is dominated by comparison compute, not per-job
     # stage/worker startup; first run warms the Python workers, second
-    # run is timed.
-    REPL = 20
-    base_pairs = _assembled_pairs(spark, sf_dir)
+    # run is timed.  Replication is sized to a fixed total workload
+    # (~400k compares, matching entity_bench's 2000 x ~226) — the blocker
+    # yields different pair counts per SF, and a small pair frame would
+    # measure stage launch latency instead of comparison throughput.
+    TARGET_COMPARES = 400_000
+    base_pairs = _assembled_pairs(spark, sf_dir).persist()
+    n_base = max(base_pairs.count(), 1)
+    REPL = max(20, -(-TARGET_COMPARES // n_base))
     assembled = (
         base_pairs.crossJoin(spark.range(REPL).select(F.col("id").alias("_rep")))
         .drop("_rep")
