@@ -6,7 +6,11 @@ the tokenizer runs *statement-level* as pure column expressions + explode,
 so it never leaves the JVM and needs no entity assembly pass:
 
 - name-type values → ``np:<part>`` tokens (len 3-30, legal/stop parts
-  dropped) and a sorted-part fingerprint ``n:<fp>`` (3 < len < 200)
+  dropped), a sorted-part fingerprint ``n:<fp>`` (3 < len < 200), and
+  ``sy:<cat>:<id>`` symbol tokens (org-class / numeric / nickname /
+  domain categories from ``matching/symbols.py``; INITIAL and generic
+  SYMBOL vocabulary excluded from blocking like the reference,
+  tokenizer.py:71-76)
 - country / phone / email → full lowered value with prefix
   (``c:`` / ``p:`` / ``email:``)
 - identifier → ``i:<normalized>`` plus ``wd:`` word tokens
@@ -14,10 +18,10 @@ so it never leaves the JVM and needs no entity assembly pass:
 - address → ``a:<word>`` (len > 3) and ``wd:<word>`` (len > 6)
 - text / string → ``wd:<word>`` tokens (len ≥ 6, stop words dropped)
 
-Deviation from the reference (documented): rigour's symbol tagging
-(``sy:`` tokens) and per-language name-part tagging need a linguistic
-database; symbols are not emitted. The blocker scoring degrades gracefully
-(it treats fields independently).
+Deviation from the reference (documented): symbol tagging uses the
+compact public lexicon in ``matching/symbols.py`` rather than rigour's
+full cultural tables; per-language name-part tagging and LOCATION
+symbols are not modelled.
 """
 
 from __future__ import annotations
@@ -102,6 +106,19 @@ def tokenize_statements(stmts: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(_empty_tokens())
+    # symbol tokens from ALL name parts (legal forms included — that's the
+    # point: the org-class token dropped from np: still blocks via sy:).
+    # The lexicon is a constant-folded map literal, no shuffle/UDF.
+    from nomenklatura_spark.matching.symbols import symbol_token_col
+
+    sy_toks = F.transform(
+        F.array_distinct(
+            F.filter(F.transform(nt, symbol_token_col), lambda s: s.isNotNull())
+        ),
+        lambda s: F.struct(
+            F.lit("sy").alias("field"), _prefixed("sy", s).alias("token")
+        ),
+    )
 
     # --- full-value types (country/phone/email) --------------------------
     full_prefix = (
@@ -154,7 +171,7 @@ def tokenize_statements(stmts: DataFrame) -> DataFrame:
     )
 
     tokens = (
-        F.when(ptype == "name", F.concat(np_toks, fp_toks))
+        F.when(ptype == "name", F.concat(np_toks, fp_toks, sy_toks))
         .when(ptype.isin("country", "phone", "email"), full_toks)
         .when(ptype == "identifier", F.concat(ident_toks, word_toks))
         .when(ptype == "date", date_toks)

@@ -6,25 +6,34 @@ address comparison (``nomenklatura/matching/compare/addresses.py:25-71``).
 
 The reference's name matcher leans on rigour's cultural symbol tables
 (org-class/nick/location symbol pairing).  This engine re-expresses the
-*scoring structure* — literal early-exit, part alignment, per-category
-score/weight, extras penalties, stopword dampening, family-name boost,
-weighted-mean combination, max over the name product — with a simplified
-symbol model (legal-form tags + initials), documented here as a deviation:
+*scoring structure* — literal early-exit, symbol pairing, part alignment,
+per-category score/weight, extras penalties, stopword dampening,
+family-name boost, weighted-mean combination, max over the name product —
+over the compact public lexicon in ``matching/symbols.py`` (ORG_CLASS /
+SYMBOL / DOMAIN / NUMERIC / NICK categories with the reference's
+``SYM_SCORES``/``SYM_WEIGHTS``/``EXTRAS_WEIGHTS`` tables, ``magic.py:8-63``),
+plus structural INITIAL pairing.  Documented deviations:
 
-- symbol categories supported: ORG_CLASS (legal-form tokens, score 0.8 /
-  weight 0.7) and INITIAL (single letter vs. part initial, score 0.9 /
-  weight 0.5) — the rigour NICK/LOCATION/DOMAIN tables are cultural data
-  this engine does not bundle;
+- LOCATION symbols and per-script name analysis need gazetteer /
+  linguistic databases this engine does not bundle;
 - residue alignment is greedy best-pair on strict-Levenshtein scores
   (``logic_v2/names/distance.py:8-20`` semantics: 1 edit budget per 4
   chars, score ``(1 - d/len)^max_edits``) with a metaphone fallback at
-  0.6, instead of rigour's cost-folded DP;
-- family-name boost (×1.3) applies to aligned pairs whose parts appear
-  in the entity's ``lastName`` values (config default
-  ``nm_family_name_weight``, ``logic_v2/model.py:74-78``);
+  0.6, instead of rigour's cost-folded DP (``match.py:64-80``);
+- the literal early-exit has no part-role compatibility guard
+  (``util.py:part_tags_compatible``) — part tags aren't modelled;
+- family-name boost (×1.3) applies to parts appearing in the entity's
+  ``lastName`` values (config default ``nm_family_name_weight``,
+  ``logic_v2/model.py:74-78``), matched or unmatched (``match.py:100-116``);
 - extras weights: unmatched query parts ×0.8, unmatched result parts
-  ×0.2 (``nm_extra_query_name`` / ``nm_extra_result_name`` defaults);
-- stopword single-part matches dampen ×0.7 (``match.py:92-99``).
+  ×0.2 (``nm_extra_query_name`` / ``nm_extra_result_name`` defaults),
+  biased per symbol category (``magic.py:weight_extra_match``: single
+  stopword extras → 0.5, org/symbol ×0.7, numeric ×1.3);
+- stopword single-part matches dampen ×0.7 (``match.py:92-99``);
+- object-name matching (Vessel/Airplane/Security) uses whole-name
+  strict-Levenshtein at 1-edit-per-5-chars with a ×0.7 number-mismatch
+  penalty after prefix stripping (``match.py:141-171``,
+  ``nm_number_mismatch`` default 0.3).
 
 All of it runs in one Arrow-batched pandas UDF over blocked pairs; name
 normalisation happens once per side before the pair join.
@@ -42,14 +51,26 @@ from nomenklatura_spark.functions import compare as C
 from nomenklatura_spark.functions.names_compare import metaphone
 from nomenklatura_spark.functions.normalize import LEGAL_FORMS, STOP_TOKENS
 from nomenklatura_spark.functions.scoring import Feature, heuristic_score
+from nomenklatura_spark.matching.symbols import (
+    EXTRAS_WEIGHTS,
+    SYM_SCORES,
+    SYM_WEIGHTS,
+    token_symbol,
+)
 
 EXTRA_QUERY_WEIGHT = 0.8
 EXTRA_RESULT_WEIGHT = 0.2
 FAMILY_NAME_WEIGHT = 1.3
 STOPWORD_DAMPEN = 0.7
-ORG_CLASS_SCORE, ORG_CLASS_WEIGHT = 0.8, 0.7
+STOPWORD_EXTRA_BIAS = 0.5
 INITIAL_SCORE, INITIAL_WEIGHT = 0.9, 0.5
 METAPHONE_SCORE = 0.6
+NUMBER_MISMATCH_PENALTY = 0.3
+
+# Schemas whose names are "things" (NameTypeTag.OBJ in the reference,
+# followthemoney.names.schema_type_tag): whole-name fuzzy match instead
+# of part alignment.
+OBJ_SCHEMAS = frozenset({"Vessel", "Airplane", "Security"})
 
 _LEGAL = frozenset(LEGAL_FORMS)
 _STOP = frozenset(STOP_TOKENS)
@@ -92,13 +113,34 @@ def _parts(name: str) -> tuple[str, ...]:
 
 
 def _pair_score(qp: str, rp: str) -> tuple[float, float] | None:
-    """(score, weight) for one aligned part pair, or None if no match."""
+    """(score, weight) for one aligned part pair, or None if no match.
+
+    Symbol pairing first: two parts sharing a symbol id score/weigh per
+    category (``SYM_SCORES``/``SYM_WEIGHTS``) — this is what keeps an
+    equal generic term ("International"=="International") from dominating
+    the mean (weight 0.3), and makes "Vessel 1" vs "Vessel 2" diverge
+    (unshared NUMERIC).  Literal equality of a symbol-tagged pair rescues
+    the score to 1.0 but keeps the category weight (``match.py:103-111``).
+    """
+    qs, rs = token_symbol(qp), token_symbol(rp)
+    if qs is not None and qs == rs:
+        cat = qs.split(":", 1)[0]
+        if qp == rp:
+            # literal rescue: score 1.0, category weight retained —
+            # an equal "international" stays low-influence (w 0.3).
+            return 1.0, SYM_WEIGHTS[cat]
+        # Non-equal symbol pair: the reference maximises over pairings
+        # with and without the symbol edge, so a stronger fuzzy surface
+        # match ("jon"~"john", 0.75) beats a weaker nick edge (0.6).
+        fuzzy = strict_levenshtein_py(qp, rp)
+        if fuzzy > SYM_SCORES[cat]:
+            return fuzzy, 1.0
+        return SYM_SCORES[cat], SYM_WEIGHTS[cat]
     if qp == rp:
-        if qp in _LEGAL:
-            return 1.0, ORG_CLASS_WEIGHT
         return 1.0, 1.0
     if qp in _LEGAL and rp in _LEGAL:
-        return ORG_CLASS_SCORE, ORG_CLASS_WEIGHT
+        # distinct legal-form classes ("gmbh" vs "inc"): weak org evidence
+        return SYM_SCORES["org"] * 0.5, SYM_WEIGHTS["org"]
     if len(qp) == 1 and rp.startswith(qp):
         return INITIAL_SCORE, INITIAL_WEIGHT
     if len(rp) == 1 and qp.startswith(rp):
@@ -109,6 +151,22 @@ def _pair_score(qp: str, rp: str) -> tuple[float, float] | None:
     if len(qp) >= 3 and len(rp) >= 3 and metaphone(qp) == metaphone(rp) != "":
         return METAPHONE_SCORE, 1.0
     return None
+
+
+def _extra_weight(part: str, side_weight: float, family: frozenset[str]) -> float:
+    """Weight of an unmatched name part (``magic.py:weight_extra_match``):
+    single stopword extras bias to 0.5 (then the ×0.7 stopword multiplier
+    composes, as in ``match.py:92-99``); symbol-tagged extras bias per
+    ``EXTRAS_WEIGHTS`` (org/symbol cheap to omit, numeric expensive)."""
+    if part in _STOP:
+        w = side_weight * STOPWORD_EXTRA_BIAS * STOPWORD_DAMPEN
+    else:
+        sym = token_symbol(part)
+        cat = sym.split(":", 1)[0] if sym else None
+        w = side_weight * EXTRAS_WEIGHTS.get(cat, 1.0)
+    if part in family:
+        w *= FAMILY_NAME_WEIGHT
+    return w
 
 
 def name_pair_score(
@@ -143,11 +201,9 @@ def name_pair_score(
             w *= FAMILY_NAME_WEIGHT
         scored.append((s, w))
     for qp in q_left:
-        w = EXTRA_QUERY_WEIGHT * (STOPWORD_DAMPEN if qp in _STOP else 1.0)
-        scored.append((0.0, w))
+        scored.append((0.0, _extra_weight(qp, EXTRA_QUERY_WEIGHT, family)))
     for rp in r_left:
-        w = EXTRA_RESULT_WEIGHT * (STOPWORD_DAMPEN if rp in _STOP else 1.0)
-        scored.append((0.0, w))
+        scored.append((0.0, _extra_weight(rp, EXTRA_RESULT_WEIGHT, family)))
     total_w = sum(w for _, w in scored)
     if total_w <= 0.0:
         return 0.0
@@ -172,6 +228,52 @@ def name_match(
                 if best >= 1.0:
                     return 1.0
     return best
+
+
+# --- object-name matching (match.py:141-171) -------------------------------
+
+_OBJ_PREFIX_RE = re.compile(r"^(?:m[/.]?[vsty]|s[/.]?[sy]|rms|hms|uss|fv|mfv)[\s.]+")
+_NUMERIC_RE = re.compile(r"\d+")
+
+
+def _obj_norm(name: str) -> str:
+    s = _OBJ_PREFIX_RE.sub("", name.lower().strip())
+    return " ".join(t for t in _SPLIT_RE.split(s) if t)
+
+
+def obj_numbers_mismatch(query: str, result: str) -> bool:
+    """Query-side numerals absent from the result (``util.py:58-64``)."""
+    return bool(
+        set(_NUMERIC_RE.findall(query)) - set(_NUMERIC_RE.findall(result))
+    )
+
+
+def object_name_match(query_names: list[str], result_names: list[str]) -> float:
+    """Whole-name strict Levenshtein (1 edit per 5 chars) over the name
+    product after vessel-prefix stripping; numerals missing on the result
+    side cost ×(1 - 0.3)."""
+    best = 0.0
+    r_norms = [_obj_norm(n) for n in result_names or []]
+    for qn in query_names or []:
+        q = _obj_norm(qn)
+        if not q:
+            continue
+        for r in r_norms:
+            if not r:
+                continue
+            score = strict_levenshtein_py(q, r, max_rate=5)
+            if obj_numbers_mismatch(q, r):
+                score *= 1.0 - NUMBER_MISMATCH_PENALTY
+            if score > best:
+                best = score
+    return best
+
+
+@F.pandas_udf(T.DoubleType())
+def object_name_match_udf(q: pd.Series, r: pd.Series) -> pd.Series:
+    return pd.Series(
+        [object_name_match(list(qn or []), list(rn or [])) for qn, rn in zip(q, r)]
+    )
 
 
 @F.pandas_udf(T.DoubleType())
@@ -240,6 +342,10 @@ ID_FORMATS = {
     "ogrn": (r"^[15][0-9]{12}$", 0.95),
     "inn": (r"^[0-9]{10}([0-9]{2})?$", 0.95),
     "imo": (r"^IMO[0-9]{7}$", 0.95),
+    # UEI: 12 alphanumeric, no O/I, first char nonzero (SAM.gov format).
+    "uei": (r"^[A-HJ-NP-Z1-9][A-HJ-NP-Z0-9]{11}$", 0.95),
+    # NPI: 10 digits starting 1/2 (Luhn checksum not verified — shape only).
+    "npi": (r"^[12][0-9]{9}$", 0.95),
 }
 
 
@@ -277,6 +383,8 @@ LOGIC_V2_FEATURES = [
     Feature("f_id_imo", 0.95),
     Feature("f_id_inn", 0.95),
     Feature("f_id_bic", 0.95),
+    Feature("f_id_uei", 0.95),
+    Feature("f_id_npi", 0.95),
     Feature("f_identifier", 0.85),
     Feature("f_weak_alias", 0.8),
     Feature("f_address_prop", 0.2, qualifier=True),
@@ -294,11 +402,21 @@ def score_pairs_logic_v2(pairs: DataFrame) -> DataFrame:
     feature arrays incl. ``l_addresses``/``l_last_names``).
     """
     is_address = (F.col("l_schema") == "Address") & (F.col("r_schema") == "Address")
+    is_obj = F.col("l_schema").isin(*OBJ_SCHEMAS) & F.col("r_schema").isin(
+        *OBJ_SCHEMAS
+    )
     df = pairs.select(
         "*",
-        name_match_udf(
-            F.col("l_names"), F.col("r_names"), F.col("r_last_names")
-        ).alias("f_name_v2"),
+        F.when(
+            is_obj,
+            object_name_match_udf(F.col("l_names"), F.col("r_names")),
+        )
+        .otherwise(
+            name_match_udf(
+                F.col("l_names"), F.col("r_names"), F.col("r_last_names")
+            )
+        )
+        .alias("f_name_v2"),
         F.when(
             is_address,
             address_match_udf(F.col("l_addresses"), F.col("r_addresses")),

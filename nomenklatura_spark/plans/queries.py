@@ -25,6 +25,7 @@ from nomenklatura_spark.dedup.exact import content_hash
 from nomenklatura_spark.dedup.ngram import ngram_jaccard_pairs
 from nomenklatura_spark.functions.normalize import LEGAL_FORMS, STOP_TOKENS
 from nomenklatura_spark.functions.tokenize import tokenize_statements
+from nomenklatura_spark.matching.symbols import symbol_sql_expr
 from nomenklatura_spark.model.statement import statements_from_wide_table
 from nomenklatura_spark.operators.assembly import adjacency, assemble_properties
 from nomenklatura_spark.operators.blocker import (
@@ -181,6 +182,15 @@ _ER_TOKENS_SQL = f"""
         )
         WHERE len(fp) > 3 AND len(fp) < 200
     ),
+    sy AS (
+        SELECT schema, id, 'sy' AS field, 'sy:' || sym AS token
+        FROM (
+            SELECT schema, id, unnest(list_distinct(list_filter(
+                list_transform(toks, t -> {symbol_sql_expr('t')}),
+                s -> s IS NOT NULL))) AS sym
+            FROM name_toks
+        )
+    ),
     wd AS (
         SELECT schema, id, 'wd' AS field, 'wd:' || tok AS token
         FROM (
@@ -190,7 +200,8 @@ _ER_TOKENS_SQL = f"""
         )
     ),
     all_toks AS (
-        SELECT * FROM np UNION ALL SELECT * FROM fp UNION ALL SELECT * FROM wd
+        SELECT * FROM np UNION ALL SELECT * FROM fp
+        UNION ALL SELECT * FROM sy UNION ALL SELECT * FROM wd
     )
     SELECT schema, id, field, substr(token, 1, 40) AS token,
            CAST(count(*) AS INT) AS count
