@@ -718,17 +718,16 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 + C2/C5/C15 + X1 — score blocker candidate pairs with matcher
-    features (literal name match, strict Levenshtein, numbers qualifier)."""
+def _pair_featured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocker pairs + SQL-expressible comparison features (shared by the
+    X1 heuristic and X3 regression scoring queries)."""
     from nomenklatura_spark.functions import compare as Cmp
-    from nomenklatura_spark.functions.scoring import Feature, heuristic_score
     from nomenklatura_spark.operators.pairs import assemble_pairs, entity_features
 
     pairs = q_blocker_pairs(spark, sf_dir).select("lid", "rid")
     feats = entity_features(er_statements(spark, sf_dir))
     assembled = assemble_pairs(pairs, feats)
-    featured = assembled.select(
+    return assembled.select(
         "lid",
         "rid",
         Cmp.name_literal_match(F.col("l_names"), F.col("r_names")).alias(
@@ -741,8 +740,15 @@ def q_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_numbers_mismatch"
         ),
     )
+
+
+def q_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 + C2/C5/C15 + X1 — score blocker candidate pairs with matcher
+    features (literal name match, strict Levenshtein, numbers qualifier)."""
+    from nomenklatura_spark.functions.scoring import Feature, heuristic_score
+
     scored = heuristic_score(
-        featured,
+        _pair_featured(spark, sf_dir),
         [
             Feature("f_name_literal", 1.0),
             Feature("f_name_levenshtein", 0.9),
@@ -759,7 +765,33 @@ def q_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lid", "rid")
 
 
-_PAIR_SCORES_SQL = f"""
+# X3 — a trained logistic model's folded parameters, pinned so the query
+# is deterministic and oracle-checkable (training itself is covered by
+# matching/train + tests; scoring is pure column arithmetic).
+REG_COEFS = {
+    "f_name_literal": 4.0,
+    "f_name_levenshtein": 3.5,
+    "f_numbers_mismatch": -1.5,
+}
+REG_INTERCEPT = -3.0
+
+
+def q_pair_scores_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — regression scoring as closed-form column arithmetic:
+    ``sigmoid(w·x + b)`` with pinned coefficients (reference ships pickled
+    sklearn pipelines, ``regression_v1/model.py:94-110``; folding the
+    fitted model into expressions keeps scoring in whole-stage codegen)."""
+    from nomenklatura_spark.functions.scoring import logistic_score
+
+    scored = logistic_score(
+        _pair_featured(spark, sf_dir), REG_COEFS, REG_INTERCEPT
+    )
+    return scored.select(
+        "lid", "rid", F.round("score", 6).alias("score")
+    ).orderBy("lid", "rid")
+
+
+_PAIR_FEATURED_CTES = f"""
     WITH pairs AS ({_PAIRS_SQL}),
     feats AS (
         SELECT 'part-' || p_partkey AS id, [p_name] AS names,
@@ -800,6 +832,9 @@ _PAIR_SCORES_SQL = f"""
             THEN 1.0 ELSE 0.0 END AS f_numbers_mismatch
         FROM assembled
     )
+"""
+
+_PAIR_SCORES_SQL = f"""{_PAIR_FEATURED_CTES}
     SELECT lid, rid, f_name_literal, f_name_levenshtein, f_numbers_mismatch,
         round(CASE
             WHEN greatest(f_name_literal * 1.0, f_name_levenshtein * 0.9) <= 0.0 THEN 0.0
@@ -807,6 +842,16 @@ _PAIR_SCORES_SQL = f"""
                 greatest(f_name_literal * 1.0, f_name_levenshtein * 0.9)
                 + f_numbers_mismatch * -0.1))
         END, 6) AS score
+    FROM featured
+    ORDER BY lid, rid
+"""
+
+_PAIR_SCORES_REG_SQL = f"""{_PAIR_FEATURED_CTES}
+    SELECT lid, rid,
+        round(1.0 / (1.0 + exp(-({REG_INTERCEPT}
+            + {REG_COEFS["f_name_literal"]} * f_name_literal
+            + {REG_COEFS["f_name_levenshtein"]} * f_name_levenshtein
+            + {REG_COEFS["f_numbers_mismatch"]} * f_numbers_mismatch))), 6) AS score
     FROM featured
     ORDER BY lid, rid
 """
@@ -1115,7 +1160,9 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
+def _langid_pred_ctes() -> str:
+    """CTE chain ending in ``pred(doc_id, lang_pred)`` — shared by the
+    langid rollup and the sample-mix oracle."""
     words = (
         "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
         " x -> x != '')"
@@ -1130,7 +1177,7 @@ def _langid_sql() -> str:
     # Tie-break must match Spark's greatest-of-(score, lang)-structs:
     # highest score wins; on ties the lexicographically greatest lang.
     return f"""
-        WITH scored AS (
+        scored AS (
             SELECT doc_id, {', '.join(score_cols)}
             FROM (SELECT doc_id, {words} AS ws FROM documents)
         ),
@@ -1147,9 +1194,81 @@ def _langid_sql() -> str:
                      WHEN s_en = m THEN 'en'
                      ELSE 'de' END AS lang_pred
             FROM best
-        )
+        )"""
+
+
+def _langid_sql() -> str:
+    return f"""
+        WITH {_langid_pred_ctes()}
         SELECT lang_pred, count(*) AS n_docs
         FROM pred GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
+# Training-data mixing: per-language keep rates in permille.  The synthetic
+# corpus is English-heavy; a mixing pass downsamples the dominant language
+# and keeps the rest — rates are pinned for oracle determinism.
+MIX_PERMILLE = {"en": 300, "de": 800, "es": 800, "fr": 800, "und": 1000}
+
+
+def q_doc_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixing.
+
+    Language-stratified downsampling with a content-hash bucket instead
+    of seeded RNG: keep a doc iff ``md5("mix:"+doc_id) % 1000 <
+    permille(lang)``.  Hash-based sampling is reproducible under any
+    partitioning/retry (RNG sampling is not), co-partitions with nothing
+    (map-only — the only shuffle is the tiny broadcast of rates), and the
+    same rule runs anywhere — the DuckDB oracle replays it exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rates = F.broadcast(
+        spark.createDataFrame(
+            list(MIX_PERMILLE.items()), "lang_pred string, permille int"
+        )
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1000),
+    )
+    pred = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        bucket.alias("bucket"),
+    )
+    return (
+        pred.join(rates, "lang_pred")
+        .where(F.col("bucket") < F.col("permille"))
+        .select("doc_id", "lang_pred", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _doc_sample_mix_sql() -> str:
+    rates = ", ".join(
+        f"('{lang}', {pm})" for lang, pm in sorted(MIX_PERMILLE.items())
+    )
+    return f"""
+        WITH {_langid_pred_ctes()},
+        rates(lang_pred, permille) AS (VALUES {rates}),
+        keyed AS (
+            SELECT p.doc_id, p.lang_pred,
+                CAST(('0x' || substr(md5('mix:' || CAST(p.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000 AS bucket
+            FROM pred p
+        )
+        SELECT k.doc_id, k.lang_pred, k.bucket
+        FROM keyed k JOIN rates r ON r.lang_pred = k.lang_pred
+        WHERE k.bucket < r.permille
+        ORDER BY k.doc_id
     """
 
 
@@ -1556,6 +1675,7 @@ QUERIES = {
     "blocker_pairs": q_blocker_pairs,
     "blocker_match": q_blocker_match,
     "pair_scores": q_pair_scores,
+    "pair_scores_regression": q_pair_scores_regression,
     "pair_scores_ofac": q_pair_scores_ofac,
     "pair_scores_v2": q_pair_scores_v2,
     "dedup_exact": q_dedup_exact,
@@ -1568,6 +1688,7 @@ QUERIES = {
     "linker_apply": q_linker_apply,
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,
+    "doc_sample_mix": q_doc_sample_mix,
     "doc_quality": q_doc_quality,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1595,6 +1716,7 @@ ORACLES = {
     "blocker_pairs": _PAIRS_SQL,
     "blocker_match": _MATCH_SQL,
     "pair_scores": _PAIR_SCORES_SQL,
+    "pair_scores_regression": _PAIR_SCORES_REG_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": f"SELECT * FROM ({_NGRAM_PAIRS_SQL_BODY}) ORDER BY lid, rid",
     "doc_decontaminate": _DECONTAM_SQL,
@@ -1605,6 +1727,7 @@ ORACLES = {
     "linker_apply": _LINKER_SQL,
     "doc_stats": _DOC_STATS_SQL,
     "doc_langid": _langid_sql(),
+    "doc_sample_mix": _doc_sample_mix_sql(),
     "doc_quality": _quality_sql(),
     "ann_topk": _ANN_SQL,
     # ann_lsh_topk: deliberately no oracle — approximate op, rows-only check
