@@ -38,6 +38,21 @@ CASES = [
     ("Bank of America", "Bank of China", False, "MEDIUM"),
     # number-bearing names
     ("Vessel No 7", "Vessel No 7", True, "STRONG"),
+    # --- symbol-model cases (matching/symbols.py) ---
+    # cross-language legal-form class ("OOO" ~ "LLC")
+    ("Gazprom OOO", "Gazprom LLC", True, "STRONG"),
+    ("Siemens AG", "Siemens Aktiengesellschaft", True, "STRONG"),
+    # abbreviation groups
+    ("Acme International Trading", "Acme Intl Trading", True, "STRONG"),
+    # nickname folding
+    ("Bill Clinton", "William Clinton", True, "STRONG"),
+    ("Peggy Smith", "Margaret Smith", True, "MEDIUM"),
+    # numeric folding across representations
+    ("Sovcomflot Vessel 2", "Sovcomflot Vessel II", True, "STRONG"),
+    # numeric divergence: same fleet, different hull
+    ("Sovcomflot Vessel 1", "Sovcomflot Vessel 2", False, "STRONG"),
+    # shared generic vocabulary only — must NOT match
+    ("Alpha International Group", "Omega International Group", False, "STRONG"),
 ]
 
 THRESHOLD = 0.7
@@ -65,13 +80,30 @@ def test_name_v2_accuracy():
     assert f1 >= 0.85, f"name_v2 F1 too low: {f1:.3f}"
 
 
+# Matching pairs whose equivalence lives in the symbol lexicon
+# (nicknames, cross-language legal forms, abbreviations, roman numerals).
+# OFAC is a surface-similarity algorithm — the reference tool has no such
+# data either — so the separation guarantee below doesn't cover them.
+SYMBOLIC_PAIRS = {
+    ("Gazprom OOO", "Gazprom LLC"),
+    ("Siemens AG", "Siemens Aktiengesellschaft"),
+    ("Acme International Trading", "Acme Intl Trading"),
+    ("Bill Clinton", "William Clinton"),
+    ("Peggy Smith", "Margaret Smith"),
+    ("Sovcomflot Vessel 2", "Sovcomflot Vessel II"),
+}
+
+
 def test_ofac_separates_matches():
-    """OFAC scores must rank every matching pair above every non-match
-    that shares no name tokens (its per-token floor guarantees this)."""
+    """OFAC scores must rank every surface-similar matching pair above
+    every non-match that shares no name tokens (its per-token floor
+    guarantees this)."""
     from nomenklatura_spark.matching.ofac import ofac_name_score
 
     match_scores = [
-        ofac_name_score([a], [b]) for a, b, m, _ in CASES if m
+        ofac_name_score([a], [b])
+        for a, b, m, _ in CASES
+        if m and (a, b) not in SYMBOLIC_PAIRS
     ]
     clean_nonmatch = [
         ofac_name_score([a], [b])
