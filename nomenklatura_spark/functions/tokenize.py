@@ -26,6 +26,8 @@ symbols are not modelled.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from nomenklatura_spark.functions.normalize import (
@@ -59,18 +61,17 @@ def _tok_structs(field: str, prefix: str, toks: Column) -> Column:
     )
 
 
-def tokenize_statements(stmts: DataFrame) -> DataFrame:
-    """Statements → raw token stream (schema, id, field, token).
+@lru_cache(maxsize=1)
+def _tokens_expr() -> Column:
+    """The per-statement token-array expression, built once per process.
 
-    One row per (entity, field, token) occurrence; feed through
-    ``blocker.token_entries`` for the counted/truncated ``entries``
-    relation. Only matchable value types produce tokens.
-
-    Single-pass shape: every statement row builds one
-    ``array<struct<field, token>>`` (branching on ``prop_type`` inside the
-    projection), then one ``explode``. One scan of the input instead of a
-    per-token-kind union of eight — at 100 TB that is one pass over the
-    statement table, and locally it collapses eight scan stages into one.
+    Constructing this tree through the Python Column API costs one py4j
+    round-trip per node (the stop/legal isin lists and the symbol-lexicon
+    map are hundreds of literals; measured: ~2s of driver time per
+    build).  The expression only references ``prop_type``/``value`` —
+    resolution happens per-DataFrame at analysis — so one immutable tree
+    serves every query in the session, which is exactly what a
+    long-lived cluster job does.
     """
     ptype = F.col("prop_type")
     value = F.col("value")
@@ -170,7 +171,7 @@ def tokenize_statements(stmts: DataFrame) -> DataFrame:
         ),
     )
 
-    tokens = (
+    return (
         F.when(ptype == "name", F.concat(np_toks, fp_toks, sy_toks))
         .when(ptype.isin("country", "phone", "email"), full_toks)
         .when(ptype == "identifier", F.concat(ident_toks, word_toks))
@@ -180,6 +181,20 @@ def tokenize_statements(stmts: DataFrame) -> DataFrame:
         .otherwise(_empty_tokens())
     )
 
+
+def tokenize_statements(stmts: DataFrame) -> DataFrame:
+    """Statements → raw token stream (schema, id, field, token).
+
+    One row per (entity, field, token) occurrence; feed through
+    ``blocker.token_entries`` for the counted/truncated ``entries``
+    relation. Only matchable value types produce tokens.
+
+    Single-pass shape: every statement row builds one
+    ``array<struct<field, token>>`` (branching on ``prop_type`` inside the
+    projection), then one ``explode``. One scan of the input instead of a
+    per-token-kind union of eight — at 100 TB that is one pass over the
+    statement table, and locally it collapses eight scan stages into one.
+    """
     # Plain explode (not explode_outer): the inferred size()>0 pre-filter
     # does duplicate this expression tree into the scan filter, but the
     # non-outer Generate keeps whole-stage codegen, which measures ~7%
@@ -189,5 +204,5 @@ def tokenize_statements(stmts: DataFrame) -> DataFrame:
     return stmts.select(
         "schema",
         F.col("canonical_id").alias("id"),
-        F.explode(tokens).alias("tok"),
+        F.explode(_tokens_expr()).alias("tok"),
     ).select("schema", "id", F.col("tok.field").alias("field"), F.col("tok.token").alias("token"))

@@ -337,12 +337,12 @@ def symbol_token_col(tok):
     """
     from pyspark.sql import functions as F
 
+    # One parsed map literal (tokens are lowercase alphanumerics, no
+    # escaping needed) — building it from F.lit pairs costs a py4j
+    # round-trip per literal.
     entries = blocker_symbol_map()
-    flat = []
-    for t, s in entries.items():
-        flat.append(F.lit(t))
-        flat.append(F.lit(s))
-    lex = F.create_map(*flat)
+    items = ",".join(f"'{t}','{s}'" for t, s in entries.items())
+    lex = F.expr(f"map({items})")
     digits = F.regexp_extract(tok, r"^([0-9]{1,18})(st|nd|rd|th)?$", 1)
     return F.when(
         digits != "",
