@@ -876,6 +876,38 @@ _PAIR_SCORES_REG_SQL = f"""{_PAIR_FEATURED_CTES}
 """
 
 
+# P1 thresholds (reference xref.py:131-154: score >= auto → decide
+# POSITIVE, >= suggest threshold → candidate for human review).
+XREF_AUTO_THRESHOLD = 0.9
+XREF_REVIEW_THRESHOLD = 0.7
+
+
+def q_xref_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — the xref decision split, end-to-end: blocker pairs → feature
+    scoring → threshold split into auto-merges and review suggestions
+    (the batch form of the reference's suggest/decide loop)."""
+    scored = q_pair_scores(spark, sf_dir).select("lid", "rid", "score")
+    decision = (
+        F.when(F.col("score") >= XREF_AUTO_THRESHOLD, F.lit("auto_merge"))
+        .when(F.col("score") >= XREF_REVIEW_THRESHOLD, F.lit("review"))
+    )
+    return (
+        scored.withColumn("decision", decision)
+        .where(F.col("decision").isNotNull())
+        .orderBy("lid", "rid")
+    )
+
+
+_XREF_SUGGESTIONS_SQL = f"""
+    SELECT lid, rid, score,
+        CASE WHEN score >= {XREF_AUTO_THRESHOLD} THEN 'auto_merge'
+             ELSE 'review' END AS decision
+    FROM ({_PAIR_SCORES_SQL})
+    WHERE score >= {XREF_REVIEW_THRESHOLD}
+    ORDER BY lid, rid
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by content hash (bag-of-words fingerprint so the
     synthetic corpus, which has no byte-exact dups, still exercises it)."""
@@ -1288,6 +1320,66 @@ def _doc_sample_mix_sql() -> str:
         FROM keyed k JOIN rates r ON r.lang_pred = k.lang_pred
         WHERE k.bucket < r.permille
         ORDER BY k.doc_id
+    """
+
+
+# Sequence packing budget (tokens per shard).
+PACK_MAX_TOKENS = 2048
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing for training shards.
+
+    Docs are budgeted into ``PACK_MAX_TOKENS`` shards greedily in
+    deterministic ``doc_id`` order: a doc's shard is the number of full
+    budgets its stratum's preceding docs consumed (running-sum window).
+    Stratified by predicted language so the window is partitioned —
+    packing is sequential *within* a stratum but strata pack in parallel,
+    which is how this scales: at 100 TB the strata (language × source
+    shard) bound every window to one partition's worth of rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang_pred")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_MAX_TOKENS
+    )
+    return base.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        shard.cast("int").alias("shard"),
+    ).orderBy("doc_id")
+
+
+def _doc_pack_sql() -> str:
+    return f"""
+        WITH {_langid_pred_ctes()},
+        toks AS (
+            SELECT doc_id,
+                len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                    AS n_tokens
+            FROM documents
+        ),
+        j AS (
+            SELECT p.doc_id, p.lang_pred, t.n_tokens
+            FROM pred p JOIN toks t USING (doc_id)
+        )
+        SELECT doc_id, lang_pred, n_tokens,
+            CAST(floor((sum(n_tokens) OVER (
+                PARTITION BY lang_pred ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_tokens) / {PACK_MAX_TOKENS}) AS INT) AS shard
+        FROM j
+        ORDER BY doc_id
     """
 
 
@@ -1708,7 +1800,9 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,
     "doc_sample_mix": q_doc_sample_mix,
+    "doc_pack": q_doc_pack,
     "doc_quality": q_doc_quality,
+    "xref_suggestions": q_xref_suggestions,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1747,7 +1841,9 @@ ORACLES = {
     "doc_stats": _DOC_STATS_SQL,
     "doc_langid": _langid_sql(),
     "doc_sample_mix": _doc_sample_mix_sql(),
+    "doc_pack": _doc_pack_sql(),
     "doc_quality": _quality_sql(),
+    "xref_suggestions": _XREF_SUGGESTIONS_SQL,
     "ann_topk": _ANN_SQL,
     # ann_lsh_topk: deliberately no oracle — approximate op, rows-only check
     "dedup_embedding": _DEDUP_EMB_SQL,
