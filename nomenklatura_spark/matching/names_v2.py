@@ -344,24 +344,52 @@ ID_FORMATS = {
     "imo": (r"^IMO[0-9]{7}$", 0.95),
     # UEI: 12 alphanumeric, no O/I, first char nonzero (SAM.gov format).
     "uei": (r"^[A-HJ-NP-Z1-9][A-HJ-NP-Z0-9]{11}$", 0.95),
-    # NPI: 10 digits starting 1/2 (Luhn checksum not verified — shape only).
+    # NPI: 10 digits starting 1/2; Luhn checksum verified (see _npi_valid).
     "npi": (r"^[12][0-9]{9}$", 0.95),
 }
+
+
+def _npi_valid(x):
+    """CMS NPI check: Luhn over the 9 identifier digits with the
+    published ``80840``-prefix constant 24; the 10th digit is the check
+    digit.  Pure column arithmetic (9 unrolled terms), no UDF."""
+    def dig(i: int):
+        return F.substring(x, i, 1).cast("int")
+
+    total = F.lit(24)
+    for i in range(1, 10):
+        v = dig(i)
+        if i % 2 == 1:  # d1, d3, ... d9 double (alternating from the left)
+            doubled = v * 2
+            v = F.when(doubled > 9, doubled - 9).otherwise(doubled)
+        total = total + v
+    return (total + dig(10)) % 10 == 0
 
 
 def format_identifier_scores(l_ids, r_ids) -> list:
     """One column per identifier format: 1.0 iff a value matching the
     format's shape appears on both sides.  Pure column expressions
     (upper + filter + arrays_overlap) — no UDF."""
+    def _keeper(pattern: str, fmt: str):
+        # F.filter introspects the lambda arity — exactly one parameter.
+        def keep(x):
+            ok = x.rlike(pattern)
+            if fmt == "npi":
+                ok = ok & _npi_valid(x)
+            return ok
+
+        return keep
+
     cols = []
     for name, (pattern, _w) in ID_FORMATS.items():
+        keep = _keeper(pattern, name)
         lf = F.filter(
             F.transform(l_ids, lambda x: F.upper(F.regexp_replace(x, r"[\s-]", ""))),
-            lambda x: x.rlike(pattern),
+            keep,
         )
         rf = F.filter(
             F.transform(r_ids, lambda x: F.upper(F.regexp_replace(x, r"[\s-]", ""))),
-            lambda x: x.rlike(pattern),
+            keep,
         )
         cols.append(
             F.when(F.arrays_overlap(lf, rf), F.lit(1.0))

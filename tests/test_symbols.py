@@ -109,6 +109,23 @@ def test_object_names():
     assert object_name_match(["Akademik Lomonosov"], ["Titanic"]) == 0.0
 
 
+def test_npi_luhn(spark):
+    from nomenklatura_spark.matching.names_v2 import format_identifier_scores
+
+    # 1234567893 is the CMS specification's worked example (valid);
+    # flipping the check digit must fail despite matching the shape.
+    df = spark.createDataFrame(
+        [(["1234567893"], ["1234567893"]), (["1234567890"], ["1234567890"])],
+        "l array<string>, r array<string>",
+    )
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        *format_identifier_scores(F.col("l"), F.col("r"))
+    ).collect()
+    assert [r.f_id_npi for r in out] == [1.0, 0.0]
+
+
 @pytest.mark.parametrize("value,expected", [
     ("Vessel II", {"sy:num:2"}),
     ("Gazprom OOO", {"sy:org:llc"}),
