@@ -726,7 +726,18 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         matching, entries, schemata, MAX_MATCH_PAIR_COST, indexed_tsc=tsc
     )
     matching_f = apply_stopwords(matching, stopwords_from_stats(m_stats))
-    tf_all = term_frequencies(entries, boosts_df(spark), tsc=tsc).persist()
+    # The match join only ever reads index rows whose token appears on
+    # the matching side — push that as a semi-join before the weight
+    # joins (IDF / name-count statistics stay corpus-wide via tsc, so
+    # weights are identical to the full relation's).  At scale the
+    # matching token set is small → broadcast semi-join; the J2 join
+    # then touches a fraction of the index.
+    needed = entries.join(
+        matching_f.select("token").distinct(), "token", "semi"
+    )
+    tf_all = term_frequencies(
+        entries, boosts_df(spark), tsc=tsc, rows=needed
+    ).persist()
     return match_candidates(
         matching_f,
         tf_all,
