@@ -61,9 +61,20 @@ def _tok_structs(field: str, prefix: str, toks: Column) -> Column:
     )
 
 
-@lru_cache(maxsize=1)
 def _tokens_expr() -> Column:
-    """The per-statement token-array expression, built once per process.
+    """The per-statement token-array expression, built once per context.
+
+    Cached per active SparkContext (the Column tree wraps py4j refs — a
+    context restart in the same process must rebuild it).
+    """
+    from pyspark import SparkContext
+
+    return _tokens_expr_for(id(SparkContext._active_spark_context))
+
+
+@lru_cache(maxsize=2)
+def _tokens_expr_for(_ctx_key: int) -> Column:
+    """Build the token-array expression (see _tokens_expr).
 
     Constructing this tree through the Python Column API costs one py4j
     round-trip per node (the stop/legal isin lists and the symbol-lexicon
