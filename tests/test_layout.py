@@ -128,3 +128,31 @@ def test_shingle_plan_evaluates_normalization_once(spark):
     )
     plan = _plan(sh)
     assert plan.count("regexp_replace") == 1, plan
+
+
+def test_blocker_match_pushes_matching_token_semi_join(spark, sf_dir):
+    """The match query must restrict index term weights to matching-side
+    tokens via a (left-)semi join before the J2 join — the scale guard
+    that keeps bulk screening from materializing weights for the whole
+    index."""
+    from nomenklatura_spark.plans.queries import q_blocker_match
+
+    plan = _plan(q_blocker_match(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_tokenizer_expression_is_cached(spark):
+    """One immutable expression tree per context (py4j build cost is paid
+    once per session, not per query)."""
+    from nomenklatura_spark.functions.tokenize import _tokens_expr
+
+    assert _tokens_expr() is _tokens_expr()
+
+
+def test_er_plans_memoized(spark, sf_dir):
+    """er_statements/er_entries return the same plan object per
+    (session, sf_dir) — every blocker query reuses one persisted plan."""
+    from nomenklatura_spark.plans.queries import er_entries, er_statements
+
+    assert er_statements(spark, sf_dir) is er_statements(spark, sf_dir)
+    assert er_entries(spark, sf_dir) is er_entries(spark, sf_dir)
