@@ -109,6 +109,7 @@ def build_token_stats(
     schemata: DataFrame,
     max_pair_cost: int,
     tsc: DataFrame | None = None,
+    schema_pairs: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """A1 + A2 — dynamic stopword detection.
 
@@ -121,9 +122,44 @@ def build_token_stats(
     ``schemata`` is the matchable-pair dimension (left, right) — tiny,
     broadcast. Pass a persisted ``tsc`` (``token_schema_counts``) to avoid
     re-aggregating ``entries`` for each of the three reads below.
+
+    When the compatible pairs are known driver-side (``schema_pairs`` —
+    they come from the fixed FtM ontology, a bounded list), the tsc
+    self-join collapses into ONE groupBy(token): per-token df-by-schema
+    map + the cost as a folded sum over the pair list.  One shuffle
+    instead of join+agg+totals+join; arithmetic is term-for-term the
+    same as the join path (see test_blocker_units parity test).
     """
     if tsc is None:
         tsc = token_schema_counts(entries)
+
+    if schema_pairs is not None:
+        pairs = sorted({(min(a, b), max(a, b)) for a, b in schema_pairs})
+        agg = tsc.groupBy("token").agg(
+            F.first("field").alias("field"),
+            F.sum("freq").alias("freq"),
+            F.sum("df").alias("df"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("schema"), F.col("df").alias("v")))
+            ).alias("_dfm"),
+        )
+        zero = F.lit(0).cast("decimal(38,0)")
+        cost = zero
+        for a, b in pairs:
+            da = F.element_at(F.col("_dfm"), a)
+            if a == b:
+                term = (da * (da - 1) / 2).cast("decimal(38,0)")
+            else:
+                term = (da * F.element_at(F.col("_dfm"), b)).cast("decimal(38,0)")
+            cost = cost + F.coalesce(term, zero)
+        return agg.select(
+            "token",
+            "field",
+            "freq",
+            "df",
+            cost.alias("compatible_pair_cost"),
+            (cost > F.lit(max_pair_cost)).alias("stopword"),
+        )
 
     schema_pairs = (
         schemata.select(

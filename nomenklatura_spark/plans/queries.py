@@ -702,7 +702,9 @@ def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One aggregation of entries feeds stats (3 reads), stopwords and IDF —
     # the reference materializes this table for the same reason.
     tsc = token_schema_counts(entries).persist()
-    stats = build_token_stats(entries, schemata, MAX_PAIR_COST, tsc=tsc)
+    stats = build_token_stats(
+        entries, schemata, MAX_PAIR_COST, tsc=tsc, schema_pairs=SCHEMATA_PAIRS
+    )
     # Stopwords BEFORE the weight joins (reference order, index.py:480-531):
     # the dropped tokens are the most frequent rows, so the idf/name-count
     # joins only touch the surviving subset. IDF stays corpus-wide via tsc.

@@ -131,3 +131,29 @@ def test_match_top_k_and_relative_floor(spark):
         max_candidates=1, min_score_ratio=0.0,
     ).collect()
     assert len(got_k1) == 1 and got_k1[0]["matches_id"] == "c1"
+
+
+def test_folded_pair_cost_matches_join_path(spark):
+    """The single-shuffle folded cost (schema_pairs known driver-side)
+    must agree with the general tsc-self-join path, row for row."""
+    from nomenklatura_spark.operators.blocker import build_token_stats
+
+    pairs = [("Person", "Person"), ("Person", "Company"), ("Company", "Company")]
+    rows = (
+        [("Person", f"p{i}", "np", "np:smith", 1) for i in range(5)]
+        + [("Company", f"c{i}", "np", "np:smith", 2) for i in range(3)]
+        + [("Company", f"c{i}", "np", "np:acme", 1) for i in range(4)]
+        + [("Person", "p0", "name", "n:x", 1)]  # schema with no pair partner rows
+    )
+    entries = _entries(spark, rows)
+    schemata = _schemata(spark, pairs)
+    cols = ["token", "field", "freq", "df", "compatible_pair_cost", "stopword"]
+    joined = build_token_stats(entries, schemata, 10)
+    folded = build_token_stats(entries, schemata, 10, schema_pairs=pairs)
+    j = sorted(tuple(r) for r in joined.select(*cols).collect())
+    f = sorted(tuple(r) for r in folded.select(*cols).collect())
+    assert j == f
+    # sanity: smith = 5*4/2 + 3*2/2 + 5*3 = 10+3+15 = 28 > 10 → stopword
+    by_tok = {r[0]: r for r in f}
+    assert by_tok["np:smith"][4] == 28 and by_tok["np:smith"][5] is True
+    assert by_tok["np:acme"][4] == 6 and by_tok["np:acme"][5] is False
