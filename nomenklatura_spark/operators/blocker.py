@@ -353,18 +353,53 @@ def build_matching_token_stats(
     schemata: DataFrame,
     max_match_pair_cost: int,
     indexed_tsc: DataFrame | None = None,
+    schema_pairs: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Matching-side dynamic stopwords: cost = sum over schema-compatible
     (matching_df × indexed_df) per token (reference index.py:309-383).
     Directional: matching schema on the ``left`` of the pair table.
     Pass a persisted ``indexed_tsc`` to reuse the index-side doc
-    frequencies instead of re-aggregating ``indexed_entries``."""
+    frequencies instead of re-aggregating ``indexed_entries``.
+
+    With driver-side ``schema_pairs``, the cost folds into one map-agg
+    per side + one token join (see build_token_stats)."""
     m = token_schema_counts(matching_entries)
     if indexed_tsc is not None:
         i = indexed_tsc.select("token", "schema", "df")
     else:
         i = indexed_entries.groupBy("token", "schema").agg(
             F.count(F.lit(1)).alias("df")
+        )
+
+    if schema_pairs is not None:
+        pairs = sorted(set(schema_pairs))
+        m_agg = m.groupBy("token").agg(
+            F.first("field").alias("field"),
+            F.sum("freq").alias("freq"),
+            F.sum("df").alias("df"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("schema"), F.col("df").alias("v")))
+            ).alias("_m"),
+        )
+        i_agg = i.groupBy("token").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("schema"), F.col("df").alias("v")))
+            ).alias("_i"),
+        )
+        zero = F.lit(0).cast("decimal(38,0)")
+        cost = zero
+        for a, b in pairs:
+            term = (
+                F.element_at(F.col("_m"), a) * F.element_at(F.col("_i"), b)
+            ).cast("decimal(38,0)")
+            cost = cost + F.coalesce(term, zero)
+        return m_agg.join(i_agg, "token", "left").select(
+            "token",
+            "field",
+            "freq",
+            "df",
+            cost.alias("compatible_pair_cost"),
+            (cost > F.lit(max_match_pair_cost)).alias("stopword"),
         )
 
     cost = (

@@ -725,7 +725,12 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsc = token_schema_counts(entries).persist()
     matching = entries.where(F.col("schema") == "Supplier")
     m_stats = build_matching_token_stats(
-        matching, entries, schemata, MAX_MATCH_PAIR_COST, indexed_tsc=tsc
+        matching,
+        entries,
+        schemata,
+        MAX_MATCH_PAIR_COST,
+        indexed_tsc=tsc,
+        schema_pairs=SCHEMATA_PAIRS,
     )
     matching_f = apply_stopwords(matching, stopwords_from_stats(m_stats))
     # The match join only ever reads index rows whose token appears on

@@ -157,3 +157,38 @@ def test_folded_pair_cost_matches_join_path(spark):
     by_tok = {r[0]: r for r in f}
     assert by_tok["np:smith"][4] == 28 and by_tok["np:smith"][5] is True
     assert by_tok["np:acme"][4] == 6 and by_tok["np:acme"][5] is False
+
+
+def test_folded_matching_cost_matches_join_path(spark):
+    from nomenklatura_spark.operators.blocker import build_matching_token_stats
+
+    pairs = [("Supplier", "Supplier"), ("Supplier", "Customer")]
+    matching = _entries(
+        spark, [("Supplier", f"s{i}", "np", "np:acme", 1) for i in range(3)]
+    )
+    indexed = _entries(
+        spark,
+        [("Supplier", f"s{i}", "np", "np:acme", 1) for i in range(4)]
+        + [("Customer", f"c{i}", "np", "np:acme", 1) for i in range(5)]
+        + [("Customer", "c9", "np", "np:only", 1)],
+    )
+    schemata = _schemata(spark, pairs)
+    cols = ["token", "field", "freq", "df", "compatible_pair_cost", "stopword"]
+    j = sorted(
+        tuple(r)
+        for r in build_matching_token_stats(matching, indexed, schemata, 10)
+        .select(*cols)
+        .collect()
+    )
+    f = sorted(
+        tuple(r)
+        for r in build_matching_token_stats(
+            matching, indexed, schemata, 10, schema_pairs=pairs
+        )
+        .select(*cols)
+        .collect()
+    )
+    assert j == f
+    # acme: 3 matching suppliers × (4 indexed suppliers + 5 customers) = 27
+    by_tok = {r[0]: r for r in f}
+    assert by_tok["np:acme"][4] == 27 and by_tok["np:acme"][5] is True
