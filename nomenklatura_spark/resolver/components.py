@@ -72,25 +72,21 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-            )
+        # Carry the change flag through the propagation join so the
+        # convergence probe is a scan of the checkpointed frame, not a
+        # second labels join per iteration.
+        new_component = F.least(
+            "component", F.coalesce("nbr_component", "component")
+        )
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            new_component.alias("component"),
+            (new_component != F.col("component")).alias("_chg"),
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_chg").limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels
