@@ -233,6 +233,8 @@ def term_frequencies(
     boosts: DataFrame,
     tsc: DataFrame | None = None,
     rows: DataFrame | None = None,
+    token_stats: DataFrame | None = None,
+    drop_stopwords: bool = False,
 ) -> DataFrame:
     """A3 + A4 + J5 — per-row term weight.
 
@@ -249,15 +251,30 @@ def term_frequencies(
     (scalar-subquery shape) rather than a driver-side ``.count()`` — no
     job barrier between computing N and the weight projection.
 
-    ``rows`` restricts which entries receive a weight (e.g. the
-    stopword-filtered subset, matching the reference's order: stopwords
-    are applied *before* term_frequencies, index.py:480-531) while the
-    IDF and name-count statistics stay computed over the full ``entries``
-    relation. Stopword tokens are by construction the most frequent, so
-    at scale this keeps the heaviest rows out of the two weight joins.
+    ``rows`` restricts which entries receive a weight (e.g. a semi-join
+    against the matching token set) while the IDF and name-count
+    statistics stay computed over the full ``entries`` relation.
+
+    ``token_stats`` (the ``build_token_stats`` output, which callers
+    compute anyway for dynamic stopwords) is the cheapest source for the
+    per-token df: its ``df`` column is exactly the distinct-entity count
+    (see token_schema_counts). With ``drop_stopwords=True`` the stopword
+    anti-join (J3) *folds into the IDF join*: the inner join on token
+    against the non-stopword stats rows both attaches idf and drops
+    stopword rows — one shuffle of the big relation instead of two,
+    identical output (every entries token is present in the stats).
+
+    Join order matters at scale: the id-keyed joins (name counts) and the
+    broadcast boost join run first, the token join last, so the result
+    comes out hash-partitioned by ``token`` — the J1/J2 joins on
+    (token, field) then reuse that partitioning (subset-key clustered
+    distribution) instead of exchanging both sides again.
     """
     n_df = entries.agg(F.count_distinct("id").cast("double").alias("_n"))
-    if tsc is not None:
+    if token_stats is not None:
+        base = token_stats.where(~F.col("stopword")) if drop_stopwords else token_stats
+        token_df = base.select("token", F.col("df").alias("_df"))
+    elif tsc is not None:
         token_df = tsc.groupBy("token").agg(F.sum("df").alias("_df"))
     else:
         token_df = entries.groupBy("token").agg(
@@ -273,9 +290,10 @@ def term_frequencies(
     )
     dampened = F.col("field").isin(NAME_PART_FIELD, SYMBOL_FIELD)
     return (
-        (rows if rows is not None else entries).join(token_idf, "token")
+        (rows if rows is not None else entries)
         .join(name_counts, "id", "left")
         .join(F.broadcast(boosts), "field", "left")
+        .join(token_idf, "token")
         .select(
             "schema",
             "field",

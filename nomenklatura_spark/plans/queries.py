@@ -699,19 +699,19 @@ def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+A5+W2 — dedupe candidate pair generation (the flagship)."""
     entries = er_entries(spark, sf_dir)
     schemata = er_schemata(spark)
-    # One aggregation of entries feeds stats (3 reads), stopwords and IDF —
-    # the reference materializes this table for the same reason.
-    tsc = token_schema_counts(entries).persist()
+    # With the folded stats path, token_schema_counts feeds exactly one
+    # consumer (the stats map-agg), and stats feeds exactly one (the tf
+    # IDF join) — a single linear chain, so nothing here needs a persist.
     stats = build_token_stats(
-        entries, schemata, MAX_PAIR_COST, tsc=tsc, schema_pairs=SCHEMATA_PAIRS
+        entries, schemata, MAX_PAIR_COST, schema_pairs=SCHEMATA_PAIRS
     )
-    # Stopwords BEFORE the weight joins (reference order, index.py:480-531):
-    # the dropped tokens are the most frequent rows, so the idf/name-count
-    # joins only touch the surviving subset. IDF stays corpus-wide via tsc.
-    entries_f = apply_stopwords(entries, stopwords_from_stats(stats))
-    # Self-joined below — materialize so both sides read cached blocks.
+    # The stopword anti-join folds into the IDF join (inner join on the
+    # non-stopword stats rows both filters and attaches idf — one shuffle
+    # of entries instead of two); IDF stays corpus-wide via stats.df.
+    # Self-joined below — materialize so both sides read cached blocks,
+    # already hash-partitioned by token (no exchange in the J1 join).
     tf_filtered = term_frequencies(
-        entries, boosts_df(spark), tsc=tsc, rows=entries_f
+        entries, boosts_df(spark), token_stats=stats, drop_stopwords=True
     ).persist()
     return candidate_pairs(
         tf_filtered, schemata, max_pairs=MAX_PAIRS, score_decimals=6

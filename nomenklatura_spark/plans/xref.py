@@ -24,12 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from nomenklatura_spark.functions.tokenize import tokenize_statements
 from nomenklatura_spark.matching.logic import score_pairs_logic_v1
 from nomenklatura_spark.operators.blocker import (
-    apply_stopwords,
     boosts_df,
     build_token_stats,
     bucket_pair_cost,
     candidate_pairs,
-    stopwords_from_stats,
     term_frequencies,
     token_entries,
 )
@@ -76,8 +74,9 @@ def xref_pairs(
     stats = build_token_stats(
         entries, schemata, bucket_pair_cost(options.max_bucket_size)
     )
-    tf = term_frequencies(entries, boosts_df(spark))
-    tf_f = apply_stopwords(tf, stopwords_from_stats(stats)).persist()
+    tf_f = term_frequencies(
+        entries, boosts_df(spark), token_stats=stats, drop_stopwords=True
+    ).persist()
     pairs = candidate_pairs(
         tf_f, schemata, max_pairs=options.max_pairs, score_decimals=6
     ).withColumnRenamed("score", "block_score")
