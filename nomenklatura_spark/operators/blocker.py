@@ -235,6 +235,7 @@ def term_frequencies(
     rows: DataFrame | None = None,
     token_stats: DataFrame | None = None,
     drop_stopwords: bool = False,
+    token_subset: DataFrame | None = None,
 ) -> DataFrame:
     """A3 + A4 + J5 — per-row term weight.
 
@@ -269,6 +270,14 @@ def term_frequencies(
     comes out hash-partitioned by ``token`` — the J1/J2 joins on
     (token, field) then reuse that partitioning (subset-key clustered
     distribution) instead of exchanging both sides again.
+
+    ``token_subset`` (the match path): restrict weights to entries whose
+    token appears in the subset (e.g. the matching side's tokens). The
+    IDF relation is first semi-joined down to the subset and then
+    *broadcast* into the entries join — the matching token set is bounded
+    by the matching batch, so the heaviest filter of the index becomes a
+    map-side join with no shuffle of the index relation at all
+    (vs. a separate shuffle semi-join followed by a shuffle weight join).
     """
     n_df = entries.agg(F.count_distinct("id").cast("double").alias("_n"))
     if token_stats is not None:
@@ -283,17 +292,35 @@ def term_frequencies(
     token_idf = token_df.crossJoin(F.broadcast(n_df)).select(
         "token", (1.0 + F.log(F.col("_n") / F.col("_df"))).alias("idf")
     )
+    if token_subset is not None:
+        token_idf = F.broadcast(
+            token_idf.join(
+                token_subset.select("token").distinct(), "token", "semi"
+            )
+        )
     name_counts = (
         entries.where(F.col("field") == "name")
         .groupBy("id")
         .agg(F.greatest(F.lit(1), F.sum("count")).alias("n_names"))
     )
     dampened = F.col("field").isin(NAME_PART_FIELD, SYMBOL_FIELD)
+    base = rows if rows is not None else entries
+    if token_subset is not None:
+        # Map-side broadcast filter first so the id-keyed shuffle below
+        # only touches rows that survive the token restriction.
+        joined = (
+            base.join(token_idf, "token")
+            .join(name_counts, "id", "left")
+            .join(F.broadcast(boosts), "field", "left")
+        )
+    else:
+        joined = (
+            base.join(name_counts, "id", "left")
+            .join(F.broadcast(boosts), "field", "left")
+            .join(token_idf, "token")
+        )
     return (
-        (rows if rows is not None else entries)
-        .join(name_counts, "id", "left")
-        .join(F.broadcast(boosts), "field", "left")
-        .join(token_idf, "token")
+        joined
         .select(
             "schema",
             "field",

@@ -416,13 +416,23 @@ _NGRAM_PAIRS_SQL_BODY = f"""
 
 
 def _spark_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair relation, memoized+persisted per (session, sf_dir):
+    both the pair query and the components query read it, and a real
+    deployment materializes the pair graph once before clustering."""
+    return _ngram_pairs_cached(spark, sf_dir)
+
+
+@lru_cache(maxsize=8)
+def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", k=3, threshold=0.5, max_df=100, mode="word"
     )
-    return pairs.select(
-        "lid", "rid", F.round("jaccard", 6).alias("jaccard")
-    ).where(F.col("jaccard") >= 0.5)
+    return (
+        pairs.select("lid", "rid", F.round("jaccard", 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+        .persist()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -734,16 +744,16 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     matching_f = apply_stopwords(matching, stopwords_from_stats(m_stats))
     # The match join only ever reads index rows whose token appears on
-    # the matching side — push that as a semi-join before the weight
-    # joins (IDF / name-count statistics stay corpus-wide via tsc, so
-    # weights are identical to the full relation's).  At scale the
-    # matching token set is small → broadcast semi-join; the J2 join
-    # then touches a fraction of the index.
-    needed = entries.join(
-        matching_f.select("token").distinct(), "token", "semi"
-    )
+    # the matching side — the IDF relation is restricted to the matching
+    # token set and broadcast, so the index's heaviest filter is a
+    # map-side join with no shuffle of the index relation (IDF /
+    # name-count statistics stay corpus-wide via tsc, so weights are
+    # identical to the full relation's).
     tf_all = term_frequencies(
-        entries, boosts_df(spark), tsc=tsc, rows=needed
+        entries,
+        boosts_df(spark),
+        tsc=tsc,
+        token_subset=matching_f.select("token"),
     ).persist()
     return match_candidates(
         matching_f,
@@ -1786,6 +1796,149 @@ _ENTITY_DELTA_SQL = """
 """
 
 
+def q_blocker_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — the dynamic-stopword leaderboard: the 10 most expensive tokens
+    by compatible pair cost (the reference's diagnostic query,
+    index.py:432-460), tie-broken on token for a stable cut."""
+    stats = build_token_stats(
+        er_entries(spark, sf_dir), er_schemata(spark), MAX_PAIR_COST,
+        schema_pairs=SCHEMATA_PAIRS,
+    )
+    return (
+        stats.where("stopword")
+        .select(
+            "token",
+            "field",
+            F.col("freq").cast("long").alias("freq"),
+            F.col("df").cast("long").alias("df"),
+            F.col("compatible_pair_cost").cast("long").alias(
+                "compatible_pair_cost"
+            ),
+        )
+        .orderBy(F.desc("compatible_pair_cost"), "token")
+        .limit(10)
+    )
+
+
+_BLOCKER_STOPWORDS_SQL = f"""
+    SELECT token, field, freq, df, compatible_pair_cost
+    FROM ({_TOKEN_STATS_SQL})
+    WHERE stopword
+    ORDER BY compatible_pair_cost DESC, token
+    LIMIT 10
+"""
+
+
+def q_resolver_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6/W3 — undecided suggestions ranked by score.
+
+    Deterministic edge table from the customer keys: every customer k
+    carries a suggestion edge for the pair (customer-k, supplier-(k mod
+    100)) with score (k mod 97)/97; every k ≡ 0 (mod 10) additionally has
+    a POSITIVE decision on the same pair, which must knock the suggestion
+    out via the anti-join.
+    """
+    from nomenklatura_spark.resolver.edges import (
+        NO_JUDGEMENT,
+        POSITIVE,
+        get_candidates,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    a = F.concat(F.lit("customer-"), F.col("k").cast("string"))
+    b = F.concat(F.lit("supplier-"), (F.col("k") % 100).cast("string"))
+    base = cust.select(
+        F.greatest(a, b).alias("target"), F.least(a, b).alias("source"), "k"
+    )
+    common = [
+        F.lit("test").alias("user"),
+        F.lit("2024-01-01T00:00:00").alias("created_at"),
+        F.lit(None).cast("string").alias("deleted_at"),
+    ]
+    sugg = base.select(
+        "target",
+        "source",
+        F.lit(NO_JUDGEMENT).alias("judgement"),
+        F.round((F.col("k") % 97) / 97.0, 6).alias("score"),
+        *common,
+    )
+    dec = base.where(F.col("k") % 10 == 0).select(
+        "target",
+        "source",
+        F.lit(POSITIVE).alias("judgement"),
+        F.lit(None).cast("double").alias("score"),
+        *common,
+    )
+    return get_candidates(sugg.unionByName(dec), limit=1000)
+
+
+_RESOLVER_CANDIDATES_SQL = """
+    WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+    pairs AS (
+        SELECT greatest('customer-' || CAST(k AS VARCHAR),
+                        'supplier-' || CAST(k % 100 AS VARCHAR)) AS target,
+               least('customer-' || CAST(k AS VARCHAR),
+                     'supplier-' || CAST(k % 100 AS VARCHAR)) AS source,
+               k
+        FROM cust
+    )
+    SELECT target, source, round((k % 97) / 97.0, 6) AS score
+    FROM pairs
+    WHERE k % 10 != 0
+    ORDER BY score DESC NULLS LAST, target, source
+    LIMIT 1000
+"""
+
+
+def q_statements_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — first_seen carry-over between dataset snapshots as a pure
+    transformation (``sources/versioned.carry_first_seen``): v1 lacks the
+    Part brand statements; re-releasing the full corpus as v2 must keep
+    v1's first_seen for surviving statement ids and stamp only the new
+    rows with the v2 date."""
+    from nomenklatura_spark.sources.versioned import carry_first_seen
+
+    stmts = er_statements(spark, sf_dir)
+    v1 = stmts.where(
+        ~((F.col("schema") == "Part") & (F.col("prop") == "brand"))
+    ).withColumn("first_seen", F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    v2 = stmts.withColumn(
+        "first_seen", F.lit("2024-02-05 00:00:00").cast("timestamp")
+    )
+    out = carry_first_seen(v2, v1)
+    return out.select(
+        "entity_id",
+        "prop",
+        "value",
+        F.date_format("first_seen", "yyyy-MM-dd").alias("first_seen"),
+    ).orderBy("entity_id", "prop", "value")
+
+
+_STATEMENTS_VERSIONED_SQL = """
+    WITH stmts AS (
+        SELECT 'Part' AS schema, 'part-' || p_partkey AS entity_id, 'name' AS prop, p_name AS value FROM part
+        UNION ALL SELECT 'Part', 'part-' || p_partkey, 'brand', p_brand FROM part
+        UNION ALL SELECT 'Part', 'part-' || p_partkey, 'typeText', p_type FROM part
+        UNION ALL SELECT 'Customer', 'customer-' || c_custkey, 'name', c_name FROM customer
+        UNION ALL SELECT 'Customer', 'customer-' || c_custkey, 'segment', c_mktsegment FROM customer
+        UNION ALL SELECT 'Supplier', 'supplier-' || s_suppkey, 'name', s_name FROM supplier
+    ),
+    v1 AS (
+        SELECT entity_id, prop, value FROM stmts
+        WHERE NOT (schema = 'Part' AND prop = 'brand')
+    )
+    SELECT s.entity_id, s.prop, s.value,
+           CASE WHEN v1.entity_id IS NOT NULL THEN '2024-01-05'
+                ELSE '2024-02-05' END AS first_seen
+    FROM stmts s
+    LEFT JOIN v1 ON s.entity_id = v1.entity_id AND s.prop = v1.prop
+               AND s.value = v1.value
+    ORDER BY s.entity_id, s.prop, s.value
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1830,6 +1983,9 @@ QUERIES = {
     "xref_stats": q_xref_stats,
     "conflicting_matches": q_conflicting_matches,
     "entity_delta": q_entity_delta,
+    "blocker_stopwords": q_blocker_stopwords,
+    "resolver_candidates": q_resolver_candidates,
+    "statements_versioned": q_statements_versioned,
 }
 
 ORACLES = {
@@ -1870,4 +2026,7 @@ ORACLES = {
     "xref_stats": _XREF_STATS_SQL,
     "conflicting_matches": _CONFLICTS_SQL,
     "entity_delta": _ENTITY_DELTA_SQL,
+    "blocker_stopwords": _BLOCKER_STOPWORDS_SQL,
+    "resolver_candidates": _RESOLVER_CANDIDATES_SQL,
+    "statements_versioned": _STATEMENTS_VERSIONED_SQL,
 }

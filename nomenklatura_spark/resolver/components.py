@@ -33,6 +33,41 @@ def identifier_weight(col) -> "F.Column":
     )
 
 
+def _min_labels(g: DataFrame) -> DataFrame:
+    """Per node: label = min(own id, min neighbor id). ``g`` must be
+    symmetric, so every node appears on the ``a`` side."""
+    return (
+        g.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(F.col("a").alias("node"), F.least("a", "_mb").alias("label"))
+    )
+
+
+def _contract(g: DataFrame, labels: DataFrame) -> DataFrame:
+    """Map both endpoints through the label map and keep surviving
+    inter-label edges. Merging only ever happens along edges, so
+    connectivity of the contracted graph mirrors the original."""
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    return (
+        g.join(la, "a")
+        .join(lb, "b")
+        .select(F.col("_la").alias("a"), F.col("_lb").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _pointer_jump(m: DataFrame) -> DataFrame:
+    """label := label(label) where defined — one round of pointer jumping,
+    so chain-shaped merges resolve in O(log chain) levels instead of
+    O(chain)."""
+    mm = m.select(F.col("node").alias("label"), F.col("label").alias("_nl"))
+    return m.join(mm, "label", "left").select(
+        "node", F.coalesce("_nl", "label").alias("label")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "source",
@@ -40,8 +75,20 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint: bool = True,
 ) -> DataFrame:
-    """Label propagation to a fixpoint: every node gets component = min
-    (lexicographic) reachable node id. Returns (node, component).
+    """Star contraction (hash-to-min lineage): every node gets
+    component = min (lexicographic) reachable node id. Returns
+    (node, component).
+
+    Each level contracts every node into its min-neighbor label and
+    recurses on the (strictly shrinking) inter-label edge set, so the
+    full edge relation is shuffled only at level 0 — the levels after
+    that run on cluster-count-sized frames, which AQE coalesces and
+    auto-broadcasts. That matters twice: at 100 TB the per-level cost
+    decays geometrically instead of re-shuffling the world per round,
+    and locally a tiny pair graph converges in one or two cheap jobs
+    instead of diameter-many full-size iterations. ER merge graphs are
+    shallow (FIXTURES.md: clusters of 2-50), so levels ≈ 2-3; a pointer
+    jump per level keeps pathological chains at O(log) levels.
 
     Deterministic and engine-independent: min-id labeling needs no tie
     rules. Use ``canonical_ids`` on top to pick the reference's
@@ -50,46 +97,30 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a").isNotNull() & F.col("b").isNotNull()
     )
-    # Undirected: symmetrize once. Materialize — the edge set is read every
-    # iteration and its lineage may be an arbitrarily expensive upstream
-    # pipeline (e.g. a similarity join).
-    sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-    )
+    # Undirected: symmetrize once. Materialize — the edge set is read
+    # several times below and its lineage may be an arbitrarily expensive
+    # upstream pipeline (e.g. a similarity join).
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
 
+    # Level 0 over the full graph: node-level label map, contracted edges.
+    labels = _min_labels(sym)
+    g = _contract(sym, labels)
     for _ in range(max_iterations):
-        # Each node adopts min(own label, neighbors' labels).
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-            .withColumnRenamed("a", "node")
-        )
-        # Carry the change flag through the propagation join so the
-        # convergence probe is a scan of the checkpointed frame, not a
-        # second labels join per iteration.
-        new_component = F.least(
-            "component", F.coalesce("nbr_component", "component")
-        )
-        new_labels = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            new_component.alias("component"),
-            (new_component != F.col("component")).alias("_chg"),
-        )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.where("_chg").limit(1).count()
-        labels = new_labels.select("node", "component")
-        if changed == 0:
+            g = g.localCheckpoint(eager=True)
+        if g.isEmpty():
             break
-    return labels
+        # Contracted-level map (cluster-count-sized, not corpus-sized).
+        m = _pointer_jump(_min_labels(g))
+        # Fold the level's relabeling into the node-level composition.
+        step = m.select(F.col("node").alias("label"), F.col("label").alias("_nl"))
+        labels = labels.join(step, "label", "left").select(
+            "node", F.coalesce("_nl", "label").alias("label")
+        )
+        g = _contract(g, m)
+    return labels.select("node", F.col("label").alias("component"))
 
 
 def canonical_ids(components: DataFrame) -> DataFrame:

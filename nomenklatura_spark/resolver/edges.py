@@ -234,6 +234,23 @@ def resolver_mapping(edges: DataFrame, mint_canonicals: bool = True) -> DataFram
     return comps.join(minted, "component").select("node", "canonical_id")
 
 
+def get_candidates(edges: DataFrame, limit: int | None = None) -> DataFrame:
+    """G6 — undecided suggestions ranked by score (reference
+    ``resolver.py:306-327``): live NO_JUDGEMENT edges whose pair has not
+    been decided (anti-join vs judged live pairs — a pair can acquire a
+    judgement edge without its suggestion row being rewritten), ordered
+    ``score DESC NULLS LAST`` (W3) with (target, source) tie-break."""
+    l = live(edges)
+    sugg = l.where(F.col("judgement") == NO_JUDGEMENT)
+    judged = l.where(F.col("judgement") != NO_JUDGEMENT).select("target", "source")
+    out = (
+        sugg.join(judged, ["target", "source"], "left_anti")
+        .select("target", "source", "score")
+        .orderBy(F.col("score").desc_nulls_last(), "target", "source")
+    )
+    return out.limit(limit) if limit is not None else out
+
+
 def get_judgements(edges: DataFrame, pairs: DataFrame) -> DataFrame:
     """G5 — judgement lookup for (left, right) pairs via cluster membership
     + direct edges. Simplified batch form: positive if both map to the same

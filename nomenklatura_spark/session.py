@@ -42,7 +42,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs all executor threads inside the driver JVM, so this
+        # is the WHOLE memory budget: size it to the machine, not to a
+        # driver-only default. 8g with 32 task threads + persisted blocker
+        # relations produced visible GC degradation over a bench session
+        # (same query 3-6x slower late in the session, fast in a fresh one).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g")
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

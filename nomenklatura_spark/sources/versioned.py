@@ -17,6 +17,21 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def carry_first_seen(incoming: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """S6 first_seen carry-over as a pure transformation (reference
+    versioned.py:190-198): statements whose content id existed in the
+    previous snapshot keep their old first_seen. One left join on the
+    content hash; the previous side projects two columns only."""
+    if prev is None:
+        return incoming
+    carry = prev.select("id", F.col("first_seen").alias("_prev_first"))
+    return (
+        incoming.join(carry, "id", "left")
+        .withColumn("first_seen", F.coalesce("_prev_first", "first_seen"))
+        .drop("_prev_first")
+    )
+
+
 class VersionedStatementStore:
     def __init__(self, spark: SparkSession, base_dir: str) -> None:
         self.spark = spark
@@ -54,16 +69,9 @@ class VersionedStatementStore:
         whose id existed in the previous latest version keep their old
         first_seen (versioned.py:190-198)."""
         prev = self.latest_statements(dataset)
-        incoming = stmts.where(F.col("dataset") == dataset)
-        if prev is not None:
-            carry = prev.select("id", F.col("first_seen").alias("_prev_first"))
-            incoming = (
-                incoming.join(carry, "id", "left")
-                .withColumn(
-                    "first_seen", F.coalesce("_prev_first", "first_seen")
-                )
-                .drop("_prev_first")
-            )
+        incoming = carry_first_seen(
+            stmts.where(F.col("dataset") == dataset), prev
+        )
         out = os.path.join(self.data_dir, f"dataset={dataset}", f"version={version}")
         incoming.drop("dataset").write.mode("overwrite").parquet(out)
         manifest = self._read_manifest().unionByName(

@@ -214,3 +214,43 @@ def test_components_match_union_find_on_random_graphs(spark):
             for r in connected_components(df).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_get_candidates_excludes_decided_and_ranks(spark):
+    from nomenklatura_spark.resolver.edges import get_candidates
+
+    edges = _edges(
+        spark,
+        [
+            # suggestions with scores
+            ("b1", "a1", "no_judgement", 0.9, "x", TS, None),
+            ("b2", "a2", "no_judgement", 0.7, "x", TS, None),
+            ("b3", "a3", "no_judgement", None, "x", TS, None),
+            ("b4", "a4", "no_judgement", 0.8, "x", TS, None),
+            # decided elsewhere: must knock the (b4, a4) suggestion out
+            ("b4", "a4", "positive", None, "x", TS2, None),
+            # soft-deleted suggestion must not surface
+            ("b5", "a5", "no_judgement", 0.99, "x", TS, TS2),
+        ],
+    )
+    got = [(r["target"], r["source"]) for r in get_candidates(edges).collect()]
+    # ordered by score desc nulls last; decided/deleted pairs gone
+    assert got == [("b1", "a1"), ("b2", "a2"), ("b3", "a3")]
+    assert [
+        (r["target"], r["source"])
+        for r in get_candidates(edges, limit=1).collect()
+    ] == [("b1", "a1")]
+
+
+def test_carry_first_seen_pure(spark):
+    from nomenklatura_spark.sources.versioned import carry_first_seen
+
+    ddl = "id string, value string, first_seen string"
+    prev = spark.createDataFrame([("s1", "v1", "2024-01-01")], ddl)
+    incoming = spark.createDataFrame(
+        [("s1", "v1", "2024-02-01"), ("s2", "v2", "2024-02-01")], ddl
+    )
+    out = {r["id"]: r["first_seen"] for r in carry_first_seen(incoming, prev).collect()}
+    assert out == {"s1": "2024-01-01", "s2": "2024-02-01"}
+    # no previous snapshot -> unchanged
+    assert carry_first_seen(incoming, None) is incoming
