@@ -4,11 +4,23 @@ Brute-force cosine top-k as the exact baseline (broadcast the query side,
 scan the corpus once, per-query top-k window); the LSH/IVF variants in
 ``ann.lsh`` are the 100 TB scale path and use this as their oracle.
 
-The dot product is a pure column expression (``zip_with`` + ``aggregate``)
-— stays in codegen, no Python per row.
+Two kernels:
+
+- Column-expression dot (``zip_with`` + ``aggregate``) for *bounded* pair
+  sets (LSH/IVF verification) — stays in codegen, no Python boundary.
+- Arrow-batched numpy GEMM (``mapInPandas`` against a broadcast unit-norm
+  matrix) for the *dense* query-times-corpus grid: one BLAS matrix
+  multiply per batch replaces millions of per-pair array lambdas (each
+  crossJoin output row otherwise materializes two copied arrays before
+  the fold). The corpus side streams through in batches — nothing
+  quadratic materializes, and only per-batch top-k survivors are
+  shuffled.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -53,6 +65,29 @@ def normalized(
     )
 
 
+def collect_unit_matrix(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize one side as (ids, unit-normalized float64 matrix).
+    Caller contract: this side is broadcast-scale (a query batch, not the
+    corpus) — same constraint the broadcast crossJoin form had."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    if len(pdf) == 0:
+        return ids, np.zeros((0, 0))
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms
+
+
+def _unit_rows(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,27 +98,60 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` is expected to be small relative to ``corpus`` → broadcast,
-    so the corpus is scanned exactly once with no shuffle of the big side;
-    the per-query top-k window then shuffles only (query, candidate, score)
-    triples. Scores are rounded *before* ranking so ordering is stable
-    across engines/precisions; ties break on candidate id.
+    ``queries`` is expected to be small relative to ``corpus`` → shipped
+    as a broadcast unit-norm matrix; the corpus streams through a GEMM
+    per Arrow batch, scanned exactly once with no shuffle of the big
+    side. Each batch emits only its per-query top-k survivors — selected
+    by the same (sim DESC, neighbor_id ASC) composite order the final
+    window uses, so batch-level pruning is exact — and the global window
+    merges partition winners. Scores are rounded *before* ranking so
+    ordering is stable across engines/precisions; ties break on
+    candidate id.
     """
-    q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
+    spark = corpus.sparkSession
+    decimals = score_decimals if score_decimals is not None else 12
+    q_ids, q_mat = collect_unit_matrix(queries, id_col, vec_col)
+    b = spark.sparkContext.broadcast((q_ids, q_mat.T.copy()))
+    idt = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {idt}, neighbor_id {idt}, cosine_sim double"
+
+    def gen(batches):
+        ids_q, qt = b.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids_q) == 0:
+                continue
+            sims = np.round(_unit_rows(pdf, vec_col) @ qt, decimals)
+            nbr = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(ids_q)):
+                col = sims[:, j]
+                keep = nbr != ids_q[j]
+                cand_idx = np.nonzero(keep)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # composite (sim desc, neighbor asc): lexsort's last key
+                # is primary
+                order = cand_idx[
+                    np.lexsort((nbr[cand_idx], -col[cand_idx]))
+                ][:k]
+                out_q.append(np.full(len(order), ids_q[j]))
+                out_n.append(nbr[order])
+                out_s.append(col[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine_sim": np.concatenate(out_s),
+                    }
+                )
+
     # repartition the corpus side: a single parquet file otherwise scans
-    # as one partition and the whole N·M dot-product grid runs serially
-    c = normalized(corpus, id_col, vec_col, "neighbor_id", "c_vec").repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
+    # as one partition and the whole N·M grid runs serially
+    c = corpus.select(id_col, vec_col).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    sim = dot(F.col("q_vec"), F.col("c_vec"))
-    if score_decimals is not None:
-        sim = F.round(sim, score_decimals)
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-    )
+    scored = c.mapInPandas(gen, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

@@ -17,9 +17,17 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
-from nomenklatura_spark.ann.brute import dot, normalized
+from nomenklatura_spark.ann.brute import (
+    _unit_rows,
+    collect_unit_matrix,
+    dot,
+    normalized,
+)
 from nomenklatura_spark.ann.lsh import signatures
 
 
@@ -44,13 +52,45 @@ def embedding_dup_pairs(
     threshold: float = 0.9,
     score_decimals: int = 6,
 ) -> DataFrame:
-    """Exact near-dup pairs: all (lid < rid) with cosine >= threshold."""
-    left = _prep(df, id_col, vec_col, "l").repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    """Exact near-dup pairs: all (lid < rid) with cosine >= threshold.
+
+    One side ships as a broadcast unit-norm matrix; the other streams
+    through an Arrow-batched numpy GEMM that emits only above-threshold
+    survivors — the N² grid lives one batch-block at a time inside BLAS,
+    never as a crossJoin of copied arrays, and the near-empty survivor
+    set is all that crosses back into the JVM. (The broadcast-side size
+    contract is the same one the broadcast crossJoin form had; the LSH
+    variant below is the unbounded-corpus path.)
+    """
+    spark = df.sparkSession
+    r_ids, r_mat = collect_unit_matrix(df, id_col, vec_col)
+    b = spark.sparkContext.broadcast((r_ids, r_mat.T.copy()))
+    idt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"lid {idt}, rid {idt}, cosine_sim double"
+
+    def gen(batches):
+        ids_r, rt = b.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids_r) == 0:
+                continue
+            sims = np.round(_unit_rows(pdf, vec_col) @ rt, score_decimals)
+            lids = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (lids[:, None] < ids_r[None, :])
+            )
+            if len(ii):
+                yield pd.DataFrame(
+                    {
+                        "lid": lids[ii],
+                        "rid": ids_r[jj],
+                        "cosine_sim": sims[ii, jj],
+                    }
+                )
+
+    left = df.select(id_col, vec_col).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    right = _prep(df, id_col, vec_col, "r")
-    pairs = left.crossJoin(F.broadcast(right)).where(F.col("lid") < F.col("rid"))
-    return _verify(pairs, threshold, score_decimals)
+    return left.mapInPandas(gen, out_schema).orderBy("lid", "rid")
 
 
 def embedding_dup_pairs_lsh(
