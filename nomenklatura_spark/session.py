@@ -61,20 +61,24 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default — read it as a long (runtime-settable legacy conf)
-    and convert to a microsecond timestamp (integer DIV keeps precision;
-    DuckDB's nanosecond reads agree at the microsecond level).
+    The events table has shipped ``ts`` both as parquet TIMESTAMP(NANOS)
+    (rejected by Spark unless read as a long via the legacy conf, then
+    divided down to micros) and as TIMESTAMP(MICROS) (reads natively).
+    Normalize either layout to a microsecond timestamp column — DuckDB's
+    reads agree at the microsecond level in both cases.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            )
+        return df
     return spark.read.parquet(path)
 
 
