@@ -572,7 +572,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_JSON_SQL = """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -1633,7 +1633,8 @@ def q_media_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_BY_TYPE_SQL = """
-    SELECT media_type, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+    SELECT media_type, count(*) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            max(n_chunks) AS max_chunks
     FROM (
         SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -22,6 +22,8 @@ def _normalize(rows, colnames):
         vals = []
         for i in order:
             v = row[i]
+            if hasattr(v, "item"):  # unwrap numpy scalars from pandas rows
+                v = v.item()
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "nan"
@@ -51,7 +53,12 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
     res = duck.execute(oracles[name])
     duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    # Fetch through pandas, like the driver: DuckDB HUGEINT (e.g. sum of
+    # BIGINT) becomes float64 here, so an oracle missing an explicit BIGINT
+    # cast hashes as "99111.0" vs Spark's "99111" and fails — fetchall()
+    # would mask that by returning Python ints.
+    pdf = res.df()
+    duck_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
