@@ -58,27 +58,59 @@ def get_spark(
     return spark
 
 
+def _events_ts_unit(path: str) -> str | None:
+    """Timestamp unit ('ns'/'us'/...) of the ``ts`` column per the parquet
+    footer, or None if there is no timestamp ``ts``.
+
+    Checked via the footer rather than the surfaced Spark type so that an
+    unannotated INT64-of-microseconds column can never be mistaken for
+    nanos and silently divided by 1000.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return None
+        path = os.path.join(path, parts[0])
+    schema = pq.read_schema(path)
+    if "ts" not in schema.names:
+        return None
+    ts_type = schema.field("ts").type
+    return ts_type.unit if pa.types.is_timestamp(ts_type) else None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
     The events table has shipped ``ts`` both as parquet TIMESTAMP(NANOS)
     (rejected by Spark unless read as a long via the legacy conf, then
-    divided down to micros) and as TIMESTAMP(MICROS) (reads natively).
-    Normalize either layout to a microsecond timestamp column — DuckDB's
-    reads agree at the microsecond level in both cases.
+    divided down to micros) and as TIMESTAMP(MICROS) (reads natively, but
+    as TimestampNTZ under Spark 4's inference). Normalize either layout to
+    the same microsecond TimestampType column — DuckDB's reads agree at
+    the microsecond level in both cases, and the session timezone is UTC
+    so the NTZ→LTZ cast is value-preserving.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        if _events_ts_unit(path) == "ns":
+            # Only the nanos layout needs the legacy conf; it must stay set
+            # through execution (Spark captures SQLConf per-action, not at
+            # DataFrame creation), so it cannot be save/restored around a
+            # lazy read — gating on the footer keeps it off otherwise.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
             )
-        return df
+        else:
+            df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
