@@ -40,11 +40,14 @@ from nomenklatura_spark.ann.brute import dot, normalized
 def _argmin_centroid(vec_df: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each (id, vec) row to its nearest centroid by cosine
     (vectors and centroids are unit-norm → max dot product)."""
+    # round(9) before the argmax: double summation order differs between
+    # engines (and between partitionings) by ~1 ulp, which must not flip
+    # a cell assignment — the DuckDB oracle replays this exact pipeline.
     scored = vec_df.crossJoin(F.broadcast(centroids)).select(
         "id",
         "vec",
         "centroid",
-        dot(F.col("vec"), F.col("c_vec")).alias("sim"),
+        F.round(dot(F.col("vec"), F.col("c_vec")), 9).alias("sim"),
     )
     return scored.groupBy("id").agg(
         F.max_by("centroid", F.struct(F.col("sim"), -F.col("centroid"))).alias(
@@ -92,10 +95,12 @@ def train_centroids(
         norm = F.sqrt(
             F.aggregate(F.col("raw"), F.lit(0.0), lambda a, v: a + v * v)
         )
+        # round(9) pins the codebook across engines/partitionings (the
+        # per-dimension avg is the other ulp-divergence source)
         centroids = means.select(
             "centroid",
             F.transform(
-                "raw", lambda x: x / F.greatest(norm, F.lit(1e-12))
+                "raw", lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)), 9)
             ).alias("c_vec"),
         )
     vecs.unpersist()
@@ -150,7 +155,7 @@ def ivf_topk(
             "query_id",
             "q_vec",
             "centroid",
-            dot(F.col("q_vec"), F.col("c_vec")).alias("c_sim"),
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), 9).alias("c_sim"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)

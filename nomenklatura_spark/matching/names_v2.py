@@ -4,36 +4,41 @@ Behavioral re-expression (NOT a port) of the reference's LogicV2 name
 matcher (``nomenklatura/matching/logic_v2/names/match.py:29-244``) and
 address comparison (``nomenklatura/matching/compare/addresses.py:25-71``).
 
-The reference's name matcher leans on rigour's cultural symbol tables
-(org-class/nick/location symbol pairing).  This engine re-expresses the
-*scoring structure* — literal early-exit, symbol pairing, part alignment,
-per-category score/weight, extras penalties, stopword dampening,
-family-name boost, weighted-mean combination, max over the name product —
-over the compact public lexicon in ``matching/symbols.py`` (ORG_CLASS /
-SYMBOL / DOMAIN / NUMERIC / NICK categories with the reference's
-``SYM_SCORES``/``SYM_WEIGHTS``/``EXTRAS_WEIGHTS`` tables, ``magic.py:8-63``),
-plus structural INITIAL pairing.  Documented deviations:
+The reference's name matcher leans on rigour's cultural symbol tables and
+its cost-folded part-alignment DP.  This engine re-expresses the scoring
+structure over the compact public lexicon in ``matching/symbols.py`` and
+the script folding in ``matching/translit.py``, with the mechanics
+calibrated against the reference's own frozen per-case output
+(``contrib/name_bench/run_data/logicv2-frozen.csv``):
 
-- LOCATION symbols and per-script name analysis need gazetteer /
-  linguistic databases this engine does not bundle;
-- residue alignment is greedy best-pair on strict-Levenshtein scores
-  (``logic_v2/names/distance.py:8-20`` semantics: 1 edit budget per 4
-  chars, score ``(1 - d/len)^max_edits``) with a metaphone fallback at
-  0.6, instead of rigour's cost-folded DP (``match.py:64-80``);
-- the literal early-exit has no part-role compatibility guard
-  (``util.py:part_tags_compatible``) — part tags aren't modelled;
-- family-name boost (×1.3) applies to parts appearing in the entity's
-  ``lastName`` values (config default ``nm_family_name_weight``,
-  ``logic_v2/model.py:74-78``), matched or unmatched (``match.py:100-116``);
-- extras weights: unmatched query parts ×0.8, unmatched result parts
-  ×0.2 (``nm_extra_query_name`` / ``nm_extra_result_name`` defaults),
-  biased per symbol category (``magic.py:weight_extra_match``: single
-  stopword extras → 0.5, org/symbol ×0.7, numeric ×1.3);
-- stopword single-part matches dampen ×0.7 (``match.py:92-99``);
+- **analysis**: apostrophes removed, scripts folded/romanised, split on
+  non-word runs, single-letter runs merged ("J.P." → "jp"), leading
+  honorifics dropped, alternates split on "/" and ";", legal-form
+  phrases replaced by their own-language abbreviation in the comparable
+  form ("Gesellschaft mit beschränkter Haftung" ≡ "GmbH").
+- **literal early-exit** on the sorted comparable token multiset (the
+  part-role compatibility guard of ``util.py:part_tags_compatible`` is
+  not modelled — name-only inputs carry no part tags; deviation).
+- **symbol pairing**: multi-token ORG_CLASS phrases, word-number spans
+  ("Forty-Four" ~ "44"), NAME transliteration variants, NICK, DOMAIN,
+  SYMBOL, particles, LOCATION, and acronym spans (token vs initials of
+  ≥2 consecutive parts, score 0.9/weight 1.0, literal-rescued); max
+  over pairings with and without each symbol edge (``match.py:29-127``).
+- **residue alignment**: order-aware DP with part clustering — a merged
+  cluster scores ``1 - (damerau + 0.2·joins)/len`` (the join cost
+  reproduces the frozen run: "Plat Ono Vich"~"Platonovich" → 0.969),
+  a 1-1 pair scores strict Damerau-Levenshtein ``(1-d/len)^(len//4)``
+  (``distance.py:8-20``), metaphone fallback at 0.6; persons reorder
+  residues first (``align_person_name_order``), orgs keep order (so
+  "C.B.A." vs "A.B.C." penalises, frozen 0.2308).
+- **weights**: extras ×0.8 query / ×0.2 result with per-category biases
+  (single stopword → 0.5, org/sym 0.7, numeric 1.3, location 0.8,
+  ``magic.py:weight_extra_match``); matched single-part stopwords ×0.7;
+  family-name boost ×1.3 (``match.py:92-116``); weighted mean; max over
+  the name product.
 - object-name matching (Vessel/Airplane/Security) uses whole-name
   strict-Levenshtein at 1-edit-per-5-chars with a ×0.7 number-mismatch
-  penalty after prefix stripping (``match.py:141-171``,
-  ``nm_number_mismatch`` default 0.3).
+  penalty after prefix stripping (``match.py:141-171``).
 
 All of it runs in one Arrow-batched pandas UDF over blocked pairs; name
 normalisation happens once per side before the pair join.
@@ -73,7 +78,7 @@ NUMBER_MISMATCH_PENALTY = 0.3
 OBJ_SCHEMAS = frozenset({"Vessel", "Airplane", "Security"})
 
 _LEGAL = frozenset(LEGAL_FORMS)
-_STOP = frozenset(STOP_TOKENS)
+_STOP = frozenset(STOP_TOKENS) | {"a", "an", "et", "in", "on", "at", "by", "to"}
 
 _SPLIT_RE = re.compile(r"[^0-9a-zÀ-ɏЀ-ӿ]+")
 
@@ -92,137 +97,573 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def damerau_osa(a: str, b: str) -> int:
+    """Optimal-string-alignment distance: Levenshtein + adjacent
+    transposition at cost 1 ("Luakshenko"~"Lukashenko" = 1, matching the
+    frozen reference run)."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return len(a) + len(b)
+    prev2: list[int] = []
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if i > 1 and j > 1 and ca == b[j - 2] and a[i - 2] == cb:
+                d = min(d, prev2[j - 2] + 1)
+            cur.append(d)
+        prev2, prev = prev, cur
+    return prev[-1]
+
+
 @lru_cache(maxsize=100_000)
 def strict_levenshtein_py(left: str, right: str, max_rate: int = 4) -> float:
-    """1 edit allowed per ``max_rate`` chars; score (1 - d/len)^max_edits."""
+    """1 edit allowed per ``max_rate`` chars; score (1 - d/len)^max_edits.
+
+    Strings of ``max_rate`` chars or fewer must be equal — the frozen
+    reference run scores "Cock"~"Cook" and "NABC"~"ABC" at 0.
+    """
     if left == right:
         return 1.0
     max_len = max(len(left), len(right))
-    max_edits = max_len // max_rate
-    if max_edits < 1:
+    if max_len <= max_rate:
         return 0.0
-    d = levenshtein(left, right)
+    max_edits = max_len // max_rate
+    d = damerau_osa(left, right)
     if d > max_edits:
         return 0.0
     return (1 - (d / max_len)) ** max_edits
 
 
-@lru_cache(maxsize=100_000)
-def _parts(name: str) -> tuple[str, ...]:
-    return tuple(t for t in _SPLIT_RE.split(name.lower()) if t)
+# --- name analysis ----------------------------------------------------------
+
+from nomenklatura_spark.matching.symbols import (  # noqa: E402
+    ORG_PHRASE_ABBREV,
+    ORG_TOKEN_ABBREV,
+    token_symbols_all,
+)
+from nomenklatura_spark.matching.translit import fold_text  # noqa: E402
+
+_APOS_RE = re.compile(r"['’‘ʼʻ`´]")
+_ALT_RE = re.compile(r"[/;]")
+_TOKEN_RE = re.compile(r"[\W_]+", re.UNICODE)
+
+_HONORIFICS = frozenset(
+    "mr mrs ms miss mister dr prof professor sir dame lord lady president "
+    "general colonel sheikh shaikh sheik haji hajji hadji imam ayatollah "
+    "herr frau".split()
+)
+
+_WORD_TENS = {"twenty": 20, "thirty": 30, "forty": 40, "fourty": 40,
+              "fifty": 50, "sixty": 60, "seventy": 70, "eighty": 80,
+              "ninety": 90}
+_WORD_UNITS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+               "six": 6, "seven": 7, "eight": 8, "nine": 9}
+
+_PHRASE_MAX = max(len(k) for k in ORG_PHRASE_ABBREV)
+
+_LONG_LEGAL = tuple(k for k in ORG_TOKEN_ABBREV if len(k) >= 10)
 
 
-def _pair_score(qp: str, rp: str) -> tuple[float, float] | None:
-    """(score, weight) for one aligned part pair, or None if no match.
+@lru_cache(maxsize=50_000)
+def _legal_token(tok: str) -> str:
+    """Map a token to its legal-form abbreviation, tolerating misspellings
+    of long forms (frozen: "Siemens Aktiengeselschaft" literal-matches
+    "Siemens AG")."""
+    hit = ORG_TOKEN_ABBREV.get(tok)
+    if hit is not None:
+        return hit
+    if len(tok) >= 10:
+        for key in _LONG_LEGAL:
+            if abs(len(key) - len(tok)) <= 2 and damerau_osa(tok, key) <= 2:
+                return ORG_TOKEN_ABBREV[key]
+    return tok
 
-    Symbol pairing first: two parts sharing a symbol id score/weigh per
-    category (``SYM_SCORES``/``SYM_WEIGHTS``) — this is what keeps an
-    equal generic term ("International"=="International") from dominating
-    the mean (weight 0.3), and makes "Vessel 1" vs "Vessel 2" diverge
-    (unshared NUMERIC).  Literal equality of a symbol-tagged pair rescues
-    the score to 1.0 but keeps the category weight (``match.py:103-111``).
+
+def _org_class_id(abbrev: str) -> str:
+    for sym in token_symbols_all(abbrev):
+        if sym.startswith("org:"):
+            return sym
+    return f"org:{abbrev}"
+
+
+@lru_cache(maxsize=200_000)
+def _analyze(name: str) -> tuple[tuple, ...]:
+    """Name string → analyzed alternates.
+
+    Each alternate is ``(tokens, comparable, spans, all_runs)``:
+    folded/merged tokens, the sorted comparable form for the literal
+    early-exit, symbol spans ``(start, end, symbol_id)``, and whether the
+    name consists solely of merged initial runs (which disqualifies it
+    from acronym pairing — frozen: "N.N." vs "Nursultan Nazarbayev" = 0).
     """
-    qs, rs = token_symbol(qp), token_symbol(rp)
-    if qs is not None and qs == rs:
-        cat = qs.split(":", 1)[0]
-        if qp == rp:
-            # literal rescue: score 1.0, category weight retained —
-            # an equal "international" stays low-influence (w 0.3).
-            return 1.0, SYM_WEIGHTS[cat]
-        # Non-equal symbol pair: the reference maximises over pairings
-        # with and without the symbol edge, so a stronger fuzzy surface
-        # match ("jon"~"john", 0.75) beats a weaker nick edge (0.6).
-        fuzzy = strict_levenshtein_py(qp, rp)
-        if fuzzy > SYM_SCORES[cat]:
-            return fuzzy, 1.0
-        return SYM_SCORES[cat], SYM_WEIGHTS[cat]
-    if qp == rp:
-        return 1.0, 1.0
-    if qp in _LEGAL and rp in _LEGAL:
-        # distinct legal-form classes ("gmbh" vs "inc"): weak org evidence
-        return SYM_SCORES["org"] * 0.5, SYM_WEIGHTS["org"]
-    if len(qp) == 1 and rp.startswith(qp):
-        return INITIAL_SCORE, INITIAL_WEIGHT
-    if len(rp) == 1 and qp.startswith(rp):
-        return INITIAL_SCORE, INITIAL_WEIGHT
-    s = strict_levenshtein_py(qp, rp)
-    if s > 0.0:
-        return s, 1.0
-    if len(qp) >= 3 and len(rp) >= 3 and metaphone(qp) == metaphone(rp) != "":
-        return METAPHONE_SCORE, 1.0
-    return None
+    # "/" separates alternate names ("Al-Qa'ida/Islamic Army") unless a
+    # segment is a fragment of a slashed abbreviation ("A/S", "N/A")
+    raw_alts = _ALT_RE.split(name)
+    if any(len(a.strip()) <= 2 for a in raw_alts):
+        raw_alts = [name.replace("/", " ").replace(";", " ")]
+    alts = []
+    for raw_alt in raw_alts:
+        folded = fold_text(_APOS_RE.sub("", raw_alt))
+        raw_toks = [t for t in _TOKEN_RE.split(folded) if t]
+        # merge single-letter alpha runs: [j, c] -> "jc", [o, o, o] -> "ooo"
+        toks: list[str] = []
+        merged: list[bool] = []
+        run: list[str] = []
+
+        def _flush() -> None:
+            if len(run) >= 2:
+                toks.append("".join(run))
+                merged.append(True)
+            elif run:
+                toks.append(run[0])
+                merged.append(False)
+            run.clear()
+
+        for t in raw_toks:
+            if len(t) == 1 and t.isalpha():
+                run.append(t)
+            else:
+                _flush()
+                toks.append(t)
+                merged.append(False)
+        _flush()
+        while len(toks) > 1 and toks[0] in _HONORIFICS:
+            toks.pop(0)
+            merged.pop(0)
+        if not toks:
+            continue
+        all_runs = all(m or len(t) == 1 for t, m in zip(toks, merged))
+
+        # comparable form: legal phrases/tokens to their abbreviation,
+        # then order-insensitive (reference: "Frost, William W." literal-
+        # matches "William W Frost"; "OOO X Y" matches "X Y OOO").
+        comp: list[str] = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            hit = None
+            for ln in range(min(_PHRASE_MAX, n - i), 1, -1):
+                abbrev = ORG_PHRASE_ABBREV.get(tuple(toks[i : i + ln]))
+                if abbrev is not None:
+                    hit = (ln, abbrev)
+                    break
+            if hit is not None:
+                comp.append(hit[1])
+                i += hit[0]
+            else:
+                comp.append(_legal_token(toks[i]))
+                i += 1
+        comparable = " ".join(sorted(comp))
+
+        # symbol spans
+        spans: list[tuple[int, int, str]] = []
+        i = 0
+        while i < n:
+            hit = None
+            for ln in range(min(_PHRASE_MAX, n - i), 1, -1):
+                abbrev = ORG_PHRASE_ABBREV.get(tuple(toks[i : i + ln]))
+                if abbrev is not None:
+                    hit = (ln, abbrev)
+                    break
+            if hit is not None:
+                spans.append((i, i + hit[0], _org_class_id(hit[1])))
+                i += hit[0]
+                continue
+            t = toks[i]
+            if (
+                i + 1 < n
+                and t in _WORD_TENS
+                and toks[i + 1] in _WORD_UNITS
+            ):
+                spans.append(
+                    (i, i + 2, f"num:{_WORD_TENS[t] + _WORD_UNITS[toks[i + 1]]}")
+                )
+                i += 2
+                continue
+            syms = token_symbols_all(t)
+            for sym in syms:
+                spans.append((i, i + 1, sym))
+            if not syms and _legal_token(t) != t:
+                spans.append((i, i + 1, _org_class_id(_legal_token(t))))
+            i += 1
+        alts.append((tuple(toks), comparable, tuple(spans), all_runs))
+    return tuple(alts)
 
 
-def _extra_weight(part: str, side_weight: float, family: frozenset[str]) -> float:
-    """Weight of an unmatched name part (``magic.py:weight_extra_match``):
-    single stopword extras bias to 0.5 (then the ×0.7 stopword multiplier
-    composes, as in ``match.py:92-99``); symbol-tagged extras bias per
-    ``EXTRAS_WEIGHTS`` (org/symbol cheap to omit, numeric expensive)."""
-    if part in _STOP:
-        w = side_weight * STOPWORD_EXTRA_BIAS * STOPWORD_DAMPEN
+# --- symbol edges -----------------------------------------------------------
+
+
+def _acronym_edges(
+    q: tuple, r: tuple
+) -> list[tuple[tuple[int, int], tuple[int, int], str]]:
+    """Acronym spans: a 2-6 letter token on one side vs the initials of as
+    many consecutive parts on the other (score 0.9 / weight 1.0, frozen:
+    "JC Juncker"~"Jean-Claude Juncker" = 0.95, "PLA"~"People's Liberation
+    Army" = 0.9).  A side made only of initial runs never initiates
+    ("N.N." = 0)."""
+    edges = []
+    for (a, b, flip) in ((q, r, False), (r, q, True)):
+        a_toks, _, _, a_runs = a
+        b_toks = b[0]
+        if a_runs:
+            continue
+        for i, t in enumerate(a_toks):
+            k = len(t)
+            if not (2 <= k <= 6 and t.isalpha()):
+                continue
+            for j in range(0, len(b_toks) - k + 1):
+                window = b_toks[j : j + k]
+                # expansion words must be real words, not short tokens or
+                # legal forms ("BP" must not acronym-match "BD plc")
+                if any(
+                    len(w) < 3
+                    or any(s.startswith("org:") for s in token_symbols_all(w))
+                    for w in window
+                ):
+                    continue
+                if "".join(w[0] for w in window) == t:
+                    qs, rs = ((j, j + k), (i, i + 1)) if flip else (
+                        (i, i + 1),
+                        (j, j + k),
+                    )
+                    edges.append((qs, rs, "acro"))
+    return edges
+
+
+def _symbol_edges(q: tuple, r: tuple):
+    """Shared-symbol edges between two analyzed names."""
+    q_by_id: dict[str, tuple[int, int]] = {}
+    for s, e, sym in q[2]:
+        q_by_id.setdefault(sym, (s, e))
+    edges = []
+    seen = set()
+    for s, e, sym in r[2]:
+        if sym in q_by_id and sym not in seen:
+            seen.add(sym)
+            cat = sym.split(":", 1)[0]
+            edges.append((q_by_id[sym], (s, e), cat))
+    edges.extend(_acronym_edges(q, r))
+    return edges
+
+
+# --- residue alignment (cost-folded DP with clustering) ---------------------
+
+_JOIN_COST = 0.2
+_MAX_MERGE = 3
+
+
+@lru_cache(maxsize=200_000)
+def _cluster_score(qparts: tuple[str, ...], rparts: tuple[str, ...]) -> float:
+    """Score of one aligned cluster.
+
+    1-1 pairs: strict Damerau-Levenshtein (``distance.py:8-20``) with a
+    metaphone fallback.  Merged clusters: linear ``1 - (d + 0.2*joins)/len``
+    over the space-joined strings — the 0.2 join cost reproduces the
+    frozen run ("Plat Ono Vich"~"Platonovich" → 0.969, "PolPot" → 0.971).
+    """
+    if len(qparts) == 1 and len(rparts) == 1:
+        qp, rp = qparts[0], rparts[0]
+        s = strict_levenshtein_py(qp, rp)
+        if s > 0.0:
+            return s
+        if len(qp) >= 4 and len(rp) >= 4 and metaphone(qp) == metaphone(rp) != "":
+            return METAPHONE_SCORE
+        return 0.0
+    qj, rj = "".join(qparts), "".join(rparts)
+    spaced = max(len(qj) + len(qparts) - 1, len(rj) + len(rparts) - 1)
+    max_edits = spaced // 4
+    if max_edits < 1:
+        return 0.0
+    d = damerau_osa(qj, rj)
+    if d > max_edits:
+        return 0.0
+    joins = (len(qparts) - 1) + (len(rparts) - 1)
+    return max(0.0, 1.0 - (d + _JOIN_COST * joins) / spaced)
+
+
+def _align_residue(
+    qps: tuple[str, ...], rps: tuple[str, ...]
+) -> list[tuple[tuple[str, ...], tuple[str, ...]]]:
+    """Order-aware DP over two part sequences with clustering (up to
+    ``_MAX_MERGE`` parts per side) and gaps.  Returns the chosen clusters;
+    gapped parts are reported as one-sided clusters (extras)."""
+    nq, nr = len(qps), len(rps)
+    if nq == 0 or nr == 0:
+        return [((p,), ()) for p in qps] + [((), (p,)) for p in rps]
+    NEG = float("-inf")
+    best = [[NEG] * (nr + 1) for _ in range(nq + 1)]
+    back: list[list[tuple | None]] = [[None] * (nr + 1) for _ in range(nq + 1)]
+    best[0][0] = 0.0
+    for i in range(nq + 1):
+        for j in range(nr + 1):
+            cur = best[i][j]
+            if cur == NEG:
+                continue
+            if i < nq and cur > best[i + 1][j]:  # gap query part
+                best[i + 1][j] = cur
+                back[i + 1][j] = (i, j, 1, 0)
+            if j < nr and cur > best[i][j + 1]:  # gap result part
+                best[i][j + 1] = cur
+                back[i][j + 1] = (i, j, 0, 1)
+            for a in range(1, _MAX_MERGE + 1):
+                if i + a > nq:
+                    break
+                for b in range(1, _MAX_MERGE + 1):
+                    if j + b > nr or (a > 1 and b > 1):
+                        continue
+                    s = _cluster_score(qps[i : i + a], rps[j : j + b])
+                    # epsilon prefers aligning over double-gapping so
+                    # mismatched pairs surface at weight 1.0 (frozen:
+                    # "YU CHA OK"~"YU CHOL U" = 1/3)
+                    v = cur + s + 1e-9
+                    if v > best[i + a][j + b]:
+                        best[i + a][j + b] = v
+                        back[i + a][j + b] = (i, j, a, b)
+    out = []
+    i, j = nq, nr
+    while i > 0 or j > 0:
+        pi, pj, a, b = back[i][j]
+        if a and b:
+            out.append((qps[pi : pi + a], rps[pj : pj + b]))
+        elif a:
+            out.append((qps[pi : pi + a], ()))
+        else:
+            out.append(((), rps[pj : pj + b]))
+        i, j = pi, pj
+    out.reverse()
+    return out
+
+
+def _person_reorder(
+    qps: tuple[str, ...], rps: tuple[str, ...]
+) -> tuple[str, ...]:
+    """align_person_name_order: reorder the result residue so its parts
+    face their best-matching query parts (persons write name parts in
+    either order)."""
+    if not qps or not rps:
+        return rps
+    cands = []
+    for j, rp in enumerate(rps):
+        for i, qp in enumerate(qps):
+            if qp == rp:
+                s = 3.0
+            else:
+                f = strict_levenshtein_py(qp, rp)
+                if f > 0.0:
+                    s = 2.0 + f
+                elif len(qp) >= 4 and (qp.startswith(rp) or rp.startswith(qp)):
+                    s = 1.0 + min(len(qp), len(rp)) / max(len(qp), len(rp))
+                elif token_symbols_all(qp) and set(token_symbols_all(qp)) & set(
+                    token_symbols_all(rp)
+                ):
+                    s = 2.5
+                else:
+                    continue
+            cands.append((s, i, j))
+    cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+    q_taken: dict[int, int] = {}
+    r_taken: set[int] = set()
+    for s, i, j in cands:
+        if i in q_taken or j in r_taken:
+            continue
+        q_taken[i] = j
+        r_taken.add(j)
+    ordered = [rps[q_taken[i]] for i in range(len(qps)) if i in q_taken]
+    ordered.extend(rps[j] for j in range(len(rps)) if j not in r_taken)
+    return tuple(ordered)
+
+
+# --- weighting and combination ----------------------------------------------
+
+
+def _extra_weight(
+    parts: tuple[str, ...], side_weight: float, family: frozenset[str]
+) -> float:
+    """Weight of an unmatched span (``magic.py:weight_extra_match``):
+    single stopword extras bias to 0.5; symbol-tagged extras bias per
+    ``EXTRAS_WEIGHTS`` (org/sym cheap to omit, numeric expensive,
+    location 0.8)."""
+    w = side_weight
+    if len(parts) == 1 and parts[0] in _STOP:
+        w *= STOPWORD_EXTRA_BIAS
     else:
-        sym = token_symbol(part)
-        cat = sym.split(":", 1)[0] if sym else None
-        w = side_weight * EXTRAS_WEIGHTS.get(cat, 1.0)
-    if part in family:
+        for p in parts:
+            for sym in token_symbols_all(p):
+                cat = sym.split(":", 1)[0]
+                if cat in EXTRAS_WEIGHTS:
+                    w *= EXTRAS_WEIGHTS[cat]
+                    break
+    if any(p in family for p in parts):
         w *= FAMILY_NAME_WEIGHT
     return w
 
 
-def name_pair_score(
-    query: str, result: str, family: frozenset[str] = frozenset()
+def _alignment_score(
+    q: tuple,
+    r: tuple,
+    person: bool,
+    family: frozenset[str],
 ) -> float:
-    qps, rps = list(_parts(query)), list(_parts(result))
-    if not qps or not rps:
-        return 0.0
-    if qps == rps:
-        return 1.0
-    # greedy best-pair alignment over the part product
-    cands: list[tuple[float, float, str, str]] = []
-    for qp in set(qps):
-        for rp in set(rps):
-            sw = _pair_score(qp, rp)
-            if sw is not None:
-                cands.append((sw[0], sw[1], qp, rp))
-    cands.sort(key=lambda x: (-x[0] * x[1], x[2], x[3]))
-    matches: list[tuple[float, float, str, str]] = []
-    q_left, r_left = list(qps), list(rps)
-    for s, w, qp, rp in cands:
-        while qp in q_left and rp in r_left:
-            q_left.remove(qp)
-            r_left.remove(rp)
-            matches.append((s, w, qp, rp))
-    # extras: unmatched parts contribute score 0 at a reduced weight
-    scored: list[tuple[float, float]] = []
-    for s, w, qp, rp in matches:
-        if (qp in _STOP) or (rp in _STOP):
-            w *= STOPWORD_DAMPEN
-        if qp in family or rp in family:
-            w *= FAMILY_NAME_WEIGHT
-        scored.append((s, w))
-    for qp in q_left:
-        scored.append((0.0, _extra_weight(qp, EXTRA_QUERY_WEIGHT, family)))
-    for rp in r_left:
-        scored.append((0.0, _extra_weight(rp, EXTRA_RESULT_WEIGHT, family)))
-    total_w = sum(w for _, w in scored)
-    if total_w <= 0.0:
-        return 0.0
-    return sum(s * w for s, w in scored) / total_w
+    """Score one (query-alt, result-alt) pair: symbol edges + residue DP +
+    extras, weighted mean (``match.py:29-127``)."""
+    q_toks, _, _, _ = q
+    r_toks = r[0]
+    edges = _symbol_edges(q, r)
+    # maximal non-overlapping edge set (longest spans first)
+    edges.sort(
+        key=lambda e: -((e[0][1] - e[0][0]) + (e[1][1] - e[1][0]))
+    )
+    q_used = [False] * len(q_toks)
+    r_used = [False] * len(r_toks)
+    chosen = []
+    for (qs, qe), (rs, re_), cat in edges:
+        if any(q_used[qs:qe]) or any(r_used[rs:re_]):
+            continue
+        for k in range(qs, qe):
+            q_used[k] = True
+        for k in range(rs, re_):
+            r_used[k] = True
+        chosen.append(((qs, qe), (rs, re_), cat))
+
+    scored: list[tuple[float, float, tuple[str, ...], tuple[str, ...]]] = []
+    for (qs, qe), (rs, re_), cat in chosen:
+        qparts = q_toks[qs:qe]
+        rparts = r_toks[rs:re_]
+        qj, rj = "".join(qparts), "".join(rparts)
+        if cat == "acro":
+            score, weight = (0.9, 1.0)
+            if qj == rj:
+                score = 1.0
+        else:
+            score, weight = SYM_SCORES[cat], SYM_WEIGHTS[cat]
+            if qj == rj:
+                # literal rescue: score 1.0, category weight retained
+                score = 1.0
+            elif len(qparts) == 1 and len(rparts) == 1:
+                fuzzy = strict_levenshtein_py(qparts[0], rparts[0])
+                if fuzzy > score:
+                    score, weight = fuzzy, 1.0
+        scored.append((score, weight, qparts, rparts))
+
+    q_rem = tuple(t for t, u in zip(q_toks, q_used) if not u)
+    r_rem = tuple(t for t, u in zip(r_toks, r_used) if not u)
+    residue = _align_residue(q_rem, r_rem)
+    if person:
+        # persons write parts in either order: align both the original and
+        # the best-pair reordering, keep whichever aligns more mass
+        # (reorder alone can break the adjacency a cluster merge needs,
+        # e.g. "Jan Daniel Bothma" ~ "JanDaniel Bothma").
+        reordered = _person_reorder(q_rem, r_rem)
+        if reordered != r_rem:
+            alt = _align_residue(q_rem, reordered)
+            def _mass(aligns):
+                return sum(
+                    _cluster_score(qp, rp) for qp, rp in aligns if qp and rp
+                )
+            if _mass(alt) > _mass(residue):
+                residue = alt
+    for qparts, rparts in residue:
+        if qparts and rparts:
+            scored.append((_cluster_score(qparts, rparts), 1.0, qparts, rparts))
+        elif qparts:
+            scored.append(
+                (0.0, _extra_weight(qparts, EXTRA_QUERY_WEIGHT, family), qparts, ())
+            )
+        else:
+            scored.append(
+                (0.0, _extra_weight(rparts, EXTRA_RESULT_WEIGHT, family), (), rparts)
+            )
+
+    total_s = total_w = 0.0
+    for score, weight, qparts, rparts in scored:
+        if qparts and rparts:
+            # matched single-part stopword dampening (match.py:92-99)
+            if (len(qparts) == 1 and qparts[0] in _STOP) or (
+                len(rparts) == 1 and rparts[0] in _STOP
+            ):
+                weight *= STOPWORD_DAMPEN
+            if any(p in family for p in qparts + rparts):
+                weight *= FAMILY_NAME_WEIGHT
+        total_s += score * weight
+        total_w += weight
+    return total_s / total_w if total_w > 0 else 0.0
+
+
+def _loc_stripped(alt: tuple) -> tuple | None:
+    """Variant with LOCATION-tagged tokens removed — orgs commonly drop
+    the locality suffix ("PLA China" ~ "People's Liberation Army")."""
+    toks, _, _, all_runs = alt
+    loc_idx = {
+        i
+        for i, t in enumerate(toks)
+        if any(s.startswith("loc:") for s in token_symbols_all(t))
+    }
+    if not loc_idx or len(loc_idx) == len(toks):
+        return None
+    kept = " ".join(t for i, t in enumerate(toks) if i not in loc_idx)
+    stripped = _analyze(kept)
+    return stripped[0] if stripped else None
+
+
+@lru_cache(maxsize=200_000)
+def name_pair_score(
+    query: str,
+    result: str,
+    family: frozenset[str] = frozenset(),
+    person: bool | None = None,
+) -> float:
+    best = 0.0
+    for q in _analyze(query):
+        for r in _analyze(result):
+            if person is None:
+                org_cats = ("org:", "sym:", "dom:")
+                is_org = any(
+                    s.startswith(org_cats) for _, _, s in q[2] + r[2]
+                )
+                per = not is_org
+            else:
+                per = person
+            if q[1] == r[1]:
+                return 1.0
+            variants = [(q, r)]
+            if not per:
+                q_alt, r_alt = _loc_stripped(q), _loc_stripped(r)
+                # strip locality only when the other side carries none
+                if q_alt is not None and r_alt is None:
+                    variants.append((q_alt, r))
+                if r_alt is not None and q_alt is None:
+                    variants.append((q, r_alt))
+            for qv, rv in variants:
+                s = _alignment_score(qv, rv, per, family)
+                if s > best:
+                    best = s
+                    if best >= 1.0:
+                        return 1.0
+    return best
+
+
+@lru_cache(maxsize=100_000)
+def _family_parts(name: str) -> tuple[str, ...]:
+    return tuple(t for alt in _analyze(name) for t in alt[0])
 
 
 def name_match(
     query_names: list[str],
     result_names: list[str],
     family_names: list[str] | None = None,
+    person: bool | None = None,
 ) -> float:
     """Max over the (query, result) name product with 1.0 early exit."""
     family = frozenset(
-        p for n in (family_names or []) for p in _parts(n)
+        p for n in (family_names or []) for p in _family_parts(n)
     )
     best = 0.0
     for qn in query_names or []:
         for rn in result_names or []:
-            s = name_pair_score(qn, rn, family)
+            s = name_pair_score(qn, rn, family, person)
             if s > best:
                 best = s
                 if best >= 1.0:
@@ -277,11 +718,15 @@ def object_name_match_udf(q: pd.Series, r: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.DoubleType())
-def name_match_udf(q: pd.Series, r: pd.Series, fam: pd.Series) -> pd.Series:
+def name_match_udf(
+    q: pd.Series, r: pd.Series, fam: pd.Series, person: pd.Series
+) -> pd.Series:
     return pd.Series(
         [
-            name_match(list(qn or []), list(rn or []), list(fn or []))
-            for qn, rn, fn in zip(q, r, fam)
+            name_match(
+                list(qn or []), list(rn or []), list(fn or []), person=bool(p)
+            )
+            for qn, rn, fn, p in zip(q, r, fam, person)
         ]
     )
 
@@ -441,7 +886,10 @@ def score_pairs_logic_v2(pairs: DataFrame) -> DataFrame:
         )
         .otherwise(
             name_match_udf(
-                F.col("l_names"), F.col("r_names"), F.col("r_last_names")
+                F.col("l_names"),
+                F.col("r_names"),
+                F.col("r_last_names"),
+                (F.col("l_schema") == "Person") & (F.col("r_schema") == "Person"),
             )
         )
         .alias("f_name_v2"),

@@ -43,6 +43,9 @@ SYM_SCORES = {
     "sym": 0.9,
     "dom": 0.9,
     "num": 0.9,
+    "name": 0.9,  # given-name transliteration variants (reference NAME cat)
+    "part": 0.9,  # name particles (bin/ibn, von/van, de/da)
+    "loc": 0.9,  # LOCATION symbols (compact public gazetteer)
 }
 SYM_WEIGHTS = {
     "org": 0.7,
@@ -51,8 +54,11 @@ SYM_WEIGHTS = {
     "sym": 0.3,
     "dom": 0.7,
     "num": 1.3,
+    "name": 1.0,
+    "part": 0.5,
+    "loc": 0.8,
 }
-EXTRAS_WEIGHTS = {"org": 0.7, "sym": 0.7, "num": 1.3}
+EXTRAS_WEIGHTS = {"org": 0.7, "sym": 0.7, "num": 1.3, "loc": 0.8}
 
 # --- org classes: token -> canonical class ---------------------------------
 
@@ -62,8 +68,6 @@ _ORG_CLASSES: dict[str, list[str]] = {
     "llp": ["llp"],
     "lp": ["lp"],
     "inc": ["inc", "incorporated"],
-    "corp": ["corp", "corporation"],
-    "co": ["co", "cia", "cie"],
     "plc": ["plc"],
     "ag": ["ag", "aktiengesellschaft"],
     "gmbh": ["gmbh", "mbh"],
@@ -80,25 +84,27 @@ _ORG_CLASSES: dict[str, list[str]] = {
     "kg": ["kg"],
     "kgaa": ["kgaa"],
     "ug": ["ug"],
-    "jsc": ["jsc", "ao"],
-    "pjsc": ["pjsc", "pao"],
-    "ojsc": ["ojsc", "oao"],
-    "cjsc": ["cjsc", "zao"],
+    # The whole joint-stock family shares one class: the frozen logic_v2
+    # run pairs "OAO Gazprom" ~ "Gazprom JSC" at the ORG_CLASS score.
+    "jsc": ["jsc", "ao", "ojsc", "oao", "cjsc", "zao", "pjsc", "pao"],
     "pt": ["pt"],
     "pte": ["pte"],
     "pty": ["pty"],
-    "foundation": ["foundation", "stiftung", "fond", "fondation", "fundacion"],
-    "trust": ["trust"],
-    "bank": ["bank", "banque", "banco", "banca"],
-    "university": ["university", "universite", "universitat", "universidad", "univ"],
-    "association": ["association", "assn", "verein", "asociacion"],
-    "partnership": ["partnership"],
-    "cooperative": ["cooperative", "coop"],
 }
 
 # --- generic corporate vocabulary: token -> group --------------------------
 
 _SYMBOL_GROUPS: dict[str, list[str]] = {
+    # weight-0.3 generic corporate vocabulary.  "company"/"co" live here,
+    # not in org classes: the frozen logic_v2 run scores an equal
+    # "Company" at weight 0.3 (CDE Company vs A.B.C. Company = 0.3/1.3).
+    "company": ["company", "co", "corp", "corporation", "cia", "cie",
+                "kompaniya"],
+    "foundation": ["foundation", "stiftung", "fond", "fondation",
+                   "fundacion"],
+    "trust": ["trust"],
+    "association": ["association", "assn", "verein", "asociacion"],
+    "cooperative": ["cooperative", "coop"],
     "international": ["international", "intl"],
     "technology": ["technology", "technologies", "tech"],
     "group": ["group", "grp", "gruppe", "groupe", "grupo"],
@@ -275,6 +281,212 @@ _NICKNAMES: dict[str, list[str]] = {
 }
 
 
+# --- given-name transliteration variants (reference NAME category) ---------
+# Spelling/romanisation variants of the same given name (NOT hypocorisms —
+# those are NICK).  Score 0.9, weight 1.0: "Usama bin Ladin"~"Osama bin
+# Laden" pairs usama~osama at 0.9 in the frozen logic_v2 run.
+
+_NAME_GROUPS: dict[str, list[str]] = {
+    "mohammed": ["mohammed", "mohammad", "muhammad", "muhammed", "mohamed",
+                 "mohamad", "muhamad", "mehmed", "mukhammed"],
+    "osama": ["osama", "usama", "oussama", "ousama"],
+    "hussein": ["hussein", "husain", "hussain", "husayn", "husein"],
+    "abdullah": ["abdullah", "abdallah", "abdulla", "abdallah"],
+    "ahmed": ["ahmed", "ahmad", "akhmed", "akhmad", "ahmet"],
+    "ali": ["ali", "aly"],
+    "yusuf": ["yusuf", "yousef", "youssef", "yosef", "yusup"],
+    "ibrahim": ["ibrahim", "ebrahim", "ibragim"],
+    "khaled": ["khaled", "khalid", "halid"],
+    "said": ["said", "sayid", "sayyid", "saeed", "seyid"],
+    "qaddafi": ["qaddafi", "gaddafi", "gadhafi", "kadhafi", "qadhafi"],
+    "qaeda": ["qaeda", "qaida", "qaidah", "qaeda"],
+    "aleksandr": ["alexander", "aleksandr", "alexandr", "oleksandr",
+                  "aliaksandr", "iskandar", "alexandre", "alejandro",
+                  "alessandro", "aleksander"],
+    "sergei": ["sergei", "sergey", "serhii", "serhiy", "siarhei", "serguei",
+               "sergej", "sergejs"],
+    "xi": ["xi", "shi", "hsi", "si"],
+    "vladimir": ["vladimir", "wladimir", "uladzimir", "volodymyr",
+                 "valdimir"],
+    "dmitry": ["dmitry", "dmitri", "dmitrii", "dmitriy", "dmytro", "dzmitry"],
+    "andrei": ["andrei", "andrey", "andrii", "andriy", "andrej"],
+    "mikhail": ["mikhail", "michail", "mykhailo", "mikhael", "michael"],
+    "nikolai": ["nikolai", "nikolay", "mykola", "nicolai", "mikalai"],
+    "yuri": ["yuri", "yury", "yurii", "iurii", "iouri"],
+    "fyodor": ["fyodor", "fedor", "fedir", "feodor"],
+    "pyotr": ["pyotr", "petr", "piotr", "petro", "peter"],
+    "pavel": ["pavel", "pavlo", "paval"],
+    "evgeny": ["evgeny", "yevgeny", "evgeni", "evgenii", "yevgeniy",
+               "yevhen", "evgeniy"],
+    "gennady": ["gennady", "gennadiy", "gennadi", "hennadiy"],
+    "anatoly": ["anatoly", "anatoliy", "anatolii", "anatoli"],
+    "vasily": ["vasily", "vasiliy", "vasilii", "vasyl", "vassili"],
+    "viktor": ["viktor", "victor", "vyktor"],
+    "valery": ["valery", "valeriy", "valerii", "valeri"],
+    "igor": ["igor", "ihor", "igar"],
+    "oleg": ["oleg", "oleh", "aleh"],
+    "ekaterina": ["ekaterina", "yekaterina", "kateryna", "katarina"],
+    "tatiana": ["tatiana", "tatyana", "tetiana", "tatsiana"],
+    "natalia": ["natalia", "nataliya", "natalya", "nataliia"],
+    "arkady": ["arkady", "arkadiy", "arkadii", "arkadi"],
+    "gheorghe": ["gheorghe", "georgi", "georgiy", "heorhii", "georgii",
+                 "georges", "jorge", "giorgi"],
+    "ivan": ["ivan", "iwan", "ioann"],
+    "iosif": ["iosif", "yosyp", "josef", "joseph", "yusif"],
+    "paul": ["paul", "pol", "paulo", "pablo", "paolo"],
+    "jong": ["jong", "yong", "chong"],
+}
+
+# --- name particles (nasab / tussenvoegsel / nobiliary) ---------------------
+# Particles pair within a group at 0.9 and weigh 0.5 — a matched "bin"
+# contributes half a part (frozen: Usama bin Ladin ~ Osama bin Laden).
+
+_PARTICLE_GROUPS: dict[str, list[str]] = {
+    "bin": ["bin", "ibn", "ben", "bn"],
+    "bint": ["bint", "binti", "bt"],
+    "abu": ["abu", "abou", "abo"],
+    "abd": ["abd", "abdul", "abdel", "abdal", "abdol"],
+    "al": ["al", "el", "ul", "al-"],
+    "von": ["von", "van", "fon"],
+    "der": ["der", "den", "ter", "ten"],
+    "de": ["de", "da", "di", "do", "du", "dos", "das"],
+    "la": ["la", "le", "les"],
+    "oglu": ["oglu", "ogly", "oghlu", "uulu", "ogli"],
+    "kyzy": ["kyzy", "gyzy", "kizi"],
+}
+
+# --- LOCATION tokens (compact public gazetteer) -----------------------------
+# Country/region tokens that appear inside org names ("Siemens Russia").
+# Reference weight 0.8 (magic.py LOCATION); extras bias 0.8.
+
+_LOC_TOKENS: dict[str, list[str]] = {
+    "russia": ["russia", "russian", "rossiya", "rossii", "rus"],
+    "china": ["china", "chinese", "zhongguo", "prc"],
+    "usa": ["usa", "america", "american", "us"],
+    "uk": ["uk", "britain", "british"],
+    # NB: no "deutsche"/"deutscher" — too load-bearing in real org names
+    # ("Deutsche Bank") to down-weight as a locality adjective.
+    "germany": ["germany", "german", "deutschland"],
+    "france": ["france", "french", "francaise", "francais"],
+    "europe": ["europe", "european", "europa"],
+    "india": ["india", "indian"],
+    "iran": ["iran", "iranian"],
+    "iraq": ["iraq", "iraqi"],
+    "syria": ["syria", "syrian"],
+    "ukraine": ["ukraine", "ukrainian", "ukraina"],
+    "turkey": ["turkey", "turkish", "turkiye"],
+    "korea": ["korea", "korean"],
+    "japan": ["japan", "japanese", "nippon"],
+    "mexico": ["mexico", "mexican"],
+    "brazil": ["brazil", "brasil", "brazilian"],
+    "spain": ["spain", "spanish", "espana"],
+    "italy": ["italy", "italian", "italia"],
+    "canada": ["canada", "canadian"],
+    "australia": ["australia", "australian"],
+    "netherlands": ["netherlands", "dutch", "nederland", "holland"],
+    "switzerland": ["switzerland", "swiss", "suisse"],
+    "austria": ["austria", "austrian"],
+    "poland": ["poland", "polish", "polska"],
+    "sweden": ["sweden", "swedish", "sverige"],
+    "norway": ["norway", "norwegian", "norge"],
+    "belarus": ["belarus", "belarusian"],
+    "kazakhstan": ["kazakhstan", "kazakh"],
+    "uzbekistan": ["uzbekistan", "uzbek"],
+    "egypt": ["egypt", "egyptian"],
+    "saudi": ["saudi", "saudia"],
+    "emirates": ["emirates", "uae", "dubai"],
+    "israel": ["israel", "israeli"],
+    "lebanon": ["lebanon", "lebanese"],
+    "afghanistan": ["afghanistan", "afghan"],
+    "pakistan": ["pakistan", "pakistani"],
+    "venezuela": ["venezuela", "venezuelan"],
+    "cuba": ["cuba", "cuban"],
+    "moscow": ["moscow", "moskva"],
+    "beijing": ["beijing", "peking"],
+    "london": ["london"],
+    "paris": ["paris"],
+    "berlin": ["berlin"],
+    "kyiv": ["kyiv", "kiev"],
+    "hongkong": ["hongkong"],
+    "singapore": ["singapore"],
+    "crimea": ["crimea", "krym"],
+    "chechnya": ["chechnya", "chechen"],
+}
+
+# --- multi-token legal-form phrases -----------------------------------------
+# Two tables, mirroring the reference's two mechanisms:
+#
+# ORG_PHRASE_ABBREV: phrase → its own-language abbreviation, substituted
+#   into the *comparable* form so "Gesellschaft mit beschränkter Haftung"
+#   literal-matches "GmbH" (frozen: Volkswagen GmbH = 1.0) while
+#   "Open Joint Stock Company" → "ojsc" does NOT literal-match "OAO"
+#   (frozen: 0.9176 — the symbol pairing, not the early exit).
+#
+# The phrase also carries its ORG_CLASS symbol for the alignment stage,
+# via the abbreviation's entry in _ORG_CLASSES.
+# Keys are token tuples in *folded* space (diacritics stripped).
+
+ORG_PHRASE_ABBREV: dict[tuple[str, ...], str] = {
+    ("limited", "liability", "company"): "llc",
+    ("limited", "liability", "partnership"): "llp",
+    ("limited", "partnership"): "lp",
+    ("public", "limited", "company"): "plc",
+    ("open", "joint", "stock", "company"): "ojsc",
+    ("closed", "joint", "stock", "company"): "cjsc",
+    ("public", "joint", "stock", "company"): "pjsc",
+    ("joint", "stock", "company"): "jsc",
+    ("gesellschaft", "mit", "beschrankter", "haftung"): "gmbh",
+    ("societate", "cu", "raspundere", "limitata"): "srl",
+    ("societatea", "cu", "raspundere", "limitata"): "srl",
+    ("societe", "a", "responsabilite", "limitee"): "sarl",
+    ("societe", "par", "actions", "simplifiee"): "sas",
+    ("societe", "anonyme",): "sa",
+    ("sociedad", "anonima"): "sa",
+    ("sociedad", "limitada"): "sl",
+    ("sociedade", "limitada"): "lda",
+    ("societa", "per", "azioni"): "spa",
+    ("societa", "a", "responsabilita", "limitata"): "srl",
+    ("naamloze", "vennootschap"): "nv",
+    ("besloten", "vennootschap"): "bv",
+    ("obshchestvo", "s", "ogranichennoi", "otvetstvennostyu"): "ooo",
+    ("obshchestvo", "s", "ogranichennoy", "otvetstvennostyu"): "ooo",
+    ("aktsionernoe", "obshchestvo"): "ao",
+    ("otkrytoe", "aktsionernoe", "obshchestvo"): "oao",
+    ("zakrytoe", "aktsionernoe", "obshchestvo"): "zao",
+    ("publichnoe", "aktsionernoe", "obshchestvo"): "pao",
+    ("spolka", "z", "ograniczona", "odpowiedzialnoscia"): "spzoo",
+    ("sp", "z", "oo"): "spzoo",
+    ("spolka", "akcyjna"): "spolka-sa",
+    ("kabushiki", "kaisha"): "kk",
+    ("anonim", "sirketi"): "as-tr",
+    ("sendirian", "berhad"): "sdnbhd",
+    ("sdn", "bhd"): "sdnbhd",
+    ("pte", "ltd"): "pteltd",
+    ("private", "limited"): "pteltd",
+}
+
+# Single-token legal forms replaced to their abbreviation in the
+# comparable form ("Acme Holdings Limited" ≡ "Acme Holdings Ltd").
+# "company"/"co" deliberately absent (see _SYMBOL_GROUPS note).
+ORG_TOKEN_ABBREV: dict[str, str] = {
+    "limited": "ltd",
+    "incorporated": "inc",
+    "corporation": "corp",
+    "aktiengesellschaft": "ag",
+    "aktiebolag": "ab",
+    "aktieselskab": "as",
+    "osakeyhtio": "oy",
+}
+
+
+def _group_ids(groups: dict[str, list[str]], cat: str) -> dict[str, tuple[str, ...]]:
+    out: dict[str, list[str]] = {}
+    for canon, toks in groups.items():
+        for t in {canon, *toks}:
+            out.setdefault(t, []).append(f"{cat}:{canon}")
+    return {t: tuple(v) for t, v in out.items()}
+
+
 def _invert(groups: dict[str, list[str]], cat: str) -> dict[str, str]:
     out: dict[str, str] = {}
     for canon, toks in groups.items():
@@ -292,6 +504,32 @@ TOKEN_SYMBOLS.update({t: f"num:{n}" for t, n in _NUM_WORDS.items()})
 TOKEN_SYMBOLS.update(_invert(_DOMAINS, "dom"))
 TOKEN_SYMBOLS.update(_invert(_SYMBOL_GROUPS, "sym"))
 TOKEN_SYMBOLS.update(_invert(_ORG_CLASSES, "org"))
+
+# token -> every symbol it carries (a token may be both a NAME variant and
+# a NICK canonical, like "alexander").  The matcher pairs on ANY shared
+# id; the blocker keeps using the single-precedence TOKEN_SYMBOLS map.
+TOKEN_SYMBOLS_MULTI: dict[str, tuple[str, ...]] = {}
+for _groups, _cat in (
+    (_NICKNAMES, "nick"),
+    (_DOMAINS, "dom"),
+    (_SYMBOL_GROUPS, "sym"),
+    (_ORG_CLASSES, "org"),
+    (_NAME_GROUPS, "name"),
+    (_PARTICLE_GROUPS, "part"),
+    (_LOC_TOKENS, "loc"),
+):
+    for _t, _ids in _group_ids(_groups, _cat).items():
+        TOKEN_SYMBOLS_MULTI[_t] = TOKEN_SYMBOLS_MULTI.get(_t, ()) + _ids
+for _t, _n in _NUM_WORDS.items():
+    TOKEN_SYMBOLS_MULTI[_t] = TOKEN_SYMBOLS_MULTI.get(_t, ()) + (f"num:{_n}",)
+
+
+def token_symbols_all(token: str) -> tuple[str, ...]:
+    """Every symbol id a normalized token carries (matcher-side lookup)."""
+    m = _NUM_RE.match(token)
+    if m is not None:
+        return (f"num:{int(m.group(1))}",)
+    return TOKEN_SYMBOLS_MULTI.get(token, ())
 
 # 1-18 digits: stays in int64 range on every engine (longer digit runs
 # are hashes/ids, not ordinals — not useful as numeric symbols anyway).

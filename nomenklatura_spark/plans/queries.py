@@ -1502,12 +1502,14 @@ def _assembled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pair_scores_ofac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8/X2 — OFAC Sanctions-List-Search score emulation on blocker pairs.
 
-    No SQL oracle: the score is Jaro-Winkler-based and DuckDB's
-    ``jaro_similarity`` implements a non-standard match-window variant
-    (measured: disagrees with the Winkler-1990 definition on ~5% of
-    random strings), so a bit-exact SQL replica is impossible.  The
-    scoring kernels are pinned by tests/test_matching_v2.py instead;
-    the driver records the rows-only check.
+    Oracled: the Jaro kernel is the canonical (integer-transposition)
+    definition, which is exactly what DuckDB's ``jaro_similarity`` /
+    ``jaro_winkler_similarity`` compute, so the whole pipeline — token
+    cleanup, short-token drop, first-letter-gated whole-string SimMetrics
+    JW, per-token 0.5-floor mean, max of the two techniques, max over the
+    name product — replays as pure SQL (``_PAIR_OFAC_SQL``).  Kernel
+    fixture parity vs the reference's 164-row OFAC corpus is pinned by
+    tests/test_parity_corpora.py.
     """
     from nomenklatura_spark.matching.ofac import score_pairs_ofac
 
@@ -1522,6 +1524,80 @@ def q_pair_scores_ofac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lid", "rid", F.round("score", 6).alias("score"))
         .orderBy("lid", "rid")
     )
+
+
+def _ofac_sql() -> str:
+    """DuckDB replay of the OFAC name score (matching/ofac.py).
+
+    The qualifier features (country/dob/gender/orgid) are structurally
+    empty on this corpus (the statement model carries no such props for
+    part/customer/supplier), so the weighted sum reduces to the clamped
+    name score — asserted empty in tests/test_entry_contract semantics by
+    the hash itself.
+    """
+    toks = (
+        "list_filter(string_split_regex(upper(regexp_replace({x}, "
+        "'[''`.,]', '', 'g')), '[^0-9A-Za-zÀ-ɏЀ-ӿ]+'), t -> t != '')"
+    )
+    # DuckDB lambdas cannot carry subqueries, so qn/cn/q2 are textually
+    # inlined into the technique expressions.
+    qn = "array_to_string(qtl, ' ')"
+    cn = "array_to_string(ctl, ' ')"
+    q2 = (
+        "CASE WHEN len(list_filter(qtl, t -> length(t) > 2)) > 0 "
+        "THEN list_filter(qtl, t -> length(t) > 2) ELSE qtl END"
+    )
+    # whole-string technique: first-letter gate + SimMetrics JW (prefix
+    # bonus applied unconditionally)
+    ws = f"""
+        CASE WHEN {qn} != '' AND {cn} != ''
+                  AND substr({qn}, 1, 1) = substr({cn}, 1, 1)
+                  AND jaro_similarity({qn}, {cn}) > 0
+             THEN jaro_similarity({qn}, {cn})
+                  + list_sum(list_transform([1, 2, 3, 4], i ->
+                        CASE WHEN i <= least(length({qn}), length({cn}))
+                                  AND substr({qn}, 1, i) = substr({cn}, 1, i)
+                             THEN 1 ELSE 0 END))
+                    * 0.1 * (1 - jaro_similarity({qn}, {cn}))
+             ELSE 0.0 END
+    """
+    # per-token technique: drop tokens of len <= 2 (never emptying), best
+    # JW per query token with the 0.5 floor, mean
+    pt = f"""
+        CASE WHEN len({q2}) = 0 OR len(ctl) = 0 THEN 0.0 ELSE
+            list_sum(list_transform({q2}, qt ->
+                CASE WHEN ifnull(list_max(list_transform(ctl, ct ->
+                              jaro_winkler_similarity(qt, ct))), 0.0) >= 0.5
+                     THEN list_max(list_transform(ctl, ct ->
+                              jaro_winkler_similarity(qt, ct)))
+                     ELSE 0.0 END)) / len({q2})
+        END
+    """
+    name_pair = f"greatest({ws}, {pt})"
+    return f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    feats AS (
+        SELECT 'part-' || p_partkey AS id, [p_name] AS names FROM part
+        UNION ALL
+        SELECT 'customer-' || c_custkey, [c_name] FROM customer
+        UNION ALL
+        SELECT 'supplier-' || s_suppkey, [s_name] FROM supplier
+    ),
+    toks AS (
+        SELECT id, list_transform(names, n -> {toks.format(x='n')})
+            AS tok_lists
+        FROM feats
+    )
+    SELECT p.lid, p.rid,
+        round(least(1.0, greatest(0.0, ifnull(list_max(flatten(
+            list_transform(lt.tok_lists, qtl ->
+                list_transform(rt.tok_lists, ctl -> {name_pair}))
+        )), 0.0))), 6) AS score
+    FROM pairs p
+    JOIN toks lt ON lt.id = p.lid
+    JOIN toks rt ON rt.id = p.rid
+    ORDER BY lid, rid
+    """
 
 
 def q_pair_scores_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1545,25 +1621,174 @@ def q_pair_scores_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: hyperplane-LSH bucket join + exact re-rank.
 
-    No SQL oracle (the bucketing is not SQL-expressible without replaying
-    the plane derivation); correctness is covered by the recall-vs-brute
-    pytest (tests/test_multimodal_ann.py) and the driver's rows-only check.
+    Oracled: the md5-derived planes are deterministic constants, so the
+    DuckDB oracle replays signature → bucket join → re-rank in pure SQL
+    with the same plane literals (``_ANN_LSH_SQL``).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return lsh_topk(emb, queries, k=5, n_planes=16, band_bits=2)
 
 
+def _ann_lsh_sql() -> str:
+    """DuckDB replay of the LSH pipeline (same plane constants the Spark
+    side embeds as literals — ann/lsh.py:_plane_coeffs)."""
+    from nomenklatura_spark.ann.lsh import _plane_coeffs
+
+    rows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join("1.0" if c > 0 else "-1.0" for c in cs)
+        )
+        for p, cs in _plane_coeffs(16, 64)
+    )
+    return f"""
+        WITH planes(p, coeffs) AS (VALUES {rows}),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bits AS (
+            SELECT vec_id, p,
+                CASE WHEN list_dot_product(v, coeffs) >= 0
+                     THEN '1' ELSE '0' END AS b
+            FROM vecs, planes
+        ),
+        sigs AS (
+            SELECT vec_id, CAST(p // 2 AS INT) AS band,
+                   string_agg(b, '' ORDER BY p) AS key
+            FROM bits GROUP BY vec_id, p // 2
+        ),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM sigs q JOIN sigs c USING (band, key)
+            WHERE q.vec_id % 50 = 0 AND c.vec_id != q.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine_sim
+            FROM cands
+            JOIN vecs qv ON qv.vec_id = query_id
+            JOIN vecs cv ON cv.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank
+        FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id
+            ) AS INT) AS rank
+            FROM scored
+        )
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: IVF inverted-list probe + exact re-rank.
 
-    No SQL oracle (k-means training is iterative); correctness is covered
-    by the recall / full-probe-equals-brute / determinism pytests
-    (tests/test_multimodal_ann.py) and the driver's rows-only check.
+    Oracled: the codebook is hash-seeded and trains a FIXED 2 Lloyd
+    rounds with round(9) pinning on sims and centroid components, so the
+    DuckDB oracle unrolls the training as two CTE stages
+    (``_ANN_IVF_SQL``).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6, n_iter=2)
+
+
+def _ivf_assign_sql(vec_rel: str, cent_rel: str) -> str:
+    return f"""
+            SELECT id, vec, centroid FROM (
+                SELECT v.id, v.vec, s.centroid,
+                    row_number() OVER (
+                        PARTITION BY v.id
+                        ORDER BY round(list_dot_product(v.vec, s.c_vec), 9)
+                                 DESC, s.centroid
+                    ) AS rn
+                FROM {vec_rel} v, {cent_rel} s
+            ) WHERE rn = 1
+    """
+
+
+def _ivf_update_sql(assign_rel: str) -> str:
+    return f"""
+            SELECT centroid,
+                list_transform(raw, x -> round(x / greatest(nrm, 1e-12), 9))
+                    AS c_vec
+            FROM (
+                SELECT centroid, list(m ORDER BY pos) AS raw,
+                    sqrt(list_dot_product(
+                        list(m ORDER BY pos), list(m ORDER BY pos)
+                    )) AS nrm
+                FROM (
+                    SELECT centroid, pos, avg(x) AS m
+                    FROM (
+                        SELECT centroid, unnest(vec) AS x,
+                            unnest(generate_series(1, len(vec))) AS pos
+                        FROM {assign_rel}
+                    ) GROUP BY centroid, pos
+                ) GROUP BY centroid
+            )
+    """
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB replay of IVF-Flat: seed → 2 unrolled Lloyd rounds →
+    inverted list → probe → exact re-rank (ann/ivf.py)."""
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id AS id,
+                list_transform(
+                    CAST(embedding AS DOUBLE[]),
+                    x -> x / sqrt(list_dot_product(
+                        CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[])
+                    ))
+                ) AS vec
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT CAST(rk - 1 AS INT) AS centroid, vec AS c_vec FROM (
+                SELECT vec, row_number() OVER (
+                    ORDER BY md5(CAST(id AS VARCHAR)), id
+                ) AS rk
+                FROM vecs
+            ) WHERE rk <= 16
+        ),
+        a1 AS ({_ivf_assign_sql("vecs", "seeds")}),
+        c1 AS ({_ivf_update_sql("a1")}),
+        a2 AS ({_ivf_assign_sql("vecs", "c1")}),
+        c2 AS ({_ivf_update_sql("a2")}),
+        inv AS ({_ivf_assign_sql("vecs", "c2")}),
+        probes AS (
+            SELECT query_id, centroid FROM (
+                SELECT q.id AS query_id, s.centroid,
+                    row_number() OVER (
+                        PARTITION BY q.id
+                        ORDER BY round(list_dot_product(q.vec, s.c_vec), 9)
+                                 DESC, s.centroid
+                    ) AS pr
+                FROM vecs q, c2 s WHERE q.id % 50 = 0
+            ) WHERE pr <= 6
+        ),
+        scored AS (
+            SELECT p.query_id, i.id AS neighbor_id,
+                round(list_dot_product(qv.vec, i.vec), 6) AS cosine_sim
+            FROM probes p
+            JOIN inv i USING (centroid)
+            JOIN vecs qv ON qv.id = p.query_id
+            WHERE i.id != p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank
+        FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id
+            ) AS INT) AS rank
+            FROM scored
+        )
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,6 +2230,7 @@ ORACLES = {
     "blocker_match": _MATCH_SQL,
     "pair_scores": _PAIR_SCORES_SQL,
     "pair_scores_regression": _PAIR_SCORES_REG_SQL,
+    "pair_scores_ofac": _ofac_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": f"SELECT * FROM ({_NGRAM_PAIRS_SQL_BODY}) ORDER BY lid, rid",
     "doc_decontaminate": _DECONTAM_SQL,
@@ -2020,7 +2246,8 @@ ORACLES = {
     "doc_quality": _quality_sql(),
     "xref_suggestions": _XREF_SUGGESTIONS_SQL,
     "ann_topk": _ANN_SQL,
-    # ann_lsh_topk: deliberately no oracle — approximate op, rows-only check
+    "ann_lsh_topk": _ann_lsh_sql(),
+    "ann_ivf_topk": _ann_ivf_sql(),
     "dedup_embedding": _DEDUP_EMB_SQL,
     "media_features": _MEDIA_FEATURES_SQL,
     "media_by_type": _MEDIA_BY_TYPE_SQL,

@@ -63,9 +63,10 @@ def test_name_match_bounds(q, r):
 @settings(max_examples=300, deadline=None)
 @given(names)
 def test_name_match_identity(n):
-    from nomenklatura_spark.matching.names_v2 import _parts, name_match
+    from nomenklatura_spark.matching.names_v2 import _analyze, name_match
 
-    if _parts(n):  # any tokenizable name matches itself perfectly
+    if any(alt[0] for alt in _analyze(n)):
+        # any tokenizable name matches itself perfectly
         assert name_match([n], [n]) == 1.0
 
 

@@ -92,8 +92,13 @@ def test_name_v2_literal_early_exit():
 def test_name_v2_legal_form_dampening():
     from nomenklatura_spark.matching.names_v2 import name_pair_score
 
+    # legal forms canonicalise in the comparable form: a literal match
+    # (the reference scores "Acme Holdings Limited" ≡ "Acme Holdings Ltd"
+    # at 1.0 via normalize_name's legal-form replacement)
     s = name_pair_score("acme limited", "acme ltd")
-    assert 0.85 < s < 1.0
+    assert s == 1.0
+    # distinct legal forms do NOT literal-match
+    assert name_pair_score("acme ltd", "acme gmbh") < 1.0
 
 
 def test_name_v2_extra_asymmetry():
@@ -107,18 +112,28 @@ def test_name_v2_extra_asymmetry():
 def test_name_v2_family_name_boost():
     from nomenklatura_spark.matching.names_v2 import name_pair_score
 
-    fam = frozenset(["smith", "gruber"])
-    given_mismatch = name_pair_score("john smith", "jon smith", fam)
-    family_mismatch = name_pair_score("john smith", "john smyth", fam)
-    # a fuzzy family-name is weighted harder than a fuzzy given-name
-    assert given_mismatch > family_mismatch
+    fam = frozenset(["smith"])
+    # boost amplifies whatever the family part contributes: a matched
+    # family name lifts the mean, a fuzzy family name drags it harder
+    assert name_pair_score("john smith", "jon smith", fam) > name_pair_score(
+        "john smith", "jon smith"
+    )
+    assert name_pair_score("john smith", "john smyth", fam) < name_pair_score(
+        "john smith", "john smyth"
+    )
 
 
 def test_name_v2_initials():
     from nomenklatura_spark.matching.names_v2 import name_pair_score
 
+    # single initials do NOT pair with full parts — the frozen reference
+    # run scores "V. Putin" ~ "Vladimir Putin" at exactly 0.5 (the
+    # initial aligns as a zero-score pair at weight 1)
     s = name_pair_score("j smith", "john smith")
-    assert s > 0.8
+    assert s == pytest.approx(0.5)
+    # but initial RUNS pair as acronym spans ("JC"~"Jean-Claude" → 0.95)
+    s2 = name_pair_score("jc juncker", "jean claude juncker")
+    assert s2 == pytest.approx(0.95)
 
 
 def test_strict_levenshtein_py():

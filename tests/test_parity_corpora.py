@@ -1,0 +1,180 @@
+"""Parity replay of the reference's own correctness corpora (SURVEY §5).
+
+Three fixture sets, copied verbatim from the reference repo (data, not
+code), replayed against this engine's matchers with the reference's own
+acceptance thresholds:
+
+- ``ofac_fixtures.csv`` (``tests/matching/name_based/ofac_fixtures.csv``):
+  164 positive rows scored by the real OFAC sanctions-search slider, plus
+  negative rows; thresholds from ``tests/matching/name_based/test_ofac.py:
+  85-120`` (≥90% within ±5 points, mean |Δ| ≤ 2, all-but-one negative
+  below the 80 slider).
+- ``logicv2_frozen.csv`` (``contrib/name_bench/run_data/logicv2-frozen.csv``):
+  the reference's frozen per-case LogicV2 output over its 812-case
+  labelled name-pair benchmark.  We assert aggregate label metrics at the
+  reference's F1 threshold 0.7 (``contrib/name_bench/run.py``) AND
+  per-case score parity against the reference's own scores — the
+  strongest available evidence that C1 is a faithful re-expression.
+- ``entity_bench_checks.yml`` (``contrib/entity_bench/checks.yml``): 228
+  whole-entity checks at threshold 0.8 (``contrib/entity_bench/
+  benchmark.py:run_benchmark``).
+
+The reference itself does not pass these corpora perfectly (its frozen
+run has F1 0.790 with 108 false positives and one STRONG failure); the
+bars below hold this engine to the same standard, not to 100%.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import pytest
+import yaml
+
+from nomenklatura_spark.matching.names_v2 import (
+    OBJ_SCHEMAS,
+    name_match,
+    object_name_match,
+)
+from nomenklatura_spark.matching.ofac import ofac_name_score
+
+DATA = Path(__file__).parent / "data"
+THRESHOLD = 0.7  # name_bench decision threshold (run.py DEFAULT_THRESHOLD)
+ENTITY_THRESHOLD = 0.8  # entity_bench (benchmark.py __main__)
+
+
+def _score(schema: str, name1: str, name2: str) -> float:
+    if schema in OBJ_SCHEMAS:
+        return object_name_match([name1], [name2])
+    return name_match([name1], [name2], person=(schema == "Person"))
+
+
+# --- OFAC fixture replay ----------------------------------------------------
+
+
+def _ofac_rows():
+    with (DATA / "ofac_fixtures.csv").open() as fh:
+        for row in csv.DictReader(fh):
+            yield row["query_name"], row["result_name"], int(row["ofac_score"])
+
+
+def test_ofac_fixture_positive_parity():
+    """≥90% of positive rows within ±5 points, mean |Δ| ≤ 2 — the
+    reference's own bar (test_ofac.py:85-103)."""
+    deltas = []
+    for query, candidate, expected in _ofac_rows():
+        if expected < 0:
+            continue
+        got = round(ofac_name_score([query], [candidate]) * 100)
+        deltas.append(abs(got - expected))
+    within_5 = sum(1 for d in deltas if d <= 5)
+    assert within_5 / len(deltas) >= 0.90, f"{within_5}/{len(deltas)} within ±5"
+    mean_abs = sum(deltas) / len(deltas)
+    assert mean_abs <= 2.0, f"mean |Δ| = {mean_abs:.2f}"
+
+
+def test_ofac_fixture_negative_threshold():
+    """Negative rows (-1 = absent at slider 80) must score below 0.8,
+    tolerating one over-fire (test_ofac.py:106-120)."""
+    below = total = 0
+    for query, candidate, expected in _ofac_rows():
+        if expected != -1:
+            continue
+        total += 1
+        if ofac_name_score([query], [candidate]) < 0.8:
+            below += 1
+    assert below >= total - 1, f"{below}/{total} below the 80 slider"
+
+
+# --- name_bench frozen-run replay -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def frozen_scored():
+    rows = list(csv.DictReader((DATA / "logicv2_frozen.csv").open()))
+    return [
+        (row, _score(row["schema"], row["name1"], row["name2"])) for row in rows
+    ]
+
+
+def test_name_bench_f1(frozen_scored):
+    """Label accuracy at the reference's threshold: F1 within 0.02 of the
+    reference's own 0.790 on the same corpus."""
+    tp = fp = fn = 0
+    for row, s in frozen_scored:
+        is_match = row["is_match"] == "true"
+        pred = s >= THRESHOLD
+        tp += pred and is_match
+        fp += pred and not is_match
+        fn += (not pred) and is_match
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.77, f"F1 {f1:.3f} (reference: 0.790)"
+
+
+def test_name_bench_strong_cases(frozen_scored):
+    """STRONG failures are hard errors, except the one case the reference
+    itself fails (Berliner/Bayerische Motoren Werke, frozen 0.7297)."""
+    fails = [
+        (row["name1"], row["name2"], s)
+        for row, s in frozen_scored
+        if row["quality"] == "STRONG"
+        and (s >= THRESHOLD) != (row["is_match"] == "true")
+    ]
+    allowed = {("Berliner Motoren Werke Aktiengesellschaft",
+                "Bayerische Motoren Werke Aktiengesellschaft")}
+    unexpected = [f for f in fails if (f[0], f[1]) not in allowed]
+    assert not unexpected, f"STRONG failures: {unexpected}"
+
+
+def test_name_bench_score_parity(frozen_scored):
+    """Per-case parity against the reference's own scores: mean |Δ| ≤ 0.06
+    and ≥80% of cases within 0.1.  (Cross-script CJK romanisation is the
+    main residual gap — documented deviation.)"""
+    deltas = [abs(s - float(row["score"])) for row, s in frozen_scored]
+    mean = sum(deltas) / len(deltas)
+    within = sum(1 for d in deltas if d <= 0.1) / len(deltas)
+    assert mean <= 0.06, f"mean |Δ| vs frozen = {mean:.4f}"
+    assert within >= 0.80, f"only {within:.1%} within 0.1 of frozen"
+
+
+# --- entity_bench checks.yml ------------------------------------------------
+
+
+def _check_names(props: dict) -> list[str]:
+    name = props.get("name")
+    if isinstance(name, str):
+        return [name]
+    if isinstance(name, list):
+        return name
+    parts = [
+        props.get(k)
+        for k in ("firstName", "secondName", "middleName", "fatherName",
+                  "motherName", "lastName")
+    ]
+    joined = " ".join(p for p in parts if p)
+    return [joined] if joined else []
+
+
+def test_entity_bench_checks():
+    data = yaml.safe_load((DATA / "entity_bench_checks.yml").open())
+    checks = data["checks"]
+    assert len(checks) >= 200
+    correct = 0
+    for check in checks:
+        schema = check["schema"]
+        query, cand = check.get("query", {}), check.get("candidate", {})
+        qn, rn = _check_names(query), _check_names(cand)
+        fam = [cand["lastName"]] if cand.get("lastName") else None
+        if schema in OBJ_SCHEMAS:
+            s = object_name_match(qn, rn)
+        else:
+            s = name_match(qn, rn, fam, person=(schema == "Person"))
+        correct += (s >= ENTITY_THRESHOLD) == check["match"]
+    accuracy = correct / len(checks)
+    # the corpus is deliberately adversarial (leetspeak, reversed tokens,
+    # cross-script); the reference's own frozen scores fail many of the
+    # same rows.  ≥75% holds the engine to the reference's envelope.
+    assert accuracy >= 0.75, f"entity_bench accuracy {accuracy:.1%}"
