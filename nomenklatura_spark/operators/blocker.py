@@ -104,9 +104,19 @@ def token_schema_counts(entries: DataFrame) -> DataFrame:
     )
 
 
+def _default_schemata(df: DataFrame) -> DataFrame:
+    """The bundled FtM can_match dimension (model/ftm.py) — used whenever
+    the caller does not supply schema pairs, so the blocker stack runs on
+    real FtM data out of the box (reference: xref.py:105 derives this from
+    the followthemoney model at runtime)."""
+    from nomenklatura_spark.model.ftm import schemata_pairs_df
+
+    return schemata_pairs_df(df.sparkSession)
+
+
 def build_token_stats(
     entries: DataFrame,
-    schemata: DataFrame,
+    schemata: DataFrame | None,
     max_pair_cost: int,
     tsc: DataFrame | None = None,
     schema_pairs: list[tuple[str, str]] | None = None,
@@ -130,6 +140,10 @@ def build_token_stats(
     instead of join+agg+totals+join; arithmetic is term-for-term the
     same as the join path (see test_blocker_units parity test).
     """
+    if schemata is None and schema_pairs is None:
+        from nomenklatura_spark.model.ftm import can_match_pairs
+
+        schema_pairs = can_match_pairs()
     if tsc is None:
         tsc = token_schema_counts(entries)
 
@@ -340,7 +354,7 @@ def term_frequencies(
 
 def candidate_pairs(
     tf: DataFrame,
-    schemata: DataFrame,
+    schemata: DataFrame | None = None,
     max_pairs: int = 10_000,
     score_decimals: int | None = None,
 ) -> DataFrame:
@@ -355,6 +369,8 @@ def candidate_pairs(
 
     Output: (lid, rid, score) ordered by score desc, lid, rid.
     """
+    if schemata is None:
+        schemata = _default_schemata(tf)
     l = tf.select(
         F.col("id").alias("lid"),
         F.col("schema").alias("l_schema"),
@@ -489,7 +505,7 @@ def build_matching_token_stats(
 def match_candidates(
     matching: DataFrame,
     tf_all: DataFrame,
-    schemata: DataFrame,
+    schemata: DataFrame | None = None,
     max_candidates: int = DEFAULT_MAX_CANDIDATES,
     min_score_ratio: float = DEFAULT_MIN_SCORE_RATIO,
     score_decimals: int | None = None,
@@ -506,6 +522,8 @@ def match_candidates(
 
     Output: (matching_id, matches_id, score) ordered by matching_id, rank.
     """
+    if schemata is None:
+        schemata = _default_schemata(matching)
     m = matching.select(
         F.col("id").alias("matching_id"),
         F.col("schema").alias("m_schema"),

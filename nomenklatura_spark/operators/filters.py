@@ -36,12 +36,19 @@ def filter_schemata(stmts: DataFrame, include_schemata: Sequence[str]) -> DataFr
     return stmts.where(F.col("schema").isin(list(include_schemata)))
 
 
-def filter_matchable(stmts: DataFrame, matchable_schemata: DataFrame) -> DataFrame:
+def filter_matchable(
+    stmts: DataFrame, matchable_schemata: DataFrame | None = None
+) -> DataFrame:
     """F4 — keep only statements of matchable schemata, via a broadcast
-    semi-join against the (tiny) schema-registry dimension.
+    semi-join against the (tiny) schema-registry dimension.  Defaults to
+    the bundled FtM ontology (model/ftm.py).
 
     Reference: nomenklatura/blocker/index.py:160-161,227.
     """
+    if matchable_schemata is None:
+        from nomenklatura_spark.model.ftm import matchable_df
+
+        matchable_schemata = matchable_df(stmts.sparkSession)
     return stmts.join(
         F.broadcast(matchable_schemata.select("schema")), "schema", "left_semi"
     )

@@ -55,7 +55,7 @@ class XrefOptions:
 def xref_pairs(
     spark: SparkSession,
     stmts: DataFrame,
-    schemata: DataFrame,
+    schemata: DataFrame | None = None,
     edges: DataFrame | None = None,
     options: XrefOptions | None = None,
 ) -> DataFrame:
@@ -106,7 +106,7 @@ def xref_pairs(
 def xref(
     spark: SparkSession,
     stmts: DataFrame,
-    schemata: DataFrame,
+    schemata: DataFrame | None,
     edges: DataFrame,
     ts: str,
     options: XrefOptions | None = None,
