@@ -146,11 +146,15 @@ def cosine_topk(
                     }
                 )
 
-    # repartition the corpus side: a single parquet file otherwise scans
-    # as one partition and the whole N·M grid runs serially
-    c = corpus.select(id_col, vec_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Repartition the corpus side only when it arrives UNDER-partitioned
+    # (a single local parquet file scans as one partition and the whole
+    # N·M grid would run serially).  A corpus already split across many
+    # partitions — the 100 TB case — must not be round-robin shuffled
+    # just to feed a map-side GEMM.
+    c = corpus.select(id_col, vec_col)
+    target = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < target:
+        c = c.repartition(target)
     scored = c.mapInPandas(gen, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
