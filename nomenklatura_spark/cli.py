@@ -1,0 +1,188 @@
+"""Thin CLI over the Spark engine — the reference's command surface
+(``nomenklatura/cli.py``) re-expressed as batch jobs.
+
+Verbs map 1:1 to the library plans; each reads/writes files so a user of
+the reference tool can drive the same workflows:
+
+- ``xref PATH``          dedupe candidates from an entity file (P1)
+- ``apply PATH``         canonicalise an entity stream with a resolver (P4/F7)
+- ``apply-statements``   canonicalise a statement CSV (F7)
+- ``sorted-aggregate``   merge statement rows into entities (A7/P5)
+- ``train-v1-matcher``   fit the regression matcher from judgement pairs (P8)
+- ``load-resolver`` / ``dump-resolver``  resolver dump round-trip (S7)
+- ``bench``              one matching-throughput measurement (contrib perf)
+
+The interactive ``dedupe`` TUI and network ``enrich``/``match`` verbs are
+out of scope per SURVEY §2 (TUI) and the sandbox (HTTP transports are
+injection points; see sources/enrich.py).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import click
+
+from nomenklatura_spark.session import get_spark
+
+
+def _spark():
+    return get_spark("nomenklatura-spark-cli")
+
+
+@click.group(help="nomenklatura-spark data integration")
+def cli() -> None:
+    pass
+
+
+@cli.command("xref", help="Generate dedupe candidates from an entity file")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output parquet directory for scored candidate pairs")
+@click.option("-l", "--limit", type=int, default=5000)
+@click.option("-t", "--threshold", type=float, default=0.0)
+@click.option("-d", "--discount-internal", type=float, default=1.0)
+def xref_cmd(path: str, outpath: str, limit: int, threshold: float,
+             discount_internal: float) -> None:
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.plans.xref import XrefOptions, xref_pairs
+    from nomenklatura_spark.sources.entity_json import read_entity_file
+
+    spark = _spark()
+    stmts = read_entity_file(spark, path)
+    scored = xref_pairs(
+        spark,
+        stmts,
+        options=XrefOptions(
+            threshold=threshold, discount_internal=discount_internal
+        ),
+    )
+    top = scored.orderBy(F.desc("score"), "lid", "rid").limit(limit)
+    top.write.mode("overwrite").parquet(outpath)
+    click.echo(f"wrote {limit}-capped candidates to {outpath}")
+
+
+@cli.command("apply", help="Apply a resolver file to an entity stream")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True)
+@click.option("-r", "--resolver", type=click.Path(exists=True), required=True)
+def apply_cmd(path: str, outpath: str, resolver: str) -> None:
+    from nomenklatura_spark.resolver.edges import resolver_mapping
+    from nomenklatura_spark.resolver.linker import apply_linker
+    from nomenklatura_spark.sources.entity_json import (
+        entities_to_json,
+        read_entity_file,
+    )
+    from nomenklatura_spark.sources.statement_io import read_resolver_dump
+
+    spark = _spark()
+    stmts = read_entity_file(spark, path)
+    mapping = resolver_mapping(read_resolver_dump(spark, resolver))
+    canon = apply_linker(stmts, mapping)
+    entities_to_json(canon).coalesce(1).write.mode("overwrite").text(outpath)
+    click.echo(f"wrote canonicalised entities to {outpath}")
+
+
+@cli.command("apply-statements", help="Apply a resolver file to statements")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True)
+@click.option("-r", "--resolver", type=click.Path(exists=True), required=True)
+def apply_statements_cmd(path: str, outpath: str, resolver: str) -> None:
+    from nomenklatura_spark.resolver.edges import resolver_mapping
+    from nomenklatura_spark.resolver.linker import apply_linker
+    from nomenklatura_spark.sources.statement_io import (
+        read_resolver_dump,
+        read_statement_csv,
+        write_statement_csv,
+    )
+
+    spark = _spark()
+    stmts = read_statement_csv(spark, path)
+    mapping = resolver_mapping(read_resolver_dump(spark, resolver))
+    write_statement_csv(apply_linker(stmts, mapping), outpath)
+    click.echo(f"wrote canonicalised statements to {outpath}")
+
+
+@cli.command("sorted-aggregate", help="Merge statement rows into entities")
+@click.option("-i", "--infile", type=click.Path(exists=True), required=True)
+@click.option("-o", "--outpath", type=click.Path(), required=True)
+def sorted_aggregate_cmd(infile: str, outpath: str) -> None:
+    from nomenklatura_spark.operators.assembly import assemble_entities
+    from nomenklatura_spark.sources.entity_json import (
+        entities_to_json,
+        read_entity_file,
+    )
+
+    spark = _spark()
+    stmts = read_entity_file(spark, infile)
+    # assembly is a shuffle group-by — the batch equivalent of the
+    # reference's external-sort aggregator (P5)
+    assemble_entities(stmts)  # materialises/validates the grouping
+    entities_to_json(stmts).coalesce(1).write.mode("overwrite").text(outpath)
+    click.echo(f"wrote aggregated entities to {outpath}")
+
+
+@cli.command("train-v1-matcher", help="Train the regression matcher")
+@click.argument("pairs_path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output JSON file for the fitted model")
+def train_cmd(pairs_path: str, outpath: str) -> None:
+    from nomenklatura_spark.matching.train import train_logistic
+
+    spark = _spark()
+    pairs = spark.read.parquet(pairs_path)
+    feature_cols = [c for c in pairs.columns if c.startswith("f_")]
+    model = train_logistic(pairs, feature_cols, label_col="label")
+    with open(outpath, "w") as fh:
+        json.dump(model, fh, indent=2, sort_keys=True)
+    click.echo(f"wrote model to {outpath}")
+
+
+@cli.command("load-resolver", help="Load resolver edges from a dump file")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output parquet directory for the edge table")
+def load_resolver_cmd(path: str, outpath: str) -> None:
+    from nomenklatura_spark.sources.statement_io import read_resolver_dump
+
+    spark = _spark()
+    read_resolver_dump(spark, path).write.mode("overwrite").parquet(outpath)
+    click.echo(f"loaded resolver edges into {outpath}")
+
+
+@cli.command("dump-resolver", help="Dump resolver edges to a file")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True)
+def dump_resolver_cmd(path: str, outpath: str) -> None:
+    from nomenklatura_spark.sources.statement_io import write_resolver_dump
+
+    spark = _spark()
+    write_resolver_dump(spark.read.parquet(path), outpath)
+    click.echo(f"dumped resolver edges to {outpath}")
+
+
+@cli.command("bench", help="Benchmark the matching algorithms")
+@click.option("-n", "--pairs", type=int, default=10_000)
+def bench_cmd(pairs: int) -> None:
+    import time
+
+    from nomenklatura_spark.matching.names_v2 import name_match
+    from nomenklatura_spark.matching.ofac import ofac_name_score
+
+    names = [f"test name {i} variant" for i in range(pairs)]
+    for label, fn in (("logic_v2", name_match), ("ofac", ofac_name_score)):
+        t0 = time.time()
+        for n in names:
+            fn([n], ["test name canonical"])
+        dt = time.time() - t0
+        click.echo(f"{label}: {pairs / dt:,.0f} compares/s")
+
+
+def main() -> None:
+    cli(prog_name="nomenklatura-spark")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,10 @@ def normalize_pairs(pairs: DataFrame, left: str = "left", right: str = "right") 
 
 
 def live(edges: DataFrame) -> DataFrame:
+    """Undeleted edges.  An edge frame loaded from a resolver dump (S7)
+    carries live edges only and no ``deleted_at`` column — pass through."""
+    if "deleted_at" not in edges.columns:
+        return edges
     return edges.where(F.col("deleted_at").isNull())
 
 

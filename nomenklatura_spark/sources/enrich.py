@@ -35,6 +35,7 @@ from dataclasses import dataclass
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 # candidate rows an enricher returns for query entities
 MATCH_SCHEMA = (
@@ -58,19 +59,56 @@ def request_fingerprint(enricher: str, query_col) -> "F.Column":
 
 @dataclass
 class EnrichmentCache:
-    """Parquet-backed response cache with TTL (cache.py:36-157 semantics)."""
+    """Parquet-backed response cache with TTL (cache.py:36-157 semantics).
+
+    - **Jittered expiry** (``cache.py:30-33 randomize_cache``): the
+      effective TTL is uniform in [max(1, ceil(0.5·days)), ceil(1.3·days)]
+      so a whole crawl's cache doesn't expire on one day.  The reference
+      rolls a random TTL per lookup; at cluster scale that makes reruns
+      nondeterministic, so the jitter here is derived per-fingerprint
+      (md5 bucket) — same spread, stable across retries and engines.
+    - **Versioned invalidation** (``cache.py get(min_timestamp=...)``):
+      entries stored before ``min_timestamp`` are stale regardless of
+      TTL — the stricter (later) cutoff wins.
+    - **Latest row wins**: the parquet table is append-only, so reads
+      dedupe per fingerprint by newest ``cached_at`` (the reference's
+      ``ORDER BY timestamp DESC LIMIT 1``).
+    """
 
     path: str
 
-    def read(self, spark: SparkSession, max_age_days: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        max_age_days: int | None = None,
+        min_timestamp=None,
+    ) -> DataFrame:
         try:
             df = spark.read.parquet(self.path)
         except Exception:
             return spark.createDataFrame([], CACHE_SCHEMA)
         if max_age_days is not None:
-            cutoff = F.date_sub(F.current_timestamp(), max_age_days)
-            df = df.where(F.col("cached_at") >= cutoff)
-        return df
+            if max_age_days < 1:
+                return spark.createDataFrame([], CACHE_SCHEMA)
+            lo = max(1, -(-max_age_days // 2))  # ceil(days * 0.5)
+            hi = -(-(max_age_days * 13) // 10)  # ceil(days * 1.3)
+            jitter = lo + F.pmod(
+                F.conv(F.substring(F.md5(F.col("fingerprint")), 1, 8), 16, 10)
+                .cast("long"),
+                F.lit(hi - lo + 1),
+            ).cast("int")
+            df = df.where(
+                F.col("cached_at")
+                >= F.to_timestamp(F.date_sub(F.current_timestamp(), jitter))
+            )
+        if min_timestamp is not None:
+            df = df.where(F.col("cached_at") >= F.lit(min_timestamp))
+        w = Window.partitionBy("fingerprint").orderBy(F.desc("cached_at"))
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+        )
 
     def append(self, rows: DataFrame) -> None:
         rows.select(

@@ -63,6 +63,37 @@ def test_cache_hit_skips_transport(spark, queries, tmp_path):
     }
 
 
+def test_cache_ttl_and_versioning(spark, queries, tmp_path):
+    """Jittered TTL + min_timestamp invalidation + latest-row-wins
+    (reference cache.py:30-33, get(min_timestamp=...))."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    cache = EnrichmentCache(str(tmp_path / "cache"))
+    enrich_match(queries, LocalEnricher(REF), cache=cache).collect()
+
+    # fresh entries survive any sane TTL; the jitter floor is >= 1 day
+    assert cache.read(spark, max_age_days=30).count() > 0
+    assert cache.read(spark, max_age_days=1).count() > 0
+    # max_age < 1 disables the cache entirely (reference get(): max_age<1)
+    assert cache.read(spark, max_age_days=0).count() == 0
+    # a future min_timestamp invalidates everything stored before it
+    future = datetime.datetime.now() + datetime.timedelta(days=1)
+    assert cache.read(spark, min_timestamp=future).count() == 0
+
+    # latest row wins: append a newer response for an existing fingerprint
+    one = cache.read(spark).limit(1)
+    cache.append(
+        one.select(
+            "fingerprint", "enricher", F.lit("NEWER").alias("response")
+        )
+    )
+    fp = one.collect()[0]["fingerprint"]
+    rows = cache.read(spark).where(F.col("fingerprint") == fp).collect()
+    assert len(rows) == 1 and rows[0]["response"] == "NEWER"
+
+
 def test_stub_http_raises(spark, queries):
     with pytest.raises(Exception):
         enrich_match(queries, StubHttpEnricher("https://example.com")).collect()
