@@ -63,8 +63,9 @@ EXTRAS_WEIGHTS = {"org": 0.7, "sym": 0.7, "num": 1.3, "loc": 0.8}
 # --- org classes: token -> canonical class ---------------------------------
 
 _ORG_CLASSES: dict[str, list[str]] = {
-    "ltd": ["ltd", "limited", "lda"],
-    "llc": ["llc", "lc", "ooo", "sdn", "bhd"],
+    # one "limited liability" concept class: the frozen logic_v2 run pairs
+    # "construction ltd" ~ "LLC CONSTRUCTION ..." at the ORG_CLASS score
+    "ltd": ["ltd", "limited", "lda", "llc", "lc", "ooo", "sdn", "bhd", "sl"],
     "llp": ["llp"],
     "lp": ["lp"],
     "inc": ["inc", "incorporated"],

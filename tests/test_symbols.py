@@ -25,7 +25,8 @@ from nomenklatura_spark.matching.symbols import (
 def test_token_symbol_categories():
     # org-class folding
     assert token_symbol("ltd") == token_symbol("limited") == "org:ltd"
-    assert token_symbol("ooo") == token_symbol("llc") == "org:llc"
+    # one "limited liability" concept class (see symbols.py note)
+    assert token_symbol("ooo") == token_symbol("llc") == "org:ltd"
     # the whole joint-stock family shares one class (frozen logic_v2 run
     # pairs "OAO Gazprom" ~ "Gazprom JSC" at the ORG_CLASS score)
     assert token_symbol("oao") == token_symbol("ojsc") == "org:jsc"
@@ -130,7 +131,7 @@ def test_npi_luhn(spark):
 
 @pytest.mark.parametrize("value,expected", [
     ("Vessel II", {"sy:num:2"}),
-    ("Gazprom OOO", {"sy:org:llc"}),
+    ("Gazprom OOO", {"sy:org:ltd"}),
     # "holdings" is sym-category (excluded from blocking), "medical" is dom
     ("Bill Medical Holdings", {"sy:nick:william", "sy:dom:medical"}),
     ("Plain Name", set()),
