@@ -109,7 +109,6 @@ def apply_statements_cmd(path: str, outpath: str, resolver: str) -> None:
 @click.option("-i", "--infile", type=click.Path(exists=True), required=True)
 @click.option("-o", "--outpath", type=click.Path(), required=True)
 def sorted_aggregate_cmd(infile: str, outpath: str) -> None:
-    from nomenklatura_spark.operators.assembly import assemble_entities
     from nomenklatura_spark.sources.entity_json import (
         entities_to_json,
         read_entity_file,
@@ -117,9 +116,8 @@ def sorted_aggregate_cmd(infile: str, outpath: str) -> None:
 
     spark = _spark()
     stmts = read_entity_file(spark, infile)
-    # assembly is a shuffle group-by — the batch equivalent of the
-    # reference's external-sort aggregator (P5)
-    assemble_entities(stmts)  # materialises/validates the grouping
+    # entities_to_json IS the aggregation — a shuffle group-by per entity,
+    # the batch equivalent of the reference's external-sort aggregator (P5)
     entities_to_json(stmts).coalesce(1).write.mode("overwrite").text(outpath)
     click.echo(f"wrote aggregated entities to {outpath}")
 
