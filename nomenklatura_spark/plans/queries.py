@@ -1873,6 +1873,72 @@ _MEDIA_BY_TYPE_SQL = """
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking over the documents table (the
+    pretraining-corpus shape; textops/chunks.py)."""
+    from nomenklatura_spark.textops.chunks import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs)
+        .select("doc_id", "chunk_idx", "n_words", "chunk_hash")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_DOC_CHUNKS_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x != '')
+                AS words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+            CAST(st // 48 AS INT) AS chunk_idx,
+            array_to_string(list_slice(words, st + 1, st + 64), ' ')
+                AS chunk_text
+        FROM w, UNNEST(range(0,
+            CAST(ceil(greatest(len(words) - 64, 0) / 48.0) AS INT) * 48 + 1,
+            48)) AS t(st)
+    )
+    SELECT doc_id, chunk_idx,
+        len(list_filter(string_split_regex(chunk_text, '\\s+'), x -> x != ''))
+            AS n_words,
+        md5(chunk_text) AS chunk_hash
+    FROM c
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII class counts + scrubbed-text hash per document
+    (textops/chunks.pii_features)."""
+    from nomenklatura_spark.textops.chunks import pii_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_features(docs).orderBy("doc_id")
+
+
+def _doc_pii_sql() -> str:
+    from nomenklatura_spark.textops.chunks import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(string_split_regex(text, '{p}')) - 1 AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for kind, pattern in PII_PATTERNS.items():
+        scrub = (
+            f"regexp_replace({scrub}, '{pattern}', '[PII:{kind}]', 'g')"
+        )
+    return f"""
+        SELECT doc_id, {counts}, md5({scrub}) AS scrubbed_hash
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
 def q_xref_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — xref score summary over the scored candidate pairs."""
     from nomenklatura_spark.operators.diffs import xref_stats
@@ -2199,6 +2265,8 @@ QUERIES = {
     "doc_sample_mix": q_doc_sample_mix,
     "doc_pack": q_doc_pack,
     "doc_quality": q_doc_quality,
+    "doc_chunks": q_doc_chunks,
+    "doc_pii": q_doc_pii,
     "xref_suggestions": q_xref_suggestions,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2244,6 +2312,8 @@ ORACLES = {
     "doc_sample_mix": _doc_sample_mix_sql(),
     "doc_pack": _doc_pack_sql(),
     "doc_quality": _quality_sql(),
+    "doc_chunks": _DOC_CHUNKS_SQL,
+    "doc_pii": _doc_pii_sql(),
     "xref_suggestions": _XREF_SUGGESTIONS_SQL,
     "ann_topk": _ANN_SQL,
     "ann_lsh_topk": _ann_lsh_sql(),

@@ -109,3 +109,12 @@ def test_address_match_bounds(q, r):
 
     s = address_match(q, r)
     assert 0.0 <= s <= 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(names)
+def test_fold_idempotent(n):
+    from nomenklatura_spark.matching.translit import fold_text
+
+    once = fold_text(n)
+    assert fold_text(once) == once  # folding is a projection
