@@ -77,7 +77,7 @@ _ORG_CLASSES: dict[str, list[str]] = {
     "sas": ["sas"],
     "srl": ["srl"],
     "spa": ["spa"],
-    "bv": ["bv"],
+    "bv": ["bv", "bvba"],
     "nv": ["nv"],
     "oy": ["oy"],
     "ab": ["ab"],
@@ -308,7 +308,7 @@ _NAME_GROUPS: dict[str, list[str]] = {
                "sergej", "sergejs"],
     "xi": ["xi", "shi", "hsi", "si"],
     "vladimir": ["vladimir", "wladimir", "uladzimir", "volodymyr",
-                 "valdimir"],
+                 "volodimir", "valdimir"],
     "dmitry": ["dmitry", "dmitri", "dmitrii", "dmitriy", "dmytro", "dzmitry"],
     "andrei": ["andrei", "andrey", "andrii", "andriy", "andrej"],
     "mikhail": ["mikhail", "michail", "mykhailo", "mikhael", "michael"],

@@ -122,7 +122,10 @@ def fold_text(text: str) -> str:
     comparison still works.
     """
     out: list[str] = []
-    for ch in unicodedata.normalize("NFKD", text.lower()):
+    # NFKD before lowercasing: compatibility forms (math alphabets,
+    # fullwidth letters) decompose to cased base letters first, so one
+    # fold pass reaches the fixpoint
+    for ch in unicodedata.normalize("NFKD", text).lower():
         if unicodedata.combining(ch):
             continue
         mapped = _TABLE.get(ch)

@@ -178,3 +178,30 @@ def test_entity_bench_checks():
     # cross-script); the reference's own frozen scores fail many of the
     # same rows.  ≥75% holds the engine to the reference's envelope.
     assert accuracy >= 0.75, f"entity_bench accuracy {accuracy:.1%}"
+
+
+# --- putin_names.txt (reference tests/fixtures) -----------------------------
+
+
+def test_putin_name_variants():
+    """The reference's 80-variant transliteration fixture
+    (``tests/fixtures/putin_names.txt``, exercised by its name-analysis
+    tests): a majority of variants — across honorifics, patronymics,
+    Cyrillic/Greek/Armenian/Hebrew/Arabic scripts and European
+    morphology — must match "Vladimir Putin" at the 0.7 threshold.
+    (Indic/CJK/Thai romanisation is the documented residual gap.)"""
+    lines = [
+        ln.strip()
+        for ln in (DATA / "putin_names.txt").read_text().splitlines()
+        if ln.strip()
+    ]
+    assert len(lines) >= 80
+    hits = sum(
+        1
+        for n in lines
+        if name_match([n], ["Vladimir Putin"], person=True) >= THRESHOLD
+    )
+    assert hits / len(lines) >= 0.55, f"only {hits}/{len(lines)} matched"
+    # the canonical forms must be rock solid
+    for n in ("PUTIN, Vladimir", "Владимир Путин", "Wladimir Putin"):
+        assert name_match([n], ["Vladimir Putin"], person=True) >= 0.9, n
