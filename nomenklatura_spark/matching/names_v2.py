@@ -250,7 +250,9 @@ def _analyze(name: str) -> tuple[tuple, ...]:
                 toks.append(_deleet(t))
                 merged.append(False)
         _flush()
-        while len(toks) > 1 and toks[0] in _HONORIFICS:
+        while len(toks) > 1 and (
+            toks[0] in _HONORIFICS or toks[0] == "the"
+        ):
             toks.pop(0)
             merged.pop(0)
         if not toks:
@@ -606,7 +608,17 @@ def _alignment_score(
     total_s = total_w = 0.0
     for score, weight, qparts, rparts in scored:
         if qparts and rparts:
-            # matched single-part stopword dampening (match.py:92-99)
+            if (
+                len(qparts) == 1
+                and qparts == rparts
+                and qparts[0] in _STOP
+            ):
+                # an equal pure stopword is no evidence at all — the
+                # frozen run scores "Government of Estonia" ~
+                # "... Ethiopia" at 0.3/1.3 with "of"~"of" weightless
+                continue
+            # mismatched pairs with a single-stopword side dampen ×0.7
+            # (match.py:92-99; "A."~"Ali" at 0.7 in the frozen run)
             if (len(qparts) == 1 and qparts[0] in _STOP) or (
                 len(rparts) == 1 and rparts[0] in _STOP
             ):
