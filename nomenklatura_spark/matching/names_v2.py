@@ -169,6 +169,10 @@ def _deleet(tok: str) -> str:
     ("Ig0r" → "igor", "Sech1n" → "sechln"→fuzzy) — adversarial leetspeak
     the reference also absorbs.  Pure-digit tokens (vessel numbers,
     brigade ordinals) are untouched."""
+    if not tok[:1].isalpha() or not tok[-1:].isalpha():
+        # ordinals ("1st") and trailing-digit names ("Vessel2") keep
+        # their digits — only embedded confusables fold
+        return tok
     n_alpha = sum(c.isalpha() for c in tok)
     n_digit = sum(c.isdigit() for c in tok)
     if n_alpha >= 2 and 1 <= n_digit <= n_alpha:
