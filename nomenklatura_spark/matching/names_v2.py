@@ -246,6 +246,17 @@ def _analyze(name: str) -> tuple[tuple, ...]:
                 merged.append(False)
             run.clear()
 
+        # "H and M" ≡ "H&M": a conjunction between single letters bridges
+        # the initial run ("&" itself was already removed as non-word)
+        for k in range(len(raw_toks) - 2, 0, -1):
+            if (
+                raw_toks[k] in ("and", "und", "et", "e", "y")
+                and len(raw_toks[k - 1]) == 1
+                and raw_toks[k - 1].isalpha()
+                and len(raw_toks[k + 1]) == 1
+                and raw_toks[k + 1].isalpha()
+            ):
+                raw_toks.pop(k)
         for t in raw_toks:
             if len(t) == 1 and t.isalpha():
                 run.append(t)
@@ -371,6 +382,17 @@ def _symbol_edges(q: tuple, r: tuple):
             seen.add(sym)
             cat = sym.split(":", 1)[0]
             edges.append((q_by_id[sym], (s, e), cat))
+    if not any(sym.startswith("org:") for sym in seen):
+        # distinct legal-form classes on the two sides are weak org
+        # evidence, not a plain mismatch ("... S.A.R.L." vs "... GmbH")
+        q_org = next(
+            ((s, e) for s, e, sym in q[2] if sym.startswith("org:")), None
+        )
+        r_org = next(
+            ((s, e) for s, e, sym in r[2] if sym.startswith("org:")), None
+        )
+        if q_org is not None and r_org is not None:
+            edges.append((q_org, r_org, "orgx"))
     edges.extend(_acronym_edges(q, r))
     return edges
 
@@ -569,6 +591,9 @@ def _alignment_score(
             score, weight = (0.9, 1.0)
             if qj == rj:
                 score = 1.0
+        elif cat == "orgx":
+            # weak cross-class org evidence: half the ORG_CLASS score
+            score, weight = SYM_SCORES["org"] * 0.5, SYM_WEIGHTS["org"]
         else:
             score, weight = SYM_SCORES[cat], SYM_WEIGHTS[cat]
             if qj == rj:

@@ -143,7 +143,10 @@ _DOMAINS: dict[str, list[str]] = {
     "medical": ["medical", "healthcare", "clinic", "hospital"],
     "pharma": ["pharmaceuticals", "pharmaceutical", "pharma"],
     "casino": ["casino", "gaming"],
-    "petroleum": ["petroleum", "oil", "gas"],
+    # oil and gas are distinct businesses — the frozen run scores "Saudi
+    # Arabian Gas Company" vs "... Oil Company" as a plain mismatch
+    "petroleum": ["petroleum", "oil"],
+    "gas": ["gas"],
     "energy": ["energy", "power", "electric"],
     "airlines": ["airlines", "airways", "aviation"],
     "shipping": ["shipping", "maritime"],
