@@ -49,22 +49,17 @@ CANDIDATE_COLS = [
     "query_id", "candidate_id", "candidate_schema", "candidate_name", "raw",
 ]
 
-# FtM schema ancestry needed for is_a-style gating (model subset; the
-# full registry lives client-side in the reference).
-_SCHEMA_ANCESTORS: dict[str, set[str]] = {
-    "Person": {"Person", "LegalEntity", "Thing"},
-    "Company": {"Company", "Organization", "LegalEntity", "Asset", "Thing"},
-    "Organization": {"Organization", "LegalEntity", "Thing"},
-    "LegalEntity": {"LegalEntity", "Thing"},
-    "PublicBody": {"PublicBody", "Organization", "LegalEntity", "Thing"},
-    "Address": {"Address", "Thing"},
-    "Security": {"Security", "Asset", "Thing"},
-    "Vessel": {"Vessel", "Vehicle", "Asset", "Thing"},
-}
-
-
 def schema_is_a(schema: str | None, ancestor: str) -> bool:
-    return ancestor in _SCHEMA_ANCESTORS.get(schema or "", {schema})
+    """is_a gating over the bundled FtM ontology (model/ftm.py); unknown
+    schemata are only ancestors of themselves."""
+    from nomenklatura_spark.model.ftm import ancestors
+
+    if schema is None:
+        return False
+    ups = ancestors().get(schema)
+    if ups is None:
+        return ancestor == schema
+    return ancestor in ups
 
 
 def _sval(row: pd.Series, key: str) -> str:
