@@ -96,7 +96,9 @@ class ConnectorEnricher(Enricher):
         """Same gate as a Column predicate, for filtering *before* the
         mapInPandas fan-out (so gated rows never reach an executor
         round-trip)."""
-        accepted = [s for s in _SCHEMA_ANCESTORS if self.accepts_schema(s)]
+        from nomenklatura_spark.model.ftm import SCHEMATA
+
+        accepted = [s for s in SCHEMATA if self.accepts_schema(s)]
         return F.col("schema").isin(accepted)
 
     # -- request/response ----------------------------------------------

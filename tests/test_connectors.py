@@ -5,6 +5,7 @@ deterministic fake transports (no network in this container)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 import pytest
@@ -237,3 +238,50 @@ def test_connector_through_spark_with_cache(spark, tmp_path):
         AssertionError("no transport on cache hit")))
     second = enrich_match(queries, exploded, cache=cache).collect()
     assert {r["candidate_id"] for r in second} == {r["candidate_id"] for r in first}
+
+
+WIKIDATA_FIXTURES = "/root/reference/tests/fixtures/wikidata"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(WIKIDATA_FIXTURES),
+    reason="reference wikidata fixtures not available",
+)
+def test_wikidata_fixture_replay():
+    """Protocol parity against the reference's own recorded Wikidata API
+    responses (tests/fixtures/wikidata, exercised by its
+    tests/enrich/test_wikidata.py): a direct-QID lookup for Q7747 must
+    surface exactly the Vladimir Putin entity."""
+    import json as _json
+
+    fixture = os.path.join(
+        WIKIDATA_FIXTURES,
+        "api_php_action_wbgetentities_format_json_ids_q7747_props_info"
+        "_7csitelinks_2furls_7caliases_7clabels_7cdescriptions_7cclaims"
+        "_7cdatatype.json",
+    )
+
+    def fetch(url, payload):
+        req = _json.loads(payload)
+        assert req["action"] == "wbgetentities"
+        assert req["ids"] == "Q7747"
+        return open(fixture).read()
+
+    e = WikidataEnricher(fetch=fetch)
+    got = e.match_batch(
+        pd.DataFrame(
+            [
+                {
+                    "query_id": "q1",
+                    "query_name": "Vladimir Putin",
+                    "schema": "Person",
+                    "wikidata_id": "Q7747",
+                }
+            ]
+        )
+    )
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["candidate_id"] == "Q7747"
+    assert row["candidate_schema"] == "Person"
+    assert row["candidate_name"] == "Vladimir Putin"
