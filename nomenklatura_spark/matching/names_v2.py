@@ -54,13 +54,12 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from nomenklatura_spark.functions import compare as C
 from nomenklatura_spark.functions.names_compare import metaphone
-from nomenklatura_spark.functions.normalize import LEGAL_FORMS, STOP_TOKENS
+from nomenklatura_spark.functions.normalize import STOP_TOKENS
 from nomenklatura_spark.functions.scoring import Feature, heuristic_score
 from nomenklatura_spark.matching.symbols import (
     EXTRAS_WEIGHTS,
     SYM_SCORES,
     SYM_WEIGHTS,
-    token_symbol,
 )
 
 EXTRA_QUERY_WEIGHT = 0.8
@@ -68,7 +67,6 @@ EXTRA_RESULT_WEIGHT = 0.2
 FAMILY_NAME_WEIGHT = 1.3
 STOPWORD_DAMPEN = 0.7
 STOPWORD_EXTRA_BIAS = 0.5
-INITIAL_SCORE, INITIAL_WEIGHT = 0.9, 0.5
 METAPHONE_SCORE = 0.6
 NUMBER_MISMATCH_PENALTY = 0.3
 
@@ -77,7 +75,6 @@ NUMBER_MISMATCH_PENALTY = 0.3
 # of part alignment.
 OBJ_SCHEMAS = frozenset({"Vessel", "Airplane", "Security"})
 
-_LEGAL = frozenset(LEGAL_FORMS)
 _STOP = frozenset(STOP_TOKENS) | {"a", "an", "et", "in", "on", "at", "by", "to"}
 
 _SPLIT_RE = re.compile(r"[^0-9a-zÀ-ɏЀ-ӿ]+")
