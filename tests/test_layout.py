@@ -156,3 +156,14 @@ def test_er_plans_memoized(spark, sf_dir):
 
     assert er_statements(spark, sf_dir) is er_statements(spark, sf_dir)
     assert er_entries(spark, sf_dir) is er_entries(spark, sf_dir)
+
+
+def test_chunking_and_pii_are_map_only(spark, sf_dir):
+    """doc_chunks / doc_pii must stay shuffle-free (pure map-side column
+    expressions over the scan) — the whole point of their 100 TB shape."""
+    from nomenklatura_spark.session import load_table
+    from nomenklatura_spark.textops.chunks import chunk_documents, pii_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in _plan(chunk_documents(docs))
+    assert "Exchange" not in _plan(pii_features(docs))
