@@ -8,6 +8,7 @@ input.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -118,3 +119,50 @@ def test_fold_idempotent(n):
 
     once = fold_text(n)
     assert fold_text(once) == once  # folding is a projection
+
+
+def _enumerate_alignments(qps, rps, max_merge=3):
+    """All monotone alignments of two part sequences with clusters up to
+    max_merge×1 / 1×max_merge, as lists of (qslice, rslice) clusters."""
+    if not qps and not rps:
+        yield []
+        return
+    if qps:
+        for rest in _enumerate_alignments(qps[1:], rps, max_merge):
+            yield [(qps[:1], ())] + rest
+    if rps:
+        for rest in _enumerate_alignments(qps, rps[1:], max_merge):
+            yield [((), rps[:1])] + rest
+    for a in range(1, min(max_merge, len(qps)) + 1):
+        for b in range(1, min(max_merge, len(rps)) + 1):
+            if a > 1 and b > 1:
+                continue
+            for rest in _enumerate_alignments(qps[a:], rps[b:], max_merge):
+                yield [(qps[:a], rps[:b])] + rest
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.sampled_from(["anna", "maria", "annamaria", "li", "petrov",
+                              "petr", "jean", "claude", "jeanclaude"]),
+             min_size=1, max_size=3),
+    st.lists(st.sampled_from(["anna", "maria", "annamaria", "li", "petrov",
+                              "petr", "jean", "claude", "jeanclaude"]),
+             min_size=1, max_size=3),
+)
+def test_residue_dp_is_optimal(qps, rps):
+    """The cost-folded DP must find the maximum-mass alignment — checked
+    against exhaustive enumeration on small part sequences."""
+    from nomenklatura_spark.matching.names_v2 import (
+        _align_residue,
+        _cluster_score,
+    )
+
+    qps, rps = tuple(qps), tuple(rps)
+
+    def mass(aligns):
+        return sum(_cluster_score(a, b) for a, b in aligns if a and b)
+
+    got = mass(_align_residue(qps, rps))
+    best = max(mass(al) for al in _enumerate_alignments(qps, rps))
+    assert got == pytest.approx(best), (qps, rps, got, best)
