@@ -185,6 +185,16 @@ _WORD_UNITS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
 
 _PHRASE_MAX = max(len(k) for k in ORG_PHRASE_ABBREV)
 
+
+def _is_org_token(tok: str) -> bool:
+    return any(s.startswith("org:") for s in token_symbols_all(tok))
+
+
+# Single-letter roman numerals in fund/series names ("Partners V" vs
+# "Partners VI"); excluded from the general word-number table because
+# they collide with initials, but as a SYMBOL they can coexist.
+_ROMAN_SINGLES = {"i": 1, "v": 5, "x": 10}
+
 _LONG_LEGAL = tuple(k for k in ORG_TOKEN_ABBREV if len(k) >= 10)
 
 
@@ -236,8 +246,25 @@ def _analyze(name: str) -> tuple[tuple, ...]:
 
         def _flush() -> None:
             if len(run) >= 2:
-                toks.append("".join(run))
-                merged.append(True)
+                joined = "".join(run)
+                # "V L.P." must not glue into "vlp": when the run's tail
+                # is itself a legal-form token but the whole run is not,
+                # split the prefix letters back out
+                split_at = 0
+                if not _is_org_token(joined):
+                    for cut in (2, 3, 4):
+                        if len(joined) > cut and _is_org_token(joined[-cut:]):
+                            split_at = len(joined) - cut
+                            break
+                if split_at:
+                    for ch in joined[:split_at]:
+                        toks.append(ch)
+                        merged.append(False)
+                    toks.append(joined[split_at:])
+                    merged.append(True)
+                else:
+                    toks.append(joined)
+                    merged.append(True)
             elif run:
                 toks.append(run[0])
                 merged.append(False)
@@ -322,6 +349,8 @@ def _analyze(name: str) -> tuple[tuple, ...]:
                 spans.append((i, i + 1, sym))
             if not syms and _legal_token(t) != t:
                 spans.append((i, i + 1, _org_class_id(_legal_token(t))))
+            if not syms and t in _ROMAN_SINGLES:
+                spans.append((i, i + 1, f"num:{_ROMAN_SINGLES[t]}"))
             i += 1
         alts.append((tuple(toks), comparable, tuple(spans), all_runs))
     return tuple(alts)
