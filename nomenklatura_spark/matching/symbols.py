@@ -311,7 +311,7 @@ _NAME_GROUPS: dict[str, list[str]] = {
                "sergej", "sergejs"],
     "xi": ["xi", "shi", "hsi", "si"],
     "vladimir": ["vladimir", "wladimir", "uladzimir", "volodymyr",
-                 "volodimir", "valdimir"],
+                 "volodimir", "wolodymyr", "valdimir"],
     "dmitry": ["dmitry", "dmitri", "dmitrii", "dmitriy", "dmytro", "dzmitry"],
     "andrei": ["andrei", "andrey", "andrii", "andriy", "andrej"],
     "mikhail": ["mikhail", "michail", "mykhailo", "mikhael", "michael"],
@@ -339,6 +339,9 @@ _NAME_GROUPS: dict[str, list[str]] = {
     "iosif": ["iosif", "yosyp", "josef", "joseph", "yusif"],
     "paul": ["paul", "pol", "paulo", "pablo", "paolo"],
     "jong": ["jong", "yong", "chong"],
+    "un": ["un", "on", "eun"],
+    "zelensky": ["zelensky", "zelenskyy", "zelenskiy", "zelenskyi",
+                 "selenskyj", "zelenskyj", "zelenskii"],
 }
 
 # --- name particles (nasab / tussenvoegsel / nobiliary) ---------------------
