@@ -77,3 +77,41 @@ def test_cli_bench(runner):
     res = runner.invoke(cli, ["bench", "-n", "200"])
     assert res.exit_code == 0, res.output
     assert "logic_v2" in res.output and "ofac" in res.output
+
+
+@pytest.mark.skipif(
+    not os.path.exists(DONATIONS), reason="reference fixture not available"
+)
+def test_cli_sorted_aggregate(runner, tmp_path, spark):
+    out = tmp_path / "agg"
+    res = runner.invoke(
+        cli, ["sorted-aggregate", "-i", DONATIONS, "-o", str(out)]
+    )
+    assert res.exit_code == 0, res.output
+    lines = spark.read.text(str(out))
+    # one JSON line per entity (the donations corpus has 474)
+    assert lines.count() == 474
+
+
+def test_cli_train(runner, tmp_path, spark):
+    import random
+
+    random.seed(3)
+    rows = []
+    for i in range(300):
+        label = i % 2
+        f1 = random.random() * 0.4 + (0.6 if label else 0.0)
+        f2 = random.random() * 0.5 + (0.4 if label else 0.0)
+        rows.append((float(label), f1, f2))
+    pairs = tmp_path / "pairs"
+    spark.createDataFrame(
+        rows, "label double, f_a double, f_b double"
+    ).write.parquet(str(pairs))
+    out = tmp_path / "model.json"
+    res = runner.invoke(
+        cli, ["train-v1-matcher", str(pairs), "-o", str(out)]
+    )
+    assert res.exit_code == 0, res.output
+    model = json.loads(out.read_text())
+    assert set(model["coefs"]) == {"f_a", "f_b"}
+    assert model["coefs"]["f_a"] > 0  # separable → positive weight
