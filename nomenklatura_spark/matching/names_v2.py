@@ -27,10 +27,12 @@ calibrated against the reference's own frozen per-case output
 - **residue alignment**: order-aware DP with part clustering — a merged
   cluster scores ``1 - (damerau + 0.2·joins)/len`` (the join cost
   reproduces the frozen run: "Plat Ono Vich"~"Platonovich" → 0.969),
-  a 1-1 pair scores strict Damerau-Levenshtein ``(1-d/len)^(len//4)``
-  (``distance.py:8-20``), metaphone fallback at 0.6; persons reorder
-  residues first (``align_person_name_order``), orgs keep order (so
-  "C.B.A." vs "A.B.C." penalises, frozen 0.2308).
+  a 1-1 pair scores the LCS-distance kernel ``residue_fuzzy``
+  (``(1-d/L)^e``, d = L - LCS, e = 2 for equal lengths else 1 —
+  fitted per-case to the frozen run, see ``tools/fit_kernel.py``),
+  metaphone fallback at 0.6; persons reorder residues first
+  (``align_person_name_order``), orgs keep order (so "C.B.A." vs
+  "A.B.C." penalises, frozen 0.2308).
 - **weights**: extras ×0.8 query / ×0.2 result with per-category biases
   (single stopword → 0.5, org/sym 0.7, numeric 1.3, location 0.8,
   ``magic.py:weight_extra_match``); matched single-part stopwords ×0.7;
@@ -132,6 +134,43 @@ def strict_levenshtein_py(left: str, right: str, max_rate: int = 4) -> float:
     if d > max_edits:
         return 0.0
     return (1 - (d / max_len)) ** max_edits
+
+
+def _lcs_len(a: str, b: str) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def residue_fuzzy(left: str, right: str) -> float:
+    """1-1 residue-pair kernel, fitted per-case to the frozen reference
+    run (tools/fit_kernel.py): ``(1 - d/L)^e`` with ``d`` the max-side
+    LCS distance ``L - LCS``, gated by ``L >= 5`` and ``d <= L // 4``;
+    ``e = 2`` for equal lengths (substitution-shaped edits), else 1.
+
+    Decoded from frozen anchors: "Putin"~"Pudin" 0.64 = (4/5)^2,
+    "Mertz"~"Merz" 0.8 = (4/5)^1, "Frederick"~"Friedrich"
+    0.605 = (7/9)^2 (OSA distance is 3 but LCS distance is 2),
+    "Joonng"~"Jong" 0 (distance 2 > 6//4), "Cock"~"Cook" 0 (length
+    gate).  Corpus-wide this kernel scores mean |Δ| 0.034 vs the
+    frozen run against 0.038 for the OSA variant."""
+    if left == right:
+        return 1.0
+    l1, l2 = len(left), len(right)
+    max_len = max(l1, l2)
+    if max_len < 5:
+        return 0.0
+    d = max_len - _lcs_len(left, right)
+    if d > max_len // 4:
+        return 0.0
+    exp = 2 if l1 == l2 else 1
+    return (1 - d / max_len) ** exp
 
 
 # --- name analysis ----------------------------------------------------------
@@ -433,14 +472,14 @@ _MAX_MERGE = 3
 def _cluster_score(qparts: tuple[str, ...], rparts: tuple[str, ...]) -> float:
     """Score of one aligned cluster.
 
-    1-1 pairs: strict Damerau-Levenshtein (``distance.py:8-20``) with a
+    1-1 pairs: the LCS-distance kernel (``residue_fuzzy``) with a
     metaphone fallback.  Merged clusters: linear ``1 - (d + 0.2*joins)/len``
     over the space-joined strings — the 0.2 join cost reproduces the
     frozen run ("Plat Ono Vich"~"Platonovich" → 0.969, "PolPot" → 0.971).
     """
     if len(qparts) == 1 and len(rparts) == 1:
         qp, rp = qparts[0], rparts[0]
-        s = strict_levenshtein_py(qp, rp)
+        s = residue_fuzzy(qp, rp)
         if s > 0.0:
             return s
         if len(qp) >= 4 and len(rp) >= 4 and metaphone(qp) == metaphone(rp) != "":
@@ -525,7 +564,7 @@ def _person_reorder(
             if qp == rp:
                 s = 3.0
             else:
-                f = strict_levenshtein_py(qp, rp)
+                f = residue_fuzzy(qp, rp)
                 if f > 0.0:
                     s = 2.0 + f
                 elif len(qp) >= 4 and (qp.startswith(rp) or rp.startswith(qp)):
@@ -626,7 +665,7 @@ def _alignment_score(
                 # literal rescue: score 1.0, category weight retained
                 score = 1.0
             elif len(qparts) == 1 and len(rparts) == 1:
-                fuzzy = strict_levenshtein_py(qparts[0], rparts[0])
+                fuzzy = residue_fuzzy(qparts[0], rparts[0])
                 if fuzzy > score:
                     score, weight = fuzzy, 1.0
         scored.append((score, weight, qparts, rparts))

@@ -136,8 +136,8 @@ def test_name_bench_score_parity(frozen_scored):
     deltas = [abs(s - float(row["score"])) for row, s in frozen_scored]
     mean = sum(deltas) / len(deltas)
     within = sum(1 for d in deltas if d <= 0.1) / len(deltas)
-    assert mean <= 0.05, f"mean |Δ| vs frozen = {mean:.4f}"
-    assert within >= 0.85, f"only {within:.1%} within 0.1 of frozen"
+    assert mean <= 0.042, f"mean |Δ| vs frozen = {mean:.4f}"
+    assert within >= 0.87, f"only {within:.1%} within 0.1 of frozen"
 
 
 # --- entity_bench checks.yml ------------------------------------------------
