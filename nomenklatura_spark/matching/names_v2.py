@@ -176,6 +176,7 @@ def residue_fuzzy(left: str, right: str) -> float:
 # --- name analysis ----------------------------------------------------------
 
 from nomenklatura_spark.matching.symbols import (  # noqa: E402
+    NAME_PHRASES,
     ORG_PHRASE_ABBREV,
     ORG_TOKEN_ABBREV,
     token_symbols_all,
@@ -372,6 +373,12 @@ def _analyze(name: str) -> tuple[tuple, ...]:
                 spans.append((i, i + hit[0], _org_class_id(hit[1])))
                 i += hit[0]
                 continue
+            if i + 1 < n:
+                name_sym = NAME_PHRASES.get(tuple(toks[i : i + 2]))
+                if name_sym is not None:
+                    spans.append((i, i + 2, name_sym))
+                    i += 2
+                    continue
             t = toks[i]
             if (
                 i + 1 < n
@@ -619,12 +626,23 @@ def _alignment_score(
     r: tuple,
     person: bool,
     family: frozenset[str],
+    drop_acro: bool = False,
 ) -> float:
     """Score one (query-alt, result-alt) pair: symbol edges + residue DP +
-    extras, weighted mean (``match.py:29-127``)."""
+    extras, weighted mean (``match.py:29-127``).
+
+    When an acronym edge is chosen, the no-acronym pairing is also scored
+    and the max returned — the reference iterates over ``pair_symbols``
+    pairings both with and without each symbol edge, so an acro edge can
+    never *lower* the score (frozen: "H&M Hennes & Mauritz AB" ~
+    "H and M Hennes and Mauritz AB" = 0.9615, where the hm~(hennes,
+    mauritz) acronym pairing would score 0.59 by orphaning the literal
+    "hm" token on the other side)."""
     q_toks, _, _, _ = q
     r_toks = r[0]
     edges = _symbol_edges(q, r)
+    if drop_acro:
+        edges = [e for e in edges if e[2] != "acro"]
     # maximal non-overlapping edge set (longest spans first)
     edges.sort(
         key=lambda e: -((e[0][1] - e[0][0]) + (e[1][1] - e[1][0]))
@@ -721,7 +739,10 @@ def _alignment_score(
                 weight *= FAMILY_NAME_WEIGHT
         total_s += score * weight
         total_w += weight
-    return total_s / total_w if total_w > 0 else 0.0
+    total = total_s / total_w if total_w > 0 else 0.0
+    if not drop_acro and any(cat == "acro" for _, _, cat in chosen):
+        total = max(total, _alignment_score(q, r, person, family, True))
+    return total
 
 
 def _loc_stripped(alt: tuple) -> tuple | None:

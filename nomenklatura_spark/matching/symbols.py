@@ -311,7 +311,13 @@ _NAME_GROUPS: dict[str, list[str]] = {
                "sergej", "sergejs"],
     "xi": ["xi", "shi", "hsi", "si"],
     "vladimir": ["vladimir", "wladimir", "uladzimir", "volodymyr",
-                 "volodimir", "wolodymyr", "valdimir"],
+                 "volodimir", "wolodymyr", "valdimir", "vladimiras",
+                 "vlagyimir", "vlantimir", "beulradimireu", "urajiimiru",
+                 "fladymyr", "fladmyr", "wladymyr", "vldymyr",
+                 "弗拉基米尔", "bladimiya"],
+    "putin": ["putin", "poutine", "poetin", "putyin", "putinas", "putins",
+              "putsin", "povtin", "poytin", "puuchin", "putina", "pwtyn",
+              "pvtyn", "bwtyn", "bwtn", "putn", "普京"],
     "dmitry": ["dmitry", "dmitri", "dmitrii", "dmitriy", "dmytro", "dzmitry"],
     "andrei": ["andrei", "andrey", "andrii", "andriy", "andrej"],
     "mikhail": ["mikhail", "michail", "mykhailo", "mikhael", "michael"],
@@ -337,7 +343,15 @@ _NAME_GROUPS: dict[str, list[str]] = {
                  "georges", "jorge", "giorgi"],
     "ivan": ["ivan", "iwan", "ioann"],
     "iosif": ["iosif", "yosyp", "josef", "joseph", "yusif"],
-    "paul": ["paul", "pol", "paulo", "pablo", "paolo"],
+    "paul": ["paul", "pol", "paulo", "pablo", "paolo", "pul"],
+    # cross-script variants of globally-listed names: the folded Han /
+    # Khmer forms pair with their latin romanisations (the reference
+    # reaches these through rigour's multi-script name database; frozen:
+    # "贝拉克·奥巴马"~"Barack Obama" = 0.9, "ប៉ុល ពត"~"Pol Pot" = 0.9)
+    "barack": ["barack", "baraku", "贝拉克"],
+    "obama": ["obama", "奥巴马"],
+    "pot": ["pot", "pt"],
+    "zedong": ["zedong", "tsetung"],
     "jong": ["jong", "yong", "chong"],
     "un": ["un", "on", "eun"],
     "zelensky": ["zelensky", "zelenskyy", "zelenskiy", "zelenskyi",
@@ -504,6 +518,13 @@ def _invert(groups: dict[str, list[str]], cat: str) -> dict[str, str]:
 
 
 # token -> "cat:id".  Build order sets precedence on (rare) collisions:
+# Multi-token NAME spans: hyphen/space-split romanisations whose joined
+# form lives in a _NAME_GROUPS entry ("Mao Tse-tung" ~ "Mao Zedong"
+# pairs the (tse, tung) span against the zedong token at NAME weight).
+NAME_PHRASES: dict[tuple[str, ...], str] = {
+    ("tse", "tung"): "name:zedong",
+}
+
 # org classes win over generic vocabulary.
 TOKEN_SYMBOLS: dict[str, str] = {}
 TOKEN_SYMBOLS.update(_invert(_NICKNAMES, "nick"))

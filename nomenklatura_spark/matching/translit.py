@@ -114,6 +114,170 @@ def _hangul(ch: str) -> str | None:
     return None
 
 
+# Kana romanisation (Hepburn-ish).  Keyed on NFC codepoints so voiced
+# forms (バ = ハ+゛ under NFKD) are resolved before any decomposition.
+_KANA_BASE = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "ku", "け": "ke", "こ": "ko",
+    "が": "ga", "ぎ": "gi", "ぐ": "gu", "げ": "ge", "ご": "go",
+    "さ": "sa", "し": "shi", "す": "su", "せ": "se", "そ": "so",
+    "ざ": "za", "じ": "ji", "ず": "zu", "ぜ": "ze", "ぞ": "zo",
+    "た": "ta", "ち": "chi", "つ": "tsu", "て": "te", "と": "to",
+    "だ": "da", "ぢ": "ji", "づ": "zu", "で": "de", "ど": "do",
+    "な": "na", "に": "ni", "ぬ": "nu", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "hi", "ふ": "fu", "へ": "he", "ほ": "ho",
+    "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
+    "ま": "ma", "み": "mi", "む": "mu", "め": "me", "も": "mo",
+    "や": "ya", "ゆ": "yu", "よ": "yo",
+    "ら": "ra", "り": "ri", "る": "ru", "れ": "re", "ろ": "ro",
+    "わ": "wa", "ゐ": "wi", "ゑ": "we", "を": "o", "ん": "n",
+    "ゔ": "vu",
+    # small vowels (combination second elements: ヴィ, ウェ, ...)
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
+}
+_KANA: dict[str, str] = dict(_KANA_BASE)
+for _h, _r in _KANA_BASE.items():
+    _cp = ord(_h)
+    if 0x3041 <= _cp <= 0x3096:  # hiragana -> katakana offset
+        _KANA[chr(_cp + 0x60)] = _r
+_KANA_SMALL_Y = {"ゃ": "ya", "ゅ": "yu", "ょ": "yo",
+                 "ャ": "ya", "ュ": "yu", "ョ": "yo"}
+_KANA_SOKUON = {"っ", "ッ"}
+_KANA_SKIP = {"ー", "・", "゛", "゜"}
+
+# Khmer (UNGEGN-ish, compact).  Dependent vowel signs are Mn codepoints
+# that the tokenizer would otherwise discard as non-word characters,
+# collapsing distinct names ("ម៉ាណាត" Manat / "ម៉ាណែត" Manet) into one
+# consonant skeleton — so they must romanise here, before tokenization.
+_KHMER_CONS = {
+    "ក": "k", "ខ": "kh", "គ": "k", "ឃ": "kh", "ង": "ng",
+    "ច": "ch", "ឆ": "ch", "ជ": "ch", "ឈ": "ch", "ញ": "nh",
+    "ដ": "d", "ឋ": "th", "ឌ": "d", "ឍ": "th", "ណ": "n",
+    "ត": "t", "ថ": "th", "ទ": "t", "ធ": "th", "ន": "n",
+    "ប": "b", "ផ": "ph", "ព": "p", "ភ": "ph", "ម": "m",
+    "យ": "y", "រ": "r", "ល": "l", "វ": "v", "ស": "s",
+    "ហ": "h", "ឡ": "l", "អ": "a",
+    # independent vowels
+    "ឥ": "i", "ឦ": "i", "ឧ": "u", "ឩ": "u", "ឪ": "u",
+    "ឯ": "e", "ឰ": "ai", "ឱ": "o", "ឲ": "o", "ឳ": "au",
+}
+_KHMER_VOWEL = {
+    "ា": "a", "ិ": "i", "ី": "i", "ឹ": "e", "ឺ": "eu",
+    "ុ": "u", "ូ": "u", "ួ": "uo", "ើ": "ae", "ឿ": "oe",
+    "ៀ": "ie", "េ": "e", "ែ": "e", "ៃ": "ai", "ោ": "o",
+    "ៅ": "au", "ំ": "m", "ះ": "h",
+}
+# musikatoan/trisap shift the consonant series: ប៉ = p, otherwise dropped
+_KHMER_SHIFT = {"៉", "៊"}
+_KHMER_DROP = {"់", "៌", "៍", "៎", "៏", "័", "៝", "ៈ", "្"}
+
+# Indic abugidas (Devanagari, Bengali, Kannada) + Burmese, same
+# principle as Khmer: consonants romanise bare, dependent vowel signs
+# (Mn codepoints the tokenizer would discard) romanise to vowels, virama
+# drops.  Inherent vowels are not reconstructed — adequate for the name
+# comparison this feeds ("पुतिन" -> "putin", "व्लादिमीर" -> "vladimir").
+_INDIC = {
+    # Devanagari consonants
+    "क": "k", "ख": "kh", "ग": "g", "घ": "gh", "ङ": "n", "च": "ch",
+    "छ": "ch", "ज": "j", "झ": "jh", "ञ": "n", "ट": "t", "ठ": "th",
+    "ड": "d", "ढ": "dh", "ण": "n", "त": "t", "थ": "th", "द": "d",
+    "ध": "dh", "न": "n", "प": "p", "फ": "ph", "ब": "b", "भ": "bh",
+    "म": "m", "य": "y", "र": "r", "ल": "l", "व": "v", "श": "sh",
+    "ष": "sh", "स": "s", "ह": "h", "ळ": "l", "ज़": "z", "फ़": "f",
+    # Devanagari vowels + signs
+    "अ": "a", "आ": "a", "इ": "i", "ई": "i", "उ": "u", "ऊ": "u",
+    "ए": "e", "ऐ": "ai", "ओ": "o", "औ": "au", "ऋ": "ri",
+    "ा": "a", "ि": "i", "ी": "i", "ु": "u", "ू": "u", "ृ": "ri",
+    "े": "e", "ै": "ai", "ो": "o", "ौ": "au", "ं": "n", "ः": "h",
+    "ँ": "n", "्": "",
+    # Bengali consonants
+    "ক": "k", "খ": "kh", "গ": "g", "ঘ": "gh", "ঙ": "n", "চ": "ch",
+    "ছ": "ch", "জ": "j", "ঝ": "jh", "ঞ": "n", "ট": "t", "ঠ": "th",
+    "ড": "d", "ঢ": "dh", "ণ": "n", "ত": "t", "থ": "th", "দ": "d",
+    "ধ": "dh", "ন": "n", "প": "p", "ফ": "ph", "ব": "b", "ভ": "bh",
+    "ম": "m", "য": "y", "র": "r", "ল": "l", "শ": "sh", "ষ": "sh",
+    "স": "s", "হ": "h", "ড়": "r", "য়": "y",
+    # Bengali vowels + signs
+    "অ": "a", "আ": "a", "ই": "i", "ঈ": "i", "উ": "u", "ঊ": "u",
+    "এ": "e", "ঐ": "ai", "ও": "o", "ঔ": "au",
+    "া": "a", "ি": "i", "ী": "i", "ু": "u", "ূ": "u", "ে": "e",
+    "ৈ": "ai", "ো": "o", "ৌ": "au", "ং": "n", "ঃ": "h", "ঁ": "n",
+    "্": "",
+    # Kannada consonants
+    "ಕ": "k", "ಖ": "kh", "ಗ": "g", "ಘ": "gh", "ಙ": "n", "ಚ": "ch",
+    "ಛ": "ch", "ಜ": "j", "ಝ": "jh", "ಞ": "n", "ಟ": "t", "ಠ": "th",
+    "ಡ": "d", "ಢ": "dh", "ಣ": "n", "ತ": "t", "ಥ": "th", "ದ": "d",
+    "ಧ": "dh", "ನ": "n", "ಪ": "p", "ಫ": "ph", "ಬ": "b", "ಭ": "bh",
+    "ಮ": "m", "ಯ": "y", "ರ": "r", "ಲ": "l", "ವ": "v", "ಶ": "sh",
+    "ಷ": "sh", "ಸ": "s", "ಹ": "h", "ಳ": "l",
+    # Kannada vowels + signs
+    "ಅ": "a", "ಆ": "a", "ಇ": "i", "ಈ": "i", "ಉ": "u", "ಊ": "u",
+    "ಎ": "e", "ಏ": "e", "ಐ": "ai", "ಒ": "o", "ಓ": "o", "ಔ": "au",
+    "ಾ": "a", "ಿ": "i", "ೀ": "i", "ು": "u", "ೂ": "u", "ೆ": "e",
+    "ೇ": "e", "ೈ": "ai", "ೊ": "o", "ೋ": "o", "ೌ": "au", "ಂ": "m",
+    "ಃ": "h", "್": "",
+    # Burmese consonants + vowel signs (asat and medials simplified)
+    "က": "k", "ခ": "kh", "ဂ": "g", "ဃ": "gh", "င": "n", "စ": "s",
+    "ဆ": "hs", "ဇ": "z", "ည": "ny", "ဋ": "t", "ဌ": "ht", "ဍ": "d",
+    "ဏ": "n", "တ": "t", "ထ": "ht", "ဒ": "d", "ဓ": "d", "န": "n",
+    "ပ": "p", "ဖ": "hp", "ဗ": "b", "ဘ": "b", "မ": "m", "ယ": "y",
+    "ရ": "r", "လ": "l", "ဝ": "w", "သ": "th", "ဟ": "h", "အ": "a",
+    "ာ": "a", "ါ": "a", "ိ": "i", "ီ": "i", "ု": "u", "ူ": "u",
+    "ေ": "e", "ဲ": "e", "ံ": "m", "ျ": "y", "ြ": "r", "ွ": "w",
+    "ှ": "h", "်": "", "့": "", "း": "",
+}
+
+
+def _fold_kana_hangul(text: str) -> str:
+    """Pre-pass over NFC text: romanise kana and Hangul syllables before
+    NFKD can strip dakuten or scatter syllables into conjoining jamo."""
+    out: list[str] = []
+    double_next = False
+    for ch in text:
+        if ch in _KANA_SMALL_Y:
+            # きゃ -> kya; しゃ/ちゃ/じゃ -> sha/cha/ja
+            y = _KANA_SMALL_Y[ch]
+            if out and out[-1].endswith("i"):
+                prev = out[-1][:-1]
+                if prev.endswith(("sh", "ch", "j")):
+                    y = y[1:]
+                out[-1] = prev + y
+            else:
+                out.append(y)
+            continue
+        if ch in _KANA_SOKUON:
+            double_next = True
+            continue
+        if ch == "ー":  # long-vowel mark: repeat the previous vowel
+            if out and out[-1] and out[-1][-1] in "aiueo":
+                out[-1] += out[-1][-1]
+            continue
+        if ch in _KHMER_SHIFT:
+            # series shifter: ប៉ sounds p; otherwise drop the sign
+            if out and out[-1] == "b":
+                out[-1] = "p"
+            continue
+        if ch in _KHMER_DROP:
+            continue
+        mapped = _KHMER_CONS.get(ch) or _KHMER_VOWEL.get(ch)
+        if mapped is None:
+            mapped = _INDIC.get(ch)
+        if mapped is None:
+            mapped = _KANA.get(ch)
+        if mapped is None:
+            mapped = _hangul(ch)
+        if mapped is not None:
+            if double_next and mapped:
+                mapped = mapped[0] + mapped
+            double_next = False
+            out.append(mapped)
+            continue
+        double_next = False
+        out.append(ch)
+    return "".join(out)
+
+
 @lru_cache(maxsize=200_000)
 def fold_text(text: str) -> str:
     """Lowercase, strip diacritics, romanise known scripts.
@@ -121,6 +285,7 @@ def fold_text(text: str) -> str:
     Unknown codepoints (CJK, Thai, ...) pass through so same-script
     comparison still works.
     """
+    text = _fold_kana_hangul(unicodedata.normalize("NFC", text))
     out: list[str] = []
     # NFKD before lowercasing: compatibility forms (math alphabets,
     # fullwidth letters) decompose to cased base letters first, so one

@@ -187,9 +187,11 @@ def test_putin_name_variants():
     """The reference's 80-variant transliteration fixture
     (``tests/fixtures/putin_names.txt``, exercised by its name-analysis
     tests): a majority of variants — across honorifics, patronymics,
-    Cyrillic/Greek/Armenian/Hebrew/Arabic scripts and European
-    morphology — must match "Vladimir Putin" at the 0.7 threshold.
-    (Indic/CJK/Thai romanisation is the documented residual gap.)"""
+    Cyrillic/Greek/Armenian/Hebrew/Arabic/Hangul/kana/Indic scripts and
+    European morphology — must match "Vladimir Putin" at the 0.7
+    threshold.  (Residual misses are patronymic-extra dilution — which
+    the reference's own weighting shares, frozen 0.7143 for "Vladimir
+    Vladimirovich Putin" — plus initial-only forms.)"""
     lines = [
         ln.strip()
         for ln in (DATA / "putin_names.txt").read_text().splitlines()
@@ -201,7 +203,7 @@ def test_putin_name_variants():
         for n in lines
         if name_match([n], ["Vladimir Putin"], person=True) >= THRESHOLD
     )
-    assert hits / len(lines) >= 0.55, f"only {hits}/{len(lines)} matched"
+    assert hits / len(lines) >= 0.72, f"only {hits}/{len(lines)} matched"
     # the canonical forms must be rock solid
     for n in ("PUTIN, Vladimir", "Владимир Путин", "Wladimir Putin"):
         assert name_match([n], ["Vladimir Putin"], person=True) >= 0.9, n
