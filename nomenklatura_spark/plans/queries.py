@@ -1228,6 +1228,71 @@ _DOC_STATS_SQL = f"""
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-word fraction, top word /
+    bigram share, longest same-word run) per document.
+
+    Spark side is one whole-stage-codegen projection (mode = longest
+    equal run over the sorted word/bigram array — no explode, no
+    per-gram shuffle; see ``textops.analysis.repetition_features``).
+    The DuckDB oracle recomputes the same values relationally
+    (unnest → group-by → max), which is exactly the cross-check we
+    want: two different algorithms, one answer."""
+    from nomenklatura_spark.textops.analysis import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        repetition_features(docs, "text")
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+_DOC_REPETITION_SQL = """
+    WITH base AS (
+        SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),
+                        x -> x != '') AS ws
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, ws[i] AS w, i
+        FROM base, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    topw AS (
+        SELECT doc_id, max(c) AS top_c, sum(c) AS n, count(*) AS n_distinct
+        FROM wc GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+        FROM base, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+    ),
+    bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+    topb AS (SELECT doc_id, max(c) AS top_bc, sum(c) AS n_bi FROM bic GROUP BY doc_id),
+    runs AS (
+        SELECT doc_id, w, i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+        FROM w
+    ),
+    run_len AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, w, grp),
+    mx AS (SELECT doc_id, max(rl) AS max_run FROM run_len GROUP BY doc_id)
+    SELECT b.doc_id,
+        CAST(COALESCE(t.n, 0) AS BIGINT) AS r_n_words,
+        round(CASE WHEN COALESCE(t.n, 0) > 0
+              THEN 1.0 - t.n_distinct * 1.0 / t.n ELSE 0.0 END, 4) AS r_dup_word_frac,
+        round(CASE WHEN COALESCE(t.n, 0) > 0
+              THEN t.top_c * 1.0 / t.n ELSE 0.0 END, 4) AS r_top_word_share,
+        round(CASE WHEN COALESCE(tb.n_bi, 0) > 0
+              THEN tb.top_bc * 1.0 / tb.n_bi ELSE 0.0 END, 4) AS r_top_bigram_share,
+        CAST(COALESCE(m.max_run, 0) AS INT) AS r_max_run
+    FROM base b
+    LEFT JOIN topw t USING (doc_id)
+    LEFT JOIN topb tb USING (doc_id)
+    LEFT JOIN mx m USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID distribution."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2269,6 +2334,7 @@ QUERIES = {
     "doc_sample_mix": q_doc_sample_mix,
     "doc_pack": q_doc_pack,
     "doc_quality": q_doc_quality,
+    "doc_repetition": q_doc_repetition,
     "doc_chunks": q_doc_chunks,
     "doc_pii": q_doc_pii,
     "xref_suggestions": q_xref_suggestions,
@@ -2316,6 +2382,7 @@ ORACLES = {
     "doc_sample_mix": _doc_sample_mix_sql(),
     "doc_pack": _doc_pack_sql(),
     "doc_quality": _quality_sql(),
+    "doc_repetition": _DOC_REPETITION_SQL,
     "doc_chunks": _DOC_CHUNKS_SQL,
     "doc_pii": _doc_pii_sql(),
     "xref_suggestions": _XREF_SUGGESTIONS_SQL,

@@ -94,6 +94,72 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _max_sorted_run(arr: Column) -> Column:
+    """Longest run of equal adjacent elements in an array (for a sorted
+    array this is the max element frequency).  One ``aggregate`` pass with
+    a (prev, run, best) struct accumulator — stays map-side/codegen, no
+    explode, no shuffle: at corpus scale a per-doc mode must not become a
+    (doc, gram) aggregation of the whole corpus."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document, all map-side:
+
+    - ``r_n_words`` — word count
+    - ``r_dup_word_frac`` — 1 - distinct/total words (bag-level repetition)
+    - ``r_top_word_share`` — most frequent word's share of all words
+    - ``r_top_bigram_share`` — most frequent word-bigram's share
+    - ``r_max_run`` — longest run of the same word consecutively
+
+    High values of any of these mark boilerplate / degenerate generations
+    that length or punctuation filters miss (Gopher Appendix A rules).
+    Mode counts are computed as longest-equal-run over the sorted
+    word/bigram arrays, so the whole frame is one whole-stage-codegen
+    projection — no explode, no per-gram shuffle."""
+    c = F.col(text_col)
+    ws = words(c)
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bi = F.size(bigrams)
+    dup_frac = F.when(n > 0, 1.0 - F.size(F.array_distinct(ws)) / n).otherwise(
+        F.lit(0.0)
+    )
+    top_word = F.when(
+        n > 0, _max_sorted_run(F.array_sort(ws)) / n
+    ).otherwise(F.lit(0.0))
+    top_bigram = F.when(
+        n_bi > 0, _max_sorted_run(F.array_sort(bigrams)) / n_bi
+    ).otherwise(F.lit(0.0))
+    max_run = F.when(n > 0, _max_sorted_run(ws)).otherwise(F.lit(0))
+    return df.select(
+        "*",
+        n.alias("r_n_words"),
+        F.round(dup_frac, 4).alias("r_dup_word_frac"),
+        F.round(top_word, 4).alias("r_top_word_share"),
+        F.round(top_bigram, 4).alias("r_top_bigram_share"),
+        max_run.cast("int").alias("r_max_run"),
+    )
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     word set. Robust to whitespace/shuffling mutations; used for fuzzy

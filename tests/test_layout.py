@@ -167,3 +167,16 @@ def test_chunking_and_pii_are_map_only(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert "Exchange" not in _plan(chunk_documents(docs))
     assert "Exchange" not in _plan(pii_features(docs))
+
+
+def test_repetition_features_are_map_only(spark, sf_dir):
+    """doc repetition signals: per-doc modes are longest-equal-run
+    aggregates over sorted arrays, not (doc, gram) shuffles — the plan
+    must carry no Exchange and no Generate."""
+    from nomenklatura_spark.session import load_table
+    from nomenklatura_spark.textops.analysis import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(repetition_features(docs, "text"))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan

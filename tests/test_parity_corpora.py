@@ -176,8 +176,9 @@ def test_entity_bench_checks():
     accuracy = correct / len(checks)
     # the corpus is deliberately adversarial (leetspeak, reversed tokens,
     # cross-script); the reference's own frozen scores fail many of the
-    # same rows.  ≥75% holds the engine to the reference's envelope.
-    assert accuracy >= 0.75, f"entity_bench accuracy {accuracy:.1%}"
+    # same rows.  Currently at 82.0%; ≥78% holds the achieved state
+    # with headroom while staying inside the reference's envelope.
+    assert accuracy >= 0.78, f"entity_bench accuracy {accuracy:.1%}"
 
 
 # --- putin_names.txt (reference tests/fixtures) -----------------------------
