@@ -1,0 +1,113 @@
+"""SemDeDup-style semantic deduplication over embeddings.
+
+Cluster the corpus embeddings with the deterministic IVF k-means codebook
+(``ann.ivf.train_centroids``), then find near-duplicate pairs only
+*within* each cluster and keep one representative per duplicate group —
+the SemDeDup recipe (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", 2023).
+
+Relationship to the other embedding-dedup tiers:
+
+- ``dedup.embedding.embedding_dup_pairs`` — exact all-pairs baseline
+  (oracle-scale only; one side must broadcast).
+- ``dedup.embedding.embedding_dup_pairs_lsh`` — hyperplane-LSH bucketed
+  candidates (recall is probabilistic in the band structure).
+- this module — k-means-bucketed candidates: candidate volume is bounded
+  by the *cluster* structure of the data, which is exactly the structure
+  semantic duplicates concentrate in (the paper's observation), and the
+  pruning is interpretable (a pair is only compared when both members
+  agree on their nearest centroid).
+
+Spark-first / 100 TB shape:
+
+- The codebook is trained once (a few Lloyd rounds, each one corpus scan
+  with centroids broadcast — see ``ann/ivf.py``) and is a tiny 2-column
+  frame; production reuses it across batches.
+- Cell assignment is a map-side broadcast argmax; the within-cell
+  self-join shuffles the corpus ONCE on ``centroid``.  With
+  ``n_centroids ~ sqrt(N)`` (the paper uses ~0.1% of N) the expected
+  cell size — and therefore the per-cell pair count — stays bounded;
+  AQE's skew-join splitting handles lopsided cells.
+- No UDFs anywhere: the cosine is a ``zip_with``/``aggregate`` column
+  expression on unit-normalized vectors (a bare dot product).
+
+Determinism: hash-seeded k-means + round(9) pinning (``ann/ivf.py``)
+makes the codebook, assignment, and pair set a pure function of the
+data, so the DuckDB oracle replays the identical pipeline (the same
+device as ``ann_ivf_topk``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nomenklatura_spark.ann.brute import dot
+from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    score_decimals: int | None = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs.
+
+    Returns (centroid, lid, rid, cosine_sim) with lid < rid and
+    cosine_sim >= threshold, both members assigned to ``centroid``.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
+        )
+    inv = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = inv.select(
+        F.col("centroid"),
+        F.col("id").alias("lid"),
+        F.col("vec").alias("l_vec"),
+    )
+    b = inv.select(
+        F.col("centroid"),
+        F.col("id").alias("rid"),
+        F.col("vec").alias("r_vec"),
+    )
+    sim = dot(F.col("l_vec"), F.col("r_vec"))
+    if score_decimals is not None:
+        sim = F.round(sim, score_decimals)
+    return (
+        a.join(b, "centroid")
+        .where(F.col("lid") < F.col("rid"))
+        .select("centroid", "lid", "rid", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Keep-list: corpus ids minus the higher-id member of every
+    within-cluster duplicate pair (the paper keeps one representative
+    per group; min-id is the deterministic choice).  Anti-join — the
+    drop set is duplicate-count sized, far smaller than the corpus."""
+    pairs = semantic_dup_pairs(
+        corpus,
+        id_col,
+        vec_col,
+        threshold,
+        n_centroids,
+        n_iter,
+        score_decimals=6,
+        centroids=centroids,
+    )
+    drops = pairs.select(F.col("rid").alias(id_col)).distinct()
+    return corpus.join(drops, id_col, "left_anti")

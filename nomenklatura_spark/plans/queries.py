@@ -1800,11 +1800,12 @@ def _ivf_update_sql(assign_rel: str) -> str:
     """
 
 
-def _ann_ivf_sql() -> str:
-    """DuckDB replay of IVF-Flat: seed → 2 unrolled Lloyd rounds →
-    inverted list → probe → exact re-rank (ann/ivf.py)."""
+def _ivf_inv_ctes() -> str:
+    """Shared CTE chain: normalize → hash-seed → 2 unrolled Lloyd
+    rounds → final assignment ``inv(centroid, id, vec)``.  Used by the
+    IVF ANN oracle and the SemDeDup oracle."""
     return f"""
-        WITH vecs AS (
+        vecs AS (
             SELECT vec_id AS id,
                 list_transform(
                     CAST(embedding AS DOUBLE[]),
@@ -1827,7 +1828,15 @@ def _ann_ivf_sql() -> str:
         c1 AS ({_ivf_update_sql("a1")}),
         a2 AS ({_ivf_assign_sql("vecs", "c1")}),
         c2 AS ({_ivf_update_sql("a2")}),
-        inv AS ({_ivf_assign_sql("vecs", "c2")}),
+        inv AS ({_ivf_assign_sql("vecs", "c2")})
+    """
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB replay of IVF-Flat: seed → 2 unrolled Lloyd rounds →
+    inverted list → probe → exact re-rank (ann/ivf.py)."""
+    return f"""
+        WITH {_ivf_inv_ctes()},
         probes AS (
             SELECT query_id, centroid FROM (
                 SELECT q.id AS query_id, s.centroid,
@@ -1882,6 +1891,75 @@ _DEDUP_EMB_SQL = """
         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
     ), 6) >= 0.35
     ORDER BY lid, rid
+"""
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed embedding near-dup pairs
+    (``dedup/semantic.py``).  The within-cell self-join is the scale
+    path's bounded candidate generator; the deterministic codebook
+    (hash-seeded, round(9)-pinned) is what makes it oracle-able."""
+    from nomenklatura_spark.dedup.semantic import semantic_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(
+        emb, threshold=0.35, n_centroids=16, n_iter=2
+    ).orderBy("lid", "rid")
+
+
+def _dedup_semantic_sql() -> str:
+    """DuckDB replay of SemDeDup: the IVF codebook CTEs, then the
+    within-cell self-join at the same threshold."""
+    return f"""
+        WITH {_ivf_inv_ctes()}
+        SELECT a.centroid, a.id AS lid, b.id AS rid,
+            round(list_dot_product(a.vec, b.vec), 6) AS cosine_sim
+        FROM inv a
+        JOIN inv b ON a.centroid = b.centroid AND a.id < b.id
+        WHERE round(list_dot_product(a.vec, b.vec), 6) >= 0.35
+        ORDER BY lid, rid
+    """
+
+
+def q_doc_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage statistics (``dedup/substring.py``): fraction
+    of each document's 8-word windows that occur more than once in the
+    corpus — the bounded-window approximation of exact-substring dedup
+    (Lee et al. 2022)."""
+    from nomenklatura_spark.dedup.substring import duplicated_passages
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_passages(docs, "doc_id", "text", k=8).orderBy("doc_id")
+
+
+_DOC_DUP_PASSAGES_SQL = """
+    WITH base AS (
+        SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),
+                        x -> x != '') AS ws
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+            array_to_string(list_slice(ws, i, i + 7), ' ') AS w
+        FROM base,
+            LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i)
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM wins GROUP BY w),
+    per AS (
+        SELECT doc_id, count(*) AS n_windows,
+            sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_windows
+        FROM wins JOIN cnt USING (w) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+        CAST(COALESCE(p.n_windows, 0) AS INT) AS n_windows,
+        CAST(COALESCE(p.dup_windows, 0) AS INT) AS dup_windows,
+        round(CASE WHEN COALESCE(p.n_windows, 0) > 0
+              THEN p.dup_windows * 1.0 / p.n_windows ELSE 0.0 END, 4)
+            AS dup_frac
+    FROM base b
+    LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id
 """
 
 
@@ -2342,6 +2420,8 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_semantic": q_dedup_semantic,
+    "doc_dup_passages": q_doc_dup_passages,
     "media_features": q_media_features,
     "media_by_type": q_media_by_type,
     "xref_stats": q_xref_stats,
@@ -2390,6 +2470,8 @@ ORACLES = {
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_ivf_topk": _ann_ivf_sql(),
     "dedup_embedding": _DEDUP_EMB_SQL,
+    "dedup_semantic": _dedup_semantic_sql(),
+    "doc_dup_passages": _DOC_DUP_PASSAGES_SQL,
     "media_features": _MEDIA_FEATURES_SQL,
     "media_by_type": _MEDIA_BY_TYPE_SQL,
     "xref_stats": _XREF_STATS_SQL,

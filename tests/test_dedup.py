@@ -101,3 +101,61 @@ def test_ngram_containment_directional(spark):
     assert rows[(1, 100)] == 1.0
     assert abs(rows[(2, 100)] - 0.5) < 1e-9
     assert (3, 100) not in rows
+
+
+def test_duplicated_passages_planted(spark):
+    """A passage shared by two docs (and repeated inside a third) is
+    flagged; short docs yield zero windows; unique text yields zero
+    duplicated windows."""
+    from nomenklatura_spark.dedup.substring import duplicated_passages
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} and some unique tail one"),
+            (2, f"other beginning text {shared} different unique ending two"),
+            (3, f"{shared} {shared}"),
+            (4, "totally unique words that appear nowhere else in this tiny corpus at all"),
+            (5, "too short"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicated_passages(docs, "doc_id", "text", k=8).collect()
+    }
+    assert rows[5]["n_windows"] == 0 and rows[5]["dup_frac"] == 0.0
+    assert rows[4]["dup_windows"] == 0
+    # the 10-word shared passage contributes 3 duplicated 8-grams per copy
+    assert rows[1]["dup_windows"] >= 3
+    assert rows[2]["dup_windows"] >= 3
+    # doc 3 repeats the passage internally: the 3 windows inside each
+    # copy are duplicated (6 of 13); boundary-crossing windows are unique
+    assert rows[3]["dup_windows"] == 6 and rows[3]["n_windows"] == 13
+    assert 0.0 < rows[1]["dup_frac"] < 1.0
+
+
+def test_semantic_dedup_consistency(spark, sf_dir):
+    """SemDeDup pairs are a subset of the exact all-pairs set at the same
+    threshold (clustering only PRUNES candidates), and the keep-list is
+    the corpus minus the rid side of every pair."""
+    from nomenklatura_spark.dedup.embedding import embedding_dup_pairs
+    from nomenklatura_spark.dedup.semantic import (
+        semantic_dedup_keep,
+        semantic_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = semantic_dup_pairs(emb, threshold=0.35, n_centroids=8).persist()
+    sem_pairs = {(r["lid"], r["rid"]) for r in sem.collect()}
+    exact = {
+        (r["lid"], r["rid"])
+        for r in embedding_dup_pairs(emb, threshold=0.35).collect()
+    }
+    assert sem_pairs, "expected within-cluster duplicates in the corpus"
+    assert sem_pairs <= exact
+    kept = semantic_dedup_keep(emb, threshold=0.35, n_centroids=8)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    drops = {rid for _, rid in sem_pairs}
+    assert kept_ids == all_ids - drops
