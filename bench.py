@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "dedup_ngram_pairs",
     "dedup_components",
     "dedup_embedding",
+    "dedup_semantic",
+    "doc_dup_passages",
     "doc_stats",
     "doc_quality",
     "ann_topk",

@@ -180,3 +180,30 @@ def test_repetition_features_are_map_only(spark, sf_dir):
     plan = _plan(repetition_features(docs, "text"))
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_dup_passages_plan_shape(spark, sf_dir):
+    """doc_dup_passages: the word split must be materialized once (not
+    re-evaluated per window inside the lambda), exactly one Generate,
+    and the only shuffles are the hash-count window and the per-doc
+    rollup (plus the caller's sort)."""
+    from nomenklatura_spark.dedup.substring import duplicated_passages
+    from nomenklatura_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(duplicated_passages(docs))
+    assert plan.count("split(") == 1
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") <= 2
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    """SemDeDup: centroid assignment must broadcast the codebook (never
+    shuffle the corpus against it); the within-cell self-join is the
+    only corpus-sized shuffle."""
+    from nomenklatura_spark.dedup.semantic import semantic_dup_pairs
+    from nomenklatura_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(semantic_dup_pairs(emb, n_centroids=8))
+    assert "BroadcastExchange" in plan
