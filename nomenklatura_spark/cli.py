@@ -10,6 +10,8 @@ the reference tool can drive the same workflows:
 - ``sorted-aggregate``   merge statement rows into entities (A7/P5)
 - ``train-v1-matcher``   fit the regression matcher from judgement pairs (P8)
 - ``load-resolver`` / ``dump-resolver``  resolver dump round-trip (S7)
+- ``prune``              drop undecided suggestions from a resolver (G9)
+- ``make-sortable``      entity file → id-sorted JSON lines (P5 input form)
 - ``bench``              one matching-throughput measurement (contrib perf)
 
 The interactive ``dedupe`` TUI and network ``enrich``/``match`` verbs are
@@ -159,6 +161,54 @@ def dump_resolver_cmd(path: str, outpath: str) -> None:
     spark = _spark()
     write_resolver_dump(spark.read.parquet(path), outpath)
     click.echo(f"dumped resolver edges to {outpath}")
+
+
+@cli.command("prune", help="Remove undecided dedupe candidates")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True)
+def prune_cmd(path: str, outpath: str) -> None:
+    """Soft-delete NO_JUDGEMENT suggestions from a resolver dump
+    (reference ``cli.py:213-219`` / ``resolver.py:498-520``)."""
+    from datetime import datetime, timezone
+
+    from nomenklatura_spark.resolver.edges import prune_suggestions
+    from nomenklatura_spark.sources.statement_io import (
+        read_resolver_dump,
+        write_resolver_dump,
+    )
+
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+    edges = read_resolver_dump(spark, path).withColumn(
+        "deleted_at", F.lit(None).cast("string")
+    )
+    pruned = prune_suggestions(edges, ts)
+    # write_resolver_dump keeps live edges only, so pruned suggestions
+    # drop out of the dump — the reference's prune writes back the same way
+    write_resolver_dump(pruned, outpath)
+    click.echo(f"wrote pruned resolver to {outpath}")
+
+
+@cli.command("make-sortable", help="Convert entities to sorted plain-text form")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True)
+def make_sortable_cmd(path: str, outpath: str) -> None:
+    """Entity file → one JSON line per entity, sorted by entity id — the
+    input shape the reference's external-sort aggregator consumes
+    (``cli.py:239-245``).  Spark's exchange+sort replaces the external
+    sort; the output is a single ordered text file."""
+    from nomenklatura_spark.sources.entity_json import (
+        entities_to_json,
+        read_entity_file,
+    )
+
+    spark = _spark()
+    stmts = read_entity_file(spark, path)
+    out = entities_to_json(stmts, sort=True)
+    out.coalesce(1).write.mode("overwrite").text(outpath)
+    click.echo(f"wrote sortable entities to {outpath}")
 
 
 @cli.command("bench", help="Benchmark the matching algorithms")

@@ -126,10 +126,13 @@ def read_entity_file(
     )
 
 
-def entities_to_json(stmts: DataFrame) -> DataFrame:
+def entities_to_json(stmts: DataFrame, sort: bool = False) -> DataFrame:
     """S10 — assemble statements back to one JSON line per entity
     (reference cli.py:224-230 write_entity). Returns a single-column
-    DataFrame of JSON strings ready for ``df.write.text``."""
+    DataFrame of JSON strings ready for ``df.write.text``.
+
+    ``sort=True`` orders the output by entity id — the make-sortable
+    verb's contract (reference cli.py:239-245)."""
     per_prop = stmts.groupBy("canonical_id", "prop").agg(
         F.array_sort(F.collect_set("value")).alias("values"),
         F.max("schema").alias("schema"),
@@ -142,6 +145,8 @@ def entities_to_json(stmts: DataFrame) -> DataFrame:
         ).alias("properties"),
         F.array_distinct(F.flatten(F.collect_list("datasets"))).alias("datasets"),
     )
+    if sort:
+        per_entity = per_entity.orderBy("canonical_id")
     return per_entity.select(
         F.to_json(
             F.struct(

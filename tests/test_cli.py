@@ -115,3 +115,36 @@ def test_cli_train(runner, tmp_path, spark):
     model = json.loads(out.read_text())
     assert set(model["coefs"]) == {"f_a", "f_b"}
     assert model["coefs"]["f_a"] > 0  # separable → positive weight
+
+
+@pytest.mark.skipif(
+    not os.path.exists(DONATIONS), reason="reference fixture not available"
+)
+def test_cli_make_sortable(runner, tmp_path):
+    out = tmp_path / "sortable"
+    res = runner.invoke(cli, ["make-sortable", DONATIONS, "-o", str(out)])
+    assert res.exit_code == 0, res.output
+    lines = []
+    for f in out.iterdir():
+        if f.name.startswith("part-"):
+            lines += [l for l in f.read_text().splitlines() if l]
+    ids = [json.loads(l)["id"] for l in lines]
+    assert len(ids) == 474
+    assert ids == sorted(ids)
+
+
+def test_cli_prune(runner, tmp_path, spark):
+    dump = tmp_path / "resolver.json"
+    rows = [
+        ["NK-a", "e1", "positive", 1.0, "u", "2024-01-01T00:00:00"],
+        ["NK-a", "e2", "no_judgement", 0.8, "u", "2024-01-01T00:00:00"],
+    ]
+    dump.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    out = tmp_path / "pruned.json"
+    res = runner.invoke(cli, ["prune", str(dump), "-o", str(out)])
+    assert res.exit_code == 0, res.output
+    from nomenklatura_spark.sources.statement_io import read_resolver_dump
+
+    # the dump keeps live edges only — the pruned suggestion is gone
+    live = read_resolver_dump(spark, str(out)).collect()
+    assert [r["judgement"] for r in live] == ["positive"]
