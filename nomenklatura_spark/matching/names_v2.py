@@ -256,7 +256,10 @@ from nomenklatura_spark.matching.symbols import (  # noqa: E402
     ORG_TOKEN_ABBREV,
     token_symbols_all,
 )
-from nomenklatura_spark.matching.translit import fold_text  # noqa: E402
+from nomenklatura_spark.matching.translit import (  # noqa: E402
+    fold_text,
+    fold_text_iso,
+)
 
 _APOS_RE = re.compile(r"['’‘ʼʻ`´]")
 _ALT_RE = re.compile(r"[/;]")
@@ -351,8 +354,17 @@ def _analyze(name: str) -> tuple[tuple, ...]:
     if any(len(a.strip()) <= 2 for a in raw_alts):
         raw_alts = [name.replace("/", " ").replace(";", " ")]
     alts = []
+    folded_variants: list[str] = []
     for raw_alt in raw_alts:
-        folded = fold_text(_APOS_RE.sub("", raw_alt))
+        cleaned = _APOS_RE.sub("", raw_alt)
+        folded_variants.append(fold_text(cleaned))
+        # Cyrillic names also analyse under the ISO-9-style single-char
+        # romanisation (translit._TABLE_ISO) — the matcher maxes over
+        # alternates, so whichever folding matches the other side wins
+        iso = fold_text_iso(cleaned)
+        if iso != folded_variants[-1]:
+            folded_variants.append(iso)
+    for folded in folded_variants:
         raw_toks = [t for t in _TOKEN_RE.split(folded) if t]
         # merge single-letter alpha runs: [j, c] -> "jc", [o, o, o] -> "ooo"
         toks: list[str] = []

@@ -278,13 +278,23 @@ def _fold_kana_hangul(text: str) -> str:
     return "".join(out)
 
 
-@lru_cache(maxsize=200_000)
-def fold_text(text: str) -> str:
-    """Lowercase, strip diacritics, romanise known scripts.
+# ISO-9-style single-character Cyrillic overrides.  The English-digraph
+# table above (ч→ch, ш→sh, х→kh ...) matches how Slavic names are
+# usually WRITTEN in Latin; the scientific convention maps one Cyrillic
+# letter to one Latin letter (ч→č→c after diacritic strip), which is
+# what makes the frozen run score "Вукић"~"Вучић" identically to
+# "Vukić"~"Vučić" (0.8698) and "хүрэлчүх"~"хүрэлсүх" as an
+# equal-length single-substitution pair (0.7656 = (7/8)²).  Names with
+# Cyrillic are analysed under BOTH foldings (names_v2._analyze emits
+# the ISO form as an extra alternate) and the matcher takes the max.
+_TABLE_ISO: dict[str, str] = {
+    **_TABLE,
+    "ж": "z", "й": "j", "х": "h", "ц": "c", "ч": "c", "ш": "s",
+    "щ": "s", "ю": "u", "я": "a", "э": "e",
+}
 
-    Unknown codepoints (CJK, Thai, ...) pass through so same-script
-    comparison still works.
-    """
+
+def _fold(text: str, table: dict[str, str]) -> str:
     text = _fold_kana_hangul(unicodedata.normalize("NFC", text))
     out: list[str] = []
     # NFKD before lowercasing: compatibility forms (math alphabets,
@@ -293,7 +303,7 @@ def fold_text(text: str) -> str:
     for ch in unicodedata.normalize("NFKD", text).lower():
         if unicodedata.combining(ch):
             continue
-        mapped = _TABLE.get(ch)
+        mapped = table.get(ch)
         if mapped is not None:
             out.append(mapped)
             continue
@@ -303,3 +313,20 @@ def fold_text(text: str) -> str:
             continue
         out.append(ch)
     return "".join(out)
+
+
+@lru_cache(maxsize=200_000)
+def fold_text(text: str) -> str:
+    """Lowercase, strip diacritics, romanise known scripts.
+
+    Unknown codepoints (CJK, Thai, ...) pass through so same-script
+    comparison still works.
+    """
+    return _fold(text, _TABLE)
+
+
+@lru_cache(maxsize=100_000)
+def fold_text_iso(text: str) -> str:
+    """Like ``fold_text`` but with the ISO-9-style single-character
+    Cyrillic mapping — the secondary romanisation alternate."""
+    return _fold(text, _TABLE_ISO)
