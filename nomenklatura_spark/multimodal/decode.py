@@ -1,12 +1,21 @@
 """Decode / feature-extract / resize / frame-sample over binary media columns.
 
 All functions are Arrow-batched (``mapInPandas`` over an iterator of
-``pandas.DataFrame``) — the exact shape a real decoder (PIL / torchaudio /
-pyav) would plug into.  Since those libs aren't in this container, the
-pixel/sample decoders are stubbed: they raise ``NotImplementedError``
-unless the payload is in the deterministic ``raw/v1`` fake format, whose
-"decode" is a pure byte-slice transform.  Everything Spark-side — schema,
-batch iteration, partitioning, output arity — is real and tested.
+``pandas.DataFrame``) — the exact shape a production decoder stack plugs
+into.  Self-describing uncompressed formats are decoded for real, in
+pure numpy (no imaging/audio libraries required):
+
+- **BMP** (24-bit uncompressed, the classic DIB layout: bottom-up rows,
+  4-byte row padding) — ``decode_bmp`` / ``encode_bmp``
+- **PPM** (binary P6) — ``decode_ppm`` / ``encode_ppm``
+- **WAV** (RIFF, 16-bit PCM) — ``decode_wav`` / ``encode_wav``
+
+Compressed codecs (JPEG/PNG/MP3/H.264) genuinely need external codec
+libraries, which this container does not have — those raise
+``NotImplementedError``; the deterministic ``raw/v1`` fake format
+passes through as bytes.  ``image_stats`` / ``audio_stats`` /
+``resize_image`` run the real decoders inside the mapInPandas batch
+loop, so the Spark-side plumbing exercises genuine pixel/sample math.
 
 Scale notes (100 TB): per-row Python cost is amortised by Arrow batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch``); the input should be
@@ -16,8 +25,10 @@ and the transform is map-only — no shuffle is introduced.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -26,32 +37,171 @@ from nomenklatura_spark.multimodal.schema import FEATURE_SCHEMA, _CHUNK
 
 _HEADER_LEN = 4
 
-try:  # pragma: no cover - the container has no imaging libs
-    import PIL.Image as _pil  # type: ignore  # noqa: F401
 
-    _HAS_PIL = True
-except Exception:  # pragma: no cover
-    _HAS_PIL = False
+# --- pure-numpy codecs ------------------------------------------------------
 
 
-def _decode_stub(codec: str, what: str) -> None:
-    if codec != "raw/v1":
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """H×W×3 uint8 (RGB) → 24-bit uncompressed BMP bytes."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # BMP stores BGR, bottom row first, each row padded to 4 bytes
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    data = rows.tobytes()
+    size = 14 + 40 + len(data)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835,
+                       2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → H×W×3 uint8 (RGB)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_sz, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            f"real {what} decode needs an imaging/audio library "
-            f"(codec={codec!r}); only the deterministic 'raw/v1' fake "
-            "format is decodable in this environment"
+            f"only 24-bit uncompressed BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
         )
+    flip = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=offset).reshape(h, stride)
+    bgr = rows[:, :row_bytes].reshape(h, w, 3)
+    if flip:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
 
 
-def decode_image(payload: bytes, codec: str = "raw/v1") -> bytes:
-    """Stub image decode: raw/v1 payloads pass through; real codecs raise."""
-    _decode_stub(codec, "image")
-    return payload
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, c = pixels.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
 
 
-def decode_audio(payload: bytes, codec: str = "raw/v1") -> bytes:
-    _decode_stub(codec, "audio")
-    return payload
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    # header: magic, whitespace-separated width/height/maxval, one ws byte
+    parts: list[bytes] = []
+    i = 2
+    while len(parts) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h = int(parts[0]), int(parts[1])
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono PCM samples → RIFF/WAVE bytes."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF 16-bit PCM → (sample_rate, int16 samples).  Walks the chunk
+    list, so extra chunks (LIST, fact) are skipped like a real parser."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    rate: int | None = None
+    bits = channels = 0
+    fmt_code = 1
+    samples: np.ndarray | None = None
+    while i + 8 <= len(payload):
+        cid, clen = payload[i : i + 4], struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").copy()
+        i += 8 + clen + (clen % 2)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_code != 1 or bits != 16 or channels != 1:
+        raise NotImplementedError(
+            f"only 16-bit mono PCM is supported (fmt={fmt_code}, "
+            f"bits={bits}, channels={channels})"
+        )
+    return rate, samples
+
+
+def sniff_codec(payload: bytes) -> str | None:
+    """Identify a self-describing payload by magic bytes."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+_COMPRESSED = frozenset({"png", "jpeg", "jpg", "gif", "webp", "mp3", "aac",
+                         "flac", "h264", "h265", "av1"})
+
+
+def decode_image(payload: bytes, codec: str = "auto"):
+    """Image decode: BMP/PPM → H×W×3 uint8 numpy array (real pixel
+    decode, no external libs); ``raw/v1`` passes through as bytes;
+    compressed codecs raise (no codec libraries in this container)."""
+    if codec == "auto":
+        codec = sniff_codec(payload) or "raw/v1"
+    if codec == "bmp":
+        return decode_bmp(payload)
+    if codec == "ppm":
+        return decode_ppm(payload)
+    if codec == "raw/v1":
+        return payload
+    raise NotImplementedError(
+        f"image codec {codec!r} needs an external codec library"
+    )
+
+
+def decode_audio(payload: bytes, codec: str = "auto"):
+    """Audio decode: WAV PCM16 → (rate, int16 samples); ``raw/v1``
+    passes through; compressed codecs raise."""
+    if codec == "auto":
+        codec = sniff_codec(payload) or "raw/v1"
+    if codec == "wav":
+        return decode_wav(payload)
+    if codec == "raw/v1":
+        return payload
+    raise NotImplementedError(
+        f"audio codec {codec!r} needs an external codec library"
+    )
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -120,33 +270,132 @@ def frame_sample(
     )
 
 
+def _resample_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    sh, sw = px.shape[:2]
+    rows = (np.arange(h) * sh) // h
+    cols = (np.arange(w) * sw) // w
+    return px[rows][:, cols]
+
+
 def resize_image(
     assets: DataFrame, target_w: int = 64, target_h: int = 64
 ) -> DataFrame:
-    """'Resize' images: real resample if PIL existed; raw/v1 fake resize is
-    a deterministic byte truncation/pad to ``target_w*target_h`` bytes."""
+    """Resize images: BMP/PPM payloads get a real nearest-neighbor
+    resample (pure numpy) and are re-encoded in the same format; the
+    ``raw/v1`` fake format keeps its deterministic byte truncation/pad
+    to ``target_w*target_h`` bytes."""
 
     target = target_w * target_h
 
+    def _one(b: bytes) -> bytes:
+        codec = sniff_codec(b)
+        if codec == "bmp":
+            return encode_bmp(_resample_nearest(decode_bmp(b), target_w, target_h))
+        if codec == "ppm":
+            return encode_ppm(_resample_nearest(decode_ppm(b), target_w, target_h))
+        return bytes(b[:target].ljust(target, b"\x00"))
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if _HAS_PIL:  # pragma: no cover
-                raise NotImplementedError("wire PIL resampling here")
-            resized = pdf["payload"].map(
-                lambda b: bytes(b[:target].ljust(target, b"\x00"))
-            )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "width": target_w,
                     "height": target_h,
-                    "payload": resized,
+                    "payload": pdf["payload"].map(_one),
                 }
             )
 
     out_schema = "asset_id long, width int, height int, payload binary"
     return (
         assets.where("media_type = 'image'")
+        .select("asset_id", "payload")
+        .mapInPandas(_batches, out_schema)
+    )
+
+
+def image_stats(assets: DataFrame) -> DataFrame:
+    """Real pixel statistics for decodable image payloads (BMP/PPM):
+    width, height, per-channel means, global min/max.  Non-decodable
+    payloads yield NULL stats instead of failing the batch — at corpus
+    scale a decoder stage must be poison-pill tolerant."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "asset_id": pdf["asset_id"], "codec": [], "width": [],
+                "height": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "min_px": [], "max_px": [],
+            }
+            for b in pdf["payload"]:
+                codec = sniff_codec(b)
+                try:
+                    px = decode_image(bytes(b)) if codec in ("bmp", "ppm") else None
+                except (ValueError, NotImplementedError):
+                    px = None
+                if isinstance(px, np.ndarray):
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    out["codec"].append(codec)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["mean_r"].append(round(float(means[0]), 4))
+                    out["mean_g"].append(round(float(means[1]), 4))
+                    out["mean_b"].append(round(float(means[2]), 4))
+                    out["min_px"].append(int(px.min()))
+                    out["max_px"].append(int(px.max()))
+                else:
+                    out["codec"].append(codec)
+                    for k in ("width", "height", "mean_r", "mean_g",
+                              "mean_b", "min_px", "max_px"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    out_schema = (
+        "asset_id long, codec string, width int, height int, mean_r double, "
+        "mean_g double, mean_b double, min_px int, max_px int"
+    )
+    return (
+        assets.where("media_type = 'image'")
+        .select("asset_id", "payload")
+        .mapInPandas(_batches, out_schema)
+    )
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """Real sample statistics for WAV PCM16 payloads: sample rate, count,
+    duration, RMS and peak amplitude.  Non-decodable payloads yield NULL
+    stats (same poison-pill contract as ``image_stats``)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "asset_id": pdf["asset_id"], "sample_rate": [],
+                "n_samples": [], "duration_ms": [], "rms": [], "peak": [],
+            }
+            for b in pdf["payload"]:
+                try:
+                    rate, samples = decode_wav(bytes(b))
+                except (ValueError, NotImplementedError):
+                    rate, samples = None, None
+                if samples is None or rate is None or not len(samples):
+                    for k in ("sample_rate", "n_samples", "duration_ms",
+                              "rms", "peak"):
+                        out[k].append(None)
+                    continue
+                x = samples.astype(np.float64)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(int(len(samples) * 1000 / rate))
+                out["rms"].append(round(float(np.sqrt((x * x).mean())), 4))
+                out["peak"].append(int(np.abs(samples).max()))
+            yield pd.DataFrame(out)
+
+    out_schema = (
+        "asset_id long, sample_rate int, n_samples int, duration_ms int, "
+        "rms double, peak int"
+    )
+    return (
+        assets.where("media_type = 'audio'")
         .select("asset_id", "payload")
         .mapInPandas(_batches, out_schema)
     )

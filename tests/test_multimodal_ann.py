@@ -205,3 +205,103 @@ def test_ivf_codebook_reuse_deterministic(spark, sf_dir):
     inline = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3, n_iter=2).collect()
     reused = ivf_topk(emb, queries, k=3, n_probe=3, centroids=cb1).collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in reused]
+
+
+def test_bmp_ppm_wav_roundtrip():
+    """Pure-numpy codecs: decode(encode(x)) == x, including BMP row
+    padding at odd widths and WAV extra-chunk skipping."""
+    import numpy as np
+
+    from nomenklatura_spark.multimodal.decode import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        sniff_codec,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in ((8, 8), (5, 3), (7, 2), (1, 1)):
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        bmp = encode_bmp(px)
+        assert sniff_codec(bmp) == "bmp"
+        assert (decode_bmp(bmp) == px).all()
+        ppm = encode_ppm(px)
+        assert sniff_codec(ppm) == "ppm"
+        assert (decode_ppm(ppm) == px).all()
+    samples = (rng.randint(-32768, 32767, 500)).astype(np.int16)
+    wav = encode_wav(samples, 8000)
+    assert sniff_codec(wav) == "wav"
+    rate, got = decode_wav(wav)
+    assert rate == 8000 and (got == samples).all()
+    # a LIST chunk between fmt and data must be skipped
+    extra = wav[:12] + b"LIST\x04\x00\x00\x00INFO" + wav[12:]
+    patched = b"RIFF" + __import__("struct").pack("<I", len(extra) - 8) + extra[8:]
+    rate2, got2 = decode_wav(patched)
+    assert rate2 == 8000 and (got2 == samples).all()
+
+
+def test_image_audio_stats_real_decode(spark):
+    """image_stats / audio_stats compute genuine pixel/sample math via
+    mapInPandas; undecodable payloads yield NULL stats, not failures."""
+    import numpy as np
+
+    from nomenklatura_spark.multimodal.decode import (
+        audio_stats,
+        encode_bmp,
+        encode_wav,
+        image_stats,
+    )
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # red plane
+    px[:, :, 1] = 50
+    rows = [
+        (1, "image", bytearray(encode_bmp(px))),
+        (2, "image", bytearray(b"raw1 not an image")),
+        (3, "audio", bytearray(encode_wav(np.full(400, 1000, dtype=np.int16), 8000))),
+        (4, "audio", bytearray(b"raw1 noise")),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    img = {r["asset_id"]: r for r in image_stats(assets).collect()}
+    assert img[1]["codec"] == "bmp"
+    assert (img[1]["width"], img[1]["height"]) == (6, 4)
+    assert img[1]["mean_r"] == 200.0 and img[1]["mean_g"] == 50.0
+    assert img[1]["min_px"] == 0 and img[1]["max_px"] == 200
+    assert img[2]["width"] is None
+    aud = {r["asset_id"]: r for r in audio_stats(assets).collect()}
+    assert aud[3]["sample_rate"] == 8000
+    assert aud[3]["n_samples"] == 400
+    assert aud[3]["duration_ms"] == 50
+    assert aud[3]["rms"] == 1000.0 and aud[3]["peak"] == 1000
+    assert aud[4]["rms"] is None
+
+
+def test_resize_image_real_resample(spark):
+    """A BMP checkerboard resized 2x down keeps the pattern under
+    nearest-neighbor resampling and re-encodes as BMP."""
+    import numpy as np
+
+    from nomenklatura_spark.multimodal.decode import (
+        decode_bmp,
+        encode_bmp,
+        resize_image,
+        sniff_codec,
+    )
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[::2, ::2] = 255
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(px)))],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = resize_image(assets, target_w=4, target_h=4).collect()
+    payload = bytes(out[0]["payload"])
+    assert sniff_codec(payload) == "bmp"
+    small = decode_bmp(payload)
+    assert small.shape == (4, 4, 3)
+    assert (small == px[::2, ::2]).all()
