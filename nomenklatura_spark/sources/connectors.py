@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -453,3 +455,66 @@ ALL_CONNECTORS: dict[str, type[ConnectorEnricher]] = {
         WikidataEnricher, YenteEnricher,
     )
 }
+
+
+# The reference addresses enricher classes by dotted path in its YAML
+# configs ("nomenklatura.enrich.yente:YenteEnricher" — cli.py:35-45,
+# enrich/__init__.py make_enricher); map the class-name tail onto this
+# module's re-expressions so those configs load unchanged.
+_TYPE_TAILS: dict[str, type[ConnectorEnricher]] = {
+    "YenteEnricher": YenteEnricher,
+    "AlephEnricher": AlephEnricher,
+    "NominatimEnricher": NominatimEnricher,
+    "OpenCorporatesEnricher": OpenCorporatesEnricher,
+    "OpenFIGIEnricher": OpenFIGIEnricher,
+    "PermIDEnricher": PermIDEnricher,
+    "WikidataEnricher": WikidataEnricher,
+    "BrightQueryEnricher": BrightQueryEnricher,
+}
+
+_ENV_RE = re.compile(r"\$\{([A-Z0-9_]+)\}")
+
+
+def _expand_env(value: Any) -> Any:
+    """``${VAR}`` placeholders in config strings resolve from the
+    environment (the reference's api_key convention, e.g.
+    enrichers/offshoreleaks.yml)."""
+    if isinstance(value, str):
+        return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), value)
+    return value
+
+
+def make_enricher(
+    config: dict[str, Any], fetch: Fetch | None = None
+) -> ConnectorEnricher:
+    """Instantiate a connector from a reference-format enricher config
+    dict (the parsed YAML): ``type`` selects the class (dotted-path tail
+    or bare connector name), every other scalar key passes through as a
+    constructor kwarg with ``${VAR}`` environment expansion."""
+    spec = str(config.get("type", ""))
+    tail = spec.rsplit(":", 1)[-1]
+    cls = _TYPE_TAILS.get(tail) or ALL_CONNECTORS.get(tail.lower())
+    if cls is None:
+        raise TypeError(f"unknown enricher type: {spec!r}")
+    import inspect
+
+    allowed = set()
+    for klass in cls.__mro__:
+        sig = getattr(klass, "__init__", None)
+        if sig is None or klass is object:
+            continue
+        allowed.update(inspect.signature(sig).parameters)
+    kwargs = {
+        k: _expand_env(v)
+        for k, v in config.items()
+        if k not in ("type", "name", "title") and k in allowed
+    }
+    return cls(fetch=fetch, **kwargs)
+
+
+def load_enricher_yaml(path: str, fetch: Fetch | None = None) -> ConnectorEnricher:
+    """Read a reference-format enricher YAML file and build the connector."""
+    import yaml
+
+    with open(path) as fh:
+        return make_enricher(yaml.safe_load(fh), fetch=fetch)

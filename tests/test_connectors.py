@@ -285,3 +285,32 @@ def test_wikidata_fixture_replay():
     assert row["candidate_id"] == "Q7747"
     assert row["candidate_schema"] == "Person"
     assert row["candidate_name"] == "Vladimir Putin"
+
+
+def test_load_reference_enricher_yaml(monkeypatch):
+    """The reference's own enricher YAML configs (enrichers/*.yml) load
+    unchanged: type dotted-path tail resolves to the re-expressed class,
+    scalar keys pass through, ${VAR} expands from the environment."""
+    import os
+
+    import pytest
+
+    from nomenklatura_spark.sources.connectors import (
+        NominatimEnricher,
+        WikidataEnricher,
+        YenteEnricher,
+        load_enricher_yaml,
+        make_enricher,
+    )
+
+    base = "/root/reference/enrichers"
+    if not os.path.isdir(base):
+        pytest.skip("reference enricher configs unavailable")
+    monkeypatch.setenv("GRAPH_API_KEY", "test-key-123")
+    assert isinstance(load_enricher_yaml(f"{base}/nominatim.yml"), NominatimEnricher)
+    assert isinstance(load_enricher_yaml(f"{base}/wikidata.yml"), WikidataEnricher)
+    osl = load_enricher_yaml(f"{base}/offshoreleaks.yml")
+    assert isinstance(osl, YenteEnricher)
+    assert osl.url == "https://api.graph.opensanctions.org/match/icij_offshoreleaks"
+    with pytest.raises(TypeError):
+        make_enricher({"type": "acme.enrich:UnknownEnricher"})
