@@ -399,3 +399,41 @@ def audio_stats(assets: DataFrame) -> DataFrame:
         .select("asset_id", "payload")
         .mapInPandas(_batches, out_schema)
     )
+
+
+def synthetic_bmp_assets(
+    docs: DataFrame, width: int = 18, height: int = 6
+) -> DataFrame:
+    """Deterministic real-BMP assets: per document, a ``height×width``
+    RGB image whose pixel bytes are the md5 stream
+    ``md5(doc_id + ':px:' + chunk)`` — reproducible by any engine from
+    hex arithmetic alone, so a query that DECODES the BMP (the real
+    codec path) can still be value-checked against a SQL oracle that
+    never parses BMP."""
+    import hashlib
+
+    n = width * height * 3
+    n_chunks = -(-n // 16)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                stream = b"".join(
+                    hashlib.md5(f"{doc_id}:px:{i}".encode()).digest()
+                    for i in range(n_chunks)
+                )
+                px = np.frombuffer(stream[:n], dtype=np.uint8).reshape(
+                    height, width, 3
+                )
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    out_schema = "asset_id long, media_type string, payload binary"
+    return docs.select("doc_id").mapInPandas(_batches, out_schema)

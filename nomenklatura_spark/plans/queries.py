@@ -1963,6 +1963,60 @@ _DOC_DUP_PASSAGES_SQL = """
 """
 
 
+def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode, oracle-checked: per-document deterministic
+    BMPs (pixel bytes = md5 stream) are ENCODED, round-tripped through
+    the pure-numpy BMP decoder and reduced to pixel statistics
+    (``multimodal/decode.py``).  The DuckDB oracle reproduces the same
+    statistics from hex arithmetic alone — it never parses BMP — so a
+    hash match proves the codec path computes real pixel math."""
+    from nomenklatura_spark.multimodal.decode import (
+        image_stats,
+        synthetic_bmp_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stats = image_stats(synthetic_bmp_assets(docs))
+    return stats.select(
+        F.col("asset_id").alias("doc_id"),
+        "codec",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        "min_px",
+        "max_px",
+    ).orderBy("doc_id")
+
+
+# 18x6 RGB = 324 pixel bytes = 21 md5 chunks of 16 bytes (trimmed).
+# Byte k of the stream is hex pair (k%16) of md5('<doc_id>:px:<k//16>');
+# channel = k%3 (R,G,B interleave), matching the numpy reshape.
+_MEDIA_PIXELS_SQL = """
+    WITH px AS (
+        SELECT doc_id, k,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':px:' ||
+                                     CAST(k // 16 AS VARCHAR)),
+                                 (k % 16) * 2 + 1, 2)) AS INT) AS b
+        FROM documents,
+            LATERAL (SELECT unnest(generate_series(0, 323)) AS k)
+    )
+    SELECT doc_id,
+        'bmp' AS codec,
+        18 AS width,
+        6 AS height,
+        round(avg(CASE WHEN k % 3 = 0 THEN b END), 4) AS mean_r,
+        round(avg(CASE WHEN k % 3 = 1 THEN b END), 4) AS mean_g,
+        round(avg(CASE WHEN k % 3 = 2 THEN b END), 4) AS mean_b,
+        CAST(min(b) AS INT) AS min_px,
+        CAST(max(b) AS INT) AS max_px
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: synthetic assets → mapInPandas features.
 
@@ -2423,6 +2477,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "doc_dup_passages": q_doc_dup_passages,
     "media_features": q_media_features,
+    "media_pixels": q_media_pixels,
     "media_by_type": q_media_by_type,
     "xref_stats": q_xref_stats,
     "conflicting_matches": q_conflicting_matches,
@@ -2473,6 +2528,7 @@ ORACLES = {
     "dedup_semantic": _dedup_semantic_sql(),
     "doc_dup_passages": _DOC_DUP_PASSAGES_SQL,
     "media_features": _MEDIA_FEATURES_SQL,
+    "media_pixels": _MEDIA_PIXELS_SQL,
     "media_by_type": _MEDIA_BY_TYPE_SQL,
     "xref_stats": _XREF_STATS_SQL,
     "conflicting_matches": _CONFLICTS_SQL,
