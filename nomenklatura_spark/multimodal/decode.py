@@ -387,7 +387,8 @@ def audio_stats(assets: DataFrame) -> DataFrame:
                 out["n_samples"].append(len(samples))
                 out["duration_ms"].append(int(len(samples) * 1000 / rate))
                 out["rms"].append(round(float(np.sqrt((x * x).mean())), 4))
-                out["peak"].append(int(np.abs(samples).max()))
+                # widen before abs: np.abs(int16 -32768) overflows to -32768
+                out["peak"].append(int(np.abs(samples.astype(np.int32)).max()))
             yield pd.DataFrame(out)
 
     out_schema = (
@@ -431,6 +432,40 @@ def synthetic_bmp_assets(
                 {
                     "asset_id": pdf["doc_id"],
                     "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    out_schema = "asset_id long, media_type string, payload binary"
+    return docs.select("doc_id").mapInPandas(_batches, out_schema)
+
+
+def synthetic_wav_assets(
+    docs: DataFrame, n_samples: int = 200, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic real-WAV assets: per document, ``n_samples`` int16
+    PCM samples whose little-endian bytes are the md5 stream
+    ``md5(doc_id + ':au:' + chunk)`` — same oracle device as
+    ``synthetic_bmp_assets``, for the audio codec path."""
+    import hashlib
+
+    n_bytes = n_samples * 2
+    n_chunks = -(-n_bytes // 16)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                stream = b"".join(
+                    hashlib.md5(f"{doc_id}:au:{i}".encode()).digest()
+                    for i in range(n_chunks)
+                )
+                samples = np.frombuffer(stream[:n_bytes], dtype="<i2")
+                payloads.append(encode_wav(samples, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "audio",
                     "payload": payloads,
                 }
             )

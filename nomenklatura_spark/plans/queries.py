@@ -2017,6 +2017,60 @@ _MEDIA_PIXELS_SQL = """
 """
 
 
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode, oracle-checked (same device as
+    ``media_pixels``): deterministic WAV PCM16 payloads round-trip
+    through the RIFF chunk walker and reduce to sample statistics; the
+    oracle rebuilds each int16 sample from md5 hex pairs."""
+    from nomenklatura_spark.multimodal.decode import (
+        audio_stats,
+        synthetic_wav_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stats = audio_stats(synthetic_wav_assets(docs))
+    return stats.select(
+        F.col("asset_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "rms",
+        "peak",
+    ).orderBy("doc_id")
+
+
+# 200 samples = 400 little-endian int16 bytes = 25 md5 chunks.  Sample k
+# is bytes 2k (lo) and 2k+1 (hi): v = lo + 256*hi - 65536*(hi >= 128).
+_MEDIA_AUDIO_SQL = """
+    WITH smp AS (
+        SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':au:' ||
+                                     CAST((2 * k) // 16 AS VARCHAR)),
+                                 ((2 * k) % 16) * 2 + 1, 2)) AS INT)
+            + 256 * CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':au:' ||
+                                     CAST((2 * k + 1) // 16 AS VARCHAR)),
+                                 ((2 * k + 1) % 16) * 2 + 1, 2)) AS INT)
+                AS raw
+        FROM documents,
+            LATERAL (SELECT unnest(generate_series(0, 199)) AS k)
+    ),
+    vals AS (
+        SELECT doc_id,
+            CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM smp
+    )
+    SELECT doc_id,
+        8000 AS sample_rate,
+        200 AS n_samples,
+        25 AS duration_ms,
+        round(sqrt(avg(CAST(v AS DOUBLE) * v)), 4) AS rms,
+        CAST(max(abs(v)) AS INT) AS peak
+    FROM vals
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: synthetic assets → mapInPandas features.
 
@@ -2478,6 +2532,7 @@ QUERIES = {
     "doc_dup_passages": q_doc_dup_passages,
     "media_features": q_media_features,
     "media_pixels": q_media_pixels,
+    "media_audio": q_media_audio,
     "media_by_type": q_media_by_type,
     "xref_stats": q_xref_stats,
     "conflicting_matches": q_conflicting_matches,
@@ -2529,6 +2584,7 @@ ORACLES = {
     "doc_dup_passages": _DOC_DUP_PASSAGES_SQL,
     "media_features": _MEDIA_FEATURES_SQL,
     "media_pixels": _MEDIA_PIXELS_SQL,
+    "media_audio": _MEDIA_AUDIO_SQL,
     "media_by_type": _MEDIA_BY_TYPE_SQL,
     "xref_stats": _XREF_STATS_SQL,
     "conflicting_matches": _CONFLICTS_SQL,
