@@ -1,0 +1,203 @@
+"""Incremental MinHash-LSH dedup index (training-data tier of §2.12).
+
+Batch MinHash dedup (``dedup/minhash.py``) rescans the corpus per run; a
+training-data ingest pipeline instead wants every incoming micro-batch
+checked against everything already ingested.  Because the signature
+construction is deterministic (md5-derived hash family — no seed state),
+the index is a materialised view maintained by key:
+
+- ``signatures`` (id, seed, minhash) and ``bands`` (id, band, band_key)
+  are keyed by document: an upsert batch replaces exactly the touched
+  ids (retract + insert), the same contract as the blocking index
+  (``streaming/index.py``).
+- A batch's candidates are (batch bands ⋈ state bands) ∪ (batch
+  self-join) — both bounded equi-joins on (band, band_key); the state
+  side never self-joins again, so per-batch work is O(batch × collision)
+  not O(corpus²).  Cross-batch estimated jaccard reads only the
+  signature rows of collided ids.
+- Emitted pairs accumulate in an append-only ``pairs`` log — over any
+  sequence of batches the union equals the from-scratch
+  ``minhash_dedup_pairs`` over the union of documents (pytest-pinned),
+  because candidates(A∪B) = cand(A×A) ∪ cand(A×B) ∪ cand(B×B) and each
+  term is produced by some batch.
+
+State is versioned parquet snapshots with a VERSION pointer (crash-safe
+swap, time travel) exactly like ``BlockingIndexState``; on a cluster the
+merge is a Delta ``MERGE INTO`` per relation and the pairs log is an
+append-only table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nomenklatura_spark.dedup.minhash import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    minhash_similarity,
+)
+
+_SIG_SCHEMA = "id string, seed int, minhash long"
+_BAND_SCHEMA = "id string, band int, band_key string"
+_PAIR_SCHEMA = "lid string, rid string, est_jaccard double"
+
+
+def _bands_of(signatures: DataFrame, band_size: int) -> DataFrame:
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x["minhash"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    return banded
+
+
+class DedupIndexState:
+    """Versioned on-disk state: signatures + bands + pairs log."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        k: int = 3,
+        mode: str = "word",
+        n_hashes: int = 32,
+        band_size: int = 4,
+        threshold: float = 0.5,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.k, self.mode = k, mode
+        self.n_hashes, self.band_size = n_hashes, band_size
+        self.threshold = threshold
+        os.makedirs(state_dir, exist_ok=True)
+
+    @property
+    def _version_file(self) -> str:
+        return os.path.join(self.state_dir, "VERSION")
+
+    def version(self) -> int:
+        try:
+            with open(self._version_file) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _path(self, rel: str, version: int) -> str:
+        return os.path.join(self.state_dir, rel, f"v{version}")
+
+    def _bump(self, version: int) -> None:
+        tmp = self._version_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._version_file)
+
+    def _read(self, rel: str, schema: str, version: int | None = None) -> DataFrame:
+        v = self.version() if version is None else version
+        path = self._path(rel, v)
+        if v < 0 or not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def signatures(self, version: int | None = None) -> DataFrame:
+        return self._read("signatures", _SIG_SCHEMA, version)
+
+    def bands(self, version: int | None = None) -> DataFrame:
+        return self._read("bands", _BAND_SCHEMA, version)
+
+    def pairs(self, version: int | None = None) -> DataFrame:
+        return self._read("pairs", _PAIR_SCHEMA, version)
+
+    def apply_batch(self, docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+        """Fold one micro-batch of documents into the index; returns the
+        near-dup pairs this batch surfaced (within-batch + vs state)."""
+        batch_sigs = minhash_signatures(
+            docs, id_col, text_col, self.k, self.mode, self.n_hashes
+        ).select(F.col("id").cast("string").alias("id"), "seed", "minhash")
+        batch_sigs = batch_sigs.localCheckpoint()
+        batch_bands = _bands_of(batch_sigs, self.band_size)
+
+        state_sigs = self.signatures()
+        state_bands = self.bands()
+
+        # within-batch candidates
+        within = lsh_candidate_pairs(batch_sigs, self.n_hashes, self.band_size)
+        # cross candidates: batch vs state (state never re-self-joins)
+        cross = (
+            batch_bands.select(
+                F.col("id").alias("lid"), "band", "band_key"
+            )
+            .join(
+                state_bands.select(F.col("id").alias("rid"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .where(F.col("lid") != F.col("rid"))
+            .select(
+                F.least("lid", "rid").alias("lid"),
+                F.greatest("lid", "rid").alias("rid"),
+            )
+            .distinct()
+        )
+        all_sigs = state_sigs.join(
+            batch_sigs.select("id").distinct(), "id", "left_anti"
+        ).unionByName(batch_sigs)
+        cands = within.unionByName(cross).distinct()
+        new_pairs = (
+            minhash_similarity(all_sigs, cands)
+            .where(F.col("est_jaccard") >= self.threshold)
+            .localCheckpoint()
+        )
+
+        # upsert-by-document + append pairs, then swap the version pointer
+        v = self.version()
+        nv = v + 1
+        touched = batch_sigs.select("id").distinct()
+        merged_sigs = state_sigs.join(touched, "id", "left_anti").unionByName(
+            batch_sigs
+        )
+        merged_bands = self.bands().join(touched, "id", "left_anti").unionByName(
+            batch_bands
+        )
+        merged_pairs = (
+            self.pairs()
+            .unionByName(new_pairs)
+            .groupBy("lid", "rid")
+            .agg(F.max("est_jaccard").alias("est_jaccard"))
+        )
+        merged_sigs.write.mode("overwrite").parquet(self._path("signatures", nv))
+        merged_bands.write.mode("overwrite").parquet(self._path("bands", nv))
+        merged_pairs.write.mode("overwrite").parquet(self._path("pairs", nv))
+        self._bump(nv)
+        return new_pairs
+
+
+def maintain_dedup_stream(
+    stream: DataFrame,
+    state: DedupIndexState,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Structured Streaming driver: each micro-batch of documents folds
+    into the dedup index via ``foreachBatch`` (the merge is a multi-table
+    transaction, which sinks can't express — same pattern as
+    ``maintain_index_stream``)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        state.apply_batch(batch, id_col, text_col)
+
+    writer = stream.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
