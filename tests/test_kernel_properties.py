@@ -166,3 +166,64 @@ def test_residue_dp_is_optimal(qps, rps):
     got = mass(_align_residue(qps, rps))
     best = max(mass(al) for al in _enumerate_alignments(qps, rps))
     assert got == pytest.approx(best), (qps, rps, got, best)
+
+
+def test_wlev_properties():
+    """Weighted levenshtein: identity, symmetry, bounded by plain
+    levenshtein from below by |len difference|, and never exceeding the
+    unweighted distance."""
+    from hypothesis import given, settings, strategies as st
+
+    from nomenklatura_spark.matching.names_v2 import _wlev, levenshtein
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abceikosuyz", max_size=12),
+        st.text(alphabet="abceikosuyz", max_size=12),
+    )
+    def check(a, b):
+        w = _wlev(a, b)
+        assert w == _wlev(b, a)
+        assert (w == 0.0) == (a == b)
+        assert w <= levenshtein(a, b) + 1e-9
+        assert w >= abs(len(a) - len(b)) - 1e-9
+
+    check()
+
+
+def test_codec_roundtrip_property():
+    """BMP/PPM/WAV roundtrip for arbitrary shapes and samples."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from nomenklatura_spark.multimodal.decode import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 13), st.integers(1, 9), st.integers(0, 2**31 - 1))
+    def check_img(w, h, seed):
+        px = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(
+            np.uint8
+        )
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+        assert (decode_ppm(encode_ppm(px)) == px).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 400), st.integers(0, 2**31 - 1))
+    def check_wav(n, seed):
+        s = (
+            np.random.RandomState(seed)
+            .randint(-32768, 32768, n)
+            .astype(np.int16)
+        )
+        rate, got = decode_wav(encode_wav(s, 44100))
+        assert rate == 44100 and (got == s).all()
+
+    check_img()
+    check_wav()
