@@ -30,7 +30,7 @@ calibrated against the reference's own frozen per-case output
   a 1-1 pair scores the LCS-distance kernel ``residue_fuzzy``
   (``(1-d/L)^e``, d = L - LCS, e = 2 for equal lengths else 1 —
   fitted per-case to the frozen run, see ``tools/fit_kernel.py``),
-  metaphone fallback at 0.6; persons reorder residues first
+  no phonetic fallback (fitted out — see _cluster_score); persons reorder residues first
   (``align_person_name_order``), orgs keep order (so "C.B.A." vs
   "A.B.C." penalises, frozen 0.2308).
 - **weights**: extras ×0.8 query / ×0.2 result with per-category biases
@@ -55,7 +55,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from nomenklatura_spark.functions import compare as C
-from nomenklatura_spark.functions.names_compare import metaphone
 from nomenklatura_spark.functions.normalize import STOP_TOKENS
 from nomenklatura_spark.functions.scoring import Feature, heuristic_score
 from nomenklatura_spark.matching.symbols import (
@@ -69,8 +68,6 @@ EXTRA_RESULT_WEIGHT = 0.2
 FAMILY_NAME_WEIGHT = 1.3
 STOPWORD_DAMPEN = 0.7
 STOPWORD_EXTRA_BIAS = 0.5
-METAPHONE_SCORE = 0.6
-METAPHONE_MIN_LEN = 5
 NUMBER_MISMATCH_PENALTY = 0.3
 
 # Schemas whose names are "things" (NameTypeTag.OBJ in the reference,
@@ -184,6 +181,7 @@ def _lcs_len(a: str, b: str) -> int:
 # "meleni"~"meloni" (e↔o) and "putin"~"pudin" (t↔d) stay at cost 1.
 _CONFUSABLE = {"e": 1, "i": 1, "y": 1, "o": 2, "u": 2, "c": 3, "k": 3}
 _SUB_DISCOUNT = 0.7
+_MAX_EDITS = 2.0
 
 
 def _wlev(a: str, b: str) -> float:
@@ -232,7 +230,9 @@ def residue_fuzzy(left: str, right: str) -> float:
             d = _wlev(left, right)
         if max_len < 5 and d >= 1:
             return 0.0
-        if d > max_len / 4:
+        # absolute cap 2: no frozen anchor accepts a 3-edit pair at any
+        # length ("maroghashvili"~"margoshvili", lev 3 at L=13, scores 0)
+        if d > min(max_len / 4, _MAX_EDITS):
             return 0.0
         exp = 2 if l1 == l2 else 1
         return (1 - d / max_len) ** exp
@@ -567,22 +567,17 @@ def _cluster_score(qparts: tuple[str, ...], rparts: tuple[str, ...]) -> float:
     """Score of one aligned cluster.
 
     1-1 pairs: the LCS-distance kernel (``residue_fuzzy``) with a
-    metaphone fallback.  Merged clusters: linear ``1 - (d + 0.2*joins)/len``
+    no phonetic fallback.  Merged clusters: linear ``1 - (d + 0.2*joins)/len``
     over the space-joined strings — the 0.2 join cost reproduces the
     frozen run ("Plat Ono Vich"~"Platonovich" → 0.969, "PolPot" → 0.971).
     """
     if len(qparts) == 1 and len(rparts) == 1:
-        qp, rp = qparts[0], rparts[0]
-        s = residue_fuzzy(qp, rp)
-        if s > 0.0:
-            return s
-        if (
-            len(qp) >= METAPHONE_MIN_LEN
-            and len(rp) >= METAPHONE_MIN_LEN
-            and metaphone(qp) == metaphone(rp) != ""
-        ):
-            return METAPHONE_SCORE
-        return 0.0
+        # No phonetic fallback: the frozen run gives zero credit to
+        # metaphone-equal-but-distant pairs ("Ginta"~"Janett" both JNT,
+        # "Marquez"~"Marcos" both MRKS — 0 in the reference), and the
+        # cases a fallback used to rescue ("Mosk"~"Musk") are covered by
+        # the confusable-class discounts in the kernel itself.
+        return residue_fuzzy(qparts[0], rparts[0])
     qj, rj = "".join(qparts), "".join(rparts)
     spaced = max(len(qj) + len(qparts) - 1, len(rj) + len(rparts) - 1)
     max_edits = spaced // 4

@@ -64,7 +64,7 @@ def score_corpus():
 
 def run(kernel, meta, stop_eq, stop_dampen, sl):
     nv.KERNEL_MODE = kernel
-    nv.METAPHONE_SCORE = meta
+    if hasattr(nv, 'METAPHONE_SCORE'): nv.METAPHONE_SCORE = meta
     nv._STOP_EQ = stop_eq
     nv._STOP_DAMPEN = stop_dampen
     nv.SINGLE_LETTER_DAMPEN = sl
@@ -83,7 +83,7 @@ def run(kernel, meta, stop_eq, stop_dampen, sl):
 
 
 if __name__ == "__main__":
-    base = (nv.KERNEL_MODE, nv.METAPHONE_SCORE, nv._STOP_EQ, nv._STOP_DAMPEN,
+    base = (nv.KERNEL_MODE, 0.0, nv._STOP_EQ, nv._STOP_DAMPEN,
             nv.SINGLE_LETTER_DAMPEN)
     full = nv._STOP
     for kernel, meta, eq, damp, sl in itertools.product(

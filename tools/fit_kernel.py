@@ -103,7 +103,7 @@ def score_corpus() -> dict:
 
 def run_variant(name: str, kernel, metaphone_score: float) -> None:
     nv.residue_fuzzy = kernel
-    nv.METAPHONE_SCORE = metaphone_score
+    if hasattr(nv, 'METAPHONE_SCORE'): if hasattr(nv, 'METAPHONE_SCORE'): nv.METAPHONE_SCORE = metaphone_score
     nv._cluster_score.cache_clear()
     nv.name_pair_score.cache_clear()
     m = score_corpus()
@@ -121,4 +121,4 @@ if __name__ == "__main__":
     run_variant("adopted (lcs eq2 r4 m5), metaphone 0.6", orig, 0.6)
     run_variant("adopted, no metaphone", orig, 0.0)
     nv.residue_fuzzy = orig
-    nv.METAPHONE_SCORE = 0.6
+    pass  # metaphone fallback removed from names_v2
