@@ -93,6 +93,10 @@ _ORG_STOP = frozenset(
 _STOP_EQ = _ORG_STOP  # equal single-token pairs in this set are weightless
 _STOP_DAMPEN = _ORG_STOP | {"a"}  # mismatched pairs w/ one side here dampen 0.7
 SINGLE_LETTER_DAMPEN = False  # initial-vs-word aligned pairs dampen 0.7
+# aligned pair of two DIFFERENT location tokens (Santander México ~
+# Santander Chile) carries the reference's LOCATION weight 0.8 —
+# corpus-neutral vs 1.0 but matches the reference's weighting scheme
+LOC_MISMATCH_WEIGHT = 0.8
 # Residue kernel distance ("wlev", the fitted winner): confusable-class
 # weighted levenshtein (``_wlev``), min'd with the LCS distance for
 # equal lengths ("frederick"~"friedrich" 0.605 = (7/9)² needs the LCS
@@ -793,7 +797,19 @@ def _alignment_score(
                 residue = alt
     for qparts, rparts in residue:
         if qparts and rparts:
-            scored.append((_cluster_score(qparts, rparts), 1.0, qparts, rparts))
+            w_pair = 1.0
+            if (
+                LOC_MISMATCH_WEIGHT != 1.0
+                and len(qparts) == 1
+                and len(rparts) == 1
+            ):
+                ql = {s for s in token_symbols_all(qparts[0]) if s.startswith("loc:")}
+                rl = {s for s in token_symbols_all(rparts[0]) if s.startswith("loc:")}
+                if ql and rl and not (ql & rl):
+                    w_pair = LOC_MISMATCH_WEIGHT
+            scored.append(
+                (_cluster_score(qparts, rparts), w_pair, qparts, rparts)
+            )
         elif qparts:
             scored.append(
                 (0.0, _extra_weight(qparts, EXTRA_QUERY_WEIGHT, family), qparts, ())

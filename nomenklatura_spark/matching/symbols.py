@@ -422,6 +422,48 @@ _LOC_TOKENS: dict[str, list[str]] = {
     "pakistan": ["pakistan", "pakistani"],
     "venezuela": ["venezuela", "venezuelan"],
     "cuba": ["cuba", "cuban"],
+    "chile": ["chile", "chilean"],
+    "argentina": ["argentina", "argentine", "argentinian"],
+    "peru": ["peru", "peruvian"],
+    "colombia": ["colombia", "colombian"],
+    "bolivia": ["bolivia", "bolivian"],
+    "ecuador": ["ecuador", "ecuadorian"],
+    "armenia": ["armenia", "armenian"],
+    "georgia": ["georgia", "georgian"],
+    "azerbaijan": ["azerbaijan", "azerbaijani"],
+    "greece": ["greece", "greek", "hellas", "hellenic"],
+    "portugal": ["portugal", "portuguese"],
+    "finland": ["finland", "finnish", "suomi"],
+    "denmark": ["denmark", "danish", "danmark"],
+    "ireland": ["ireland", "irish"],
+    "czech": ["czech", "czechia"],
+    "hungary": ["hungary", "hungarian"],
+    "romania": ["romania", "romanian"],
+    "bulgaria": ["bulgaria", "bulgarian"],
+    "serbia": ["serbia", "serbian"],
+    "croatia": ["croatia", "croatian"],
+    "nigeria": ["nigeria", "nigerian"],
+    "kenya": ["kenya", "kenyan"],
+    "ethiopia": ["ethiopia", "ethiopian"],
+    "indonesia": ["indonesia", "indonesian"],
+    "malaysia": ["malaysia", "malaysian"],
+    "thailand": ["thailand", "thai"],
+    "vietnam": ["vietnam", "vietnamese"],
+    "philippines": ["philippines", "philippine", "filipino"],
+    "bangladesh": ["bangladesh", "bangladeshi"],
+    "myanmar": ["myanmar", "burma", "burmese"],
+    "qatar": ["qatar", "qatari"],
+    "kuwait": ["kuwait", "kuwaiti"],
+    "bahrain": ["bahrain", "bahraini"],
+    "oman": ["oman", "omani"],
+    "yemen": ["yemen", "yemeni"],
+    "jordan": ["jordan", "jordanian"],
+    "morocco": ["morocco", "moroccan"],
+    "algeria": ["algeria", "algerian"],
+    "tunisia": ["tunisia", "tunisian"],
+    "libya": ["libya", "libyan"],
+    "sudan": ["sudan", "sudanese"],
+    "somalia": ["somalia", "somali"],
     "moscow": ["moscow", "moskva"],
     "beijing": ["beijing", "peking"],
     "london": ["london"],
