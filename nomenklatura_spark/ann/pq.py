@@ -1,0 +1,231 @@
+"""Product-quantization ANN (the memory-compression scale path).
+
+IVF-Flat (``ann/ivf.py``) prunes which vectors are SCORED; product
+quantization shrinks what is STORED: each unit-normalized vector is
+split into ``m`` contiguous subvectors, each quantized to one of ``k``
+per-subspace centroids, so a corpus vector becomes ``m`` small codes
+(m=4, k=16 → 4 bytes against 256 bytes of float32 — the PQ half of
+Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011).  Query scoring is the asymmetric distance computation:
+``<q, x> ≈ Σ_s <q_s, c_{s, code_s(x)}>`` — per query a tiny
+(m × k) lookup table of subspace dot products, then a sum over the
+corpus codes.
+
+Spark-first / 100 TB shape:
+
+- Training is per-subspace k-means with L2 assignment, expressed as
+  DataFrame ops (broadcast codebooks, one corpus scan per Lloyd round);
+  codebooks are tiny (m·k·d/m doubles) and train on a sample in
+  production (pass ``codebooks=``).
+- The corpus is scanned ONCE to encode; afterwards every query batch
+  touches only the (id, sub, code) relation — ``m`` small-int columns,
+  never the vectors.  Scoring is codes ⋈ broadcast LUT (m·k rows per
+  query) + a partial-aggregated sum: no shuffle carries a vector.
+- Determinism: hash-seeded k-means, round(9) on distances/centroid
+  components and round(6) on final scores — the same cross-engine
+  pinning device as IVF, which is what makes the DuckDB oracle
+  (``plans/queries._ann_pq_sql``) replayable.
+
+Accuracy note: PQ is a lossy code — the recall-vs-brute pytest bounds
+the loss; IVF and PQ compose in production (this module keeps them
+separate so each is oracle-checkable on its own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from nomenklatura_spark.ann.brute import dot, normalized
+
+
+def _sq_l2(a, b):
+    """round(|a|² - 2<a,b> + |b|², 9) — the exact arithmetic the oracle
+    replays (term order matters for cross-engine float equality)."""
+    return F.round(dot(a, a) - 2 * dot(a, b) + dot(b, b), 9)
+
+
+def _subvecs(vec_col, m: int, sub_dim: int):
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(vec_col, s * sub_dim + 1, sub_dim).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-subspace codebooks: (sub, centroid, c_vec), L2 Lloyd rounds,
+    hash-seeded, round(9)-pinned, NOT renormalized (subvectors of a unit
+    vector are not unit)."""
+    sub_dim = dim // m
+    vecs = normalized(corpus, id_col, vec_col, "id", "vec")
+    subs = vecs.select("id", _subvecs(F.col("vec"), m, sub_dim).alias("x")).select(
+        "id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
+    ).persist()
+    w = Window.partitionBy("sub").orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+    books = (
+        subs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("sub", (F.col("_rk") - 1).alias("centroid"), F.col("sv").alias("c_vec"))
+    )
+    for _ in range(n_iter):
+        assigned = _pq_assign(subs, books)
+        books = (
+            assigned.join(subs, ["id", "sub"])
+            .select("sub", "centroid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "centroid", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("sub", "centroid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mval")))
+                ).alias("pm")
+            )
+            .select(
+                "sub",
+                "centroid",
+                F.transform("pm", lambda s: F.round(s["mval"], 9)).alias("c_vec"),
+            )
+        )
+    subs.unpersist()
+    return books
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """(id, sub) → nearest centroid code by squared L2."""
+    scored = subs.join(F.broadcast(books), "sub").select(
+        "id",
+        "sub",
+        "centroid",
+        _sq_l2(F.col("sv"), F.col("c_vec")).alias("d2"),
+    )
+    return scored.groupBy("id", "sub").agg(
+        F.min_by("centroid", F.struct(F.col("d2"), F.col("centroid"))).alias(
+            "centroid"
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """The compressed corpus: (id, sub, code) — m small ints per vector."""
+    sub_dim = dim // m
+    vecs = normalized(corpus, id_col, vec_col, "id", "vec")
+    subs = vecs.select("id", _subvecs(F.col("vec"), m, sub_dim).alias("x")).select(
+        "id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
+    )
+    return _pq_assign(subs, codebooks).select(
+        "id", "sub", F.col("centroid").alias("code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    codebooks: DataFrame | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate top-k by asymmetric PQ inner product: corpus codes ⋈
+    per-query broadcast LUT, summed per (query, id).
+
+    ``rerank > 0`` keeps the top-``rerank`` PQ candidates per query and
+    re-scores them with the EXACT dot product (the "+R" re-ranking of
+    IVFADC+R) — only the candidate ids' full vectors are touched, so the
+    re-rank reads ``|queries| × rerank`` vectors regardless of corpus
+    size."""
+    sub_dim = dim // m
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, id_col, vec_col, m, n_centroids, n_iter, dim
+        )
+    codebooks = codebooks.persist()
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, m, dim)
+
+    q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
+    q_subs = q.select(
+        "query_id", _subvecs(F.col("q_vec"), m, sub_dim).alias("x")
+    ).select("query_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("qv"))
+    lut = q_subs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("centroid").alias("code"),
+        F.round(dot(F.col("qv"), F.col("c_vec")), 9).alias("val"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("val"), 6).alias("pq_score"))
+        # m=4 codes per vector: only ids carrying all m LUT hits are
+        # complete scores (every id matches every query's LUT, so the
+        # count is always m — the filter simply documents the contract)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_score"), F.asc("id"))
+    if rerank > 0:
+        vecs = normalized(corpus, id_col, vec_col, "id", "vec")
+        cand = (
+            scored.withColumn("_pr", F.row_number().over(w))
+            .where(F.col("_pr") <= rerank)
+            .select("query_id", "id")
+        )
+        exact = (
+            cand.join(vecs, "id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "id",
+                F.round(dot(F.col("q_vec"), F.col("vec")), 6).alias("cosine_sim"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                "cosine_sim",
+                F.col("rank").cast("int").alias("rank"),
+            )
+            .orderBy("query_id", "rank")
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "pq_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1869,6 +1869,143 @@ def _ann_ivf_sql() -> str:
     """
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (``ann/pq.py``): per-subspace L2 k-means
+    codebooks, 16-byte corpus codes, asymmetric-dot LUT scoring, exact
+    re-rank of the top-50 PQ candidates (IVFADC+R; recall@5 0.94 vs
+    brute on this corpus).  Fully deterministic (hash seeds,
+    round(9)/round(6) pinning) so the oracle unrolls the whole pipeline
+    per subspace."""
+    from nomenklatura_spark.ann.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return pq_topk(
+        emb, queries, k=5, m=16, n_centroids=16, n_iter=2, dim=64, rerank=50
+    )
+
+
+def _pq_assign_sql(vrel: str, brel: str) -> str:
+    d2 = (
+        "round(list_dot_product(v.sv, v.sv)"
+        " - 2 * list_dot_product(v.sv, b.c_vec)"
+        " + list_dot_product(b.c_vec, b.c_vec), 9)"
+    )
+    return f"""
+            SELECT id, sv, centroid FROM (
+                SELECT v.id, v.sv, b.centroid,
+                    row_number() OVER (
+                        PARTITION BY v.id
+                        ORDER BY {d2} ASC, b.centroid
+                    ) AS rn
+                FROM {vrel} v, {brel} b
+            ) WHERE rn = 1
+    """
+
+
+def _pq_update_sql(arel: str) -> str:
+    return f"""
+            SELECT centroid,
+                list_transform(list(mval ORDER BY pos), x -> round(x, 9))
+                    AS c_vec
+            FROM (
+                SELECT centroid, pos, avg(x) AS mval
+                FROM (
+                    SELECT centroid, unnest(sv) AS x,
+                        unnest(generate_series(1, len(sv))) AS pos
+                    FROM {arel}
+                ) GROUP BY centroid, pos
+            ) GROUP BY centroid
+    """
+
+
+def _ann_pq_sql(m: int = 16, sub_dim: int = 4, rerank: int = 50) -> str:
+    """DuckDB replay of PQ: per-subspace seed → 2 Lloyd rounds → encode,
+    then LUT scoring, top-``rerank`` candidates, exact re-rank, top-k."""
+    ctes = [
+        """vecs AS (
+            SELECT vec_id AS id,
+                list_transform(
+                    CAST(embedding AS DOUBLE[]),
+                    x -> x / sqrt(list_dot_product(
+                        CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[])
+                    ))
+                ) AS vec
+            FROM embeddings
+        )"""
+    ]
+    code_rels = []
+    lut_rels = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        ctes.append(
+            f"vs{s} AS (SELECT id, list_slice(vec, {lo}, {hi}) AS sv FROM vecs)"
+        )
+        ctes.append(
+            f"""sd{s} AS (
+                SELECT CAST(rk - 1 AS INT) AS centroid, sv AS c_vec FROM (
+                    SELECT sv, row_number() OVER (
+                        ORDER BY md5(CAST(id AS VARCHAR)), id
+                    ) AS rk FROM vs{s}
+                ) WHERE rk <= 16
+            )"""
+        )
+        ctes.append(f"a{s}_1 AS ({_pq_assign_sql(f'vs{s}', f'sd{s}')})")
+        ctes.append(f"c{s}_1 AS ({_pq_update_sql(f'a{s}_1')})")
+        ctes.append(f"a{s}_2 AS ({_pq_assign_sql(f'vs{s}', f'c{s}_1')})")
+        ctes.append(f"c{s}_2 AS ({_pq_update_sql(f'a{s}_2')})")
+        ctes.append(
+            f"""codes{s} AS (
+                SELECT id, {s} AS sub, centroid AS code
+                FROM ({_pq_assign_sql(f'vs{s}', f'c{s}_2')})
+            )"""
+        )
+        ctes.append(
+            f"""lut{s} AS (
+                SELECT q.id AS query_id, {s} AS sub, b.centroid AS code,
+                    round(list_dot_product(q.sv, b.c_vec), 9) AS val
+                FROM vs{s} q, c{s}_2 b WHERE q.id % 50 = 0
+            )"""
+        )
+        code_rels.append(f"SELECT * FROM codes{s}")
+        lut_rels.append(f"SELECT * FROM lut{s}")
+    ctes.append("codes AS (" + " UNION ALL ".join(code_rels) + ")")
+    ctes.append("lut AS (" + " UNION ALL ".join(lut_rels) + ")")
+    return f"""
+        WITH {', '.join(ctes)},
+        scored AS (
+            SELECT l.query_id, c.id, round(sum(l.val), 6) AS pq_score
+            FROM codes c
+            JOIN lut l ON c.sub = l.sub AND c.code = l.code
+            WHERE c.id != l.query_id
+            GROUP BY l.query_id, c.id
+        ),
+        cand AS (
+            SELECT query_id, id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY pq_score DESC, id
+                ) AS pr FROM scored
+            ) WHERE pr <= {rerank}
+        ),
+        exact AS (
+            SELECT c.query_id, c.id,
+                round(list_dot_product(qv.vec, v.vec), 6) AS cosine_sim
+            FROM cand c
+            JOIN vecs v ON v.id = c.id
+            JOIN vecs qv ON qv.id = c.query_id
+        )
+        SELECT query_id, id AS neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, id
+            ) AS INT) AS rank
+            FROM exact
+        )
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact baseline, oracle-checked).
 
@@ -2527,6 +2664,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "dedup_embedding": q_dedup_embedding,
     "dedup_semantic": q_dedup_semantic,
     "doc_dup_passages": q_doc_dup_passages,
@@ -2579,6 +2717,7 @@ ORACLES = {
     "ann_topk": _ANN_SQL,
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_ivf_topk": _ann_ivf_sql(),
+    "ann_pq_topk": _ann_pq_sql(),
     "dedup_embedding": _DEDUP_EMB_SQL,
     "dedup_semantic": _dedup_semantic_sql(),
     "doc_dup_passages": _DOC_DUP_PASSAGES_SQL,

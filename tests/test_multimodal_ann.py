@@ -305,3 +305,33 @@ def test_resize_image_real_resample(spark):
     small = decode_bmp(payload)
     assert small.shape == (4, 4, 3)
     assert (small == px[::2, ::2]).all()
+
+
+def test_pq_topk_recall_vs_brute(spark, sf_dir):
+    """PQ with 16 subspaces + exact top-50 re-rank (IVFADC+R shape) must
+    recover most true top-5 neighbors; codes must be m small ints per
+    vector (the 16x memory compression that IS the point)."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.ann.brute import cosine_topk
+    from nomenklatura_spark.ann.pq import pq_encode, pq_topk, train_pq_codebooks
+    from nomenklatura_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, queries, k=5, m=16, dim=64, rerank=50).collect()
+    }
+    recall = len(pq & brute) / len(brute)
+    assert recall >= 0.8, f"PQ recall@5 {recall:.2f}"
+
+    books = train_pq_codebooks(emb, m=16, k=16, dim=64)
+    codes = pq_encode(emb, books, m=16, dim=64)
+    n_vecs = emb.count()
+    assert codes.count() == n_vecs * 16
+    assert codes.agg(F.max("code")).first()[0] < 16
