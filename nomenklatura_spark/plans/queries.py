@@ -1869,6 +1869,52 @@ def _ann_ivf_sql() -> str:
     """
 
 
+def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words document embeddings (``textops/embed.py``),
+    exploded to (doc_id, pos, val) rows for the value-hash compare.
+    Feature hashing is md5-derived, so the DuckDB oracle rebuilds the
+    same vectors relationally."""
+    from nomenklatura_spark.textops.embed import hashed_embeddings
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = hashed_embeddings(docs, "doc_id", "text", dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    ).orderBy("doc_id", "pos")
+
+
+_DOC_EMBED_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+            unnest(list_filter(string_split_regex(lower(text),
+                   '[^\\p{L}\\p{N}'']+'), x -> x != '')) AS w
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+            CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS b,
+            CASE WHEN CAST(('0x' || substr(md5('sgn:' || w), 1, 2)) AS INT)
+                      % 2 = 0
+                 THEN 1.0 ELSE -1.0 END AS s
+        FROM w
+    ),
+    hist AS (SELECT doc_id, b, sum(s) AS v FROM h GROUP BY doc_id, b),
+    nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM hist GROUP BY doc_id),
+    grid AS (
+        SELECT d.doc_id, k AS pos
+        FROM (SELECT DISTINCT doc_id FROM documents) d,
+            LATERAL (SELECT unnest(generate_series(0, 63)) AS k)
+    )
+    SELECT g.doc_id, CAST(g.pos AS INT) AS pos,
+        round(COALESCE(h.v, 0.0) / greatest(COALESCE(n.n, 0.0), 1e-12), 6)
+            AS val
+    FROM grid g
+    LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.b = g.pos
+    LEFT JOIN nrm n ON n.doc_id = g.doc_id
+    ORDER BY g.doc_id, pos
+"""
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (``ann/pq.py``): per-subspace L2 k-means
     codebooks, 16-byte corpus codes, asymmetric-dot LUT scoring, exact
@@ -2665,6 +2711,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "doc_embed": q_doc_embed,
     "dedup_embedding": q_dedup_embedding,
     "dedup_semantic": q_dedup_semantic,
     "doc_dup_passages": q_doc_dup_passages,
@@ -2718,6 +2765,7 @@ ORACLES = {
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_ivf_topk": _ann_ivf_sql(),
     "ann_pq_topk": _ann_pq_sql(),
+    "doc_embed": _DOC_EMBED_SQL,
     "dedup_embedding": _DEDUP_EMB_SQL,
     "dedup_semantic": _dedup_semantic_sql(),
     "doc_dup_passages": _DOC_DUP_PASSAGES_SQL,

@@ -159,3 +159,37 @@ def test_semantic_dedup_consistency(spark, sf_dir):
     all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     drops = {rid for _, rid in sem_pairs}
     assert kept_ids == all_ids - drops
+
+
+def test_hashed_embeddings_feed_ann_tier(spark):
+    """The documents → hashed-embedding → semantic-dedup pipeline closes
+    end-to-end: near-duplicate documents land at high cosine, unrelated
+    ones do not, and the frame plugs into the embedding operators
+    unchanged (vec_id/embedding contract)."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.dedup.embedding import embedding_dup_pairs
+    from nomenklatura_spark.textops.embed import hashed_embeddings
+
+    base = (
+        "spark executes declarative plans through catalyst and tungsten "
+        "with whole stage code generation across the cluster"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a tiny appended clause"),
+            (3, "entirely unrelated prose about harbors gulls and tides"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(rows[1]) == 64 and rows[4] == [0.0] * 64
+    pairs = {
+        (r["lid"], r["rid"]): r["cosine_sim"]
+        for r in embedding_dup_pairs(emb, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert (1, 3) not in pairs
