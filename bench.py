@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "doc_quality",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
+    "doc_embed",
     "media_features",
 ]
 

@@ -45,8 +45,10 @@ def cli() -> None:
 @click.option("-l", "--limit", type=int, default=5000)
 @click.option("-t", "--threshold", type=float, default=0.0)
 @click.option("-d", "--discount-internal", type=float, default=1.0)
+@click.option("--algorithm", default="logic-v1",
+              help="Scoring algorithm name (matching.ALGORITHMS)")
 def xref_cmd(path: str, outpath: str, limit: int, threshold: float,
-             discount_internal: float) -> None:
+             discount_internal: float, algorithm: str) -> None:
     from pyspark.sql import functions as F
 
     from nomenklatura_spark.plans.xref import XrefOptions, xref_pairs
@@ -58,7 +60,9 @@ def xref_cmd(path: str, outpath: str, limit: int, threshold: float,
         spark,
         stmts,
         options=XrefOptions(
-            threshold=threshold, discount_internal=discount_internal
+            threshold=threshold,
+            discount_internal=discount_internal,
+            algorithm=algorithm,
         ),
     )
     top = scored.orderBy(F.desc("score"), "lid", "rid").limit(limit)

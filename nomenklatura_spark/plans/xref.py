@@ -50,6 +50,9 @@ class XrefOptions:
     threshold: float = 0.0
     limit: int = 5_000
     discount_internal: float = 1.0
+    # reference algorithm NAME (cli.py --algorithm); resolved through
+    # matching.get_algorithm.  logic-v1 is this engine's model-free default.
+    algorithm: str = "logic-v1"
 
 
 def xref_pairs(
@@ -95,7 +98,15 @@ def xref_pairs(
 
     feats = entity_features(stmts)
     assembled = assemble_pairs(pairs, feats)
-    scored = score_pairs_logic_v1(assembled)
+    if options.algorithm == "logic-v1":
+        scored = score_pairs_logic_v1(assembled)
+    else:
+        from nomenklatura_spark.matching import get_algorithm
+
+        algo = get_algorithm(options.algorithm)
+        if algo is None:
+            raise ValueError(f"unknown algorithm: {options.algorithm!r}")
+        scored = algo(assembled)
     if options.discount_internal != 1.0:
         scored = scored.withColumn(
             "score", F.col("score") * options.discount_internal

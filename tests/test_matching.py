@@ -260,3 +260,61 @@ def test_logic_v1_qualifier_penalty(spark):
     s_base = score_pairs_logic_v1(base).collect()[0]["score"]
     s_pen = score_pairs_logic_v1(penalized).collect()[0]["score"]
     assert s_pen == pytest.approx(s_base - 0.2)
+
+
+def test_algorithm_registry_names():
+    """Every reference algorithm name resolves (matching/__init__.py:11-30);
+    regression entries raise a helpful training pointer."""
+    import pytest
+
+    from nomenklatura_spark.matching import ALGORITHMS, get_algorithm
+
+    for name in ("logic-v1", "logic-v2", "ofac", "name-based",
+                 "name-qualified", "regression-v1", "er-unstable"):
+        assert get_algorithm(name) is not None, name
+    assert get_algorithm("nope") is None
+    with pytest.raises(ValueError, match="train_logistic"):
+        ALGORITHMS["regression-v1"](None)
+
+
+def test_name_based_kernel_semantics():
+    """name-based = 0.5·(per-query-word best JW > 0.5) + 0.5·(soundex
+    overlap / min set size) — reference name_based/names.py."""
+    from nomenklatura_spark.functions.names_compare import jaro_winkler
+    from nomenklatura_spark.matching.name_based import (
+        name_based_score,
+        soundex,
+    )
+
+    assert soundex("Robert") == "R163" and soundex("Rupert") == "R163"
+    assert soundex("Tymczak") == "T522"
+    assert name_based_score(["John Smith"], ["John Smith"]) == 1.0
+    # identical soundex, jaro component = mean of per-word best JW
+    jw = (jaro_winkler("john", "jon") + jaro_winkler("smith", "smith")) / 2
+    got = name_based_score(["John Smith"], ["Jon Smith"])
+    assert abs(got - (0.5 * jw + 0.5 * 1.0)) < 1e-9
+    assert name_based_score(["Wholly Unrelated"], ["Other Person"]) < 0.5
+
+
+def test_name_based_scorers_over_pairs(spark):
+    from nomenklatura_spark.matching import (
+        score_pairs_name_based,
+        score_pairs_name_qualified,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (["John Smith"], ["Jon Smith"], ["us"], ["de"], ["1980"],
+             ["1981"], ["male"], ["female"], ["x1"], ["x2"]),
+        ],
+        "l_names array<string>, r_names array<string>, "
+        "l_countries array<string>, r_countries array<string>, "
+        "l_birth_dates array<string>, r_birth_dates array<string>, "
+        "l_genders array<string>, r_genders array<string>, "
+        "l_identifiers array<string>, r_identifiers array<string>",
+    )
+    plain = score_pairs_name_based(pairs).first()["score"]
+    qual = score_pairs_name_qualified(pairs).first()["score"]
+    assert plain > 0.9
+    # qualifiers: country -0.1, dob_year -0.1, gender -0.1, orgid -0.1
+    assert qual < plain - 0.3
