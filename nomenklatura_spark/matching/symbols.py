@@ -99,6 +99,11 @@ _SYMBOL_GROUPS: dict[str, list[str]] = {
     # weight-0.3 generic corporate vocabulary.  "company"/"co" live here,
     # not in org classes: the frozen logic_v2 run scores an equal
     # "Company" at weight 0.3 (CDE Company vs A.B.C. Company = 0.3/1.3).
+    # Membership is fitted per-token against the frozen run: "global" /
+    # "solutions" / "development" / "engineering" are ordinary literals
+    # there ("Bowne Global Solutions ..." pairs at full weight), while
+    # "general" / "trust" / "capital" / "partners" ARE down-weighted
+    # symbols (ablation in tools/fit_alignment.py history).
     "company": ["company", "co", "corp", "corporation", "cia", "cie",
                 "kompaniya"],
     "foundation": ["foundation", "stiftung", "fond", "fondation",
@@ -112,17 +117,13 @@ _SYMBOL_GROUPS: dict[str, list[str]] = {
     "holding": ["holding", "holdings"],
     "industries": ["industries", "industrial"],
     "services": ["services", "service", "svcs"],
-    "solutions": ["solutions"],
     "systems": ["systems", "system"],
-    "engineering": ["engineering"],
     "management": ["management", "mgmt"],
     "investment": ["investment", "investments"],
     "enterprise": ["enterprise", "enterprises"],
     "trading": ["trading"],
-    "global": ["global"],
     "national": ["national", "natl"],
     "general": ["general"],
-    "development": ["development"],
     "manufacturing": ["manufacturing", "mfg"],
     "laboratories": ["laboratories", "labs"],
     "brothers": ["brothers", "bros"],
