@@ -529,6 +529,29 @@ ORG_PHRASE_ABBREV: dict[tuple[str, ...], str] = {
     ("private", "limited"): "pteltd",
 }
 
+# Cyrillic legal-form phrases fold differently under the two Cyrillic
+# romanisations (translit.fold_text digraphs vs fold_text_iso single
+# chars); register BOTH foldings so the phrase is recognised in every
+# analysis alternate (names_v2._analyze emits the ISO variant too).
+_CYRILLIC_PHRASES: dict[str, str] = {
+    "общество с ограниченной ответственностью": "ooo",
+    "акционерное общество": "ao",
+    "открытое акционерное общество": "oao",
+    "закрытое акционерное общество": "zao",
+    "публичное акционерное общество": "pao",
+}
+
+
+def _register_cyrillic_phrases() -> None:
+    from nomenklatura_spark.matching.translit import fold_text, fold_text_iso
+
+    for phrase, abbrev in _CYRILLIC_PHRASES.items():
+        for folded in (fold_text(phrase), fold_text_iso(phrase)):
+            ORG_PHRASE_ABBREV[tuple(folded.split())] = abbrev
+
+
+_register_cyrillic_phrases()
+
 # Single-token legal forms replaced to their abbreviation in the
 # comparable form ("Acme Holdings Limited" ≡ "Acme Holdings Ltd").
 # "company"/"co" deliberately absent (see _SYMBOL_GROUPS note).

@@ -131,7 +131,7 @@ def test_name_bench_strong_cases(frozen_scored):
 
 def test_name_bench_score_parity(frozen_scored):
     """Per-case parity against the reference's own scores: mean |Δ| ≤
-    0.027 and ≥93.5% of cases within 0.1 (achieved: 0.022 / 94.8%).
+    0.027 and ≥93.5% of cases within 0.1 (achieved: 0.022 / 94.9%).
     (Cross-script CJK romanisation is the main residual gap — documented
     deviation.)"""
     deltas = [abs(s - float(row["score"])) for row, s in frozen_scored]
