@@ -125,6 +125,7 @@ _SYMBOL_GROUPS: dict[str, list[str]] = {
     "national": ["national", "natl"],
     "general": ["general"],
     "manufacturing": ["manufacturing", "mfg"],
+    "plant": ["plant", "zavod", "fabrika", "factory"],
     "laboratories": ["laboratories", "labs"],
     "brothers": ["brothers", "bros"],
     "department": ["department", "dept"],
