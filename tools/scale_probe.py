@@ -74,8 +74,32 @@ def main() -> None:
         print(f"doc_dup_passages {n}x: {rows} docs, wall {wall:.2f}s")
         d.unpersist()
 
+    docs2 = load_table(spark, SF_DIR, "documents").select("doc_id", "text").persist()
+    from nomenklatura_spark.textops.embed import hashed_embeddings
+
+    for n in (1, 4, 10):
+        d = replicate_docs(docs2, n).persist()
+        rows = d.count()
+        wall = timed(hashed_embeddings(d))
+        print(f"doc_embed {n}x: {rows} docs, wall {wall:.2f}s")
+        d.unpersist()
+
     emb = load_table(spark, SF_DIR, "embeddings").persist()
     emb.count()
+    from pyspark.sql import functions as F2
+    from nomenklatura_spark.ann.pq import pq_topk
+
+    for n in (1, 4, 10):
+        e = replicate_vecs(emb, n).persist()
+        rows = e.count()
+        queries = e.where(F2.col("vec_id") % 997 == 0)
+        nq = queries.count()
+        t0 = time.perf_counter()
+        npairs = pq_topk(e, queries, k=5, m=16, dim=64, rerank=50).count()
+        wall = time.perf_counter() - t0
+        print(f"pq_topk {n}x: {rows} vecs, {nq} queries, {npairs} rows, wall {wall:.2f}s")
+        e.unpersist()
+
     for n, cells in ((1, 16), (4, 64), (10, 160)):
         e = replicate_vecs(emb, n).persist()
         rows = e.count()
