@@ -177,7 +177,7 @@ def test_entity_bench_checks():
     accuracy = correct / len(checks)
     # the corpus is deliberately adversarial (leetspeak, reversed tokens,
     # cross-script); the reference's own frozen scores fail many of the
-    # same rows.  Currently at 82.0%; ≥78% holds the achieved state
+    # same rows.  Currently at 82.0% (round 2); ≥78% holds the achieved state
     # with headroom while staying inside the reference's envelope.
     assert accuracy >= 0.78, f"entity_bench accuracy {accuracy:.1%}"
 
