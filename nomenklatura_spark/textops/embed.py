@@ -56,15 +56,29 @@ def hashed_embeddings(
             F.array_sort(F.collect_list(F.struct(F.col("b"), F.col("v"))))
         ).alias("m")
     )
+    # Stage the projections: expressions referenced inside higher-order
+    # lambdas are NOT CSE'd (SCALE.md "Generate-node pitfalls"), so the
+    # dense gather and the norm aggregate must be bound to columns before
+    # the normalizing transform references them — inlined, the map gather
+    # re-ran once per element inside the norm fold and the norm fold once
+    # per element inside the final transform (measured 3.7s -> ~1s at
+    # sf0.1).
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.coalesce(F.element_at(F.col("m"), j.cast("long")), F.lit(0.0)),
     )
-    norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
-    emb = F.transform(
-        dense, lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)), decimals)
+    staged = per_doc.select("id", dense.alias("_dense")).select(
+        "id",
+        "_dense",
+        F.sqrt(
+            F.aggregate(F.col("_dense"), F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("_norm"),
     )
-    out = per_doc.select("id", emb.alias("embedding"))
+    emb = F.transform(
+        F.col("_dense"),
+        lambda x: F.round(x / F.greatest(F.col("_norm"), F.lit(1e-12)), decimals),
+    )
+    out = staged.select("id", emb.alias("embedding"))
     # keep wordless docs with a zero vector (left join back on ids)
     all_ids = docs.select(F.col(id_col).alias("id")).distinct()
     zero = F.transform(
