@@ -1,6 +1,12 @@
 """Fit the 1-1 residue fuzzy kernel against the reference's frozen run.
 
-Hypothesis under test (decoded from frozen cases): rigour's compare_parts
+Historical fitting tool (round 2) — the ADOPTED kernel is now "wlev"
+(names_v2.residue_fuzzy): confusable-class weighted levenshtein, min'd
+with the LCS distance for equal lengths, gates ``d <= min(L/4, 2)`` and
+``L >= 5 or d < 1``; see tools/fit_alignment.py for the full sweep.
+This script keeps the earlier single-kernel comparisons reproducible.
+
+Original hypothesis (decoded from frozen cases): rigour's compare_parts
 scores a 1-1 residue pair as ``(1 - d/L)^e`` with
 
 - ``d`` = max-side LCS distance ``max(l1, l2) - LCS(a, b)``
