@@ -229,3 +229,105 @@ def pq_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    m: int = 16,
+    pq_k: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVF × PQ composition — the full IVFADC serving layout (Jégou et
+    al. 2011): the coarse quantizer prunes WHICH vectors are considered
+    (``n_probe`` of ``n_cells`` inverted lists), PQ codes determine HOW
+    the candidates are scored (16-byte asymmetric dots, no vectors
+    read), and the exact re-rank bounds the lossiness.  This variant
+    quantizes raw vectors rather than cell residuals — the residual
+    refinement is a codebook detail, not a plan-shape change.
+
+    At 100 TB the query path reads: the broadcast codebooks, the probed
+    cells' (id, sub, code) rows (cell-partition-pruned), and
+    ``|queries| × rerank`` full vectors.  Nothing else."""
+    from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
+
+    centroids = train_centroids(
+        corpus, id_col, vec_col, n_centroids=n_cells, n_iter=n_iter
+    ).persist()
+    inv = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        "centroid", "id"
+    )
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, m, pq_k, n_iter, dim
+    ).persist()
+    codes = pq_encode(corpus, books, id_col, vec_col, m, dim)
+
+    sub_dim = dim // m
+    q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "centroid",
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), 9).alias("c_sim"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "centroid")
+    )
+    cand = F.broadcast(probes).join(inv, "centroid").select("query_id", "id")
+
+    q_subs = q.select(
+        "query_id", _subvecs(F.col("q_vec"), m, sub_dim).alias("x")
+    ).select("query_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("qv"))
+    lut = q_subs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        F.col("centroid").alias("code"),
+        F.round(dot(F.col("qv"), F.col("c_vec")), 9).alias("val"),
+    )
+    scored = (
+        cand.join(codes, "id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("val"), 6).alias("pq_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_score"), F.asc("id"))
+    cand_top = (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .where(F.col("_pr") <= max(rerank, k))
+        .select("query_id", "id")
+    )
+    vecs = normalized(corpus, id_col, vec_col, "id", "vec")
+    exact = (
+        cand_top.join(vecs, "id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "id",
+            F.round(dot(F.col("q_vec"), F.col("vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

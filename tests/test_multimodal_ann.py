@@ -335,3 +335,29 @@ def test_pq_topk_recall_vs_brute(spark, sf_dir):
     n_vecs = emb.count()
     assert codes.count() == n_vecs * 16
     assert codes.agg(F.max("code")).first()[0] < 16
+
+
+def test_ivfpq_topk_recall_vs_brute(spark, sf_dir):
+    """The IVFADC composition (coarse cell pruning x PQ scoring x exact
+    re-rank) keeps recall close to brute force while the scoring path
+    reads only codes."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.ann.brute import cosine_topk
+    from nomenklatura_spark.ann.pq import ivfpq_topk
+    from nomenklatura_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_cells=16, n_probe=8, m=16, rerank=50
+        ).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.6, f"IVFADC recall@5 {recall:.2f}"
