@@ -169,10 +169,6 @@ def sniff_codec(payload: bytes) -> str | None:
     return None
 
 
-_COMPRESSED = frozenset({"png", "jpeg", "jpg", "gif", "webp", "mp3", "aac",
-                         "flac", "h264", "h265", "av1"})
-
-
 def decode_image(payload: bytes, codec: str = "auto"):
     """Image decode: BMP/PPM → H×W×3 uint8 numpy array (real pixel
     decode, no external libs); ``raw/v1`` passes through as bytes;
