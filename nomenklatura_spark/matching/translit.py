@@ -291,6 +291,10 @@ _TABLE_ISO: dict[str, str] = {
     **_TABLE,
     "ж": "z", "й": "j", "х": "h", "ц": "c", "ч": "c", "ш": "s",
     "щ": "s", "ю": "u", "я": "a", "э": "e",
+    # Arabic matres lectionis read as vowels in the alternate: ya → i,
+    # waw → o, alif maqsura → a ("ماري تيريز"~"Marie-Therese" gets
+    # "mari tiriz" beside the consonantal "mary tyryz"; frozen 0.45)
+    "ي": "i", "و": "o", "ى": "a",
 }
 
 

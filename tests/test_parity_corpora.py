@@ -131,14 +131,14 @@ def test_name_bench_strong_cases(frozen_scored):
 
 def test_name_bench_score_parity(frozen_scored):
     """Per-case parity against the reference's own scores: mean |Δ| ≤
-    0.027 and ≥93.5% of cases within 0.1 (achieved: 0.022 / 94.9%).
+    0.027 and ≥93.5% of cases within 0.1 (achieved: 0.021 / 95.1%).
     (Cross-script CJK romanisation is the main residual gap — documented
     deviation.)"""
     deltas = [abs(s - float(row["score"])) for row, s in frozen_scored]
     mean = sum(deltas) / len(deltas)
     within = sum(1 for d in deltas if d <= 0.1) / len(deltas)
-    assert mean <= 0.027, f"mean |Δ| vs frozen = {mean:.4f}"
-    assert within >= 0.935, f"only {within:.1%} within 0.1 of frozen"
+    assert mean <= 0.026, f"mean |Δ| vs frozen = {mean:.4f}"
+    assert within >= 0.94, f"only {within:.1%} within 0.1 of frozen"
 
 
 # --- entity_bench checks.yml ------------------------------------------------
