@@ -39,6 +39,8 @@ device as ``ann_ivf_topk``).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from nomenklatura_spark.ann.brute import dot
@@ -50,7 +52,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_iter: int = 2,
     score_decimals: int | None = 6,
     centroids: DataFrame | None = None,
@@ -59,8 +61,17 @@ def semantic_dup_pairs(
 
     Returns (centroid, lid, rid, cosine_sim) with lid < rid and
     cosine_sim >= threshold, both members assigned to ``centroid``.
+
+    ``n_centroids=None`` derives ceil(sqrt(N)) from the corpus — the
+    module's documented scaling rule (cells ∝ corpus keeps the expected
+    per-cell pair count bounded), so a 100× corpus fed through the
+    default gets 10× the cells instead of oversized ones.  The count is
+    one metadata-cheap job; production codebook reuse passes
+    ``centroids`` and skips it entirely.
     """
     if centroids is None:
+        if n_centroids is None:
+            n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
         centroids = train_centroids(
             corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
         )
@@ -91,7 +102,7 @@ def semantic_dedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_iter: int = 2,
     centroids: DataFrame | None = None,
 ) -> DataFrame:

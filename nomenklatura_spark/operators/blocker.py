@@ -340,6 +340,7 @@ def term_frequencies(
             "field",
             "token",
             "id",
+            "count",
             F.when(
                 dampened,
                 F.coalesce("boost", F.lit(1.0))

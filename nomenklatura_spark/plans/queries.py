@@ -287,7 +287,7 @@ _TF_SQL = f"""
         SELECT id, greatest(1, sum("count")) AS n_names
         FROM entries WHERE field = 'name' GROUP BY id
     )
-    SELECT e.schema, e.field, e.token, e.id,
+    SELECT e.schema, e.field, e.token, e.id, e."count",
         CASE WHEN e.field IN ('np', 'sy')
             THEN ifnull(boo.boost, 1) * i.idf / sqrt(ifnull(nc.n_names, 1))
             ELSE ifnull(boo.boost, 1) * i.idf
@@ -670,8 +670,24 @@ _ADJACENCY_SQL = """
 
 
 def q_blocker_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1+T2 — tokenizer + counted entries relation."""
-    return er_entries(spark, sf_dir).orderBy("schema", "id", "field", "token")
+    """T1+T2+A3+A4+J5 — tokenizer entries with boosted/IDF term weights.
+
+    One row per (schema, id, field, token) carrying the truncated-token
+    count (T2) and the boost·idf/dampening weight (A3/A4/J5) — the
+    former ``blocker_term_frequencies`` query folded onto the entries
+    grain, so one driver row oracle-checks the tokenizer AND the weight
+    model (round-3 registry consolidation; the driver checks 50 rows).
+    """
+    entries = er_entries(spark, sf_dir)
+    tf = term_frequencies(entries, boosts_df(spark))
+    return tf.select(
+        "schema",
+        "id",
+        "field",
+        "token",
+        "count",
+        F.round("weight", 6).alias("weight"),
+    ).orderBy("id", "field", "token")
 
 
 def q_blocker_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,17 +705,8 @@ def q_blocker_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("token")
 
 
-def q_blocker_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3+A4+J5 — boosted/IDF term weights."""
-    entries = er_entries(spark, sf_dir)
-    tf = term_frequencies(entries, boosts_df(spark))
-    return tf.select(
-        "schema", "field", "token", "id", F.round("weight", 6).alias("weight")
-    ).orderBy("id", "field", "token")
-
-
-_TF_ROUNDED_SQL = f"""
-    SELECT schema, field, token, id, round(weight, 6) AS weight
+_ENTRIES_TF_SQL = f"""
+    SELECT schema, id, field, token, "count", round(weight, 6) AS weight
     FROM ({_TF_SQL})
     ORDER BY id, field, token
 """
@@ -1477,9 +1484,18 @@ def _doc_pack_sql() -> str:
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring features per document."""
+    """Quality scoring + Gopher repetition signals per document.
+
+    Both feature families are pure map-side projections over one
+    documents scan, so they chain into a single whole-stage-codegen
+    stage — the former ``doc_repetition`` driver row folded in
+    (round-3 registry consolidation; the driver checks 50 rows).
+    """
+    from nomenklatura_spark.textops.analysis import repetition_features
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return quality_features(docs, "text").select(
+    feats = repetition_features(quality_features(docs, "text"), "text")
+    return feats.select(
         "doc_id",
         "q_n_chars",
         "q_n_words",
@@ -1487,6 +1503,11 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_punct_ratio",
         "q_stop_ratio",
         "q_keep",
+        "r_n_words",
+        "r_dup_word_frac",
+        "r_top_word_share",
+        "r_top_bigram_share",
+        "r_max_run",
     ).orderBy("doc_id")
 
 
@@ -1523,6 +1544,17 @@ def _quality_sql() -> str:
             (n_words >= 5 AND mean_word_len >= 2 AND mean_word_len <= 12
              AND punct_ratio <= 0.3) AS q_keep
         FROM feats
+    """
+
+
+def _quality_repetition_sql() -> str:
+    """Quality + repetition features joined on the doc grain — the
+    combined oracle for the folded ``doc_quality`` driver row."""
+    return f"""
+        SELECT q.*, r.r_n_words, r.r_dup_word_frac, r.r_top_word_share,
+               r.r_top_bigram_share, r.r_max_run
+        FROM ({_quality_sql()}) q
+        JOIN ({_DOC_REPETITION_SQL}) r USING (doc_id)
         ORDER BY doc_id
     """
 
@@ -1800,10 +1832,12 @@ def _ivf_update_sql(assign_rel: str) -> str:
     """
 
 
-def _ivf_inv_ctes() -> str:
+def _ivf_inv_ctes(n_cells: int | str = 16) -> str:
     """Shared CTE chain: normalize → hash-seed → 2 unrolled Lloyd
     rounds → final assignment ``inv(centroid, id, vec)``.  Used by the
-    IVF ANN oracle and the SemDeDup oracle."""
+    IVF ANN / IVFADC oracles (fixed 16 cells) and the SemDeDup oracle
+    (``n_cells`` as a scalar subquery deriving ceil(sqrt(N)) — the
+    SemDeDup operating discipline, mirrored by the Spark default)."""
     return f"""
         vecs AS (
             SELECT vec_id AS id,
@@ -1822,7 +1856,7 @@ def _ivf_inv_ctes() -> str:
                     ORDER BY md5(CAST(id AS VARCHAR)), id
                 ) AS rk
                 FROM vecs
-            ) WHERE rk <= 16
+            ) WHERE rk <= {n_cells}
         ),
         a1 AS ({_ivf_assign_sql("vecs", "seeds")}),
         c1 AS ({_ivf_update_sql("a1")}),
@@ -1965,11 +1999,7 @@ def _pq_update_sql(arel: str) -> str:
     """
 
 
-def _ann_pq_sql(m: int = 16, sub_dim: int = 4, rerank: int = 50) -> str:
-    """DuckDB replay of PQ: per-subspace seed → 2 Lloyd rounds → encode,
-    then LUT scoring, top-``rerank`` candidates, exact re-rank, top-k."""
-    ctes = [
-        """vecs AS (
+_VECS_CTE = """vecs AS (
             SELECT vec_id AS id,
                 list_transform(
                     CAST(embedding AS DOUBLE[]),
@@ -1980,7 +2010,13 @@ def _ann_pq_sql(m: int = 16, sub_dim: int = 4, rerank: int = 50) -> str:
                 ) AS vec
             FROM embeddings
         )"""
-    ]
+
+
+def _pq_ctes(m: int, sub_dim: int) -> list[str]:
+    """Per-subspace PQ CTE chain over the normalized ``vecs`` relation:
+    slice → hash-seed → 2 Lloyd rounds → ``codes``/``lut`` unions.
+    Shared by the flat-PQ oracle and the IVFADC composition."""
+    ctes: list[str] = []
     code_rels = []
     lut_rels = []
     for s in range(m):
@@ -2018,6 +2054,13 @@ def _ann_pq_sql(m: int = 16, sub_dim: int = 4, rerank: int = 50) -> str:
         lut_rels.append(f"SELECT * FROM lut{s}")
     ctes.append("codes AS (" + " UNION ALL ".join(code_rels) + ")")
     ctes.append("lut AS (" + " UNION ALL ".join(lut_rels) + ")")
+    return ctes
+
+
+def _ann_pq_sql(m: int = 16, sub_dim: int = 4, rerank: int = 50) -> str:
+    """DuckDB replay of PQ: per-subspace seed → 2 Lloyd rounds → encode,
+    then LUT scoring, top-``rerank`` candidates, exact re-rank, top-k."""
+    ctes = [_VECS_CTE, *_pq_ctes(m, sub_dim)]
     return f"""
         WITH {', '.join(ctes)},
         scored AS (
@@ -2026,6 +2069,88 @@ def _ann_pq_sql(m: int = 16, sub_dim: int = 4, rerank: int = 50) -> str:
             JOIN lut l ON c.sub = l.sub AND c.code = l.code
             WHERE c.id != l.query_id
             GROUP BY l.query_id, c.id
+        ),
+        cand AS (
+            SELECT query_id, id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY pq_score DESC, id
+                ) AS pr FROM scored
+            ) WHERE pr <= {rerank}
+        ),
+        exact AS (
+            SELECT c.query_id, c.id,
+                round(list_dot_product(qv.vec, v.vec), 6) AS cosine_sim
+            FROM cand c
+            JOIN vecs v ON v.id = c.id
+            JOIN vecs qv ON qv.id = c.query_id
+        )
+        SELECT query_id, id AS neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, id
+            ) AS INT) AS rank
+            FROM exact
+        )
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the production ANN serving layout (``ann/pq.py:
+    ivfpq_topk``): coarse IVF cells prune WHICH vectors are scored
+    (top-``n_probe`` of 16 inverted lists per query), PQ codes decide
+    HOW (16-byte asymmetric-dot LUT, no vectors read), exact re-rank of
+    the top-50 bounds the lossiness.  Both halves are the already
+    oracle-checked ``ann_ivf_topk`` / ``ann_pq_topk`` pipelines; this
+    row oracle-checks their composition."""
+    from nomenklatura_spark.ann.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(
+        emb,
+        queries,
+        k=5,
+        n_cells=16,
+        n_probe=6,
+        m=16,
+        pq_k=16,
+        n_iter=2,
+        dim=64,
+        rerank=50,
+    )
+
+
+def _ann_ivfpq_sql(m: int = 16, sub_dim: int = 4, rerank: int = 50) -> str:
+    """DuckDB replay of IVFADC: the IVF codebook CTEs (coarse cells +
+    inverted lists) composed with the per-subspace PQ CTEs; LUT scoring
+    runs only over candidates from the probed cells."""
+    return f"""
+        WITH {_ivf_inv_ctes()},
+        {', '.join(_pq_ctes(m, sub_dim))},
+        probes AS (
+            SELECT query_id, centroid FROM (
+                SELECT q.id AS query_id, s.centroid,
+                    row_number() OVER (
+                        PARTITION BY q.id
+                        ORDER BY round(list_dot_product(q.vec, s.c_vec), 9)
+                                 DESC, s.centroid
+                    ) AS pr
+                FROM vecs q, c2 s WHERE q.id % 50 = 0
+            ) WHERE pr <= 6
+        ),
+        cand0 AS (
+            SELECT p.query_id, i.id
+            FROM probes p JOIN inv i USING (centroid)
+            WHERE i.id != p.query_id
+        ),
+        scored AS (
+            SELECT c0.query_id, c0.id, round(sum(l.val), 6) AS pq_score
+            FROM cand0 c0
+            JOIN codes c ON c.id = c0.id
+            JOIN lut l ON l.query_id = c0.query_id
+                      AND l.sub = c.sub AND l.code = c.code
+            GROUP BY c0.query_id, c0.id
         ),
         cand AS (
             SELECT query_id, id FROM (
@@ -2077,24 +2202,91 @@ _DEDUP_EMB_SQL = """
 """
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the hyperplane-LSH bucket join — the
+    100 TB scale path (``dedup/embedding.py:embedding_dup_pairs_lsh``):
+    candidates come from a banded signature equi-join (no all-pairs
+    product, no broadcast-side corpus), then exact cosine verification
+    runs on the bucketed pairs only.  Recall is probabilistic in the
+    band structure (16 planes / 4-bit bands here); the oracle replays
+    the identical signature pipeline, so the check is exact."""
+    from nomenklatura_spark.dedup.embedding import embedding_dup_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_lsh(
+        emb, threshold=0.35, n_planes=16, band_bits=4, dim=64
+    )
+
+
+def _dedup_emb_lsh_sql(n_planes: int = 16, band_bits: int = 4) -> str:
+    """DuckDB replay of the LSH-bucketed dedup (same plane constants as
+    the Spark side — ann/lsh.py:_plane_coeffs; same banding)."""
+    from nomenklatura_spark.ann.lsh import _plane_coeffs
+
+    rows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join("1.0" if c > 0 else "-1.0" for c in cs)
+        )
+        for p, cs in _plane_coeffs(n_planes, 64)
+    )
+    return f"""
+        WITH planes(p, coeffs) AS (VALUES {rows}),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bits AS (
+            SELECT vec_id, p,
+                CASE WHEN list_dot_product(v, coeffs) >= 0
+                     THEN '1' ELSE '0' END AS b
+            FROM vecs, planes
+        ),
+        sigs AS (
+            SELECT vec_id, CAST(p // {band_bits} AS INT) AS band,
+                   string_agg(b, '' ORDER BY p) AS key
+            FROM bits GROUP BY vec_id, p // {band_bits}
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS lid, b.vec_id AS rid
+            FROM sigs a JOIN sigs b USING (band, key)
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT lid, rid,
+            round(list_cosine_similarity(lv.v, rv.v), 6) AS cosine_sim
+        FROM cands
+        JOIN vecs lv ON lv.vec_id = lid
+        JOIN vecs rv ON rv.vec_id = rid
+        WHERE round(list_cosine_similarity(lv.v, rv.v), 6) >= 0.35
+        ORDER BY lid, rid
+    """
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-bucketed embedding near-dup pairs
     (``dedup/semantic.py``).  The within-cell self-join is the scale
     path's bounded candidate generator; the deterministic codebook
-    (hash-seeded, round(9)-pinned) is what makes it oracle-able."""
+    (hash-seeded, round(9)-pinned) is what makes it oracle-able.
+
+    ``n_centroids`` is left at the module default, which derives
+    ceil(sqrt(N)) from the corpus — the SemDeDup operating discipline
+    (cells ∝ corpus so per-cell pair volume stays bounded); the oracle
+    derives the same bound as a scalar subquery."""
     from nomenklatura_spark.dedup.semantic import semantic_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dup_pairs(
-        emb, threshold=0.35, n_centroids=16, n_iter=2
-    ).orderBy("lid", "rid")
+    return semantic_dup_pairs(emb, threshold=0.35, n_iter=2).orderBy(
+        "lid", "rid"
+    )
+
+
+_SQRT_N_CELLS = "(SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM vecs)"
 
 
 def _dedup_semantic_sql() -> str:
-    """DuckDB replay of SemDeDup: the IVF codebook CTEs, then the
-    within-cell self-join at the same threshold."""
+    """DuckDB replay of SemDeDup: the IVF codebook CTEs (√N cells, same
+    rule as the Spark default), then the within-cell self-join at the
+    same threshold."""
     return f"""
-        WITH {_ivf_inv_ctes()}
+        WITH {_ivf_inv_ctes(n_cells=_SQRT_N_CELLS)}
         SELECT a.centroid, a.id AS lid, b.id AS rid,
             round(list_dot_product(a.vec, b.vec), 6) AS cosine_sim
         FROM inv a
@@ -2146,31 +2338,66 @@ _DOC_DUP_PASSAGES_SQL = """
 """
 
 
-def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real image decode, oracle-checked: per-document deterministic
-    BMPs (pixel bytes = md5 stream) are ENCODED, round-tripped through
-    the pure-numpy BMP decoder and reduced to pixel statistics
-    (``multimodal/decode.py``).  The DuckDB oracle reproduces the same
-    statistics from hex arithmetic alone — it never parses BMP — so a
-    hash match proves the codec path computes real pixel math."""
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image + audio decode, oracle-checked (the former
+    ``media_pixels`` and ``media_audio`` driver rows unioned onto one
+    grain — round-3 registry consolidation; the driver checks 50 rows).
+
+    Per-document deterministic BMPs (pixel bytes = md5 stream) and WAV
+    PCM16 payloads (samples = md5 stream) are ENCODED, round-tripped
+    through the pure-numpy BMP decoder / RIFF chunk walker
+    (``multimodal/decode.py``) and reduced to pixel / sample statistics.
+    The DuckDB oracle reproduces the same statistics from hex arithmetic
+    alone — it never parses BMP or RIFF — so a hash match proves both
+    codec paths compute real pixel/sample math.  Image rows carry NULL
+    audio columns and vice versa; the union is two independent
+    mapInPandas decode stages, no join."""
     from nomenklatura_spark.multimodal.decode import (
+        audio_stats,
         image_stats,
         synthetic_bmp_assets,
+        synthetic_wav_assets,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    stats = image_stats(synthetic_bmp_assets(docs))
-    return stats.select(
+    # Every stat column rides as DOUBLE with NaN padding (not NULL int):
+    # both the driver and DuckDB fetch through pandas, where a nullable
+    # int column degrades to float64 with NaN — emitting NaN doubles on
+    # both sides keeps the value-hash representation identical.
+    nan = F.lit(float("nan")).cast("double")
+    img = image_stats(synthetic_bmp_assets(docs)).select(
         F.col("asset_id").alias("doc_id"),
         "codec",
-        "width",
-        "height",
+        F.col("width").cast("double").alias("width"),
+        F.col("height").cast("double").alias("height"),
         "mean_r",
         "mean_g",
         "mean_b",
-        "min_px",
-        "max_px",
-    ).orderBy("doc_id")
+        F.col("min_px").cast("double").alias("min_px"),
+        F.col("max_px").cast("double").alias("max_px"),
+        nan.alias("sample_rate"),
+        nan.alias("n_samples"),
+        nan.alias("duration_ms"),
+        nan.alias("rms"),
+        nan.alias("peak"),
+    )
+    wav = audio_stats(synthetic_wav_assets(docs)).select(
+        F.col("asset_id").alias("doc_id"),
+        F.lit("wav").alias("codec"),
+        nan.alias("width"),
+        nan.alias("height"),
+        nan.alias("mean_r"),
+        nan.alias("mean_g"),
+        nan.alias("mean_b"),
+        nan.alias("min_px"),
+        nan.alias("max_px"),
+        F.col("sample_rate").cast("double").alias("sample_rate"),
+        F.col("n_samples").cast("double").alias("n_samples"),
+        F.col("duration_ms").cast("double").alias("duration_ms"),
+        "rms",
+        F.col("peak").cast("double").alias("peak"),
+    )
+    return img.unionByName(wav).orderBy("doc_id", "codec")
 
 
 # 18x6 RGB = 324 pixel bytes = 21 md5 chunks of 16 bytes (trimmed).
@@ -2200,26 +2427,36 @@ _MEDIA_PIXELS_SQL = """
 """
 
 
-def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real audio decode, oracle-checked (same device as
-    ``media_pixels``): deterministic WAV PCM16 payloads round-trip
-    through the RIFF chunk walker and reduce to sample statistics; the
-    oracle rebuilds each int16 sample from md5 hex pairs."""
-    from nomenklatura_spark.multimodal.decode import (
-        audio_stats,
-        synthetic_wav_assets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    stats = audio_stats(synthetic_wav_assets(docs))
-    return stats.select(
-        F.col("asset_id").alias("doc_id"),
-        "sample_rate",
-        "n_samples",
-        "duration_ms",
-        "rms",
-        "peak",
-    ).orderBy("doc_id")
+_MEDIA_DECODE_SQL = """
+    SELECT doc_id, codec,
+           CAST(width AS DOUBLE) AS width,
+           CAST(height AS DOUBLE) AS height,
+           mean_r, mean_g, mean_b,
+           CAST(min_px AS DOUBLE) AS min_px,
+           CAST(max_px AS DOUBLE) AS max_px,
+           CAST(NULL AS DOUBLE) AS sample_rate,
+           CAST(NULL AS DOUBLE) AS n_samples,
+           CAST(NULL AS DOUBLE) AS duration_ms,
+           CAST(NULL AS DOUBLE) AS rms,
+           CAST(NULL AS DOUBLE) AS peak
+    FROM ({pixels})
+    UNION ALL
+    SELECT doc_id, 'wav' AS codec,
+           CAST(NULL AS DOUBLE) AS width,
+           CAST(NULL AS DOUBLE) AS height,
+           CAST(NULL AS DOUBLE) AS mean_r,
+           CAST(NULL AS DOUBLE) AS mean_g,
+           CAST(NULL AS DOUBLE) AS mean_b,
+           CAST(NULL AS DOUBLE) AS min_px,
+           CAST(NULL AS DOUBLE) AS max_px,
+           CAST(sample_rate AS DOUBLE) AS sample_rate,
+           CAST(n_samples AS DOUBLE) AS n_samples,
+           CAST(duration_ms AS DOUBLE) AS duration_ms,
+           rms,
+           CAST(peak AS DOUBLE) AS peak
+    FROM ({audio})
+    ORDER BY doc_id, codec
+"""
 
 
 # 200 samples = 400 little-endian int16 bytes = 25 md5 chunks.  Sample k
@@ -2259,55 +2496,40 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exercises the full multimodal path (binary payload + typed metadata
     through Arrow-batched mapInPandas) with byte-verifiable outputs.
+    Each row also carries its media type's rollup (asset count, total
+    bytes, max chunks) as window aggregates — the former
+    ``media_by_type`` driver row folded in (round-3 registry
+    consolidation; one extra partial-agg exchange on ``media_type``).
     """
     from nomenklatura_spark.multimodal import assets_from_documents, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(assets_from_documents(docs)).orderBy("asset_id")
+    feats = extract_features(assets_from_documents(docs))
+    w = Window.partitionBy("media_type")
+    return feats.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("t_n_assets"),
+        F.sum("n_bytes").over(w).alias("t_total_bytes"),
+        F.max("n_chunks").over(w).alias("t_max_chunks"),
+    ).orderBy("asset_id")
 
 
 _MEDIA_FEATURES_SQL = """
-    SELECT doc_id AS asset_id,
-        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-             WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        octet_length(encode(text)) AS n_bytes,
-        substring(text, 1, 4) AS header,
-        CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_chunks
-    FROM documents
-    ORDER BY asset_id
-"""
-
-
-def q_media_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-media-type rollup over extracted features (metadata-only agg)."""
-    from nomenklatura_spark.multimodal import assets_from_documents, extract_features
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(assets_from_documents(docs))
-    return (
-        feats.groupBy("media_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.max("n_chunks").alias("max_chunks"),
-        )
-        .orderBy("media_type")
-    )
-
-
-_MEDIA_BY_TYPE_SQL = """
-    SELECT media_type, count(*) AS n_assets,
-           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-           max(n_chunks) AS max_chunks
+    SELECT *,
+        count(*) OVER (PARTITION BY media_type) AS t_n_assets,
+        CAST(sum(n_bytes) OVER (PARTITION BY media_type) AS BIGINT)
+            AS t_total_bytes,
+        max(n_chunks) OVER (PARTITION BY media_type) AS t_max_chunks
     FROM (
-        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-               octet_length(encode(text)) AS n_bytes,
-               CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_chunks
+        SELECT doc_id AS asset_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                 WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+            octet_length(encode(text)) AS n_bytes,
+            substring(text, 1, 4) AS header,
+            CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_chunks
         FROM documents
     )
-    GROUP BY media_type
-    ORDER BY media_type
+    ORDER BY asset_id
 """
 
 
@@ -2673,7 +2895,20 @@ _STATEMENTS_VERSIONED_SQL = """
 # registry
 
 QUERIES = {
+    # Ordering is deliberate: the driver's correctness board checks the
+    # first 50 entries, and the registry holds exactly 50 — flagship and
+    # round-3-critical rows lead so a lower cap still covers them.
     "pricing_summary": q_pricing_summary,
+    "resolver_candidates": q_resolver_candidates,
+    "statements_versioned": q_statements_versioned,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "blocker_entries": q_blocker_entries,
+    "doc_quality": q_doc_quality,
+    "media_features": q_media_features,
+    "media_decode": q_media_decode,
+    "pair_scores_v2": q_pair_scores_v2,
+    "dedup_semantic": q_dedup_semantic,
     "top_revenue_nations": q_top_revenue_nations,
     "events_user_topk": q_events_user_topk,
     "events_hourly": q_events_hourly,
@@ -2681,15 +2916,12 @@ QUERIES = {
     "statements_unpivot": q_statements_unpivot,
     "entity_properties": q_entity_properties,
     "adjacency_orders": q_adjacency_orders,
-    "blocker_entries": q_blocker_entries,
     "blocker_token_stats": q_blocker_token_stats,
-    "blocker_term_frequencies": q_blocker_term_frequencies,
     "blocker_pairs": q_blocker_pairs,
     "blocker_match": q_blocker_match,
     "pair_scores": q_pair_scores,
     "pair_scores_regression": q_pair_scores_regression,
     "pair_scores_ofac": q_pair_scores_ofac,
-    "pair_scores_v2": q_pair_scores_v2,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "doc_decontaminate": q_doc_decontaminate,
@@ -2702,8 +2934,6 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_sample_mix": q_doc_sample_mix,
     "doc_pack": q_doc_pack,
-    "doc_quality": q_doc_quality,
-    "doc_repetition": q_doc_repetition,
     "doc_chunks": q_doc_chunks,
     "doc_pii": q_doc_pii,
     "xref_suggestions": q_xref_suggestions,
@@ -2713,22 +2943,26 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "doc_embed": q_doc_embed,
     "dedup_embedding": q_dedup_embedding,
-    "dedup_semantic": q_dedup_semantic,
     "doc_dup_passages": q_doc_dup_passages,
-    "media_features": q_media_features,
-    "media_pixels": q_media_pixels,
-    "media_audio": q_media_audio,
-    "media_by_type": q_media_by_type,
     "xref_stats": q_xref_stats,
     "conflicting_matches": q_conflicting_matches,
     "entity_delta": q_entity_delta,
     "blocker_stopwords": q_blocker_stopwords,
-    "resolver_candidates": q_resolver_candidates,
-    "statements_versioned": q_statements_versioned,
 }
 
 ORACLES = {
     "pricing_summary": _PRICING_SQL,
+    "resolver_candidates": _RESOLVER_CANDIDATES_SQL,
+    "statements_versioned": _STATEMENTS_VERSIONED_SQL,
+    "ann_ivfpq_topk": _ann_ivfpq_sql(),
+    "dedup_embedding_lsh": _dedup_emb_lsh_sql(),
+    "blocker_entries": _ENTRIES_TF_SQL,
+    "doc_quality": _quality_repetition_sql(),
+    "media_features": _MEDIA_FEATURES_SQL,
+    "media_decode": _MEDIA_DECODE_SQL.format(
+        pixels=_MEDIA_PIXELS_SQL, audio=_MEDIA_AUDIO_SQL
+    ),
+    "dedup_semantic": _dedup_semantic_sql(),
     "top_revenue_nations": _TOP_NATIONS_SQL,
     "events_user_topk": _EVENTS_TOPK_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
@@ -2736,9 +2970,7 @@ ORACLES = {
     "statements_unpivot": _STATEMENTS_SQL,
     "entity_properties": _ENTITY_PROPS_SQL,
     "adjacency_orders": _ADJACENCY_SQL,
-    "blocker_entries": f"SELECT * FROM ({_ER_TOKENS_SQL}) ORDER BY schema, id, field, token",
     "blocker_token_stats": f"SELECT * FROM ({_TOKEN_STATS_SQL}) ORDER BY token",
-    "blocker_term_frequencies": _TF_ROUNDED_SQL,
     "blocker_pairs": _PAIRS_SQL,
     "blocker_match": _MATCH_SQL,
     "pair_scores": _PAIR_SCORES_SQL,
@@ -2756,8 +2988,6 @@ ORACLES = {
     "doc_langid": _langid_sql(),
     "doc_sample_mix": _doc_sample_mix_sql(),
     "doc_pack": _doc_pack_sql(),
-    "doc_quality": _quality_sql(),
-    "doc_repetition": _DOC_REPETITION_SQL,
     "doc_chunks": _DOC_CHUNKS_SQL,
     "doc_pii": _doc_pii_sql(),
     "xref_suggestions": _XREF_SUGGESTIONS_SQL,
@@ -2767,16 +2997,9 @@ ORACLES = {
     "ann_pq_topk": _ann_pq_sql(),
     "doc_embed": _DOC_EMBED_SQL,
     "dedup_embedding": _DEDUP_EMB_SQL,
-    "dedup_semantic": _dedup_semantic_sql(),
     "doc_dup_passages": _DOC_DUP_PASSAGES_SQL,
-    "media_features": _MEDIA_FEATURES_SQL,
-    "media_pixels": _MEDIA_PIXELS_SQL,
-    "media_audio": _MEDIA_AUDIO_SQL,
-    "media_by_type": _MEDIA_BY_TYPE_SQL,
     "xref_stats": _XREF_STATS_SQL,
     "conflicting_matches": _CONFLICTS_SQL,
     "entity_delta": _ENTITY_DELTA_SQL,
     "blocker_stopwords": _BLOCKER_STOPWORDS_SQL,
-    "resolver_candidates": _RESOLVER_CANDIDATES_SQL,
-    "statements_versioned": _STATEMENTS_VERSIONED_SQL,
 }
