@@ -1709,6 +1709,11 @@ def q_pair_scores_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean per-case |Δ| 0.038, the single STRONG failure being the one the
     reference fails at the same score), plus the OFAC/entity_bench/putin
     corpora and DP-optimality property tests.
+
+    Driver-visible regression pin: the full sf0.001/sf0.01 outputs are
+    hash-pinned with the driver's own normalization in
+    ``tests/test_entry_contract.py::test_pair_scores_v2_engine_pin`` —
+    any scoring drift fails a hard check even without a SQL oracle.
     """
     from nomenklatura_spark.matching.names_v2 import score_pairs_logic_v2
 

@@ -80,3 +80,40 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# Engine-regression pin for the one registry row without a SQL oracle:
+# the LogicV2 alignment DP (pair_scores_v2) is not SQL-expressible, so
+# instead of a DuckDB replay its full sf output is hash-pinned here with
+# the driver's own normalization (columns sorted by name, floats rounded
+# to 6, rows sorted).  The pinned values were produced by the engine
+# whose per-case parity against the reference's frozen 812-case run is
+# asserted in tests/test_parity_corpora.py — so this pin chains the
+# driver-visible check to the measured reference parity.  If a deliberate
+# scoring change moves the hash, re-run tests/test_parity_corpora.py and
+# re-pin.
+_V2_PINS = {
+    "/root/testdata/sf0.001": (
+        5000,
+        "e9e415ecb7c00a4e5b3ebc35f421c9f3c0416106f7417f2e4f54fba5a2b72a32",
+    ),
+    "/root/testdata/sf0.01": (
+        5000,
+        "b5d93d5bac2d05aafd70ad983db9997be4df51ba96e4f119de9deb3cfa7551bd",
+    ),
+}
+
+
+def test_pair_scores_v2_engine_pin(spark, sf_dir):
+    import hashlib
+
+    pin = _V2_PINS.get(sf_dir)
+    if pin is None:
+        pytest.skip(f"no pin recorded for {sf_dir}")
+    sdf = entry_mod.queries()["pair_scores_v2"](spark, sf_dir)
+    rows = _normalize(
+        [tuple(r) for r in sdf.collect()], [c.lower() for c in sdf.columns]
+    )
+    joined = "\x1e".join("\x1f".join(r) for r in rows)
+    digest = hashlib.sha256(joined.encode()).hexdigest()
+    assert (len(rows), digest) == pin
