@@ -147,19 +147,141 @@ def main() -> None:
         compare[name] = round(n_pairs / wall, 1)
         print(f"# compare {name}: {n_pairs} pairs in {wall:.2f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "compares_per_sec": compare,
-                "n_scored_pairs": n_pairs,
-            }
-        )
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        scaling = _scaling_section(spark, sf_dir, cpus)
+
+    out = {
+        "metric": "headline_queries_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "compares_per_sec": compare,
+        "n_scored_pairs": n_pairs,
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+def _noop_wall(df) -> float:
+    df.write.format("noop").mode("overwrite").save()  # warm
+    start = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
+    """Wall-vs-data-volume curve for the heaviest operators: each input
+    replicated ``n_repl``x with distinct ids (values verbatim — the
+    pessimistic probe: shared tokens/planes collide across replicas),
+    ratio = wall(Nx) / wall(1x).  Sub-linear or ~linear ratios are the
+    evidence that no shuffle in these plans goes super-linear when the
+    scale factor moves 10x — the curve the per-SF bench can't see.
+    SPARK_GRAFT_SCALING=0 skips the section."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.ann.pq import pq_topk
+    from nomenklatura_spark.dedup.semantic import semantic_dup_pairs
+    from nomenklatura_spark.dedup.substring import duplicated_passages
+    from nomenklatura_spark.plans.queries import (
+        MAX_PAIR_COST,
+        MAX_PAIRS,
+        SCHEMATA_PAIRS,
+        boosts_df,
+        er_schemata,
+        er_statements,
     )
+    from nomenklatura_spark.operators.blocker import (
+        build_token_stats,
+        candidate_pairs,
+        term_frequencies,
+        token_entries,
+    )
+    from nomenklatura_spark.functions.tokenize import tokenize_statements
+    from nomenklatura_spark.session import load_table
+    from nomenklatura_spark.textops.embed import hashed_embeddings
+
+    reps = spark.range(n_repl).select(F.col("id").alias("_rep"))
+
+    def replicate(df, id_cols):
+        out = df.crossJoin(F.broadcast(reps))
+        for c in id_cols:
+            typ = dict(df.dtypes)[c]
+            if typ in ("bigint", "int"):
+                out = out.withColumn(c, F.col(c) + F.col("_rep") * 10_000_000)
+            else:
+                out = out.withColumn(
+                    c, F.concat_ws("-r", F.col(c), F.col("_rep"))
+                )
+        return out.drop("_rep")
+
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    stmts = er_statements(spark, sf_dir).persist()
+    docs.count(), emb.count(), stmts.count()
+    docs_n = replicate(docs, ["doc_id"]).persist()
+    emb_n = replicate(emb, ["vec_id"]).persist()
+    stmts_n = replicate(
+        stmts, ["id", "entity_id", "canonical_id"]
+    ).persist()
+    docs_n.count(), emb_n.count(), stmts_n.count()
+
+    def blocker_pairs_op(statements):
+        entries = token_entries(tokenize_statements(statements))
+        schemata = er_schemata(spark)
+        stats = build_token_stats(
+            entries, schemata, MAX_PAIR_COST, schema_pairs=SCHEMATA_PAIRS
+        )
+        tf = term_frequencies(
+            entries, boosts_df(spark), token_stats=stats, drop_stopwords=True
+        ).persist()
+        return candidate_pairs(
+            tf, schemata, max_pairs=MAX_PAIRS, score_decimals=6
+        )
+
+    ops = {
+        "doc_embed": lambda d: hashed_embeddings(d),
+        "doc_dup_passages": lambda d: duplicated_passages(d),
+        "dedup_semantic": lambda e: semantic_dup_pairs(e, threshold=0.35),
+        "ann_pq_topk": lambda e: pq_topk(
+            e,
+            e.where(F.col("vec_id") % 997 == 0),
+            k=5,
+            m=16,
+            dim=64,
+            rerank=50,
+        ),
+        "blocker_pairs": blocker_pairs_op,
+    }
+    inputs = {
+        "doc_embed": (docs, docs_n),
+        "doc_dup_passages": (docs, docs_n),
+        "dedup_semantic": (emb, emb_n),
+        "ann_pq_topk": (emb, emb_n),
+        "blocker_pairs": (stmts, stmts_n),
+    }
+    section: dict[str, dict] = {"n_repl": n_repl}
+    for name, fn in ops.items():
+        base, big = inputs[name]
+        w1 = _noop_wall(fn(base))
+        wn = _noop_wall(fn(big))
+        section[name] = {
+            "x1": round(w1, 3),
+            f"x{n_repl}": round(wn, 3),
+            "ratio": round(wn / max(w1, 1e-9), 2),
+        }
+        print(
+            f"# scaling {name}: x1 {w1:.2f}s -> x{n_repl} {wn:.2f}s "
+            f"(ratio {wn / max(w1, 1e-9):.2f})",
+            file=sys.stderr,
+        )
+    for df in (docs, emb, stmts, docs_n, emb_n, stmts_n):
+        df.unpersist()
+    return section
 
 
 if __name__ == "__main__":

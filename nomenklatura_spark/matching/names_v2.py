@@ -16,9 +16,14 @@ calibrated against the reference's own frozen per-case output
   honorifics dropped, alternates split on "/" and ";", legal-form
   phrases replaced by their own-language abbreviation in the comparable
   form ("Gesellschaft mit beschränkter Haftung" ≡ "GmbH").
-- **literal early-exit** on the sorted comparable token multiset (the
-  part-role compatibility guard of ``util.py:part_tags_compatible`` is
-  not modelled — name-only inputs carry no part tags; deviation).
+- **literal early-exit** on the sorted comparable token multiset,
+  guarded by the part-role compatibility check of
+  ``util.py:part_tags_compatible``: part tags derive from the entity's
+  own firstName/lastName statements (``_side_tags``), a comparable-equal
+  pair with a given↔family role swap falls through to the alignment
+  machinery in tag-sorted order with the person reorder disabled, so the
+  swap pairs unequal strings and is penalised.  Name-only inputs carry
+  no tags and behave exactly as before.
 - **symbol pairing**: multi-token ORG_CLASS phrases, word-number spans
   ("Forty-Four" ~ "44"), NAME transliteration variants, NICK, DOMAIN,
   SYMBOL, particles, LOCATION, and acronym spans (token vs initials of
@@ -717,6 +722,7 @@ def _alignment_score(
     person: bool,
     family: frozenset[str],
     drop_acro: bool = False,
+    reorder: bool = True,
 ) -> float:
     """Score one (query-alt, result-alt) pair: symbol edges + residue DP +
     extras, weighted mean (``match.py:29-127``).
@@ -781,7 +787,7 @@ def _alignment_score(
     q_rem = tuple(t for t, u in zip(q_toks, q_used) if not u)
     r_rem = tuple(t for t, u in zip(r_toks, r_used) if not u)
     residue = _align_residue(q_rem, r_rem)
-    if person:
+    if person and reorder:
         # persons write parts in either order: align both the original and
         # the best-pair reordering, keep whichever aligns more mass
         # (reorder alone can break the adjacency a cluster merge needs,
@@ -851,7 +857,7 @@ def _alignment_score(
         total_w += weight
     total = total_s / total_w if total_w > 0 else 0.0
     if not drop_acro and any(cat == "acro" for _, _, cat in chosen):
-        total = max(total, _alignment_score(q, r, person, family, True))
+        total = max(total, _alignment_score(q, r, person, family, True, reorder))
     return total
 
 
@@ -871,12 +877,65 @@ def _loc_stripped(alt: tuple) -> tuple | None:
     return stripped[0] if stripped else None
 
 
+def _tag_of(tok: str, tags: tuple[frozenset[str], frozenset[str]] | None):
+    """'g' / 'f' / None for a comparable token under a (given, family)
+    tag-set pair; tokens claimed by both prop families carry no tag."""
+    if tags is None:
+        return None
+    given, fam = tags
+    g, f = tok in given, tok in fam
+    if g and not f:
+        return "g"
+    if f and not g:
+        return "f"
+    return None
+
+
+def _part_tags_compatible(
+    q_toks: tuple[str, ...],
+    r_toks: tuple[str, ...],
+    q_tags,
+    r_tags,
+) -> bool:
+    """The literal-early-exit guard of ``util.py:part_tags_compatible``:
+    zip the two part sequences in comparable (sorted) order — the order
+    in which the multiset equality was established — and refuse the 1.0
+    short-circuit when any position pairs a given-tagged part against a
+    family-tagged one.  Written order would let a role swap through: a
+    query with firstName=Putin/lastName=Vladimir against a "PUTIN,
+    Vladimir" alias pairs g↔g/f↔f positionally even though the family
+    name matched the given name; in sorted order the same token carries
+    g on one side and f on the other and the pair is blocked, while a
+    correctly-tagged "Family, Given" reordering stays compatible.
+    Untagged parts match anything, like the reference's ANY tag."""
+    if q_tags is None or r_tags is None:
+        return True
+    for tq, tr in zip(sorted(q_toks), sorted(r_toks)):
+        a, b = _tag_of(tq, q_tags), _tag_of(tr, r_tags)
+        if a is not None and b is not None and a != b:
+            return False
+    return True
+
+
+_TAG_RANK = {"g": 0, None: 1, "f": 2}
+
+
+def _tag_sort(toks: tuple[str, ...], tags) -> tuple[str, ...]:
+    """Stable given-first/family-last part order (``NamePart.tag_sort``):
+    the alignment fallback for tag-blocked literal pairs aligns both
+    sides in role order, so a role swap pairs unequal strings and the
+    mismatch costs score instead of short-circuiting to 1.0."""
+    return tuple(sorted(toks, key=lambda t: _TAG_RANK[_tag_of(t, tags)]))
+
+
 @lru_cache(maxsize=200_000)
 def name_pair_score(
     query: str,
     result: str,
     family: frozenset[str] = frozenset(),
     person: bool | None = None,
+    q_tags: tuple[frozenset[str], frozenset[str]] | None = None,
+    r_tags: tuple[frozenset[str], frozenset[str]] | None = None,
 ) -> float:
     best = 0.0
     for q in _analyze(query):
@@ -890,7 +949,20 @@ def name_pair_score(
             else:
                 per = person
             if q[1] == r[1]:
-                return 1.0
+                if _part_tags_compatible(q[0], r[0], q_tags, r_tags):
+                    return 1.0
+                # Tag-contradicting literal pair: fall through to the
+                # alignment machinery in role order with the person
+                # reorder disabled (the reorder would re-derive the 1.0
+                # the guard just refused) — the role swap now pairs
+                # unequal strings and is penalised, like the reference's
+                # tag-aware compare_parts.
+                qq = (_tag_sort(q[0], q_tags),) + q[1:]
+                rr = (_tag_sort(r[0], r_tags),) + r[1:]
+                s = _alignment_score(qq, rr, per, family, reorder=False)
+                if s > best:
+                    best = s
+                continue
             variants = [(q, r)]
             if not per:
                 q_alt, r_alt = _loc_stripped(q), _loc_stripped(r)
@@ -913,20 +985,52 @@ def _family_parts(name: str) -> tuple[str, ...]:
     return tuple(t for alt in _analyze(name) for t in alt[0])
 
 
+def _side_tags(
+    given_names: list[str] | None, family_names: list[str] | None
+) -> tuple[frozenset[str], frozenset[str]] | None:
+    """(given, family) comparable-token sets for one entity side, derived
+    from its firstName/lastName statement values — the engine's stand-in
+    for the reference's property-driven part tagging
+    (``followthemoney.names.entity_names``).  Returns None when the side
+    carries no tagging evidence, which disables the guard exactly like
+    the reference's untagged (ANY) parts."""
+    given = frozenset(
+        p for n in (given_names or []) for p in _family_parts(n)
+    )
+    fam = frozenset(
+        p for n in (family_names or []) for p in _family_parts(n)
+    )
+    if not given and not fam:
+        return None
+    return (given, fam)
+
+
 def name_match(
     query_names: list[str],
     result_names: list[str],
     family_names: list[str] | None = None,
     person: bool | None = None,
+    query_given: list[str] | None = None,
+    query_family: list[str] | None = None,
+    result_given: list[str] | None = None,
+    result_family: list[str] | None = None,
 ) -> float:
-    """Max over the (query, result) name product with 1.0 early exit."""
+    """Max over the (query, result) name product with 1.0 early exit.
+
+    ``*_given``/``*_family`` carry each side's firstName/lastName
+    statement values; they feed the literal-early-exit part-tag guard
+    (``util.py:part_tags_compatible``) and change nothing when absent
+    (name-only corpora analyse exactly as before).
+    """
     family = frozenset(
         p for n in (family_names or []) for p in _family_parts(n)
     )
+    q_tags = _side_tags(query_given, query_family)
+    r_tags = _side_tags(result_given, result_family)
     best = 0.0
     for qn in query_names or []:
         for rn in result_names or []:
-            s = name_pair_score(qn, rn, family, person)
+            s = name_pair_score(qn, rn, family, person, q_tags, r_tags)
             if s > best:
                 best = s
                 if best >= 1.0:
@@ -982,14 +1086,30 @@ def object_name_match_udf(q: pd.Series, r: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def name_match_udf(
-    q: pd.Series, r: pd.Series, fam: pd.Series, person: pd.Series
+    q: pd.Series,
+    r: pd.Series,
+    fam: pd.Series,
+    person: pd.Series,
+    q_given: pd.Series,
+    q_family: pd.Series,
+    r_given: pd.Series,
+    r_family: pd.Series,
 ) -> pd.Series:
     return pd.Series(
         [
             name_match(
-                list(qn or []), list(rn or []), list(fn or []), person=bool(p)
+                list(qn or []),
+                list(rn or []),
+                list(fn or []),
+                person=bool(p),
+                query_given=list(qg or []),
+                query_family=list(qf or []),
+                result_given=list(rg or []),
+                result_family=list(rf or []),
             )
-            for qn, rn, fn, p in zip(q, r, fam, person)
+            for qn, rn, fn, p, qg, qf, rg, rf in zip(
+                q, r, fam, person, q_given, q_family, r_given, r_family
+            )
         ]
     )
 
@@ -1137,6 +1257,11 @@ def score_pairs_logic_v2(pairs: DataFrame) -> DataFrame:
     Expects the pair frame from ``operators.pairs`` (l_/r_ prefixed
     feature arrays incl. ``l_addresses``/``l_last_names``).
     """
+    # first_names joined the feature map with the part-tag guard; accept
+    # pair frames assembled before that (no tagging evidence → guard off)
+    for c in ("l_first_names", "r_first_names"):
+        if c not in pairs.columns:
+            pairs = pairs.withColumn(c, F.array().cast("array<string>"))
     is_address = (F.col("l_schema") == "Address") & (F.col("r_schema") == "Address")
     is_obj = F.col("l_schema").isin(*OBJ_SCHEMAS) & F.col("r_schema").isin(
         *OBJ_SCHEMAS
@@ -1153,6 +1278,10 @@ def score_pairs_logic_v2(pairs: DataFrame) -> DataFrame:
                 F.col("r_names"),
                 F.col("r_last_names"),
                 (F.col("l_schema") == "Person") & (F.col("r_schema") == "Person"),
+                F.col("l_first_names"),
+                F.col("l_last_names"),
+                F.col("r_first_names"),
+                F.col("r_last_names"),
             )
         )
         .alias("f_name_v2"),

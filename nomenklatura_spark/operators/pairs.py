@@ -24,6 +24,7 @@ FEATURE_PROPS = {
     "public_keys": ("prop", "publicKey"),
     "weak_aliases": ("prop", "weakAlias"),
     "last_names": ("prop", "lastName"),
+    "first_names": ("prop", "firstName"),
     "addresses": ("prop_type", "address"),
 }
 

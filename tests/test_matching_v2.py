@@ -276,3 +276,63 @@ def test_explanations_struct(spark):
     assert exp["f_a"]["weighted"] == pytest.approx(0.72)
     assert exp["f_b"]["qualifier"] is True
     assert out["score"] == pytest.approx(0.52)
+
+
+def test_part_tag_guard():
+    """C1 literal-early-exit guard (util.py:part_tags_compatible): a
+    comparable-equal pair with a given/family role swap must not
+    short-circuit to 1.0; correctly-tagged reorderings and untagged
+    inputs are unaffected."""
+    from nomenklatura_spark.matching.names_v2 import name_match
+
+    # name-only inputs: guard off, literal reorder match as before
+    assert name_match(["Vladimir Putin"], ["Putin Vladimir"], person=True) == 1.0
+    # consistent tags across a "Family, Given" alias: still literal
+    assert (
+        name_match(
+            ["Vladimir Putin"],
+            ["Putin, Vladimir"],
+            person=True,
+            query_given=["Vladimir"],
+            query_family=["Putin"],
+            result_given=["Vladimir"],
+            result_family=["Putin"],
+        )
+        == 1.0
+    )
+    # role swap: falls through to tag-ordered alignment — the family
+    # literal survives as the only evidence, the given mismatch costs
+    swapped = name_match(
+        ["Vladimir Putin"],
+        ["Putin Vladimir"],
+        person=True,
+        query_given=["Vladimir"],
+        query_family=["Putin"],
+        result_given=["Putin"],
+        result_family=["Vladimir"],
+    )
+    assert swapped < 0.75
+    # one side untagged == reference ANY tags: compatible
+    assert (
+        name_match(
+            ["Vladimir Putin"],
+            ["Putin Vladimir"],
+            person=True,
+            query_given=["Vladimir"],
+            query_family=["Putin"],
+        )
+        == 1.0
+    )
+    # a token claimed by both prop families carries no tag
+    assert (
+        name_match(
+            ["Kim Kim"],
+            ["Kim Kim"],
+            person=True,
+            query_given=["Kim"],
+            query_family=["Kim"],
+            result_given=["Kim"],
+            result_family=["Kim"],
+        )
+        == 1.0
+    )
