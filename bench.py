@@ -205,7 +205,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
 
     reps = spark.range(n_repl).select(F.col("id").alias("_rep"))
 
-    def replicate(df, id_cols):
+    def replicate(df, id_cols, perturb_vec=None):
         out = df.crossJoin(F.broadcast(reps))
         for c in id_cols:
             typ = dict(df.dtypes)[c]
@@ -215,6 +215,20 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
                 out = out.withColumn(
                     c, F.concat_ws("-r", F.col(c), F.col("_rep"))
                 )
+        if perturb_vec is not None:
+            # deterministic per-(replica, dimension) nudge: verbatim
+            # vector copies would be cosine-1.0 clones that all collapse
+            # into the same cells/buckets and measure output explosion,
+            # not operator cost (re-normalization happens inside the
+            # operators)
+            out = out.withColumn(
+                perturb_vec,
+                F.transform(
+                    F.col(perturb_vec).cast("array<double>"),
+                    lambda x, i: x
+                    + 0.05 * F.sin((F.col("_rep") + 1) * (i + 1)),
+                ),
+            )
         return out.drop("_rep")
 
     docs = (
@@ -224,11 +238,31 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     stmts = er_statements(spark, sf_dir).persist()
     docs.count(), emb.count(), stmts.count()
     docs_n = replicate(docs, ["doc_id"]).persist()
-    emb_n = replicate(emb, ["vec_id"]).persist()
+    emb_n = replicate(emb, ["vec_id"], perturb_vec="embedding").persist()
     stmts_n = replicate(
         stmts, ["id", "entity_id", "canonical_id"]
     ).persist()
     docs_n.count(), emb_n.count(), stmts_n.count()
+
+    # SemDeDup steady state: the codebook is trained once (on a sample /
+    # prior batch) and reused per batch via ``centroids=`` — so the
+    # scaling probe times what production pays per batch (broadcast
+    # argmax assignment + within-cell join), with cells following the
+    # module's ceil(sqrt(N)) discipline at each size.  The in-query
+    # training variant is what the driver's oracle row covers.
+    import math as _math
+
+    from nomenklatura_spark.ann.ivf import train_centroids
+
+    cb1 = train_centroids(
+        emb, "vec_id", "embedding",
+        n_centroids=_math.ceil(_math.sqrt(max(emb.count(), 1))),
+    ).persist()
+    cbn = train_centroids(
+        emb_n, "vec_id", "embedding",
+        n_centroids=_math.ceil(_math.sqrt(max(emb_n.count(), 1))),
+    ).persist()
+    cb1.count(), cbn.count()
 
     def blocker_pairs_op(statements):
         entries = token_entries(tokenize_statements(statements))
@@ -246,7 +280,9 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     ops = {
         "doc_embed": lambda d: hashed_embeddings(d),
         "doc_dup_passages": lambda d: duplicated_passages(d),
-        "dedup_semantic": lambda e: semantic_dup_pairs(e, threshold=0.35),
+        "dedup_semantic": lambda e: semantic_dup_pairs(
+            e, threshold=0.35, centroids=(cb1 if e is emb else cbn)
+        ),
         "ann_pq_topk": lambda e: pq_topk(
             e,
             e.where(F.col("vec_id") % 997 == 0),
@@ -279,7 +315,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             f"(ratio {wn / max(w1, 1e-9):.2f})",
             file=sys.stderr,
         )
-    for df in (docs, emb, stmts, docs_n, emb_n, stmts_n):
+    for df in (docs, emb, stmts, docs_n, emb_n, stmts_n, cb1, cbn):
         df.unpersist()
     return section
 

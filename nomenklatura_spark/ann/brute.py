@@ -162,5 +162,4 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )

@@ -181,5 +181,126 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
+
+
+# --- hierarchical (two-level) coarse quantizer ------------------------------
+#
+# The flat codebook's assignment pass costs N·K dot products.  Under the
+# sqrt(N)-cells discipline (SemDeDup, SURVEY §2 extensions) that is
+# N^1.5 — measured as the dominant super-linear term in the replication
+# probes (SCALE.md).  The standard fix (FAISS IMI / two-level IVF) is a
+# tree: assign to one of K1 coarse cells, then to one of that cell's K2
+# sub-cells, giving K = K1·K2 effective cells for N·(K1+K2) dot
+# products — with K1 = K2 = K^0.5 the assignment drops from N·K to
+# 2·N·sqrt(K).  Training and assignment stay pure DataFrame ops: the
+# fine codebook is a (coarse, centroid, c_vec) table, and the per-vector
+# fine argmax is an equi-join on the coarse id (each vector only ever
+# meets its own cell's K2 sub-centroids) — broadcastable as long as
+# K1·K2·dim doubles fit an executor (64k cells × 64 dims = 32 MB).
+
+
+def train_centroids_hier(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_coarse: int = 8,
+    n_fine: int = 8,
+    n_iter: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level codebook: a flat coarse codebook plus, per coarse cell,
+    a fine codebook trained on that cell's members only.
+
+    Returns ``(coarse, fine)``: ``coarse`` is ``(centroid, c_vec)`` as
+    from ``train_centroids``; ``fine`` is ``(coarse, centroid, c_vec)``
+    with ``centroid`` globally unique (``coarse * n_fine + local``).
+    Determinism: same md5-seeded device as the flat trainer, applied
+    per cell (seeds are each cell's ``n_fine`` smallest-md5 members).
+    """
+    coarse = train_centroids(
+        corpus, id_col, vec_col, n_centroids=n_coarse, n_iter=n_iter
+    ).persist()
+    assigned = ivf_assign(corpus, coarse, id_col, vec_col).select(
+        F.col("centroid").alias("coarse"), "id", "vec"
+    ).persist()
+    w = Window.partitionBy("coarse").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    fine = (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_fine)
+        .select(
+            "coarse",
+            (F.col("coarse") * n_fine + F.col("_rk") - 1).alias("centroid"),
+            F.col("vec").alias("c_vec"),
+        )
+    )
+    for _ in range(n_iter):
+        scored = assigned.join(F.broadcast(fine), "coarse").select(
+            "id",
+            "vec",
+            "centroid",
+            F.round(dot(F.col("vec"), F.col("c_vec")), 9).alias("sim"),
+        )
+        fassigned = scored.groupBy("id").agg(
+            F.max_by(
+                "centroid", F.struct(F.col("sim"), -F.col("centroid"))
+            ).alias("centroid"),
+            F.first("vec").alias("vec"),
+        )
+        means = (
+            fassigned.select("centroid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "centroid", F.transform("pm", lambda s: s["m"]).alias("raw")
+            )
+        )
+        norm = F.sqrt(
+            F.aggregate(F.col("raw"), F.lit(0.0), lambda a, v: a + v * v)
+        )
+        fine = means.select(
+            (F.col("centroid") / n_fine).cast("int").alias("coarse"),
+            "centroid",
+            F.transform(
+                "raw", lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)), 9)
+            ).alias("c_vec"),
+        )
+    assigned.unpersist()
+    return coarse, fine
+
+
+def ivf_assign_hier(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level inverted list: (centroid, id, vec), ``centroid`` being
+    the globally-unique fine cell.  Cost: N·K1 dots for the coarse
+    argmax (broadcast cross join), then N·K2 for the fine argmax (an
+    equi-join on the coarse id — each vector only scores its own cell's
+    sub-centroids)."""
+    vecs = normalized(corpus, id_col, vec_col, "id", "vec")
+    with_coarse = _argmin_centroid(vecs, coarse).select(
+        F.col("centroid").alias("coarse"), "id", "vec"
+    )
+    scored = with_coarse.join(F.broadcast(fine), "coarse").select(
+        "id",
+        "vec",
+        "centroid",
+        F.round(dot(F.col("vec"), F.col("c_vec")), 9).alias("sim"),
+    )
+    return scored.groupBy("id").agg(
+        F.max_by(
+            "centroid", F.struct(F.col("sim"), -F.col("centroid"))
+        ).alias("centroid"),
+        F.first("vec").alias("vec"),
+    ).select("centroid", "id", "vec")

@@ -152,5 +152,4 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )

@@ -216,7 +216,6 @@ def pq_topk(
                 "cosine_sim",
                 F.col("rank").cast("int").alias("rank"),
             )
-            .orderBy("query_id", "rank")
         )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -227,7 +226,6 @@ def pq_topk(
             "pq_score",
             F.col("rank").cast("int").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -329,5 +327,4 @@ def ivfpq_topk(
             "cosine_sim",
             F.col("rank").cast("int").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )

@@ -40,8 +40,10 @@ def _verify(pairs: DataFrame, threshold: float, decimals: int) -> DataFrame:
     sim = F.round(dot(F.col("lvec"), F.col("rvec")), decimals)
     return (
         pairs.select("lid", "rid", sim.alias("cosine_sim"))
+        # no presentation sort: a global orderBy makes the range
+        # partitioner sample the child, executing the bucket join (or
+        # GEMM) twice; callers sort if they need order
         .where(F.col("cosine_sim") >= threshold)
-        .orderBy("lid", "rid")
     )
 
 
@@ -90,7 +92,7 @@ def embedding_dup_pairs(
     left = df.select(id_col, vec_col).repartition(
         spark.sparkContext.defaultParallelism
     )
-    return left.mapInPandas(gen, out_schema).orderBy("lid", "rid")
+    return left.mapInPandas(gen, out_schema)
 
 
 def embedding_dup_pairs_lsh(

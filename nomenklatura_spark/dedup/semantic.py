@@ -122,3 +122,63 @@ def semantic_dedup_keep(
     )
     drops = pairs.select(F.col("rid").alias(id_col)).distinct()
     return corpus.join(drops, id_col, "left_anti")
+
+
+def semantic_dup_pairs_hier(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_coarse: int | None = None,
+    n_fine: int | None = None,
+    n_iter: int = 2,
+    score_decimals: int | None = 6,
+    codebooks: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """SemDeDup over the two-level coarse quantizer
+    (``ann.ivf.train_centroids_hier``): same within-cell near-dup
+    semantics as ``semantic_dup_pairs``, but assignment costs
+    N·(K1+K2) dot products instead of N·K — the scale path once
+    sqrt(N) cells stop fitting a single broadcast argmax (SCALE.md).
+
+    Defaults derive K1 = K2 = ceil(N^0.25), so K = K1·K2 ~ sqrt(N)
+    keeps the module's cells-∝-sqrt(N) discipline while the assignment
+    drops from N^1.5 to 2·N^1.25.  Precision is 1.0 by construction
+    (the threshold applies to the true cosine); recall is bounded by the
+    cell structure exactly as in the flat variant.
+    """
+    from nomenklatura_spark.ann.ivf import (
+        ivf_assign_hier,
+        train_centroids_hier,
+    )
+
+    if codebooks is None:
+        if n_coarse is None or n_fine is None:
+            side = max(1, math.ceil(corpus.count() ** 0.25))
+            n_coarse = n_coarse or side
+            n_fine = n_fine or side
+        codebooks = train_centroids_hier(
+            corpus, id_col, vec_col,
+            n_coarse=n_coarse, n_fine=n_fine, n_iter=n_iter,
+        )
+    coarse, fine = codebooks
+    inv = ivf_assign_hier(corpus, coarse, fine, id_col, vec_col)
+    a = inv.select(
+        F.col("centroid"),
+        F.col("id").alias("lid"),
+        F.col("vec").alias("l_vec"),
+    )
+    b = inv.select(
+        F.col("centroid"),
+        F.col("id").alias("rid"),
+        F.col("vec").alias("r_vec"),
+    )
+    sim = dot(F.col("l_vec"), F.col("r_vec"))
+    if score_decimals is not None:
+        sim = F.round(sim, score_decimals)
+    return (
+        a.join(b, "centroid")
+        .where(F.col("lid") < F.col("rid"))
+        .select("centroid", "lid", "rid", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

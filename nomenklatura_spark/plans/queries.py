@@ -677,6 +677,12 @@ def q_blocker_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     former ``blocker_term_frequencies`` query folded onto the entries
     grain, so one driver row oracle-checks the tokenizer AND the weight
     model (round-3 registry consolidation; the driver checks 50 rows).
+
+    No presentation sort (here and on the other heavy per-row queries):
+    a global orderBy makes Spark's range partitioner SAMPLE the child
+    plan, executing the whole pipeline twice — measured 1.7-2.4x wall on
+    these queries.  The driver's value-hash is order-insensitive, so the
+    sort bought nothing.
     """
     entries = er_entries(spark, sf_dir)
     tf = term_frequencies(entries, boosts_df(spark))
@@ -687,7 +693,7 @@ def q_blocker_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "count",
         F.round("weight", 6).alias("weight"),
-    ).orderBy("id", "field", "token")
+    )
 
 
 def q_blocker_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1508,7 +1514,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_top_word_share",
         "r_top_bigram_share",
         "r_max_run",
-    ).orderBy("doc_id")
+    )
 
 
 def _quality_sql() -> str:
@@ -1919,7 +1925,7 @@ def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = hashed_embeddings(docs, "doc_id", "text", dim=64)
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("pos", "val")
-    ).orderBy("doc_id", "pos")
+    )
 
 
 _DOC_EMBED_SQL = """
@@ -2278,9 +2284,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nomenklatura_spark.dedup.semantic import semantic_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dup_pairs(emb, threshold=0.35, n_iter=2).orderBy(
-        "lid", "rid"
-    )
+    return semantic_dup_pairs(emb, threshold=0.35, n_iter=2)
 
 
 _SQRT_N_CELLS = "(SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM vecs)"
@@ -2402,7 +2406,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rms",
         F.col("peak").cast("double").alias("peak"),
     )
-    return img.unionByName(wav).orderBy("doc_id", "codec")
+    return img.unionByName(wav)
 
 
 # 18x6 RGB = 324 pixel bytes = 21 md5 chunks of 16 bytes (trimmed).
@@ -2516,7 +2520,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("t_n_assets"),
         F.sum("n_bytes").over(w).alias("t_total_bytes"),
         F.max("n_chunks").over(w).alias("t_max_chunks"),
-    ).orderBy("asset_id")
+    )
 
 
 _MEDIA_FEATURES_SQL = """

@@ -193,3 +193,54 @@ def test_hashed_embeddings_feed_ann_tier(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
     assert (1, 3) not in pairs
+
+
+def test_semantic_dedup_hierarchical(spark, sf_dir):
+    """Two-level SemDeDup (`semantic_dup_pairs_hier`): precision-1.0
+    subset of the exact pair set (the threshold applies to the true
+    cosine, clustering only prunes), deterministic across runs, recall
+    comparable to the flat variant at the same effective cell count, and
+    every fine cell id belongs to its coarse parent's range."""
+    from nomenklatura_spark.ann.ivf import (
+        ivf_assign_hier,
+        train_centroids_hier,
+    )
+    from nomenklatura_spark.dedup.embedding import embedding_dup_pairs
+    from nomenklatura_spark.dedup.semantic import (
+        semantic_dup_pairs,
+        semantic_dup_pairs_hier,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hier = semantic_dup_pairs_hier(
+        emb, threshold=0.35, n_coarse=3, n_fine=3
+    ).persist()
+    pairs1 = {(r["lid"], r["rid"]) for r in hier.collect()}
+    pairs2 = {
+        (r["lid"], r["rid"])
+        for r in semantic_dup_pairs_hier(
+            emb, threshold=0.35, n_coarse=3, n_fine=3
+        ).collect()
+    }
+    assert pairs1 == pairs2  # deterministic codebook + assignment
+    exact = {
+        (r["lid"], r["rid"])
+        for r in embedding_dup_pairs(emb, threshold=0.35).collect()
+    }
+    assert pairs1, "expected within-cell duplicates"
+    assert pairs1 <= exact  # precision 1.0 by construction
+    flat = {
+        (r["lid"], r["rid"])
+        for r in semantic_dup_pairs(emb, threshold=0.35, n_centroids=9).collect()
+    }
+    # same effective cell count (3x3 vs 9): the tree's recall should be
+    # in the same regime as the flat partition's, not collapsed
+    assert len(pairs1) >= len(flat) // 2
+
+    coarse, fine = train_centroids_hier(emb, n_coarse=3, n_fine=3)
+    frows = fine.collect()
+    assert all(r["centroid"] // 3 == r["coarse"] for r in frows)
+    inv = ivf_assign_hier(emb, coarse, fine)
+    # every vector lands in exactly one fine cell
+    assert inv.count() == emb.count()
+    assert inv.select("id").distinct().count() == emb.count()
