@@ -183,7 +183,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     from pyspark.sql import functions as F
 
     from nomenklatura_spark.ann.pq import pq_topk
-    from nomenklatura_spark.dedup.semantic import semantic_dup_pairs
+    from nomenklatura_spark.dedup.semantic import semantic_dup_pairs_hier
     from nomenklatura_spark.dedup.substring import duplicated_passages
     from nomenklatura_spark.plans.queries import (
         MAX_PAIR_COST,
@@ -244,25 +244,28 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     ).persist()
     docs_n.count(), emb_n.count(), stmts_n.count()
 
-    # SemDeDup steady state: the codebook is trained once (on a sample /
-    # prior batch) and reused per batch via ``centroids=`` — so the
-    # scaling probe times what production pays per batch (broadcast
-    # argmax assignment + within-cell join), with cells following the
-    # module's ceil(sqrt(N)) discipline at each size.  The in-query
-    # training variant is what the driver's oracle row covers.
+    # SemDeDup steady state = the production serving layout: two-level
+    # codebook (ann/ivf.py:train_centroids_hier) trained once and reused
+    # per batch, cells ∝ N (fixed ~64-vector target cell size) so the
+    # within-cell join volume scales LINEARLY, tree assignment so the
+    # argmax costs N·(K1+K2) instead of N·K.  The flat sqrt(N)-cell
+    # in-query-training variant is what the driver's oracle row covers;
+    # its N^1.5 assign/join shape is documented in SCALE.md.
     import math as _math
 
-    from nomenklatura_spark.ann.ivf import train_centroids
+    from nomenklatura_spark.ann.ivf import train_centroids_hier
 
-    cb1 = train_centroids(
-        emb, "vec_id", "embedding",
-        n_centroids=_math.ceil(_math.sqrt(max(emb.count(), 1))),
-    ).persist()
-    cbn = train_centroids(
-        emb_n, "vec_id", "embedding",
-        n_centroids=_math.ceil(_math.sqrt(max(emb_n.count(), 1))),
-    ).persist()
-    cb1.count(), cbn.count()
+    def _hier_codebooks(e, n):
+        side = max(2, _math.ceil((n / 64) ** 0.5))
+        coarse, fine = train_centroids_hier(
+            e, "vec_id", "embedding", n_coarse=side, n_fine=side, n_iter=2
+        )
+        coarse, fine = coarse.persist(), fine.persist()
+        coarse.count(), fine.count()
+        return coarse, fine
+
+    cb1 = _hier_codebooks(emb, emb.count())
+    cbn = _hier_codebooks(emb_n, emb_n.count())
 
     def blocker_pairs_op(statements):
         entries = token_entries(tokenize_statements(statements))
@@ -280,8 +283,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     ops = {
         "doc_embed": lambda d: hashed_embeddings(d),
         "doc_dup_passages": lambda d: duplicated_passages(d),
-        "dedup_semantic": lambda e: semantic_dup_pairs(
-            e, threshold=0.35, centroids=(cb1 if e is emb else cbn)
+        "dedup_semantic_hier": lambda e: semantic_dup_pairs_hier(
+            e, threshold=0.35, codebooks=(cb1 if e is emb else cbn)
         ),
         "ann_pq_topk": lambda e: pq_topk(
             e,
@@ -296,7 +299,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     inputs = {
         "doc_embed": (docs, docs_n),
         "doc_dup_passages": (docs, docs_n),
-        "dedup_semantic": (emb, emb_n),
+        "dedup_semantic_hier": (emb, emb_n),
         "ann_pq_topk": (emb, emb_n),
         "blocker_pairs": (stmts, stmts_n),
     }
@@ -315,7 +318,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             f"(ratio {wn / max(w1, 1e-9):.2f})",
             file=sys.stderr,
         )
-    for df in (docs, emb, stmts, docs_n, emb_n, stmts_n, cb1, cbn):
+    for df in (docs, emb, stmts, docs_n, emb_n, stmts_n, *cb1, *cbn):
         df.unpersist()
     return section
 

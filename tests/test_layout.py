@@ -207,3 +207,23 @@ def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = _plan(semantic_dup_pairs(emb, n_centroids=8))
     assert "BroadcastExchange" in plan
+
+
+def test_hier_assignment_plan_shape(spark, sf_dir):
+    """Two-level IVF assignment: the fine argmax is an equi-join on the
+    coarse cell id with the fine codebook broadcast — no cartesian
+    product and no shuffle of the corpus vectors for the fine stage."""
+    from nomenklatura_spark.ann.ivf import (
+        ivf_assign_hier,
+        train_centroids_hier,
+    )
+    from nomenklatura_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, fine = train_centroids_hier(emb, n_coarse=3, n_fine=3, n_iter=1)
+    plan = _plan(ivf_assign_hier(emb, coarse, fine))
+    assert "CartesianProduct" not in plan
+    # coarse argmax: broadcast cross join of the tiny coarse codebook
+    assert "BroadcastNestedLoopJoin" in plan
+    # fine argmax: broadcast equi-join on the coarse cell id
+    assert "BroadcastHashJoin" in plan
