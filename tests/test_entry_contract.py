@@ -101,6 +101,10 @@ _V2_PINS = {
         5000,
         "b5d93d5bac2d05aafd70ad983db9997be4df51ba96e4f119de9deb3cfa7551bd",
     ),
+    "/root/testdata/sf0.1": (
+        1000,
+        "555a727736aa415d5ec8bba74037878c68f8a79e971337fdfbd99363d2d5f0e7",
+    ),
 }
 
 
