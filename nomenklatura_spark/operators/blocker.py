@@ -236,10 +236,17 @@ def stopwords_from_stats(token_stats: DataFrame) -> DataFrame:
 
 
 def apply_stopwords(entries: DataFrame, stopwords: DataFrame | None) -> DataFrame:
-    """J3 — stopword anti-join (reference index.py:480-487)."""
+    """J3 — stopword anti-join (reference index.py:480-487).
+
+    The stopword relation is broadcast: its size is bounded by the cost
+    budget (only heavy-hitter tokens can exceed it — dozens to a few
+    thousand rows at any corpus size), so the anti-join is map-side and
+    the entries relation is never shuffled for it."""
     if stopwords is None:
         return entries
-    return entries.join(stopwords.select("token"), "token", "left_anti")
+    return entries.join(
+        F.broadcast(stopwords.select("token")), "token", "left_anti"
+    )
 
 
 def term_frequencies(
@@ -416,16 +423,25 @@ def build_matching_token_stats(
     max_match_pair_cost: int,
     indexed_tsc: DataFrame | None = None,
     schema_pairs: list[tuple[str, str]] | None = None,
+    matching_tsc: DataFrame | None = None,
 ) -> DataFrame:
     """Matching-side dynamic stopwords: cost = sum over schema-compatible
     (matching_df × indexed_df) per token (reference index.py:309-383).
     Directional: matching schema on the ``left`` of the pair table.
     Pass a persisted ``indexed_tsc`` to reuse the index-side doc
-    frequencies instead of re-aggregating ``indexed_entries``.
+    frequencies instead of re-aggregating ``indexed_entries``; when the
+    matching side is a schema slice of the indexed corpus, pass
+    ``matching_tsc`` (= the indexed tsc filtered to that schema — the
+    grouping includes ``schema``, so the filter IS the aggregate) and no
+    second entries-wide aggregation runs at all.
 
     With driver-side ``schema_pairs``, the cost folds into one map-agg
     per side + one token join (see build_token_stats)."""
-    m = token_schema_counts(matching_entries)
+    m = (
+        matching_tsc
+        if matching_tsc is not None
+        else token_schema_counts(matching_entries)
+    )
     if indexed_tsc is not None:
         i = indexed_tsc.select("token", "schema", "df")
     else:

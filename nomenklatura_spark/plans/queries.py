@@ -754,6 +754,10 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         MAX_MATCH_PAIR_COST,
         indexed_tsc=tsc,
         schema_pairs=SCHEMATA_PAIRS,
+        # the matching side is a schema slice of the indexed corpus, so
+        # its (token, schema) counts are a FILTER of the persisted tsc —
+        # no second entries-wide aggregation
+        matching_tsc=tsc.where(F.col("schema") == "Supplier"),
     )
     matching_f = apply_stopwords(matching, stopwords_from_stats(m_stats))
     # The match join only ever reads index rows whose token appears on
