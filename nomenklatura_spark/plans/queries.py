@@ -718,34 +718,59 @@ _ENTRIES_TF_SQL = f"""
 """
 
 
-def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1+A5+W2 — dedupe candidate pair generation (the flagship)."""
+@lru_cache(maxsize=8)
+def _er_tf_filtered_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stopword-filtered, IDF-weighted TF relation, built once per
+    (session, corpus) and persisted — the reference materializes the
+    same relation as a DuckDB table during index build (index.py) and
+    every pair/match query reads it; rebuilding (and re-persisting) it
+    per call both leaked cache entries and re-paid the build."""
     entries = er_entries(spark, sf_dir)
-    schemata = er_schemata(spark)
     # With the folded stats path, token_schema_counts feeds exactly one
     # consumer (the stats map-agg), and stats feeds exactly one (the tf
     # IDF join) — a single linear chain, so nothing here needs a persist.
     stats = build_token_stats(
-        entries, schemata, MAX_PAIR_COST, schema_pairs=SCHEMATA_PAIRS
+        entries, er_schemata(spark), MAX_PAIR_COST, schema_pairs=SCHEMATA_PAIRS
     )
     # The stopword anti-join folds into the IDF join (inner join on the
     # non-stopword stats rows both filters and attaches idf — one shuffle
     # of entries instead of two); IDF stays corpus-wide via stats.df.
-    # Self-joined below — materialize so both sides read cached blocks,
-    # already hash-partitioned by token (no exchange in the J1 join).
-    tf_filtered = term_frequencies(
+    # Self-joined by candidate_pairs — materialize so both sides read
+    # cached blocks, already hash-partitioned by token (no exchange in
+    # the J1 join).
+    return term_frequencies(
         entries, boosts_df(spark), token_stats=stats, drop_stopwords=True
     ).persist()
+
+
+@lru_cache(maxsize=8)
+def _er_tsc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (token, schema) doc-frequency relation, built once per
+    (session, corpus) and persisted (reference: the materialized
+    ``token_schema_counts`` table, index.py:238-249)."""
+    return token_schema_counts(er_entries(spark, sf_dir)).persist()
+
+
+def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A5+W2 — dedupe candidate pair generation (the flagship)."""
     return candidate_pairs(
-        tf_filtered, schemata, max_pairs=MAX_PAIRS, score_decimals=6
+        _er_tf_filtered_cached(spark, sf_dir),
+        er_schemata(spark),
+        max_pairs=MAX_PAIRS,
+        score_decimals=6,
     )
 
 
-def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2+W1 — match suppliers (subjects) against the full index."""
+@lru_cache(maxsize=8)
+def _er_match_inputs_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(matching_f, tf_all) for the supplier match path, built once per
+    (session, corpus) — the reference builds the matching-side stopword
+    table and weighted index once per match run, then queries it."""
     entries = er_entries(spark, sf_dir)
     schemata = er_schemata(spark)
-    tsc = token_schema_counts(entries).persist()
+    tsc = _er_tsc_cached(spark, sf_dir)
     matching = entries.where(F.col("schema") == "Supplier")
     m_stats = build_matching_token_stats(
         matching,
@@ -772,10 +797,16 @@ def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         tsc=tsc,
         token_subset=matching_f.select("token"),
     ).persist()
+    return matching_f, tf_all
+
+
+def q_blocker_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+W1 — match suppliers (subjects) against the full index."""
+    matching_f, tf_all = _er_match_inputs_cached(spark, sf_dir)
     return match_candidates(
         matching_f,
         tf_all,
-        schemata,
+        er_schemata(spark),
         max_candidates=MAX_CANDIDATES,
         min_score_ratio=MIN_SCORE_RATIO,
         score_decimals=6,
