@@ -817,11 +817,8 @@ def _pair_featured(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocker pairs + SQL-expressible comparison features (shared by the
     X1 heuristic and X3 regression scoring queries)."""
     from nomenklatura_spark.functions import compare as Cmp
-    from nomenklatura_spark.operators.pairs import assemble_pairs, entity_features
 
-    pairs = q_blocker_pairs(spark, sf_dir).select("lid", "rid")
-    feats = entity_features(er_statements(spark, sf_dir))
-    assembled = assemble_pairs(pairs, feats)
+    assembled = _assembled_pairs(spark, sf_dir)
     return assembled.select(
         "lid",
         "rid",
@@ -1629,12 +1626,16 @@ _ANN_SQL = """
 """
 
 
+@lru_cache(maxsize=8)
 def _assembled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocker pairs with both sides' feature arrays attached, built once
+    per (session, corpus) and persisted — four pair_scores* queries (and
+    the bench matcher loop) read the identical frame."""
     from nomenklatura_spark.operators.pairs import assemble_pairs, entity_features
 
     pairs = q_blocker_pairs(spark, sf_dir).select("lid", "rid")
     feats = entity_features(er_statements(spark, sf_dir))
-    return assemble_pairs(pairs, feats)
+    return assemble_pairs(pairs, feats).persist()
 
 
 def q_pair_scores_ofac(spark: SparkSession, sf_dir: str) -> DataFrame:
