@@ -328,3 +328,154 @@ def ivfpq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- at-rest IVFADC index (serving layout) ---------------------------------
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    pq_k: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> None:
+    """Materialize the IVFADC serving layout on disk:
+
+    - ``{path}/codes``    — (id, sub, code) PARTITIONED BY the coarse
+      cell, so a query probing p cells reads p directories (the Spark
+      analogue of FAISS's contiguous inverted lists).
+    - ``{path}/vectors``  — unit-norm full vectors, same partitioning
+      (read only for the top-``rerank`` exact re-rank).
+    - ``{path}/centroids`` / ``{path}/books`` — the tiny codebooks.
+
+    Train once, serve many: the codebooks are deterministic (hash seeds,
+    round(9)) so a rebuild reproduces the identical index."""
+    from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
+
+    centroids = train_centroids(
+        corpus, id_col, vec_col, n_centroids=n_cells, n_iter=n_iter
+    ).persist()
+    books = train_pq_codebooks(corpus, id_col, vec_col, m, pq_k, n_iter, dim)
+    books = books.persist()
+    inv = ivf_assign(corpus, centroids, id_col, vec_col)
+    codes = pq_encode(corpus, books, id_col, vec_col, m, dim)
+    (
+        codes.join(inv.select("centroid", "id"), "id")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/codes")
+    )
+    (
+        inv.select("centroid", "id", "vec")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/vectors")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    centroids.unpersist()
+    books.unpersist()
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 6,
+    rerank: int = 50,
+) -> DataFrame:
+    """Serve ANN queries from a ``write_ivfpq_index`` directory.
+
+    The probed cell set is computed against the broadcast coarse
+    codebook and pushed into the codes/vectors scans as a partition
+    filter (``centroid IN (...)`` — a driver-side list bounded by
+    |queries| × n_probe), so only the probed inverted lists are ever
+    read: partition pruning does the work FAISS does with list offsets.
+    Scoring is the same broadcast-LUT + exact re-rank as
+    ``ivfpq_topk``."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/books")
+    m = books.agg(F.max("sub")).collect()[0][0] + 1
+    sub_dim = (
+        len(books.select("c_vec").first()[0])
+    )
+    dim = m * sub_dim
+
+    q = normalized(queries, id_col, vec_col, "query_id", "q_vec").persist()
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "centroid",
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), 9).alias("c_sim"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "centroid")
+        .persist()
+    )
+    cells = [r["centroid"] for r in probes.select("centroid").distinct().collect()]
+
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("centroid").isin(cells)
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(codes, "centroid")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", "sub", "code")
+    )
+    q_subs = q.select(
+        "query_id", _subvecs(F.col("q_vec"), m, sub_dim).alias("x")
+    ).select("query_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("qv"))
+    lut = q_subs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        F.col("centroid").alias("code"),
+        F.round(dot(F.col("qv"), F.col("c_vec")), 9).alias("val"),
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("val"), 6).alias("pq_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_score"), F.asc("id"))
+    cand_top = (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .where(F.col("_pr") <= max(rerank, k))
+        .select("query_id", "id")
+    )
+    vectors = spark.read.parquet(f"{path}/vectors").where(
+        F.col("centroid").isin(cells)
+    )
+    exact = (
+        cand_top.join(vectors.select("id", "vec"), "id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "id",
+            F.round(dot(F.col("q_vec"), F.col("vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

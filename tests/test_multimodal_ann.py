@@ -361,3 +361,38 @@ def test_ivfpq_topk_recall_vs_brute(spark, sf_dir):
     }
     recall = len(got & brute) / len(brute)
     assert recall >= 0.6, f"IVFADC recall@5 {recall:.2f}"
+
+
+def test_ivfpq_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """The at-rest IVFADC layout (`write_ivfpq_index`): serving from the
+    index returns EXACTLY what the in-memory composition computes (same
+    deterministic codebooks), and the codes/vectors scans carry a
+    partition filter on the coarse cell — only probed inverted lists are
+    read."""
+    from nomenklatura_spark.ann.pq import (
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+        write_ivfpq_index,
+    )
+    from nomenklatura_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, n_cells=8, m=8, pq_k=8, n_iter=1)
+
+    served = ivfpq_topk_indexed(
+        spark, path, queries, k=5, n_probe=3, rerank=20
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid" in plan.replace(
+        "PartitionFilters: [isnotnull(centroid", "PartitionFilters: [centroid"
+    ) or "centroid#" in plan.split("PartitionFilters")[1][:200]
+
+    mem = ivfpq_topk(
+        emb, queries, k=5, n_cells=8, n_probe=3, m=8, pq_k=8,
+        n_iter=1, dim=64, rerank=20,
+    )
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in served.collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in mem.collect()}
+    assert a == b
