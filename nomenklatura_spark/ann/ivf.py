@@ -63,11 +63,22 @@ def train_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iter: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """K-means codebook: (centroid int, c_vec array<double>), unit-norm.
 
     Seeds = the ``n_centroids`` vectors with smallest md5(id); then
     ``n_iter`` Lloyd rounds (assign → per-dimension mean → renormalize).
+
+    The Lloyd update stays in the exploded two-aggregation form
+    (posexplode → avg per (centroid, pos) → array reassembly): a
+    single-shuffle variant with ``dim`` per-dimension ``avg(vec[i])``
+    aggregates was measured 5× SLOWER at dim=64 — the 64-buffer
+    aggregate falls out of whole-stage codegen (huge-method limit) into
+    interpreted evaluation, while the exploded form's two tiny shuffles
+    stay fully code-generated.  (``dim`` is accepted for API symmetry
+    with the PQ trainer, where sub_dim is small enough for the
+    single-shuffle form to win.)
     """
     vecs = normalized(corpus, id_col, vec_col, "id", "vec").persist()
     w = Window.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))

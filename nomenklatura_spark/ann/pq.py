@@ -83,41 +83,51 @@ def train_pq_codebooks(
         .select("sub", (F.col("_rk") - 1).alias("centroid"), F.col("sv").alias("c_vec"))
     )
     for _ in range(n_iter):
-        assigned = _pq_assign(subs, books)
+        # _pq_assign carries sv through, so the Lloyd update is ONE
+        # groupBy with sub_dim per-dimension avg aggregates — no join
+        # back to subs, no posexplode row blow-up, no second shuffle
+        # (round(9) absorbs the partitioning-order summation delta, same
+        # discipline as ivf.train_centroids)
+        assigned = _pq_assign(subs, books, keep_sv=True)
         books = (
-            assigned.join(subs, ["id", "sub"])
-            .select("sub", "centroid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "centroid", "pos")
-            .agg(F.avg("x").alias("mval"))
-            .groupBy("sub", "centroid")
+            assigned.groupBy("sub", "centroid")
             .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("mval")))
-                ).alias("pm")
+                *[
+                    F.avg(F.col("sv")[i]).alias(f"_m{i}")
+                    for i in range(sub_dim)
+                ]
             )
             .select(
                 "sub",
                 "centroid",
-                F.transform("pm", lambda s: F.round(s["mval"], 9)).alias("c_vec"),
+                F.array(
+                    *[F.round(F.col(f"_m{i}"), 9) for i in range(sub_dim)]
+                ).alias("c_vec"),
             )
         )
     subs.unpersist()
     return books
 
 
-def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+def _pq_assign(
+    subs: DataFrame, books: DataFrame, keep_sv: bool = False
+) -> DataFrame:
     """(id, sub) → nearest centroid code by squared L2."""
     scored = subs.join(F.broadcast(books), "sub").select(
         "id",
         "sub",
+        "sv",
         "centroid",
         _sq_l2(F.col("sv"), F.col("c_vec")).alias("d2"),
     )
-    return scored.groupBy("id", "sub").agg(
+    aggs = [
         F.min_by("centroid", F.struct(F.col("d2"), F.col("centroid"))).alias(
             "centroid"
         )
-    )
+    ]
+    if keep_sv:
+        aggs.append(F.first("sv").alias("sv"))
+    return scored.groupBy("id", "sub").agg(*aggs)
 
 
 def pq_encode(
