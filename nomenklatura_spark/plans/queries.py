@@ -684,9 +684,7 @@ def q_blocker_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     these queries.  The driver's value-hash is order-insensitive, so the
     sort bought nothing.
     """
-    entries = er_entries(spark, sf_dir)
-    tf = term_frequencies(entries, boosts_df(spark))
-    return tf.select(
+    return _er_tf_all_cached(spark, sf_dir).select(
         "schema",
         "id",
         "field",
@@ -694,6 +692,15 @@ def q_blocker_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count",
         F.round("weight", 6).alias("weight"),
     )
+
+
+@lru_cache(maxsize=8)
+def _er_tf_all_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unfiltered (stopwords included) weighted TF relation — the
+    other materialized index table, memoized like its filtered sibling."""
+    return term_frequencies(
+        er_entries(spark, sf_dir), boosts_df(spark)
+    ).persist()
 
 
 def q_blocker_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
