@@ -252,6 +252,8 @@ def ivfpq_topk(
     n_iter: int = 2,
     dim: int = 64,
     rerank: int = 50,
+    centroids: DataFrame | None = None,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × PQ composition — the full IVFADC serving layout (Jégou et
     al. 2011): the coarse quantizer prunes WHICH vectors are considered
@@ -263,18 +265,27 @@ def ivfpq_topk(
 
     At 100 TB the query path reads: the broadcast codebooks, the probed
     cells' (id, sub, code) rows (cell-partition-pruned), and
-    ``|queries| × rerank`` full vectors.  Nothing else."""
+    ``|queries| × rerank`` full vectors.  Nothing else.
+
+    Pass pre-trained ``centroids``/``books`` (production shape — train
+    once on a sample, serve many batches; ``write_ivfpq_index`` persists
+    exactly these) to skip the in-query training the oracle contract
+    otherwise requires."""
     from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
 
-    centroids = train_centroids(
-        corpus, id_col, vec_col, n_centroids=n_cells, n_iter=n_iter
-    ).persist()
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, id_col, vec_col, n_centroids=n_cells, n_iter=n_iter
+        )
+    centroids = centroids.persist()
     inv = ivf_assign(corpus, centroids, id_col, vec_col).select(
         "centroid", "id"
     )
-    books = train_pq_codebooks(
-        corpus, id_col, vec_col, m, pq_k, n_iter, dim
-    ).persist()
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, id_col, vec_col, m, pq_k, n_iter, dim
+        )
+    books = books.persist()
     codes = pq_encode(corpus, books, id_col, vec_col, m, dim)
 
     sub_dim = dim // m
