@@ -81,10 +81,19 @@ def train_centroids(
     single-shuffle form to win.)
     """
     vecs = normalized(corpus, id_col, vec_col, "id", "vec").persist()
-    w = Window.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+    # Seed selection as orderBy().limit(k): a distributed TakeOrdered
+    # (per-partition top-k, merged on the driver) — the equivalent
+    # unpartitioned row_number window funnels the WHOLE corpus through
+    # one sort task.  The rank is then assigned by a window over the k
+    # seed rows only.
+    w = Window.orderBy("_h", "id")
     centroids = (
-        vecs.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= n_centroids)
+        vecs.select(
+            F.md5(F.col("id").cast("string")).alias("_h"), "id", "vec"
+        )
+        .orderBy("_h", "id")
+        .limit(n_centroids)
+        .withColumn("_rk", F.row_number().over(w))
         .select((F.col("_rk") - 1).alias("centroid"), F.col("vec").alias("c_vec"))
     )
     for _ in range(n_iter):

@@ -76,11 +76,20 @@ def train_pq_codebooks(
     subs = vecs.select("id", _subvecs(F.col("vec"), m, sub_dim).alias("x")).select(
         "id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
     ).persist()
-    w = Window.partitionBy("sub").orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-    books = (
-        subs.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .select("sub", (F.col("_rk") - 1).alias("centroid"), F.col("sv").alias("c_vec"))
+    # Per-sub seeds are ranked by md5(id) — an ordering independent of
+    # the subspace, so the seed ID SET is identical for every sub: pick
+    # it once with a distributed TakeOrdered (orderBy + limit) and join,
+    # instead of a per-sub row_number window whose m partitions each
+    # full-sort the corpus.
+    seed_ids = (
+        vecs.select(F.md5(F.col("id").cast("string")).alias("_h"), "id")
+        .orderBy("_h", "id")
+        .limit(k)
+        .withColumn("_rk", F.row_number().over(Window.orderBy("_h", "id")))
+        .select("id", (F.col("_rk") - 1).alias("centroid"))
+    )
+    books = subs.join(F.broadcast(seed_ids), "id").select(
+        "sub", "centroid", F.col("sv").alias("c_vec")
     )
     for _ in range(n_iter):
         # _pq_assign carries sv through, so the Lloyd update is ONE
