@@ -583,6 +583,9 @@ def match_candidates(
             (F.col("rn") <= max_candidates)
             & (F.col("score") >= F.col("best") * min_score_ratio)
         )
+        # no presentation sort: a global orderBy would make the range
+        # partitioner sample the child, executing the match join twice
+        # (the driver's value-hash is order-insensitive; rn carries the
+        # per-subject rank for callers that need order)
         .select("matching_id", "matches_id", "score", "rn")
-        .orderBy("matching_id", "rn")
     )
