@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "dedup_ngram_pairs",
     "dedup_components",
     "dedup_embedding",
+    "dedup_embedding_lsh",
     "dedup_semantic",
     "doc_dup_passages",
     "doc_stats",
@@ -34,6 +35,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "doc_embed",
     "media_features",
 ]
