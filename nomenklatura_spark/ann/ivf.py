@@ -255,6 +255,20 @@ def train_centroids_hier(
             F.col("vec").alias("c_vec"),
         )
     )
+    # Coverage guarantee: every coarse cell carries at least one fine
+    # sub-centroid, even if it had zero members at seeding (possible after
+    # the coarse Lloyd update) — otherwise a vector whose coarse argmax
+    # lands there would vanish through the assignment equi-join, and the
+    # codebook-reuse path (`semantic_dup_pairs_hier` / `ivfpq_topk` with
+    # pre-trained books) would silently lose new vectors.  The empty
+    # cell's fine centroid is the coarse centroid itself.
+    fine = fine.unionByName(
+        coarse.select(
+            F.col("centroid").alias("coarse"),
+            (F.col("centroid") * n_fine).alias("centroid"),
+            "c_vec",
+        ).join(fine.select("coarse").distinct(), "coarse", "left_anti")
+    )
     for _ in range(n_iter):
         scored = assigned.join(F.broadcast(fine), "coarse").select(
             "id",
@@ -285,12 +299,19 @@ def train_centroids_hier(
         norm = F.sqrt(
             F.aggregate(F.col("raw"), F.lit(0.0), lambda a, v: a + v * v)
         )
-        fine = means.select(
-            (F.col("centroid") / n_fine).cast("int").alias("coarse"),
+        updated = means.select(
             "centroid",
             F.transform(
                 "raw", lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)), 9)
-            ).alias("c_vec"),
+            ).alias("new_vec"),
+        )
+        # A fine cell that lost all members keeps its previous centroid
+        # vector (left join + coalesce) so coverage survives every
+        # Lloyd iteration.
+        fine = fine.join(updated, "centroid", "left").select(
+            "coarse",
+            "centroid",
+            F.coalesce("new_vec", "c_vec").alias("c_vec"),
         )
     assigned.unpersist()
     return coarse, fine
