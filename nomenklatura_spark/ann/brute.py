@@ -65,6 +65,24 @@ def normalized(
     )
 
 
+def materialize_local(df: DataFrame) -> DataFrame:
+    """Collect a codebook-scale DataFrame and rebuild it as a driver-local
+    relation (LocalRelation plan node).
+
+    Trained codebooks used to be ``.persist()``-ed so the Lloyd-training
+    lineage would not re-run per downstream action — but the persisted
+    blocks had no unpersist hook once the query plan escaped the training
+    function, pinning them in executor storage for the session (the
+    round-4 persist-lifecycle finding).  Materializing instead runs the
+    training exactly ONCE, broadcasts for free (it is already a local
+    relation), and leaves nothing in the block cache.
+
+    Caller contract: ``df`` is tiny (k·dim doubles — a codebook, a probe
+    list), never a corpus."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def collect_unit_matrix(
     df: DataFrame, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from nomenklatura_spark.ann.brute import dot, normalized
+from nomenklatura_spark.ann.brute import dot, materialize_local, normalized
 
 
 def _argmin_centroid(vec_df: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -159,10 +159,14 @@ def ivf_topk(
     batch — the codebook is a plain 2-column DataFrame on disk).
     """
     if centroids is None:
-        centroids = train_centroids(
-            corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
+        # materialized locally: training runs once, nothing persists
+        # past the call (caller-supplied codebooks are used as-is —
+        # re-persisting them here leaked the caller's frames)
+        centroids = materialize_local(
+            train_centroids(
+                corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
+            )
         )
-    centroids = centroids.persist()
     inv = ivf_assign(corpus, centroids, id_col, vec_col)
 
     q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
@@ -237,9 +241,13 @@ def train_centroids_hier(
     Determinism: same md5-seeded device as the flat trainer, applied
     per cell (seeds are each cell's ``n_fine`` smallest-md5 members).
     """
-    coarse = train_centroids(
-        corpus, id_col, vec_col, n_centroids=n_coarse, n_iter=n_iter
-    ).persist()
+    # both returned codebooks are driver-local relations: training runs
+    # once, broadcasts are free, and no persisted block outlives the call
+    coarse = materialize_local(
+        train_centroids(
+            corpus, id_col, vec_col, n_centroids=n_coarse, n_iter=n_iter
+        )
+    )
     assigned = ivf_assign(corpus, coarse, id_col, vec_col).select(
         F.col("centroid").alias("coarse"), "id", "vec"
     ).persist()
@@ -259,8 +267,10 @@ def train_centroids_hier(
     # sub-centroid, even if it had zero members at seeding (possible after
     # the coarse Lloyd update) — otherwise a vector whose coarse argmax
     # lands there would vanish through the assignment equi-join, and the
-    # codebook-reuse path (`semantic_dup_pairs_hier` / `ivfpq_topk` with
-    # pre-trained books) would silently lose new vectors.  The empty
+    # codebook-reuse paths (`ivf_assign_hier` / `semantic_dup_pairs_hier`
+    # with pre-trained codebooks; the flat `ivfpq_topk` coarse path is
+    # immune — its assignment is a cross-join argmax, not an equi-join)
+    # would silently lose new vectors.  The empty
     # cell's fine centroid is the coarse centroid itself.
     fine = fine.unionByName(
         coarse.select(
@@ -313,6 +323,11 @@ def train_centroids_hier(
             "centroid",
             F.coalesce("new_vec", "c_vec").alias("c_vec"),
         )
+    # materialize the fine book BEFORE dropping the assignment cache: the
+    # fine plan's Lloyd chain reads `assigned` n_iter times, and a lazy
+    # return would re-run that chain (against an unpersisted `assigned`)
+    # on every downstream action
+    fine = materialize_local(fine)
     assigned.unpersist()
     return coarse, fine
 

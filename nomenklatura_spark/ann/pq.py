@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from nomenklatura_spark.ann.brute import dot, normalized
+from nomenklatura_spark.ann.brute import dot, materialize_local, normalized
 
 
 def _sq_l2(a, b):
@@ -181,10 +181,12 @@ def pq_topk(
     size."""
     sub_dim = dim // m
     if codebooks is None:
-        codebooks = train_pq_codebooks(
-            corpus, id_col, vec_col, m, n_centroids, n_iter, dim
+        # driver-local: trains once, no persisted block outlives the call
+        # (caller-supplied codebooks are used as-is — re-persisting them
+        # here leaked the caller's frames)
+        codebooks = materialize_local(
+            train_pq_codebooks(corpus, id_col, vec_col, m, n_centroids, n_iter, dim)
         )
-    codebooks = codebooks.persist()
     codes = pq_encode(corpus, codebooks, id_col, vec_col, m, dim)
 
     q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
@@ -283,18 +285,20 @@ def ivfpq_topk(
     from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
 
     if centroids is None:
-        centroids = train_centroids(
-            corpus, id_col, vec_col, n_centroids=n_cells, n_iter=n_iter
+        # driver-local, not persisted: see materialize_local — trained
+        # books used to stay pinned in the block cache past the call
+        centroids = materialize_local(
+            train_centroids(
+                corpus, id_col, vec_col, n_centroids=n_cells, n_iter=n_iter
+            )
         )
-    centroids = centroids.persist()
     inv = ivf_assign(corpus, centroids, id_col, vec_col).select(
         "centroid", "id"
     )
     if books is None:
-        books = train_pq_codebooks(
-            corpus, id_col, vec_col, m, pq_k, n_iter, dim
+        books = materialize_local(
+            train_pq_codebooks(corpus, id_col, vec_col, m, pq_k, n_iter, dim)
         )
-    books = books.persist()
     codes = pq_encode(corpus, books, id_col, vec_col, m, dim)
 
     sub_dim = dim // m
@@ -387,11 +391,14 @@ def write_ivfpq_index(
     round(9)) so a rebuild reproduces the identical index."""
     from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
 
-    centroids = train_centroids(
-        corpus, id_col, vec_col, n_centroids=n_cells, n_iter=n_iter
-    ).persist()
-    books = train_pq_codebooks(corpus, id_col, vec_col, m, pq_k, n_iter, dim)
-    books = books.persist()
+    centroids = materialize_local(
+        train_centroids(
+            corpus, id_col, vec_col, n_centroids=n_cells, n_iter=n_iter
+        )
+    )
+    books = materialize_local(
+        train_pq_codebooks(corpus, id_col, vec_col, m, pq_k, n_iter, dim)
+    )
     inv = ivf_assign(corpus, centroids, id_col, vec_col)
     codes = pq_encode(corpus, books, id_col, vec_col, m, dim)
     (
@@ -408,8 +415,6 @@ def write_ivfpq_index(
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     books.write.mode("overwrite").parquet(f"{path}/books")
-    centroids.unpersist()
-    books.unpersist()
 
 
 def ivfpq_topk_indexed(
@@ -439,11 +444,19 @@ def ivfpq_topk_indexed(
     )
     dim = m * sub_dim
 
-    q = normalized(queries, id_col, vec_col, "query_id", "q_vec").persist()
+    # q is NOT persisted: it is a narrow map over the query batch,
+    # recomputed at most three times per serving call (probe job, LUT,
+    # exact re-rank) — cheaper than a persisted block a long-lived
+    # serving session can never release (callers with an expensive
+    # `queries` lineage should cache upstream, where the lifecycle is
+    # theirs).  The probe list is already driver-bounded (|queries| ×
+    # n_probe — it feeds a partition-filter literal), so it is collected
+    # ONCE and rebuilt as a local relation instead of persisted.
+    q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("c_sim"), F.asc("centroid")
     )
-    probes = (
+    probes = materialize_local(
         q.crossJoin(F.broadcast(centroids))
         .select(
             "query_id",
@@ -453,7 +466,6 @@ def ivfpq_topk_indexed(
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
         .select("query_id", "centroid")
-        .persist()
     )
     cells = [r["centroid"] for r in probes.select("centroid").distinct().collect()]
 

@@ -43,7 +43,7 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from nomenklatura_spark.ann.brute import dot
+from nomenklatura_spark.ann.brute import dot, materialize_local
 from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
 
 
@@ -72,8 +72,13 @@ def semantic_dup_pairs(
     if centroids is None:
         if n_centroids is None:
             n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
-        centroids = train_centroids(
-            corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
+        # driver-local: the within-cell self-join references the
+        # assignment twice, and a lazy codebook would re-run the whole
+        # Lloyd chain down both branches
+        centroids = materialize_local(
+            train_centroids(
+                corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
+            )
         )
     inv = ivf_assign(corpus, centroids, id_col, vec_col)
     a = inv.select(

@@ -14,7 +14,7 @@ Determinism rules for the oracle hash-compare:
 
 from __future__ import annotations
 
-from functools import lru_cache
+from nomenklatura_spark.plans.cache import plan_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -94,7 +94,7 @@ def er_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _er_statements_cached(spark, sf_dir)
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _er_statements_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = statements_from_wide_table(
         load_table(spark, sf_dir, "part"),
@@ -152,7 +152,7 @@ def er_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _er_entries_cached(spark, sf_dir)
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _er_entries_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entries(tokenize_statements(er_statements(spark, sf_dir))).persist()
 
@@ -422,7 +422,7 @@ def _spark_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs_cached(spark, sf_dir)
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
@@ -694,7 +694,7 @@ def q_blocker_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _er_tf_all_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unfiltered (stopwords included) weighted TF relation — the
     other materialized index table, memoized like its filtered sibling."""
@@ -725,7 +725,7 @@ _ENTRIES_TF_SQL = f"""
 """
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _er_tf_filtered_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stopword-filtered, IDF-weighted TF relation, built once per
     (session, corpus) and persisted — the reference materializes the
@@ -750,7 +750,7 @@ def _er_tf_filtered_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _er_tsc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (token, schema) doc-frequency relation, built once per
     (session, corpus) and persisted (reference: the materialized
@@ -768,7 +768,7 @@ def q_blocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _er_match_inputs_cached(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -1633,7 +1633,7 @@ _ANN_SQL = """
 """
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _assembled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocker pairs with both sides' feature arrays attached, built once
     per (session, corpus) and persisted — four pair_scores* queries (and
@@ -1838,7 +1838,7 @@ def _ann_lsh_sql() -> str:
 
 
 
-@lru_cache(maxsize=8)
+@plan_cache(maxsize=8)
 def _ann_codebooks_cached(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

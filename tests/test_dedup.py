@@ -244,3 +244,81 @@ def test_semantic_dedup_hierarchical(spark, sf_dir):
     # every vector lands in exactly one fine cell
     assert inv.count() == emb.count()
     assert inv.select("id").distinct().count() == emb.count()
+
+
+def test_hier_codebook_reuse_covers_empty_coarse_cells(spark):
+    """Regression for the empty-coarse-cell coverage union in
+    `train_centroids_hier` (ann/ivf.py): a coarse cell that ends with
+    ZERO members after the Lloyd update must still carry a fine
+    sub-centroid, or the codebook-reuse equi-join paths
+    (`ivf_assign_hier` / `semantic_dup_pairs_hier(codebooks=)`) silently
+    drop any new vector whose coarse argmax lands there.
+
+    The training corpus is engineered on the unit circle so the update
+    step empties one cell deterministically: three md5-rank seeds at
+    0°/90°/200°; a 10-vector pack at 44° pulls centroid(0°) to ~40°, a
+    20-pack at 144.9° pulls centroid(90°) to ~142.6°, and a 30-pack at
+    145.2° pulls centroid(200°) to ~146.7° — on reassignment the 90°
+    seed defects to the ~40° centroid and the 144.9° pack to the ~146.7°
+    one, leaving the middle cell in the codebook but memberless."""
+    import hashlib
+    import math
+
+    from nomenklatura_spark.ann.ivf import (
+        ivf_assign,
+        ivf_assign_hier,
+        train_centroids_hier,
+    )
+    from nomenklatura_spark.dedup.semantic import semantic_dup_pairs_hier
+
+    ids = list(range(1000, 1063))
+    by_md5 = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    seed_ids, rest = by_md5[:3], sorted(by_md5[3:])
+    angles = dict(zip(seed_ids, (0.0, 90.0, 200.0)))
+    for j, i in enumerate(rest):
+        angles[i] = 44.0 if j < 10 else (144.9 if j < 30 else 145.2)
+
+    def vec(deg: float) -> list[float]:
+        rad = math.radians(deg)
+        return [math.cos(rad), math.sin(rad)]
+
+    corpus_a = spark.createDataFrame(
+        [(i, vec(angles[i])) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    coarse, fine = train_centroids_hier(
+        corpus_a, n_coarse=3, n_fine=2, n_iter=1
+    )
+    assert coarse.count() == 3
+    # precondition: the engineered scenario is live — exactly one coarse
+    # cell has no members under the trained codebook
+    occupied = ivf_assign(corpus_a, coarse).select("centroid").distinct()
+    empty = coarse.join(occupied, "centroid", "left_anti")
+    assert empty.count() == 1
+    # the coverage union put a fine sub-centroid in the empty cell
+    empty_id = empty.first()["centroid"]
+    assert fine.where(F.col("coarse") == empty_id).count() >= 1
+
+    # a disjoint corpus whose vectors coarse-assign into the empty cell
+    # (the trained empty-cell centroid sits at ~142.6°)
+    corpus_b = spark.createDataFrame(
+        [(2000 + j, vec(deg)) for j, deg in enumerate(
+            (141.0, 142.0, 143.0, 10.0, 150.0)
+        )],
+        "vec_id long, embedding array<double>",
+    )
+    inv = ivf_assign_hier(corpus_b, coarse, fine)
+    assert inv.count() == corpus_b.count()  # nothing dropped
+    assert inv.select("id").distinct().count() == corpus_b.count()
+    pairs = semantic_dup_pairs_hier(
+        corpus_b, threshold=0.9, codebooks=(coarse, fine)
+    )
+    # 141/142/143 are mutual near-dups and must all survive assignment
+    assert pairs.count() >= 3
+
+    # non-vacuity: with the coverage rows stripped (the pre-fix
+    # codebook), the same corpus loses vectors through the equi-join —
+    # proving this test fails if the union is reverted
+    stripped = fine.join(occupied.select(F.col("centroid").alias("coarse")),
+                         "coarse", "semi")
+    assert ivf_assign_hier(corpus_b, coarse, stripped).count() < corpus_b.count()
