@@ -41,6 +41,16 @@ BENCH_QUERIES = [
 ]
 
 
+def _load1() -> float:
+    """1-minute system load average — the external-contention witness
+    recorded beside each timing (machine-shared CPUs show up here, not
+    as mystery per-query slowdowns)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -80,18 +90,23 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Best-of-2 per query: one bench run shares the machine with the
+    # Best-of-3 per query: one bench run shares the machine with the
     # round driver's own periodic jobs, and a single timing regularly
     # absorbs a transient CPU-contention spike (observed 3-6x on
-    # individual queries, fast again in isolation). The minimum of two
+    # individual queries, fast again in isolation; the round-4 numbers
+    # were 18% contention artifacts end to end). The minimum of three
     # full plan-build+execute passes is the steady-state number a
-    # long-lived cluster job sees.
+    # long-lived cluster job sees; the 1-min /proc/loadavg is recorded
+    # next to each timing so a contended run is identifiable from the
+    # JSON instead of looking like a code regression.
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        loads[name] = _load1()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -99,7 +114,7 @@ def main() -> None:
         elapsed = round(best, 3)
         timings[name] = elapsed
         total += elapsed
-        print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
+        print(f"# {name}: {elapsed:.3f}s (load {loads[name]})", file=sys.stderr)
 
     # Matcher throughput — BASELINE.md's headline ER metric (reference
     # harness: contrib/entity_bench/perf.py avg ns/comparison).  Score the
@@ -159,6 +174,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_1m": loads,
+        "loadavg_final": _load1(),
         "compares_per_sec": compare,
         "n_scored_pairs": n_pairs,
     }

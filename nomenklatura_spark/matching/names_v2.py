@@ -347,6 +347,31 @@ def _org_class_id(abbrev: str) -> str:
     return f"org:{abbrev}"
 
 
+def _comp_segments(toks: tuple[str, ...]) -> list[tuple[int, int, str]]:
+    """``(start, end, value)`` comparable segments over a token sequence:
+    greedy legal-phrase collapse (longest phrase first), then per-token
+    legal-form canonicalisation — exactly the walk whose sorted values
+    form the ``comparable`` string, shared by ``_analyze`` and the
+    literal-early-exit tag guard so the guard pairs tokens the same way
+    the comparable-equality it protects was established."""
+    segs: list[tuple[int, int, str]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        hit = None
+        for ln in range(min(_PHRASE_MAX, n - i), 1, -1):
+            abbrev = ORG_PHRASE_ABBREV.get(tuple(toks[i : i + ln]))
+            if abbrev is not None:
+                hit = (ln, abbrev)
+                break
+        if hit is not None:
+            segs.append((i, i + hit[0], hit[1]))
+            i += hit[0]
+        else:
+            segs.append((i, i + 1, _legal_token(toks[i])))
+            i += 1
+    return segs
+
+
 @lru_cache(maxsize=200_000)
 def _analyze(name: str) -> tuple[tuple, ...]:
     """Name string → analyzed alternates.
@@ -437,23 +462,10 @@ def _analyze(name: str) -> tuple[tuple, ...]:
         # comparable form: legal phrases/tokens to their abbreviation,
         # then order-insensitive (reference: "Frost, William W." literal-
         # matches "William W Frost"; "OOO X Y" matches "X Y OOO").
-        comp: list[str] = []
-        i = 0
         n = len(toks)
-        while i < n:
-            hit = None
-            for ln in range(min(_PHRASE_MAX, n - i), 1, -1):
-                abbrev = ORG_PHRASE_ABBREV.get(tuple(toks[i : i + ln]))
-                if abbrev is not None:
-                    hit = (ln, abbrev)
-                    break
-            if hit is not None:
-                comp.append(hit[1])
-                i += hit[0]
-            else:
-                comp.append(_legal_token(toks[i]))
-                i += 1
-        comparable = " ".join(sorted(comp))
+        comparable = " ".join(
+            sorted(v for _, _, v in _comp_segments(tuple(toks)))
+        )
 
         # symbol spans
         spans: list[tuple[int, int, str]] = []
@@ -897,21 +909,42 @@ def _part_tags_compatible(
     q_tags,
     r_tags,
 ) -> bool:
-    """The literal-early-exit guard of ``util.py:part_tags_compatible``:
-    zip the two part sequences in comparable (sorted) order — the order
-    in which the multiset equality was established — and refuse the 1.0
-    short-circuit when any position pairs a given-tagged part against a
-    family-tagged one.  Written order would let a role swap through: a
-    query with firstName=Putin/lastName=Vladimir against a "PUTIN,
-    Vladimir" alias pairs g↔g/f↔f positionally even though the family
-    name matched the given name; in sorted order the same token carries
-    g on one side and f on the other and the pair is blocked, while a
-    correctly-tagged "Family, Given" reordering stays compatible.
+    """The literal-early-exit guard of ``util.py:part_tags_compatible``
+    (reference: nomenklatura/matching/logic_v2/names/util.py:6-18): zip
+    the two part sequences in sorted-COMPARABLE order — the order in
+    which the ``q[1] == r[1]`` multiset equality was established — and
+    refuse the 1.0 short-circuit when any position pairs a given-tagged
+    part against a family-tagged one.  Written order would let a role
+    swap through: a query with firstName=Putin/lastName=Vladimir against
+    a "PUTIN, Vladimir" alias pairs g↔g/f↔f positionally even though the
+    family name matched the given name; in comparable order the same
+    token carries g on one side and f on the other and the pair is
+    blocked, while a correctly-tagged "Family, Given" reordering stays
+    compatible.  Keying the sort on the RAW tokens (the pre-round-4 bug)
+    broke the pairing whenever legal-form canonicalisation rewrote a
+    token or collapsed a phrase: "GmbH" vs "Gesellschaft mit
+    beschraenkter Haftung" yields unequal token counts, so the raw zip
+    truncated and checked the wrong positions — a role swap behind a
+    collapsed phrase short-circuited to 1.0.  Comparable-equal sides
+    always have equal SEGMENT counts, so the comparable-keyed zip is
+    total.  Same-comparable ties sort by tag rank on both sides (a
+    duplicate token legitimately carrying both roles pairs role-to-role).
     Untagged parts match anything, like the reference's ANY tag."""
     if q_tags is None or r_tags is None:
         return True
-    for tq, tr in zip(sorted(q_toks), sorted(r_toks)):
-        a, b = _tag_of(tq, q_tags), _tag_of(tr, r_tags)
+
+    def keyed(toks, tags):
+        out = []
+        for s, e, v in _comp_segments(toks):
+            # a collapsed legal phrase is org material — never carries a
+            # given/family tag; single tokens tag by the raw token (the
+            # tag sets hold analyzed name-part tokens, not comparables)
+            tag = _tag_of(toks[s], tags) if e - s == 1 else None
+            out.append((v, tag))
+        out.sort(key=lambda p: (p[0], _TAG_RANK[p[1]]))
+        return out
+
+    for (_, a), (_, b) in zip(keyed(q_toks, q_tags), keyed(r_toks, r_tags)):
         if a is not None and b is not None and a != b:
             return False
     return True

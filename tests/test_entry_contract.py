@@ -5,6 +5,7 @@ names, and order-insensitive value comparison."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 
@@ -89,35 +90,93 @@ def test_entry_smoke(spark):
 # to 6, rows sorted).  The pinned values were produced by the engine
 # whose per-case parity against the reference's frozen 812-case run is
 # asserted in tests/test_parity_corpora.py — so this pin chains the
-# driver-visible check to the measured reference parity.  If a deliberate
-# scoring change moves the hash, re-run tests/test_parity_corpora.py and
-# re-pin.
+# driver-visible check to the measured reference parity.
+#
+# Pins are keyed on the corpus BASENAME (sf0.001 …), so they survive a
+# different checkout/testdata root.  Per-row digests are recorded beside
+# the global hash (tests/data/v2_pins/<sf>.json, keyed lid|rid): a
+# mismatch prints WHICH pairs moved/appeared/vanished, so a deliberate
+# scoring change points at its rows instead of an opaque hash delta.
+# Re-pin after verifying tests/test_parity_corpora.py:
+#   V2_PIN_REGEN=1 TEST_SF_DIR=<dir> pytest tests/test_entry_contract.py \
+#       -k pair_scores_v2  (prints the new (count, hash) tuple to paste)
 _V2_PINS = {
-    "/root/testdata/sf0.001": (
+    "sf0.001": (
         5000,
         "e9e415ecb7c00a4e5b3ebc35f421c9f3c0416106f7417f2e4f54fba5a2b72a32",
     ),
-    "/root/testdata/sf0.01": (
+    "sf0.01": (
         5000,
         "b5d93d5bac2d05aafd70ad983db9997be4df51ba96e4f119de9deb3cfa7551bd",
     ),
-    "/root/testdata/sf0.1": (
+    "sf0.1": (
         1000,
         "555a727736aa415d5ec8bba74037878c68f8a79e971337fdfbd99363d2d5f0e7",
     ),
 }
 
+_V2_PIN_DIR = os.path.join(os.path.dirname(__file__), "data", "v2_pins")
+
+
+def _v2_keyed_digests(sdf, rows):
+    """{lid|rid: sha256(normalized row)[:12]} — the row-level pin."""
+    import hashlib
+
+    cols = sorted(c.lower() for c in sdf.columns)
+    li, ri = cols.index("lid"), cols.index("rid")
+    return {
+        f"{r[li]}|{r[ri]}": hashlib.sha256("\x1f".join(r).encode()).hexdigest()[:12]
+        for r in rows
+    }
+
 
 def test_pair_scores_v2_engine_pin(spark, sf_dir):
     import hashlib
+    import json
 
-    pin = _V2_PINS.get(sf_dir)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    pin = _V2_PINS.get(base)
     if pin is None:
-        pytest.skip(f"no pin recorded for {sf_dir}")
+        pytest.skip(f"no pin recorded for {base}")
     sdf = entry_mod.queries()["pair_scores_v2"](spark, sf_dir)
     rows = _normalize(
         [tuple(r) for r in sdf.collect()], [c.lower() for c in sdf.columns]
     )
     joined = "\x1e".join("\x1f".join(r) for r in rows)
     digest = hashlib.sha256(joined.encode()).hexdigest()
-    assert (len(rows), digest) == pin
+    keyed = _v2_keyed_digests(sdf, rows)
+    sample_path = os.path.join(_V2_PIN_DIR, f"{base}.json")
+
+    if os.environ.get("V2_PIN_REGEN") == "1":
+        os.makedirs(_V2_PIN_DIR, exist_ok=True)
+        with open(sample_path, "w") as fh:
+            json.dump(keyed, fh, indent=0, sort_keys=True)
+        print(f"\nV2 pin for {base!r}: ({len(rows)}, \"{digest}\")")
+        return
+
+    if (len(rows), digest) == pin:
+        return
+    # Localize the regression: diff the per-pair digests against the
+    # recorded sample so the failure names the rows that moved.
+    detail = [f"pair_scores_v2 pin mismatch for {base}: "
+              f"got ({len(rows)}, {digest}), pinned {pin}"]
+    if os.path.exists(sample_path):
+        with open(sample_path) as fh:
+            pinned_rows = json.load(fh)
+        changed = [k for k in keyed if k in pinned_rows and keyed[k] != pinned_rows[k]]
+        added = [k for k in keyed if k not in pinned_rows]
+        removed = [k for k in pinned_rows if k not in keyed]
+        detail.append(
+            f"{len(changed)} pairs changed, {len(added)} appeared, "
+            f"{len(removed)} vanished"
+        )
+        cols = sorted(c.lower() for c in sdf.columns)
+        li, ri = cols.index("lid"), cols.index("rid")
+        by_key = {f"{r[li]}|{r[ri]}": r for r in rows}
+        for k in sorted(changed)[:5]:
+            detail.append(f"  changed {k}: now {by_key[k]}")
+        for k in sorted(added)[:3]:
+            detail.append(f"  appeared {k}: {by_key[k]}")
+        for k in sorted(removed)[:3]:
+            detail.append(f"  vanished {k}")
+    pytest.fail("\n".join(detail))

@@ -227,3 +227,96 @@ def test_hier_assignment_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     # fine argmax: broadcast equi-join on the coarse cell id
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_tf_roundtrip_serves_blocker_queries(spark, sf_dir):
+    """SCALE.md's claim that the memoized index relations are one
+    bucketed write away from surviving the session, proven
+    end-to-end: the stopword-filtered TF relation is written bucketed by
+    the (token, field) join key, read back from the at-rest table, and the J1 pair self-join
+    and J2 match join produce hash-identical rows — with the J1 token
+    join consuming the bucketed layout directly (no hashpartitioning
+    exchange on token)."""
+    from nomenklatura_spark.operators.blocker import (
+        candidate_pairs,
+        match_candidates,
+    )
+    from nomenklatura_spark.plans.queries import (
+        MAX_PAIRS,
+        _er_match_inputs_cached,
+        _er_tf_filtered_cached,
+        er_schemata,
+    )
+
+    import os
+    import shutil
+
+    # drop tables AND their managed locations (a previously failed run
+    # can leave an orphan directory that blocks saveAsTable)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("tf_bucketed_rt", "tf_all_bucketed_rt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+    tf = _er_tf_filtered_cached(spark, sf_dir)
+    schemata = er_schemata(spark)
+    expected_pairs = candidate_pairs(
+        tf, schemata, max_pairs=MAX_PAIRS, score_decimals=6
+    ).collect()
+
+    spark.sql("DROP TABLE IF EXISTS tf_bucketed_rt")
+    (
+        tf.write.bucketBy(8, "token", "field")
+        .sortBy("token", "field")
+        .mode("overwrite")
+        .saveAsTable("tf_bucketed_rt")
+    )
+    at_rest = spark.table("tf_bucketed_rt")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # no auto-broadcast: at real scale neither self-join side fits,
+        # and the bucketed layout must carry the co-partitioning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pairs = candidate_pairs(
+            at_rest, schemata, max_pairs=MAX_PAIRS, score_decimals=6
+        )
+        plan = _plan(pairs)
+        # the (token, field) self-join rides the bucket partitioning
+        # (HashPartitioning(token) satisfies the clustered requirement):
+        # the only exchanges left are the groupBy/orderBy ones
+        assert "hashpartitioning(token" not in plan, (
+            f"bucketed tf self-join still shuffles on token:\n{plan}"
+        )
+        assert "SortMergeJoin" in plan
+        assert pairs.collect() == expected_pairs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # J2 from the at-rest relation: the match path restricts tf_all to
+    # the matching token set; round-trip the restricted relation and
+    # assert value-identical candidates
+    matching_f, tf_all = _er_match_inputs_cached(spark, sf_dir)
+    expected_match = sorted(
+        tuple(r)
+        for r in match_candidates(
+            matching_f, tf_all, schemata, score_decimals=6
+        ).collect()
+    )
+    spark.sql("DROP TABLE IF EXISTS tf_all_bucketed_rt")
+    (
+        tf_all.write.bucketBy(8, "token", "field")
+        .sortBy("token", "field")
+        .mode("overwrite")
+        .saveAsTable("tf_all_bucketed_rt")
+    )
+    got_match = sorted(
+        tuple(r)
+        for r in match_candidates(
+            matching_f, spark.table("tf_all_bucketed_rt"), schemata,
+            score_decimals=6,
+        ).collect()
+    )
+    assert got_match == expected_match
+    spark.sql("DROP TABLE IF EXISTS tf_bucketed_rt")
+    spark.sql("DROP TABLE IF EXISTS tf_all_bucketed_rt")

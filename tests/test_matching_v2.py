@@ -336,3 +336,38 @@ def test_part_tag_guard():
         )
         == 1.0
     )
+
+
+def test_part_tag_guard_survives_phrase_collapse():
+    """The tag guard pairs parts by COMPARABLE value, not raw token
+    (util.py:part_tags_compatible zips the comparable-sorted parts): a
+    legal-form phrase collapse ("Gesellschaft mit beschränkter Haftung"
+    -> "gmbh") makes the raw token counts unequal (6 vs 3), and the old
+    raw-sorted zip truncated against the phrase's untagged words — a
+    given/family role swap hidden behind the collapse short-circuited
+    to 1.0."""
+    from nomenklatura_spark.matching.names_v2 import _analyze, name_match
+
+    q = "Putin Vladimir GmbH"
+    r = "Vladimir Putin Gesellschaft mit beschränkter Haftung"
+    # precondition: comparable-equal with unequal raw token counts
+    qa, ra = _analyze(q)[0], _analyze(r)[0]
+    assert qa[1] == ra[1] and len(qa[0]) != len(ra[0])
+    # consistent roles across the collapse: literal 1.0 preserved
+    assert (
+        name_match(
+            [q], [r],
+            query_given=["Vladimir"], query_family=["Putin"],
+            result_given=["Vladimir"], result_family=["Putin"],
+        )
+        == 1.0
+    )
+    # role swap hidden behind the collapse: must NOT short-circuit
+    swapped = name_match(
+        [q], [r],
+        query_given=["Putin"], query_family=["Vladimir"],
+        result_given=["Vladimir"], result_family=["Putin"],
+    )
+    assert swapped < 1.0
+    # untagged inputs unaffected by the guard
+    assert name_match([q], [r]) == 1.0

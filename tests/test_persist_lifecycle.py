@@ -95,7 +95,9 @@ def test_plan_cache_eviction_unpersists(spark, corpus_copies):
     the lru_cache predecessor kept them pinned forever."""
     from nomenklatura_spark.plans.queries import _er_entries_cached
 
-    _er_entries_cached.cache.clear()
+    # baseline AFTER a full clear: earlier tests populate other plan
+    # caches, and the final clear_plan_caches() below releases those too
+    clear_plan_caches()
     baseline = _n_persistent(spark)
     for d in corpus_copies:  # 9 touches, maxsize 8
         _er_entries_cached(spark, d).count()
