@@ -88,14 +88,41 @@ class SparkStore:
 
     def update(self) -> "SparkStore":
         """G11 — re-key all statements onto current canonical ids (after
-        new judgements); recomputes the linker mapping."""
+        new judgements); recomputes the linker mapping.
+
+        Loop hygiene — ``store = store.update()`` per judgement batch is
+        the serving shape (reference: an UPDATE on the statement table),
+        and two things must stay constant per batch:
+
+        - the superseded store's persisted mapping is released (the old
+          object stays usable — its mapping just recomputes uncached);
+        - the re-keyed statement frame is checkpointed, truncating
+          lineage: without it batch N's plan chains N linker joins deep
+          (every action replays the whole history, and each level's
+          component-checkpoint blocks stay reachable forever).  The
+          checkpoint materializes once per batch; prior batches'
+          blocks become unreachable and the context cleaner frees them.
+        """
         if self.edges is None:
             return self
         mapping = resolver_mapping(self.edges).persist()
-        return SparkStore(apply_linker(self.stmts, mapping), self.edges, mapping)
+        rekeyed = apply_linker(self.stmts, mapping).localCheckpoint(eager=True)
+        new = SparkStore(rekeyed, self.edges, mapping)
+        self.release()
+        return new
 
     def with_edges(self, edges: DataFrame) -> "SparkStore":
+        self.release()
         return SparkStore(self.stmts, edges, None)
+
+    def release(self) -> None:
+        """Unpersist the cached linker mapping (end-of-lifecycle hook;
+        also called when ``update``/``with_edges`` supersede this
+        store).  Safe to call repeatedly — a later ``view()`` simply
+        recomputes and re-caches."""
+        if self._mapping is not None:
+            self._mapping.unpersist()
+            self._mapping = None
 
     def view(
         self, scope: Sequence[str] | None = None, external: bool = False

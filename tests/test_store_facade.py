@@ -102,3 +102,41 @@ def test_get_adjacent(spark):
     assert any(
         r["src_id"] == "p1" and r["edge_prop"] == "beneficiary" for r in adj
     )
+
+
+def test_update_loop_releases_superseded_mappings(spark):
+    """A serving loop (`store = store.update()` per judgement batch) must
+    stay constant-size per batch: the superseding call unpersists the old
+    cached linker mapping, and the re-keyed statement frame is
+    checkpointed so batch N's plan is a materialized scan, not an
+    N-deep linker-join chain replaying every prior batch."""
+    rows = [
+        _stmt("s1", "a", "name", "Alice"),
+        _stmt("s2", "b", "name", "Alicia"),
+    ]
+    edges = [("a", "b", "positive", 1.0, None, "2024-01-01", None)]
+    store = _store(spark, rows, edges)
+    plans = []
+    prev_mapping = None
+    for _ in range(4):
+        store = store.update()
+        assert store._mapping.is_cached  # live mapping cached
+        if prev_mapping is not None:
+            # the superseded batch's mapping was unpersisted
+            assert not prev_mapping.is_cached
+        prev_mapping = store._mapping
+        plans.append(
+            store.stmts._jdf.queryExecution().analyzed().toString()
+        )
+    # lineage truncated: every batch's statement plan is a checkpoint
+    # scan with no joins, and depth does not grow with the batch count
+    for p in plans:
+        assert "Join" not in p, p
+    assert len(plans[-1]) <= len(plans[0]) + 64
+    canon = {r["canonical_id"] for r in store.stmts.collect()}
+    assert len(canon) == 1  # re-keying still correct after the loop
+    store.release()
+    assert store._mapping is None
+    assert not prev_mapping.is_cached
+    # a post-release view recomputes the mapping and stays correct
+    assert len(store.view().entities().collect()) == 1
