@@ -56,6 +56,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Captured BEFORE the session/warmup: once the bench runs, the 1-min
+    # load mostly reflects the bench's own 32 threads — the pre-run load
+    # is the number that actually witnesses external contention.
+    load_start = _load1()
     spark = get_spark("nomenklatura-spark-bench", cpus=cpus,
                       shuffle_partitions=cpus)
     from nomenklatura_spark.plans.queries import QUERIES
@@ -174,6 +178,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_start": load_start,
         "loadavg_1m": loads,
         "loadavg_final": _load1(),
         "compares_per_sec": compare,

