@@ -282,7 +282,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     def _hier_codebooks(e, n):
         side = max(2, _math.ceil((n / 64) ** 0.5))
         coarse, fine = train_centroids_hier(
-            e, "vec_id", "embedding", n_coarse=side, n_fine=side, n_iter=2
+            e, "vec_id", "embedding", n_coarse=side, n_fine=side, n_iter=2,
+            dim=64,
         )
         coarse, fine = coarse.persist(), fine.persist()
         coarse.count(), fine.count()
@@ -308,7 +309,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "doc_embed": lambda d: hashed_embeddings(d),
         "doc_dup_passages": lambda d: duplicated_passages(d),
         "dedup_semantic_hier": lambda e: semantic_dup_pairs_hier(
-            e, threshold=0.35, codebooks=(cb1 if e is emb else cbn)
+            e, threshold=0.35, codebooks=(cb1 if e is emb else cbn), dim=64
         ),
         "ann_pq_topk": lambda e: pq_topk(
             e,

@@ -34,6 +34,25 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Statically-unrolled dot product for a known vector length: a
+    ``dim``-term chain of ``a[i]*b[i]`` adds.
+
+    Bit-identical to :func:`dot` — the left-associated add chain
+    replays the fold's summation order exactly (``0.0 + t0 == t0``) —
+    but it is a plain column expression that stays inside whole-stage
+    codegen, where the ``zip_with``/``aggregate`` form runs as an
+    interpreted lambda per row.  On the PQ assignment inner loop
+    (|corpus|·m·k small-dim dots) the interpreted form dominated the
+    query wall clock.  Use whenever the dimension is statically known
+    (every ANN entry point takes or derives ``dim``); keep ``dot`` for
+    genuinely dynamic arrays."""
+    e = a[0] * b[0]
+    for i in range(1, dim):
+        e = e + a[i] * b[i]
+    return e
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 

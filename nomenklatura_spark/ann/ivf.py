@@ -34,10 +34,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from nomenklatura_spark.ann.brute import dot, materialize_local, normalized
+from nomenklatura_spark.ann.brute import (
+    dot,
+    dot_fixed,
+    materialize_local,
+    normalized,
+)
 
 
-def _argmin_centroid(vec_df: DataFrame, centroids: DataFrame) -> DataFrame:
+def _dot(a, b, dim: int | None):
+    """Unrolled (codegen) dot when the dimension is statically known,
+    interpreted zip_with/aggregate fold otherwise — bit-identical
+    results either way (same left-to-right summation)."""
+    return dot_fixed(a, b, dim) if dim is not None else dot(a, b)
+
+
+def _argmin_centroid(
+    vec_df: DataFrame, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Assign each (id, vec) row to its nearest centroid by cosine
     (vectors and centroids are unit-norm → max dot product)."""
     # round(9) before the argmax: double summation order differs between
@@ -47,7 +61,7 @@ def _argmin_centroid(vec_df: DataFrame, centroids: DataFrame) -> DataFrame:
         "id",
         "vec",
         "centroid",
-        F.round(dot(F.col("vec"), F.col("c_vec")), 9).alias("sim"),
+        F.round(_dot(F.col("vec"), F.col("c_vec"), dim), 9).alias("sim"),
     )
     return scored.groupBy("id").agg(
         F.max_by("centroid", F.struct(F.col("sim"), -F.col("centroid"))).alias(
@@ -97,7 +111,7 @@ def train_centroids(
         .select((F.col("_rk") - 1).alias("centroid"), F.col("vec").alias("c_vec"))
     )
     for _ in range(n_iter):
-        assigned = _argmin_centroid(vecs, centroids)
+        assigned = _argmin_centroid(vecs, centroids, dim)
         means = (
             assigned.select("centroid", F.posexplode("vec").alias("pos", "x"))
             .groupBy("centroid", "pos")
@@ -132,11 +146,12 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """The inverted list: (centroid, id, vec) — written partitioned by
     ``centroid`` at rest so probes prune partitions."""
     vecs = normalized(corpus, id_col, vec_col, "id", "vec")
-    return _argmin_centroid(vecs, centroids).select("centroid", "id", "vec")
+    return _argmin_centroid(vecs, centroids, dim).select("centroid", "id", "vec")
 
 
 def ivf_topk(
@@ -150,6 +165,7 @@ def ivf_topk(
     n_iter: int = 3,
     score_decimals: int | None = 6,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: probe the ``n_probe`` nearest
     cells per query, exact-rank within the probed lists.
@@ -164,10 +180,11 @@ def ivf_topk(
         # re-persisting them here leaked the caller's frames)
         centroids = materialize_local(
             train_centroids(
-                corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
+                corpus, id_col, vec_col,
+                n_centroids=n_centroids, n_iter=n_iter, dim=dim,
             )
         )
-    inv = ivf_assign(corpus, centroids, id_col, vec_col)
+    inv = ivf_assign(corpus, centroids, id_col, vec_col, dim=dim)
 
     q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -179,14 +196,14 @@ def ivf_topk(
             "query_id",
             "q_vec",
             "centroid",
-            F.round(dot(F.col("q_vec"), F.col("c_vec")), 9).alias("c_sim"),
+            F.round(_dot(F.col("q_vec"), F.col("c_vec"), dim), 9).alias("c_sim"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
         .select("query_id", "q_vec", "centroid")
     )
 
-    sim = dot(F.col("q_vec"), F.col("vec"))
+    sim = _dot(F.col("q_vec"), F.col("vec"), dim)
     if score_decimals is not None:
         sim = F.round(sim, score_decimals)
     scored = (
@@ -231,6 +248,7 @@ def train_centroids_hier(
     n_coarse: int = 8,
     n_fine: int = 8,
     n_iter: int = 2,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Two-level codebook: a flat coarse codebook plus, per coarse cell,
     a fine codebook trained on that cell's members only.
@@ -245,10 +263,10 @@ def train_centroids_hier(
     # once, broadcasts are free, and no persisted block outlives the call
     coarse = materialize_local(
         train_centroids(
-            corpus, id_col, vec_col, n_centroids=n_coarse, n_iter=n_iter
+            corpus, id_col, vec_col, n_centroids=n_coarse, n_iter=n_iter, dim=dim
         )
     )
-    assigned = ivf_assign(corpus, coarse, id_col, vec_col).select(
+    assigned = ivf_assign(corpus, coarse, id_col, vec_col, dim=dim).select(
         F.col("centroid").alias("coarse"), "id", "vec"
     ).persist()
     w = Window.partitionBy("coarse").orderBy(
@@ -284,7 +302,7 @@ def train_centroids_hier(
             "id",
             "vec",
             "centroid",
-            F.round(dot(F.col("vec"), F.col("c_vec")), 9).alias("sim"),
+            F.round(_dot(F.col("vec"), F.col("c_vec"), dim), 9).alias("sim"),
         )
         fassigned = scored.groupBy("id").agg(
             F.max_by(
@@ -338,6 +356,7 @@ def ivf_assign_hier(
     fine: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Two-level inverted list: (centroid, id, vec), ``centroid`` being
     the globally-unique fine cell.  Cost: N·K1 dots for the coarse
@@ -345,14 +364,14 @@ def ivf_assign_hier(
     equi-join on the coarse id — each vector only scores its own cell's
     sub-centroids)."""
     vecs = normalized(corpus, id_col, vec_col, "id", "vec")
-    with_coarse = _argmin_centroid(vecs, coarse).select(
+    with_coarse = _argmin_centroid(vecs, coarse, dim).select(
         F.col("centroid").alias("coarse"), "id", "vec"
     )
     scored = with_coarse.join(F.broadcast(fine), "coarse").select(
         "id",
         "vec",
         "centroid",
-        F.round(dot(F.col("vec"), F.col("c_vec")), 9).alias("sim"),
+        F.round(_dot(F.col("vec"), F.col("c_vec"), dim), 9).alias("sim"),
     )
     return scored.groupBy("id").agg(
         F.max_by(

@@ -36,13 +36,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from nomenklatura_spark.ann.brute import dot, materialize_local, normalized
+from nomenklatura_spark.ann.brute import dot_fixed, materialize_local, normalized
 
 
-def _sq_l2(a, b):
+def _sq_l2(a, b, dim: int):
     """round(|a|² - 2<a,b> + |b|², 9) — the exact arithmetic the oracle
-    replays (term order matters for cross-engine float equality)."""
-    return F.round(dot(a, a) - 2 * dot(a, b) + dot(b, b), 9)
+    replays (term order matters for cross-engine float equality).
+    Unrolled dots (bit-identical to the fold) keep the |corpus|·m·k
+    assignment loop inside codegen."""
+    return F.round(
+        dot_fixed(a, a, dim) - 2 * dot_fixed(a, b, dim) + dot_fixed(b, b, dim), 9
+    )
 
 
 def _subvecs(vec_col, m: int, sub_dim: int):
@@ -97,7 +101,7 @@ def train_pq_codebooks(
         # back to subs, no posexplode row blow-up, no second shuffle
         # (round(9) absorbs the partitioning-order summation delta, same
         # discipline as ivf.train_centroids)
-        assigned = _pq_assign(subs, books, keep_sv=True)
+        assigned = _pq_assign(subs, books, sub_dim, keep_sv=True)
         books = (
             assigned.groupBy("sub", "centroid")
             .agg(
@@ -119,7 +123,7 @@ def train_pq_codebooks(
 
 
 def _pq_assign(
-    subs: DataFrame, books: DataFrame, keep_sv: bool = False
+    subs: DataFrame, books: DataFrame, sub_dim: int, keep_sv: bool = False
 ) -> DataFrame:
     """(id, sub) → nearest centroid code by squared L2."""
     scored = subs.join(F.broadcast(books), "sub").select(
@@ -127,7 +131,7 @@ def _pq_assign(
         "sub",
         "sv",
         "centroid",
-        _sq_l2(F.col("sv"), F.col("c_vec")).alias("d2"),
+        _sq_l2(F.col("sv"), F.col("c_vec"), sub_dim).alias("d2"),
     )
     aggs = [
         F.min_by("centroid", F.struct(F.col("d2"), F.col("centroid"))).alias(
@@ -153,7 +157,7 @@ def pq_encode(
     subs = vecs.select("id", _subvecs(F.col("vec"), m, sub_dim).alias("x")).select(
         "id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
     )
-    return _pq_assign(subs, codebooks).select(
+    return _pq_assign(subs, codebooks, sub_dim).select(
         "id", "sub", F.col("centroid").alias("code")
     )
 
@@ -197,7 +201,7 @@ def pq_topk(
         "query_id",
         "sub",
         F.col("centroid").alias("code"),
-        F.round(dot(F.col("qv"), F.col("c_vec")), 9).alias("val"),
+        F.round(dot_fixed(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
     )
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
@@ -222,7 +226,7 @@ def pq_topk(
             .select(
                 "query_id",
                 "id",
-                F.round(dot(F.col("q_vec"), F.col("vec")), 6).alias("cosine_sim"),
+                F.round(dot_fixed(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
             )
         )
         w2 = Window.partitionBy("query_id").orderBy(
@@ -311,7 +315,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "centroid",
-            F.round(dot(F.col("q_vec"), F.col("c_vec")), 9).alias("c_sim"),
+            F.round(dot_fixed(F.col("q_vec"), F.col("c_vec"), dim), 9).alias("c_sim"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
@@ -326,7 +330,7 @@ def ivfpq_topk(
         "query_id",
         "sub",
         F.col("centroid").alias("code"),
-        F.round(dot(F.col("qv"), F.col("c_vec")), 9).alias("val"),
+        F.round(dot_fixed(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
     )
     scored = (
         cand.join(codes, "id")
@@ -348,7 +352,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "id",
-            F.round(dot(F.col("q_vec"), F.col("vec")), 6).alias("cosine_sim"),
+            F.round(dot_fixed(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("id"))
@@ -461,7 +465,7 @@ def ivfpq_topk_indexed(
         .select(
             "query_id",
             "centroid",
-            F.round(dot(F.col("q_vec"), F.col("c_vec")), 9).alias("c_sim"),
+            F.round(dot_fixed(F.col("q_vec"), F.col("c_vec"), dim), 9).alias("c_sim"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
@@ -485,7 +489,7 @@ def ivfpq_topk_indexed(
         "query_id",
         "sub",
         F.col("centroid").alias("code"),
-        F.round(dot(F.col("qv"), F.col("c_vec")), 9).alias("val"),
+        F.round(dot_fixed(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
     )
     scored = (
         cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
@@ -507,7 +511,7 @@ def ivfpq_topk_indexed(
         .select(
             "query_id",
             "id",
-            F.round(dot(F.col("q_vec"), F.col("vec")), 6).alias("cosine_sim"),
+            F.round(dot_fixed(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("id"))

@@ -26,6 +26,7 @@ from nomenklatura_spark.ann.brute import (
     _unit_rows,
     collect_unit_matrix,
     dot,
+    dot_fixed,
     normalized,
 )
 from nomenklatura_spark.ann.lsh import signatures
@@ -36,8 +37,15 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
     return normalized(df, id_col, vec_col, f"{side}id", f"{side}vec")
 
 
-def _verify(pairs: DataFrame, threshold: float, decimals: int) -> DataFrame:
-    sim = F.round(dot(F.col("lvec"), F.col("rvec")), decimals)
+def _verify(
+    pairs: DataFrame, threshold: float, decimals: int, dim: int | None = None
+) -> DataFrame:
+    sim = F.round(
+        dot_fixed(F.col("lvec"), F.col("rvec"), dim)
+        if dim is not None
+        else dot(F.col("lvec"), F.col("rvec")),
+        decimals,
+    )
     return (
         pairs.select("lid", "rid", sim.alias("cosine_sim"))
         # no presentation sort: a global orderBy makes the range
@@ -120,4 +128,4 @@ def embedding_dup_pairs_lsh(
     left = _prep(df, id_col, vec_col, "l")
     right = _prep(df, id_col, vec_col, "r")
     pairs = cands.join(left, "lid").join(right, "rid")
-    return _verify(pairs, threshold, score_decimals)
+    return _verify(pairs, threshold, score_decimals, dim=dim)

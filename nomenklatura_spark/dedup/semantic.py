@@ -43,7 +43,7 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from nomenklatura_spark.ann.brute import dot, materialize_local
+from nomenklatura_spark.ann.brute import dot, dot_fixed, materialize_local
 from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
 
 
@@ -56,6 +56,7 @@ def semantic_dup_pairs(
     n_iter: int = 2,
     score_decimals: int | None = 6,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs.
 
@@ -77,10 +78,11 @@ def semantic_dup_pairs(
         # Lloyd chain down both branches
         centroids = materialize_local(
             train_centroids(
-                corpus, id_col, vec_col, n_centroids=n_centroids, n_iter=n_iter
+                corpus, id_col, vec_col,
+                n_centroids=n_centroids, n_iter=n_iter, dim=dim,
             )
         )
-    inv = ivf_assign(corpus, centroids, id_col, vec_col)
+    inv = ivf_assign(corpus, centroids, id_col, vec_col, dim=dim)
     a = inv.select(
         F.col("centroid"),
         F.col("id").alias("lid"),
@@ -91,7 +93,11 @@ def semantic_dup_pairs(
         F.col("id").alias("rid"),
         F.col("vec").alias("r_vec"),
     )
-    sim = dot(F.col("l_vec"), F.col("r_vec"))
+    sim = (
+        dot_fixed(F.col("l_vec"), F.col("r_vec"), dim)
+        if dim is not None
+        else dot(F.col("l_vec"), F.col("r_vec"))
+    )
     if score_decimals is not None:
         sim = F.round(sim, score_decimals)
     return (
@@ -110,6 +116,7 @@ def semantic_dedup_keep(
     n_centroids: int | None = None,
     n_iter: int = 2,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Keep-list: corpus ids minus the higher-id member of every
     within-cluster duplicate pair (the paper keeps one representative
@@ -124,6 +131,7 @@ def semantic_dedup_keep(
         n_iter,
         score_decimals=6,
         centroids=centroids,
+        dim=dim,
     )
     drops = pairs.select(F.col("rid").alias(id_col)).distinct()
     return corpus.join(drops, id_col, "left_anti")
@@ -139,6 +147,7 @@ def semantic_dup_pairs_hier(
     n_iter: int = 2,
     score_decimals: int | None = 6,
     codebooks: tuple[DataFrame, DataFrame] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup over the two-level coarse quantizer
     (``ann.ivf.train_centroids_hier``): same within-cell near-dup
@@ -164,10 +173,10 @@ def semantic_dup_pairs_hier(
             n_fine = n_fine or side
         codebooks = train_centroids_hier(
             corpus, id_col, vec_col,
-            n_coarse=n_coarse, n_fine=n_fine, n_iter=n_iter,
+            n_coarse=n_coarse, n_fine=n_fine, n_iter=n_iter, dim=dim,
         )
     coarse, fine = codebooks
-    inv = ivf_assign_hier(corpus, coarse, fine, id_col, vec_col)
+    inv = ivf_assign_hier(corpus, coarse, fine, id_col, vec_col, dim=dim)
     a = inv.select(
         F.col("centroid"),
         F.col("id").alias("lid"),
@@ -178,7 +187,11 @@ def semantic_dup_pairs_hier(
         F.col("id").alias("rid"),
         F.col("vec").alias("r_vec"),
     )
-    sim = dot(F.col("l_vec"), F.col("r_vec"))
+    sim = (
+        dot_fixed(F.col("l_vec"), F.col("r_vec"), dim)
+        if dim is not None
+        else dot(F.col("l_vec"), F.col("r_vec"))
+    )
     if score_decimals is not None:
         sim = F.round(sim, score_decimals)
     return (

@@ -1856,10 +1856,10 @@ def _ann_codebooks_cached(
     from nomenklatura_spark.ann.pq import train_pq_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ivf16 = train_centroids(emb, n_centroids=16, n_iter=2).persist()
+    ivf16 = train_centroids(emb, n_centroids=16, n_iter=2, dim=64).persist()
     books = train_pq_codebooks(emb, m=16, k=16, n_iter=2, dim=64).persist()
     k = max(1, _math.ceil(_math.sqrt(emb.count())))
-    sem = train_centroids(emb, n_centroids=k, n_iter=2).persist()
+    sem = train_centroids(emb, n_centroids=k, n_iter=2, dim=64).persist()
     return ivf16, books, sem
 
 
@@ -1875,7 +1875,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 50 == 0)
     centroids, _, _ = _ann_codebooks_cached(spark, sf_dir)
     return ivf_topk(
-        emb, queries, k=5, n_probe=6, centroids=centroids
+        emb, queries, k=5, n_probe=6, centroids=centroids, dim=64
     )
 
 
@@ -2358,7 +2358,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     _, _, sem_centroids = _ann_codebooks_cached(spark, sf_dir)
-    return semantic_dup_pairs(emb, threshold=0.35, centroids=sem_centroids)
+    return semantic_dup_pairs(
+        emb, threshold=0.35, centroids=sem_centroids, dim=64
+    )
 
 
 _SQRT_N_CELLS = "(SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM vecs)"
