@@ -28,8 +28,10 @@ Spark-first / 100 TB shape:
   ``n_centroids ~ sqrt(N)`` (the paper uses ~0.1% of N) the expected
   cell size — and therefore the per-cell pair count — stays bounded;
   AQE's skew-join splitting handles lopsided cells.
-- No UDFs anywhere: the cosine is a ``zip_with``/``aggregate`` column
-  expression on unit-normalized vectors (a bare dot product).
+- No UDFs anywhere: the cosine is a bare dot product on unit-normalized
+  vectors — statically unrolled into a codegen expression when ``dim``
+  is known (``ann.brute.dot_fixed``), a ``zip_with``/``aggregate``
+  column expression otherwise.
 
 Determinism: hash-seeded k-means + round(9) pinning (``ann/ivf.py``)
 makes the codebook, assignment, and pair set a pure function of the
