@@ -44,13 +44,31 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     codegen, where the ``zip_with``/``aggregate`` form runs as an
     interpreted lambda per row.  On the PQ assignment inner loop
     (|corpus|·m·k small-dim dots) the interpreted form dominated the
-    query wall clock.  Use whenever the dimension is statically known
-    (every ANN entry point takes or derives ``dim``); keep ``dot`` for
-    genuinely dynamic arrays."""
+    query wall clock.
+
+    SMALL dims only: past ~16 terms the generated method blows the
+    codegen size limits and Spark falls back to interpreting the deep
+    tree, which is SLOWER than the specialized fold (measured at dim=64:
+    LSH pair verification 2.0s → 7.7s, SemDeDup 1.6s → 2.6s).  Call
+    through :func:`dot_auto`, which picks the form by dimension."""
     e = a[0] * b[0]
     for i in range(1, dim):
         e = e + a[i] * b[i]
     return e
+
+
+# Above this the unrolled chain leaves codegen (huge-method fallback)
+# and loses to the fold — see dot_fixed.
+_UNROLL_MAX_DIM = 16
+
+
+def dot_auto(a: Column, b: Column, dim: int | None) -> Column:
+    """Pick the dot-product form by (statically known) dimension:
+    unrolled codegen chain for small dims, interpreted fold otherwise.
+    Bit-identical results either way."""
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        return dot_fixed(a, b, dim)
+    return dot(a, b)
 
 
 def l2_norm(a: Column) -> Column:

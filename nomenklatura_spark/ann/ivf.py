@@ -35,18 +35,10 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from nomenklatura_spark.ann.brute import (
-    dot,
-    dot_fixed,
+    dot_auto as _dot,
     materialize_local,
     normalized,
 )
-
-
-def _dot(a, b, dim: int | None):
-    """Unrolled (codegen) dot when the dimension is statically known,
-    interpreted zip_with/aggregate fold otherwise — bit-identical
-    results either way (same left-to-right summation)."""
-    return dot_fixed(a, b, dim) if dim is not None else dot(a, b)
 
 
 def _argmin_centroid(

@@ -23,7 +23,7 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from nomenklatura_spark.ann.brute import dot_fixed, normalized
+from nomenklatura_spark.ann.brute import dot_auto, normalized
 
 
 def _plane_coeffs(n_planes: int, dim: int) -> list[tuple[int, list[float]]]:
@@ -138,9 +138,7 @@ def lsh_topk(
     # large when the data forces wide buckets).
     q = normalized(queries, id_col, vec_col, "query_id", "q_vec")
     c = normalized(corpus, id_col, vec_col, "neighbor_id", "c_vec")
-    # unrolled: the candidate set is large when buckets are wide, and
-    # the interpreted fold was the per-pair hot path (see brute.dot_fixed)
-    sim = dot_fixed(F.col("q_vec"), F.col("c_vec"), dim)
+    sim = dot_auto(F.col("q_vec"), F.col("c_vec"), dim)
     if score_decimals is not None:
         sim = F.round(sim, score_decimals)
     scored = (

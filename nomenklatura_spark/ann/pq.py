@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from nomenklatura_spark.ann.brute import dot_fixed, materialize_local, normalized
+from nomenklatura_spark.ann.brute import (
+    dot_auto,
+    materialize_local,
+    normalized,
+)
 
 
 def _sq_l2(a, b, dim: int):
@@ -45,7 +49,7 @@ def _sq_l2(a, b, dim: int):
     Unrolled dots (bit-identical to the fold) keep the |corpus|·m·k
     assignment loop inside codegen."""
     return F.round(
-        dot_fixed(a, a, dim) - 2 * dot_fixed(a, b, dim) + dot_fixed(b, b, dim), 9
+        dot_auto(a, a, dim) - 2 * dot_auto(a, b, dim) + dot_auto(b, b, dim), 9
     )
 
 
@@ -201,7 +205,7 @@ def pq_topk(
         "query_id",
         "sub",
         F.col("centroid").alias("code"),
-        F.round(dot_fixed(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
+        F.round(dot_auto(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
     )
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
@@ -226,7 +230,7 @@ def pq_topk(
             .select(
                 "query_id",
                 "id",
-                F.round(dot_fixed(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
+                F.round(dot_auto(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
             )
         )
         w2 = Window.partitionBy("query_id").orderBy(
@@ -315,7 +319,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "centroid",
-            F.round(dot_fixed(F.col("q_vec"), F.col("c_vec"), dim), 9).alias("c_sim"),
+            F.round(dot_auto(F.col("q_vec"), F.col("c_vec"), dim), 9).alias("c_sim"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
@@ -330,7 +334,7 @@ def ivfpq_topk(
         "query_id",
         "sub",
         F.col("centroid").alias("code"),
-        F.round(dot_fixed(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
+        F.round(dot_auto(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
     )
     scored = (
         cand.join(codes, "id")
@@ -352,7 +356,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "id",
-            F.round(dot_fixed(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
+            F.round(dot_auto(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("id"))
@@ -465,7 +469,7 @@ def ivfpq_topk_indexed(
         .select(
             "query_id",
             "centroid",
-            F.round(dot_fixed(F.col("q_vec"), F.col("c_vec"), dim), 9).alias("c_sim"),
+            F.round(dot_auto(F.col("q_vec"), F.col("c_vec"), dim), 9).alias("c_sim"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
@@ -489,7 +493,7 @@ def ivfpq_topk_indexed(
         "query_id",
         "sub",
         F.col("centroid").alias("code"),
-        F.round(dot_fixed(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
+        F.round(dot_auto(F.col("qv"), F.col("c_vec"), sub_dim), 9).alias("val"),
     )
     scored = (
         cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
@@ -511,7 +515,7 @@ def ivfpq_topk_indexed(
         .select(
             "query_id",
             "id",
-            F.round(dot_fixed(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
+            F.round(dot_auto(F.col("q_vec"), F.col("vec"), dim), 6).alias("cosine_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("id"))

@@ -25,8 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from nomenklatura_spark.ann.brute import (
     _unit_rows,
     collect_unit_matrix,
-    dot,
-    dot_fixed,
+    dot_auto,
     normalized,
 )
 from nomenklatura_spark.ann.lsh import signatures
@@ -40,12 +39,7 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
 def _verify(
     pairs: DataFrame, threshold: float, decimals: int, dim: int | None = None
 ) -> DataFrame:
-    sim = F.round(
-        dot_fixed(F.col("lvec"), F.col("rvec"), dim)
-        if dim is not None
-        else dot(F.col("lvec"), F.col("rvec")),
-        decimals,
-    )
+    sim = F.round(dot_auto(F.col("lvec"), F.col("rvec"), dim), decimals)
     return (
         pairs.select("lid", "rid", sim.alias("cosine_sim"))
         # no presentation sort: a global orderBy makes the range

@@ -45,7 +45,7 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from nomenklatura_spark.ann.brute import dot, dot_fixed, materialize_local
+from nomenklatura_spark.ann.brute import dot_auto, materialize_local
 from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
 
 
@@ -95,11 +95,7 @@ def semantic_dup_pairs(
         F.col("id").alias("rid"),
         F.col("vec").alias("r_vec"),
     )
-    sim = (
-        dot_fixed(F.col("l_vec"), F.col("r_vec"), dim)
-        if dim is not None
-        else dot(F.col("l_vec"), F.col("r_vec"))
-    )
+    sim = dot_auto(F.col("l_vec"), F.col("r_vec"), dim)
     if score_decimals is not None:
         sim = F.round(sim, score_decimals)
     return (
@@ -189,11 +185,7 @@ def semantic_dup_pairs_hier(
         F.col("id").alias("rid"),
         F.col("vec").alias("r_vec"),
     )
-    sim = (
-        dot_fixed(F.col("l_vec"), F.col("r_vec"), dim)
-        if dim is not None
-        else dot(F.col("l_vec"), F.col("r_vec"))
-    )
+    sim = dot_auto(F.col("l_vec"), F.col("r_vec"), dim)
     if score_decimals is not None:
         sim = F.round(sim, score_decimals)
     return (
