@@ -73,8 +73,14 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     ws = words(c)
     n_chars = F.length(c)
     n_words = F.size(ws)
-    mean_word_len = F.when(n_words > 0, (F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words)).otherwise(F.lit(0.0))
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    # Σ word lengths ≡ length of the joined words — one native op instead
+    # of an interpreted per-word aggregate lambda (HOFs run outside
+    # whole-stage codegen; see SCALE.md round-5 notes)
+    mean_word_len = F.when(
+        n_words > 0, F.length(F.array_join(ws, "")) / n_words
+    ).otherwise(F.lit(0.0))
+    # count matches without materializing the match array
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     en_stop = F.size(F.filter(ws, lambda w: w.isin(*LANG_MARKERS["en"])))
     stop_ratio = F.when(n_words > 0, en_stop / n_words).otherwise(F.lit(0.0))
