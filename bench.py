@@ -343,6 +343,53 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             f"(ratio {wn / max(w1, 1e-9):.2f})",
             file=sys.stderr,
         )
+    # Store update-loop: wall per judgement batch must stay CONSTANT as
+    # batches accumulate — `SparkStore.update()` checkpoints the re-keyed
+    # statements and releases the superseded mapping, so batch N is one
+    # mapping build + one linker join over a materialized scan.  Before
+    # that fix, batch N replayed all N prior rewrites (ratio grew with
+    # N) and pinned every batch's mapping in the block cache.
+    from nomenklatura_spark.store import SparkStore
+
+    ids = [
+        r[0]
+        for r in stmts.select("entity_id")
+        .distinct()
+        .orderBy("entity_id")
+        .limit(1600)
+        .collect()
+    ]
+    n_batches, per_batch = 8, 100
+    edge_ddl = (
+        "target string, source string, judgement string, score double,"
+        " user string, created_at string, deleted_at string"
+    )
+    acc: list[tuple] = []
+    store = SparkStore(stmts)
+    walls = []
+    for b in range(n_batches):
+        acc += [
+            (ids[2 * i], ids[2 * i + 1], "positive", 1.0, None,
+             "2024-01-01", None)
+            for i in range(b * per_batch, (b + 1) * per_batch)
+        ]
+        edges = spark.createDataFrame(acc, edge_ddl)
+        start = time.perf_counter()
+        store = store.with_edges(edges).update()  # eager: checkpoints
+        walls.append(time.perf_counter() - start)
+    store.release()
+    section["store_update_loop"] = {
+        "batch1": round(walls[0], 3),
+        f"batch{n_batches}": round(walls[-1], 3),
+        "ratio": round(walls[-1] / max(walls[0], 1e-9), 2),
+    }
+    print(
+        f"# scaling store_update_loop: batch1 {walls[0]:.2f}s -> "
+        f"batch{n_batches} {walls[-1]:.2f}s "
+        f"(ratio {walls[-1] / max(walls[0], 1e-9):.2f})",
+        file=sys.stderr,
+    )
+
     for df in (docs, emb, stmts, docs_n, emb_n, stmts_n, *cb1, *cbn):
         df.unpersist()
     return section
