@@ -120,7 +120,13 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline: signatures → banded candidates →
     estimated-jaccard filter."""
-    sigs = minhash_signatures(df, id_col, text_col, k, mode, n_hashes).persist()
+    # localCheckpoint, not persist: both the banding join and the
+    # similarity join read the signatures; checkpoint blocks free
+    # themselves with the returned plan instead of pinning one signature
+    # relation per call (this runs un-memoized from the registry).
+    sigs = minhash_signatures(
+        df, id_col, text_col, k, mode, n_hashes
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, n_hashes, band_size)
     return minhash_similarity(sigs, cands).where(
         F.col("est_jaccard") >= threshold

@@ -164,8 +164,13 @@ def ngram_jaccard_pairs(
         .where(F.col("_df") <= max_df)
         .drop("_df")
     )
-    # Self-joined below — materialize so both sides read cached blocks.
-    sh = sh.persist()
+    # Self-joined below — materialize so both sides read the same
+    # blocks.  localCheckpoint rather than persist: the blocks are
+    # released when the returned plan is garbage-collected (persist had
+    # no unpersist hook once the plan escaped, pinning one shingle
+    # relation per corpus for the session), and a checkpointed relation
+    # cannot be silently evicted into a recompute.
+    sh = sh.localCheckpoint(eager=True)
 
     l = sh.select(
         F.col("id").alias("lid"), F.col("n_shingles").alias("l_n"), "shingle"

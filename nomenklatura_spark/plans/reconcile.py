@@ -59,7 +59,9 @@ def reconcile(
     scored = (
         score_fn(pairs.join(judged, ["target", "source"], "left_anti"))
         .where(F.col("score") >= review_threshold)
-        .persist()  # consumed by both the auto and review branches
+        # consumed by both the auto and review branches; localCheckpoint
+        # releases with the plan instead of pinning per reconcile run
+        .localCheckpoint(eager=True)
     )
 
     auto = scored.where(F.col("score") >= auto_threshold).select(

@@ -242,8 +242,11 @@ def enrich_match(
 
     if cache is not None:
         # the cache write-back and the returned frame both consume
-        # `fetched`; persist so the transport fires once per query
-        fetched = fetched.persist()
+        # `fetched`; checkpoint so the transport fires EXACTLY once per
+        # query — stronger than persist (an evicted persisted block
+        # would silently re-fire the transport on recompute) and the
+        # blocks release with the plan instead of pinning per run
+        fetched = fetched.localCheckpoint(eager=True)
         # write-back: one cache row per fetched query (response = packed
         # rows).  Queries with NO candidates are cached too (negative
         # caching, response="[]") — otherwise they re-hit the transport

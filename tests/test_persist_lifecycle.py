@@ -23,8 +23,13 @@ from nomenklatura_spark.plans.cache import PlanCache, clear_plan_caches
 
 
 def _n_persistent(spark) -> int:
-    """Materialized persistent RDD count (the executor-storage view)."""
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+    """CacheManager entry count — exactly the persisted-DataFrame
+    population (an unpersist-less persist shows up here forever).
+    Deliberately NOT ``getPersistentRDDs``: that view also contains
+    localCheckpoint blocks, which release asynchronously when other
+    tests' plans are garbage-collected and made the counts drift
+    mid-test for reasons unrelated to the operator under test."""
+    return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
 
 
 def test_ivfpq_serving_call_leaves_cache_clean(spark, sf_dir, tmp_path):
