@@ -70,16 +70,21 @@ def xref_pairs(
         mapping = resolver_mapping(edges)
         stmts = apply_linker(stmts, mapping)
 
-    # persist before the 8-branch tokenizer union (each branch re-reads
-    # the statement frame otherwise); entries then feeds 4 consumers
-    stmts = stmts.persist()
-    entries = token_entries(tokenize_statements(stmts)).persist()
+    # materialize before the 8-branch tokenizer union (each branch
+    # re-reads the statement frame otherwise); entries then feeds 4
+    # consumers and tf_f self-joins.  localCheckpoint, not persist: one
+    # xref run used to pin all three relations in the block cache for
+    # the session — checkpoint blocks release with the returned plan.
+    stmts = stmts.localCheckpoint(eager=True)
+    entries = token_entries(tokenize_statements(stmts)).localCheckpoint(
+        eager=True
+    )
     stats = build_token_stats(
         entries, schemata, bucket_pair_cost(options.max_bucket_size)
     )
     tf_f = term_frequencies(
         entries, boosts_df(spark), token_stats=stats, drop_stopwords=True
-    ).persist()
+    ).localCheckpoint(eager=True)
     pairs = candidate_pairs(
         tf_f, schemata, max_pairs=options.max_pairs, score_decimals=6
     ).withColumnRenamed("score", "block_score")
