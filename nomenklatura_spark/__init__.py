@@ -22,4 +22,5 @@ the reference repo's observable behavior.
 
 __version__ = "0.1.0"
 
+from nomenklatura_spark.plans.cache import clear_plan_caches  # noqa: F401
 from nomenklatura_spark.session import get_spark  # noqa: F401
