@@ -161,3 +161,51 @@ def test_plan_cache_unit_semantics():
     cache.clear()
     assert len(cache) == 0
     assert build("a") is not a
+
+
+def test_plan_cache_lru_model_property():
+    """Property (hypothesis): against a reference LRU model, PlanCache
+    returns the identical object on every hit, stays within maxsize, and
+    releases exactly the model-evicted values in eviction order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import nomenklatura_spark.plans.cache as cache_mod
+
+    @settings(max_examples=60, deadline=None)
+    @given(keys=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=50))
+    def run(keys):
+        released = []
+        orig = cache_mod._unpersist_value
+        cache_mod._unpersist_value = released.append
+        try:
+            cache = cache_mod.PlanCache(maxsize=3)
+
+            @cache
+            def build(k):
+                return object()
+
+            live: dict[str, object] = {}
+            order: list[str] = []
+            expected_released = []
+            for k in keys:
+                got = build(k)
+                if k in live:
+                    assert got is live[k], "hit must return the cached object"
+                    order.remove(k)
+                    order.append(k)
+                else:
+                    live[k] = got
+                    order.append(k)
+                    if len(order) > 3:
+                        evicted = order.pop(0)
+                        expected_released.append(live.pop(evicted))
+                assert len(cache) == len(order) <= 3
+            assert released == expected_released
+            cache.clear()
+            assert released == expected_released + list(live[k] for k in order)
+        finally:
+            cache_mod._unpersist_value = orig
+            cache_mod._REGISTRY.pop()  # drop the throwaway cache instance
+
+    run()
