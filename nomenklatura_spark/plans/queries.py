@@ -791,7 +791,13 @@ def _er_match_inputs_cached(
         # no second entries-wide aggregation
         matching_tsc=tsc.where(F.col("schema") == "Supplier"),
     )
-    matching_f = apply_stopwords(matching, stopwords_from_stats(m_stats))
+    # persisted like tf_all: the match query reads it per call (join +
+    # the token_subset semi-join source), and its lineage re-runs the
+    # matching-side stopword stats otherwise (~0.8s of the steady-state
+    # match wall); released by plan_cache eviction with the tuple
+    matching_f = apply_stopwords(
+        matching, stopwords_from_stats(m_stats)
+    ).persist()
     # The match join only ever reads index rows whose token appears on
     # the matching side — the IDF relation is restricted to the matching
     # token set and broadcast, so the index's heaviest filter is a
