@@ -108,10 +108,14 @@ def embedding_dup_pairs_lsh(
     score_decimals: int = 6,
 ) -> DataFrame:
     """LSH-blocked near-dup pairs: bucket join candidates, exact verify."""
+    # materialize once: the bucket self-join references the signature
+    # relation on both sides, and at corpus scale computing the plane
+    # projections twice costs a full second scan; checkpoint blocks
+    # release with the returned plan (round-5 lifecycle discipline)
     sig = signatures(
         df, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, band_bits=band_bits, dim=dim,
-    )
+    ).localCheckpoint(eager=True)
     cands = (
         sig.alias("a")
         .join(sig.alias("b"), ["band", "key"])
