@@ -323,35 +323,29 @@ def test_bucketed_tf_roundtrip_serves_blocker_queries(spark, sf_dir):
 
 
 def test_headline_plan_shapes_bounded(spark, sf_dir):
-    """Shuffle-count regression net for the headline queries: each plan's
-    Exchange count must stay within a pinned bound (observed cold-cache
-    count + margin).  A warm memoizer cache only SHRINKS these plans
-    (InMemoryTableScan truncates the index-build lineage), so the bounds
-    hold in any test order; what they catch is a future change that
-    introduces extra shuffles — the regression class that silently
-    multiplies cost at 100 TB long before it is visible at test scale."""
+    """Shuffle-count regression net for the self-contained headline
+    queries: each plan's Exchange count must stay within a pinned bound
+    (observed count + margin).  Restricted to queries with no plan_cache
+    dependency — Spark's plan dump embeds a cached relation's full child
+    lineage inside InMemoryTableScan, so memoized queries' string counts
+    swing with cache state; these thirteen are stable in any test order.
+    What the net catches is a change that introduces extra shuffles —
+    invisible at test scale, multiplicative at cluster scale."""
     from nomenklatura_spark.plans.queries import QUERIES
 
     bounds = {
         "pricing_summary": 4,
-        "top_revenue_nations": 9,
+        "top_revenue_nations": 8,
         "events_user_topk": 4,
-        "blocker_entries": 16,
-        "blocker_pairs": 34,
-        "blocker_match": 42,
-        "dedup_ngram_pairs": 6,
-        "dedup_components": 5,
+        "dedup_components": 4,
         "dedup_embedding": 3,
-        "dedup_embedding_lsh": 7,
-        "dedup_semantic": 26,
-        "doc_dup_passages": 6,
+        "dedup_embedding_lsh": 6,
+        "doc_dup_passages": 5,
         "doc_stats": 3,
-        "doc_quality": 1,
+        "doc_quality": 2,
         "ann_topk": 4,
-        "ann_lsh_topk": 8,
-        "ann_pq_topk": 27,
-        "ann_ivfpq_topk": 48,
-        "doc_embed": 7,
+        "ann_lsh_topk": 7,
+        "doc_embed": 6,
         "media_features": 3,
     }
     over = {}
