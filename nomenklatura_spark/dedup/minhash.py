@@ -20,7 +20,7 @@ no UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from nomenklatura_spark.dedup.ngram import shingle_rows
 

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from nomenklatura_spark.ann.brute import dot_auto, materialize_local
 from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids

@@ -23,7 +23,6 @@ from nomenklatura_spark.ann.brute import cosine_topk
 from nomenklatura_spark.ann.ivf import ivf_topk
 from nomenklatura_spark.ann.lsh import lsh_topk
 from nomenklatura_spark.dedup.embedding import embedding_dup_pairs
-from nomenklatura_spark.dedup.exact import content_hash
 from nomenklatura_spark.dedup.ngram import ngram_jaccard_pairs
 from nomenklatura_spark.functions.normalize import LEGAL_FORMS, STOP_TOKENS
 from nomenklatura_spark.functions.tokenize import tokenize_statements
