@@ -2981,6 +2981,72 @@ _STATEMENTS_VERSIONED_SQL = """
 """
 
 
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate pass: word bigrams whose document frequency
+    reaches 5% of the corpus are boilerplate; per-doc gram counts and the
+    boilerplate ratio drive downstream drop/trim decisions.  The
+    boilerplate set is found with one partially-aggregated shuffle and
+    broadcast back onto the map-side gram stream — the corpus is never
+    joined against itself (see ``textops.analysis.boilerplate_stats``)."""
+    from nomenklatura_spark.textops.analysis import boilerplate_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_stats(
+        docs, "doc_id", "text", k=2, min_df=(1, 20)
+    ).orderBy("doc_id")
+
+
+_DOC_BOILERPLATE_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 1, 0)),
+            i -> w[i] || ' ' || w[i+1])) AS sh
+        FROM ws
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT sh, count(*) AS gram_df FROM grams GROUP BY sh),
+    boiler AS (SELECT sh FROM dfreq, n WHERE gram_df * 20 >= n_docs * 1),
+    per_doc AS (
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               count(b.sh) AS n_boilerplate
+        FROM grams g LEFT JOIN boiler b ON g.sh = b.sh
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_boilerplate, 0) AS n_boilerplate,
+           round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                      THEN p.n_boilerplate * 1.0 / p.n_grams
+                      ELSE 0.0 END, 6) AS boilerplate_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary rollup (tokenizer-training prep): per word, total
+    occurrences and document frequency, top 100 by count.  Two-level
+    aggregation — both shuffles partially aggregated, no countDistinct
+    expand (see ``textops.analysis.corpus_vocab``)."""
+    from nomenklatura_spark.textops.analysis import corpus_vocab
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_vocab(docs, "text", "doc_id", top_k=100)
+
+
+_DOC_VOCAB_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+    per_doc AS (SELECT doc_id, word, count(*) AS n FROM tok GROUP BY doc_id, word)
+    SELECT word, CAST(sum(n) AS BIGINT) AS count, count(*) AS n_docs
+    FROM per_doc GROUP BY word
+    ORDER BY count DESC, word
+    LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3038,6 +3104,10 @@ QUERIES = {
     "conflicting_matches": q_conflicting_matches,
     "entity_delta": q_entity_delta,
     "blocker_stopwords": q_blocker_stopwords,
+    # entries past the driver's 50-row board cap: oracle-checked by the
+    # pytest suite (tests/test_entry_contract.py), invisible to the board
+    "doc_boilerplate": q_doc_boilerplate,
+    "doc_vocab": q_doc_vocab,
 }
 
 ORACLES = {
@@ -3092,4 +3162,6 @@ ORACLES = {
     "conflicting_matches": _CONFLICTS_SQL,
     "entity_delta": _ENTITY_DELTA_SQL,
     "blocker_stopwords": _BLOCKER_STOPWORDS_SQL,
+    "doc_boilerplate": _DOC_BOILERPLATE_SQL,
+    "doc_vocab": _DOC_VOCAB_SQL,
 }

@@ -171,3 +171,98 @@ def doc_fingerprint(col: Column) -> Column:
     word set. Robust to whitespace/shuffling mutations; used for fuzzy
     exact-dedup (same bag of words)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(words(col))), " "))
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: tuple[int, int] = (1, 5),
+) -> DataFrame:
+    """C4-style boilerplate detection: word ``k``-grams whose document
+    frequency reaches ``min_df`` (a rational ``num/den`` of the corpus, so
+    the threshold compare is integer-exact — no float-ceil drift between
+    engines) are "boilerplate"; emit per-document gram counts and the
+    boilerplate ratio for downstream filtering.
+
+    Plan shape (the 100 TB path): shingling is map-side — the per-doc
+    distinct gram array comes out of one codegen projection, so the
+    (doc, gram) stream needs no within-doc dedup shuffle.  One shuffle
+    computes document frequency with map-side partial aggregation; the
+    boilerplate set is tiny by construction (few n-grams can clear a
+    20% document-frequency bar) and BROADCASTS back onto the gram
+    stream; the per-doc rollup is the second and last shuffle.  The
+    corpus size joins in as a broadcast 1-row aggregate, never a
+    driver-side collect.
+    """
+    from nomenklatura_spark.dedup.ngram import shingle_arrays, widen_small_scan
+
+    num, den = min_df
+    # explode_outer keeps sub-k-word documents as a single null-gram row,
+    # so no corpus-sized join-back is needed to preserve them: null keys
+    # never match the boiler equi-join and count(sh) skips them
+    grams = shingle_arrays(
+        widen_small_scan(df), id_col, text_col, k=k, mode="word"
+    ).select("id", F.explode_outer("shingles").alias("sh"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    dfreq = (
+        grams.where(F.col("sh").isNotNull())
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+    )
+    boiler = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("gram_df") * den >= F.col("_n_docs") * num)
+        .select("sh", F.lit(1).alias("_boiler"))
+    )
+    per_doc = (
+        grams.join(F.broadcast(boiler), "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("sh")).alias("n_grams"),
+            F.count(F.col("_boiler")).alias("n_boilerplate"),
+        )
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0, F.col("n_boilerplate") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_boilerplate",
+        F.round(ratio, 6).alias("boilerplate_ratio"),
+    )
+
+
+def corpus_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary rollup for tokenizer training / frequency
+    filtering: per word, total occurrences and document frequency, top
+    ``top_k`` by count.  Two-level aggregation — (doc, word) counts
+    first, then the word rollup — so BOTH shuffles get map-side partial
+    aggregation and no countDistinct expand is needed; the second
+    shuffle carries one row per (doc, distinct word), not per token.
+    The final top-k is a TakeOrdered, not a global sort."""
+    from nomenklatura_spark.dedup.ngram import normalize_for_shingles
+
+    ws = F.filter(
+        F.split(normalize_for_shingles(F.col(text_col)), " "),
+        lambda w: w != "",
+    )
+    per_doc = (
+        df.select(F.col(id_col).alias("id"), F.explode(ws).alias("word"))
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = per_doc.groupBy("word").agg(
+        F.sum("n").alias("count"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.col("count").desc(), F.col("word")
+    ).limit(top_k)
