@@ -3025,6 +3025,38 @@ _DOC_BOILERPLATE_SQL = f"""
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup verdict: n-gram near-dup pairs -> connected
+    components -> one survivor (min doc_id) per component, every corpus
+    document accounted for (see ``dedup/survivors.py``)."""
+    from nomenklatura_spark.dedup.survivors import select_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _spark_ngram_pairs(spark, sf_dir)
+    return select_survivors(docs, pairs).orderBy("doc_id")
+
+
+_DEDUP_SURVIVORS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
+    edges AS (
+        SELECT lid AS a, rid AS b FROM pairs
+        UNION SELECT rid, lid FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, reached) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
+    ),
+    comps AS (SELECT node, min(reached) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS canonical_doc,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+    ORDER BY d.doc_id
+"""
+
+
 def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary rollup (tokenizer-training prep): per word, total
     occurrences and document frequency, top 100 by count.  Two-level
@@ -3108,6 +3140,7 @@ QUERIES = {
     # pytest suite (tests/test_entry_contract.py), invisible to the board
     "doc_boilerplate": q_doc_boilerplate,
     "doc_vocab": q_doc_vocab,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 ORACLES = {
@@ -3164,4 +3197,5 @@ ORACLES = {
     "blocker_stopwords": _BLOCKER_STOPWORDS_SQL,
     "doc_boilerplate": _DOC_BOILERPLATE_SQL,
     "doc_vocab": _DOC_VOCAB_SQL,
+    "dedup_survivors": _DEDUP_SURVIVORS_SQL,
 }

@@ -1,0 +1,28 @@
+"""Survivor-selection semantics (dedup/survivors.select_survivors) on a
+crafted pair graph; the corpus-level composition is oracle-checked by
+tests/test_entry_contract.py (`dedup_survivors`)."""
+
+from __future__ import annotations
+
+from nomenklatura_spark.dedup.survivors import select_survivors
+
+
+def test_one_survivor_per_component_and_untouched_docs_kept(spark):
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(7)], "doc_id long"
+    )
+    # components: {0,1,2} via chain, {5,6}; 3 and 4 are in no pair
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "lid long, rid long"
+    )
+    rows = {r.doc_id: r for r in select_survivors(corpus, pairs).collect()}
+    assert len(rows) == 7
+    for d in (0, 1, 2):
+        assert rows[d].canonical_doc == 0
+    assert rows[0].keep and not rows[1].keep and not rows[2].keep
+    for d in (3, 4):
+        assert rows[d].canonical_doc == d and rows[d].keep
+    assert rows[5].keep and not rows[6].keep
+    # exactly one survivor per component
+    kept = [d for d, r in rows.items() if r.keep]
+    assert sorted(kept) == [0, 3, 4, 5]
