@@ -347,6 +347,11 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         "ann_lsh_topk": 7,
         "doc_embed": 6,
         "media_features": 3,
+        # r5 additions (plan dump counts broadcast exchanges and repeats
+        # the gram-stream lineage on both sides of the boiler join)
+        "doc_boilerplate": 9,
+        "doc_vocab": 3,
+        "dedup_survivors": 4,
     }
     over = {}
     for name, bound in bounds.items():
