@@ -269,20 +269,35 @@ def name_metaphone_overlap(query_names: list[str], result_names: list[str]) -> f
 
 # --- pandas UDF wrappers ---------------------------------------------------
 
-@F.pandas_udf(T.DoubleType())
-def person_name_jaro_winkler_udf(q: pd.Series, r: pd.Series) -> pd.Series:
-    return pd.Series(
-        [person_name_jw(list(a or []), list(b or [])) for a, b in zip(q, r)],
-        dtype="float64",
-    )
+_PERSON_NAME_FEATS = T.StructType(
+    [
+        T.StructField("jw", T.DoubleType()),
+        T.StructField("metaphone", T.DoubleType()),
+    ]
+)
 
 
-@F.pandas_udf(T.DoubleType())
-def name_metaphone_match_udf(q: pd.Series, r: pd.Series) -> pd.Series:
-    return pd.Series(
-        [name_metaphone_overlap(list(a or []), list(b or [])) for a, b in zip(q, r)],
-        dtype="float64",
-    )
+@F.pandas_udf(_PERSON_NAME_FEATS)
+def person_name_features_udf(q: pd.Series, r: pd.Series) -> pd.DataFrame:
+    """C3 + C7 in ONE Arrow pass.  A pandas UDF inside CASE WHEN is
+    hoisted into an ArrowEvalPython node and evaluated on EVERY row
+    (SPARK-22347) — wrapping the call in ``F.when(is_person, ...)`` does
+    not gate the Python work.  Gating therefore happens in the INPUT
+    expressions: callers null out the name arrays for rows the feature
+    doesn't apply to, so the Arrow batch carries no payload and the
+    kernel short-circuits for them; fusing both person-name features
+    into one struct also halves the per-row Python round-trips."""
+    jw: list[float] = []
+    mp: list[float] = []
+    for a, b in zip(q, r):
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            jw.append(0.0)
+            mp.append(0.0)
+            continue
+        qa, rb = list(a), list(b)
+        jw.append(person_name_jw(qa, rb))
+        mp.append(name_metaphone_overlap(qa, rb))
+    return pd.DataFrame({"jw": jw, "metaphone": mp})
 
 
 def soundex_token_overlap(q_names: Column, r_names: Column) -> Column:

@@ -6,9 +6,10 @@ column over the pair-feature frame from ``operators.pairs``; combination
 is X1 (max of weighted mains + qualifiers, clamped).
 
 Cheap set/distance features run as pure column expressions; only the
-Jaro-Winkler person-name alignment and metaphone features drop to
-Arrow-batched pandas UDFs — and they are gated behind cheap predicates
-(schema checks) so the Python path only sees rows it must.
+Jaro-Winkler person-name alignment and metaphone features drop to a
+single fused Arrow-batched pandas UDF, whose inputs are nulled for
+non-person rows (schema gate) so the Arrow batches carry no payload
+and the kernel short-circuits where the features don't apply.
 """
 
 from __future__ import annotations
@@ -17,8 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from nomenklatura_spark.functions import compare as C
 from nomenklatura_spark.functions.names_compare import (
-    name_metaphone_match_udf,
-    person_name_jaro_winkler_udf,
+    person_name_features_udf,
     soundex_token_overlap,
 )
 from nomenklatura_spark.functions.scoring import Feature, heuristic_score
@@ -67,18 +67,19 @@ def compute_features(pairs: DataFrame, with_udf_features: bool = True) -> DataFr
         C.numbers_mismatch(F.col("l_all_values"), F.col("r_all_values")).alias("f_numbers_mismatch"),
     )
     if with_udf_features:
-        df = df.withColumn(
-            "f_person_jw",
-            F.when(
-                is_person,
-                person_name_jaro_winkler_udf(F.col("l_names"), F.col("r_names")),
-            ).otherwise(F.lit(0.0)),
-        ).withColumn(
-            "f_metaphone",
-            F.when(
-                is_person,
-                name_metaphone_match_udf(F.col("l_names"), F.col("r_names")),
-            ).otherwise(F.lit(0.0)),
+        # gate in the INPUTS, not around the call: a pandas UDF under
+        # CASE WHEN is hoisted and run on every row (SPARK-22347), so
+        # non-person rows ship null instead of their name arrays and the
+        # kernel short-circuits; one fused UDF = one Arrow round-trip
+        pnf = person_name_features_udf(
+            F.when(is_person, F.col("l_names")),
+            F.when(is_person, F.col("r_names")),
+        )
+        df = (
+            df.withColumn("_pnf", pnf)
+            .withColumn("f_person_jw", F.col("_pnf.jw"))
+            .withColumn("f_metaphone", F.col("_pnf.metaphone"))
+            .drop("_pnf")
         )
     else:
         df = df.withColumn("f_person_jw", F.lit(0.0)).withColumn(
