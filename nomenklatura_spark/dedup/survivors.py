@@ -11,9 +11,10 @@ canonical document and is dropped.
 
 Plan shape (100 TB): the component map holds only documents that appear
 in at least one dup pair — at real-corpus dup rates that is a small
-fraction of the corpus, so the map side of the verdict join broadcasts;
-when a pathological corpus makes it large, the join degrades to a plain
-doc_id equi-join, never to anything super-linear.
+fraction of the corpus, so AQE broadcasts the map side of the verdict
+join on its own; when a pathological corpus makes it large, the join
+degrades to a plain doc_id equi-join, never to anything super-linear
+(which is why the broadcast is left to the planner, not hinted).
 """
 
 from __future__ import annotations
@@ -36,13 +37,13 @@ def select_survivors(
     only if they are the component's min id."""
     comps = connected_components(pairs, src=lid, dst=rid)
     canonical = F.coalesce(F.col("component"), F.col(id_col))
+    # no broadcast hint: at normal dup rates AQE broadcasts the small
+    # component map on its own, and a pathological high-duplication
+    # corpus genuinely degrades to a plain doc_id equi-join instead of
+    # dying on a forced oversized broadcast
     return (
         corpus.select(id_col)
-        .join(
-            F.broadcast(comps.withColumnRenamed("node", id_col)),
-            id_col,
-            "left",
-        )
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
         .select(
             id_col,
             canonical.alias("canonical_doc"),

@@ -186,15 +186,23 @@ def boilerplate_stats(
     engines) are "boilerplate"; emit per-document gram counts and the
     boilerplate ratio for downstream filtering.
 
-    Plan shape (the 100 TB path): shingling is map-side — the per-doc
-    distinct gram array comes out of one codegen projection, so the
-    (doc, gram) stream needs no within-doc dedup shuffle.  One shuffle
-    computes document frequency with map-side partial aggregation; the
-    boilerplate set is tiny by construction (few n-grams can clear a
-    20% document-frequency bar) and BROADCASTS back onto the gram
-    stream; the per-doc rollup is the second and last shuffle.  The
-    corpus size joins in as a broadcast 1-row aggregate, never a
-    driver-side collect.
+    Plan shape (the 100 TB path): shingling is map-side — each pass
+    builds the per-doc distinct gram array in one codegen projection, so
+    the (doc, gram) stream needs no within-doc dedup shuffle.  One
+    shuffle computes document frequency with map-side partial
+    aggregation; the boilerplate set is tiny by construction (few
+    n-grams can clear a 20% document-frequency bar) and BROADCASTS back
+    onto the gram stream; the per-doc rollup is the second and last
+    shuffle.  The corpus size joins in as a broadcast 1-row aggregate,
+    never a driver-side collect.
+
+    The corpus IS scanned and shingled twice (once under the document-
+    frequency aggregate, once under the per-doc rollup) — deliberate:
+    the only single-pass alternatives are caching the exploded gram
+    stream (larger than the corpus itself) or a count-over-window on
+    the full stream (shuffles every gram row instead of the map-side-
+    combined distinct-gram counts), both strictly worse at scale than
+    a second columnar scan of one string column.
     """
     from nomenklatura_spark.dedup.ngram import shingle_arrays, widen_small_scan
 
@@ -248,14 +256,18 @@ def corpus_vocab(
     aggregation and no countDistinct expand is needed; the second
     shuffle carries one row per (doc, distinct word), not per token.
     The final top-k is a TakeOrdered, not a global sort."""
-    from nomenklatura_spark.dedup.ngram import normalize_for_shingles
+    from nomenklatura_spark.dedup.ngram import (
+        normalize_for_shingles,
+        widen_small_scan,
+    )
 
     ws = F.filter(
         F.split(normalize_for_shingles(F.col(text_col)), " "),
         lambda w: w != "",
     )
     per_doc = (
-        df.select(F.col(id_col).alias("id"), F.explode(ws).alias("word"))
+        widen_small_scan(df)
+        .select(F.col(id_col).alias("id"), F.explode(ws).alias("word"))
         .groupBy("id", "word")
         .agg(F.count(F.lit(1)).alias("n"))
     )

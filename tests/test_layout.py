@@ -328,7 +328,11 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
     (observed count + margin).  Restricted to queries with no plan_cache
     dependency — Spark's plan dump embeds a cached relation's full child
     lineage inside InMemoryTableScan, so memoized queries' string counts
-    swing with cache state; these thirteen are stable in any test order.
+    swing with cache state; the queries pinned here are stable in any
+    test order.  (dedup_survivors does read the plan_cache'd ngram-pair
+    relation, but connected_components eagerly localCheckpoints it, so
+    the cached lineage is truncated out of the final plan dump — if the
+    checkpoint is ever removed, drop the row from this net.)
     What the net catches is a change that introduces extra shuffles —
     invisible at test scale, multiplicative at cluster scale."""
     from nomenklatura_spark.plans.queries import QUERIES
