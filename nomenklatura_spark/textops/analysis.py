@@ -247,15 +247,16 @@ def corpus_vocab(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    top_k: int = 1000,
+    top_k: int | None = 1000,
 ) -> DataFrame:
     """Corpus vocabulary rollup for tokenizer training / frequency
     filtering: per word, total occurrences and document frequency, top
-    ``top_k`` by count.  Two-level aggregation — (doc, word) counts
-    first, then the word rollup — so BOTH shuffles get map-side partial
-    aggregation and no countDistinct expand is needed; the second
-    shuffle carries one row per (doc, distinct word), not per token.
-    The final top-k is a TakeOrdered, not a global sort."""
+    ``top_k`` by count (``None`` = the full unordered vocabulary, for
+    incremental maintenance).  Two-level aggregation — (doc, word)
+    counts first, then the word rollup — so BOTH shuffles get map-side
+    partial aggregation and no countDistinct expand is needed; the
+    second shuffle carries one row per (doc, distinct word), not per
+    token.  The final top-k is a TakeOrdered, not a global sort."""
     from nomenklatura_spark.dedup.ngram import (
         normalize_for_shingles,
         widen_small_scan,
@@ -275,6 +276,8 @@ def corpus_vocab(
         F.sum("n").alias("count"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+    if top_k is None:
+        return agg
     return agg.orderBy(
         F.col("count").desc(), F.col("word")
     ).limit(top_k)
