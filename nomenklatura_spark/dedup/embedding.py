@@ -111,11 +111,14 @@ def embedding_dup_pairs_lsh(
     # materialize once: the bucket self-join references the signature
     # relation on both sides, and at corpus scale computing the plane
     # projections twice costs a full second scan; checkpoint blocks
-    # release with the returned plan (round-5 lifecycle discipline)
+    # release with the returned plan (round-5 lifecycle discipline).
+    # eager=False so plan-only callers (explain, registry enumeration)
+    # don't pay a construction-time Spark job — the checkpoint computes
+    # once at the first real action and both join sides share it
     sig = signatures(
         df, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, band_bits=band_bits, dim=dim,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cands = (
         sig.alias("a")
         .join(sig.alias("b"), ["band", "key"])

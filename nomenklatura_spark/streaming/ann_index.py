@@ -28,51 +28,22 @@ and ``bootstrap`` a fresh state.  The versioned-snapshot discipline
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
+from nomenklatura_spark.streaming.state import VersionedState
 
 _CELLS_SCHEMA = "centroid int, id bigint, vec array<double>"
 
 
-class VectorIndexState:
+class VectorIndexState(VersionedState):
     """Versioned on-disk state for the incrementally-maintained IVF."""
-
-    def __init__(self, spark: SparkSession, state_dir: str) -> None:
-        self.spark = spark
-        self.state_dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
-
-    @property
-    def _version_file(self) -> str:
-        return os.path.join(self.state_dir, "VERSION")
-
-    def version(self) -> int:
-        try:
-            with open(self._version_file) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return -1
-
-    def _path(self, rel: str, version: int) -> str:
-        return os.path.join(self.state_dir, rel, f"v{version}")
-
-    def _bump(self, version: int) -> None:
-        tmp = self._version_file + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._version_file)
 
     # --- reads -------------------------------------------------------------
 
     def cells(self, version: int | None = None) -> DataFrame:
-        v = self.version() if version is None else version
-        if v < 0:
-            return self.spark.createDataFrame([], _CELLS_SCHEMA)
-        return self.spark.read.parquet(self._path("cells", v))
+        return self._read("cells", _CELLS_SCHEMA, version)
 
     def codebook(self, version: int | None = None) -> DataFrame:
         v = self.version() if version is None else version

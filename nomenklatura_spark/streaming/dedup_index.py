@@ -29,11 +29,10 @@ append-only table.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from nomenklatura_spark.streaming.state import VersionedState
 from nomenklatura_spark.dedup.minhash import (
     lsh_candidate_pairs,
     minhash_signatures,
@@ -62,7 +61,7 @@ def _bands_of(signatures: DataFrame, band_size: int) -> DataFrame:
     return banded
 
 
-class DedupIndexState:
+class DedupIndexState(VersionedState):
     """Versioned on-disk state: signatures + bands + pairs log."""
 
     def __init__(
@@ -75,39 +74,10 @@ class DedupIndexState:
         band_size: int = 4,
         threshold: float = 0.5,
     ) -> None:
-        self.spark = spark
-        self.state_dir = state_dir
+        super().__init__(spark, state_dir)
         self.k, self.mode = k, mode
         self.n_hashes, self.band_size = n_hashes, band_size
         self.threshold = threshold
-        os.makedirs(state_dir, exist_ok=True)
-
-    @property
-    def _version_file(self) -> str:
-        return os.path.join(self.state_dir, "VERSION")
-
-    def version(self) -> int:
-        try:
-            with open(self._version_file) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return -1
-
-    def _path(self, rel: str, version: int) -> str:
-        return os.path.join(self.state_dir, rel, f"v{version}")
-
-    def _bump(self, version: int) -> None:
-        tmp = self._version_file + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._version_file)
-
-    def _read(self, rel: str, schema: str, version: int | None = None) -> DataFrame:
-        v = self.version() if version is None else version
-        path = self._path(rel, v)
-        if v < 0 or not os.path.exists(path):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(path)
 
     def signatures(self, version: int | None = None) -> DataFrame:
         return self._read("signatures", _SIG_SCHEMA, version)

@@ -30,13 +30,12 @@ delta computation itself is identical.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from nomenklatura_spark.functions.tokenize import tokenize_statements
 from nomenklatura_spark.operators.blocker import token_entries, token_schema_counts
+from nomenklatura_spark.streaming.state import VersionedState
 
 _ENTRIES_SCHEMA = (
     "schema string, id string, field string, token string, count int"
@@ -44,49 +43,16 @@ _ENTRIES_SCHEMA = (
 _TSC_SCHEMA = "token string, schema string, field string, df bigint, freq bigint"
 
 
-class BlockingIndexState:
+class BlockingIndexState(VersionedState):
     """Versioned on-disk state for the incrementally-maintained index."""
-
-    def __init__(self, spark: SparkSession, state_dir: str) -> None:
-        self.spark = spark
-        self.state_dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
-
-    # --- version bookkeeping ----------------------------------------------
-
-    @property
-    def _version_file(self) -> str:
-        return os.path.join(self.state_dir, "VERSION")
-
-    def version(self) -> int:
-        try:
-            with open(self._version_file) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return -1
-
-    def _path(self, rel: str, version: int) -> str:
-        return os.path.join(self.state_dir, rel, f"v{version}")
-
-    def _bump(self, version: int) -> None:
-        tmp = self._version_file + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._version_file)
 
     # --- reads -------------------------------------------------------------
 
     def entries(self, version: int | None = None) -> DataFrame:
-        v = self.version() if version is None else version
-        if v < 0:
-            return self.spark.createDataFrame([], _ENTRIES_SCHEMA)
-        return self.spark.read.parquet(self._path("entries", v))
+        return self._read("entries", _ENTRIES_SCHEMA, version)
 
     def tsc(self, version: int | None = None) -> DataFrame:
-        v = self.version() if version is None else version
-        if v < 0:
-            return self.spark.createDataFrame([], _TSC_SCHEMA)
-        return self.spark.read.parquet(self._path("tsc", v))
+        return self._read("tsc", _TSC_SCHEMA, version)
 
     # --- writes ------------------------------------------------------------
 

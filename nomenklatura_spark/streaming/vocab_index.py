@@ -27,60 +27,43 @@ t.count + s.count`` on the word key.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from nomenklatura_spark.streaming.state import VersionedState
 from nomenklatura_spark.textops.analysis import corpus_vocab
 
 _VOCAB_SCHEMA = "word string, count long, n_docs long"
 
 
-class VocabIndexState:
-    """Versioned on-disk state: the (word, count, n_docs) relation."""
+class VocabIndexState(VersionedState):
+    """Versioned on-disk state: the (word, count, n_docs) relation.
 
-    def __init__(self, spark: SparkSession, state_dir: str) -> None:
-        self.spark = spark
-        self.state_dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
-
-    @property
-    def _version_file(self) -> str:
-        return os.path.join(self.state_dir, "VERSION")
-
-    def version(self) -> int:
-        try:
-            with open(self._version_file) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return -1
-
-    def _path(self, version: int) -> str:
-        return os.path.join(self.state_dir, "vocab", f"v{version}")
-
-    def _bump(self, version: int) -> None:
-        tmp = self._version_file + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._version_file)
+    Unlike the upsert-by-key indexes this state is ADDITIVE, so the
+    streaming path passes the micro-batch id and ``apply_batch`` skips
+    anything at or below ``last_batch()`` — foreachBatch redelivery
+    after a crash between the snapshot swap and the streaming
+    checkpoint commit must not double-count."""
 
     def vocab(self, version: int | None = None) -> DataFrame:
-        v = self.version() if version is None else version
-        path = self._path(v)
-        if v < 0 or not os.path.exists(path):
-            return self.spark.createDataFrame([], _VOCAB_SCHEMA)
-        return self.spark.read.parquet(path)
+        return self._read("vocab", _VOCAB_SCHEMA, version)
 
     def top_k(self, k: int = 1000) -> DataFrame:
         """The batch operator's top-k view over the maintained state."""
         return self.vocab().orderBy(F.col("count").desc(), F.col("word")).limit(k)
 
     def apply_batch(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        batch_id: int | None = None,
     ) -> DataFrame:
         """Fold one micro-batch of new documents into the vocabulary;
-        returns the batch's own rollup."""
+        returns the batch's own rollup (empty if the batch id was
+        already applied — a streaming redelivery)."""
+        if batch_id is not None and batch_id <= self.last_batch():
+            return self.spark.createDataFrame([], _VOCAB_SCHEMA)
         batch = corpus_vocab(docs, text_col, id_col, top_k=None).select(
             "word",
             F.col("count").cast("long").alias("count"),
@@ -101,8 +84,8 @@ class VocabIndexState:
             )
         )
         nv = self.version() + 1
-        merged.write.mode("overwrite").parquet(self._path(nv))
-        self._bump(nv)
+        merged.write.mode("overwrite").parquet(self._path("vocab", nv))
+        self._bump(nv, batch_id)
         return batch
 
 
@@ -119,7 +102,7 @@ def maintain_vocab_stream(
     ``maintain_dedup_stream``)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        state.apply_batch(batch, id_col, text_col)
+        state.apply_batch(batch, id_col, text_col, batch_id=batch_id)
 
     writer = stream.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir is not None:

@@ -61,10 +61,33 @@ def test_maintain_vocab_stream(spark, tmp_path):
         .json(src)
     )
     q = maintain_vocab_stream(stream, state, checkpoint_dir=str(tmp_path / "chk"))
-    q.awaitTermination(120)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
     assert state.version() == 1  # two micro-batches, versions 0 and 1
+    assert state.last_batch() == 1
     scratch = corpus_vocab(
         spark.createDataFrame(BATCH1 + BATCH2, DOC_SCHEMA), top_k=None
     )
     assert _sorted(state.vocab()) == _sorted(scratch)
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying an already-recorded
+    batch id must be a no-op, not a double-count."""
+    state = VocabIndexState(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame(BATCH1, DOC_SCHEMA)
+    state.apply_batch(b1, batch_id=0)
+    before = _sorted(state.vocab())
+    out = state.apply_batch(b1, batch_id=0)  # redelivery
+    assert out.count() == 0
+    assert state.version() == 0
+    assert _sorted(state.vocab()) == before
+    # the next real batch still applies
+    state.apply_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA), batch_id=1)
+    assert state.last_batch() == 1
+    assert _sorted(state.vocab()) == _sorted(
+        corpus_vocab(spark.createDataFrame(BATCH1 + BATCH2, DOC_SCHEMA), top_k=None)
+    )
