@@ -158,11 +158,13 @@ def maintain_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
 ) -> StreamingQuery:
     """Structured Streaming driver: each micro-batch of documents folds
     into the dedup index via ``foreachBatch`` (the merge is a multi-table
     transaction, which sinks can't express — same pattern as
-    ``maintain_index_stream``)."""
+    ``maintain_index_stream``).  ``trigger_once`` drains the backlog and
+    terminates (availableNow), for cron-style catch-up runs."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         state.apply_batch(batch, id_col, text_col)
@@ -170,4 +172,6 @@ def maintain_dedup_stream(
     writer = stream.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
     return writer.start()

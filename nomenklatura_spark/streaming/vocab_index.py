@@ -95,11 +95,13 @@ def maintain_vocab_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
 ) -> StreamingQuery:
     """Structured Streaming driver: each micro-batch folds into the
     vocabulary via ``foreachBatch`` (the versioned-snapshot swap is a
     transaction sinks can't express — same pattern as
-    ``maintain_dedup_stream``)."""
+    ``maintain_dedup_stream``).  ``trigger_once`` drains the backlog and
+    terminates (availableNow), for cron-style catch-up runs."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         state.apply_batch(batch, id_col, text_col, batch_id=batch_id)
@@ -107,4 +109,6 @@ def maintain_vocab_stream(
     writer = stream.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
