@@ -26,3 +26,42 @@ def test_one_survivor_per_component_and_untouched_docs_kept(spark):
     # exactly one survivor per component
     kept = [d for d, r in rows.items() if r.keep]
     assert sorted(kept) == [0, 3, 4, 5]
+
+
+def _union_find_canonicals(n_docs, edges):
+    """Reference implementation: min-id component label per doc."""
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in range(n_docs)}
+
+
+def test_survivors_match_union_find_on_random_graphs(spark):
+    import random
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 35))
+            }
+        )
+        corpus = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "lid long, rid long")
+        got = {
+            r.doc_id: (r.canonical_doc, r.keep)
+            for r in select_survivors(corpus, pairs).collect()
+        }
+        want = _union_find_canonicals(n, edges)
+        assert got == {d: (c, d == c) for d, c in want.items()}, f"seed {seed}"
