@@ -3079,6 +3079,101 @@ _DOC_VOCAB_SQL = f"""
 """
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict: quality gate, exact-fingerprint dedup,
+    near-dup survivor selection, benchmark decontamination and
+    boilerplate cut as per-document boolean columns in one composed plan
+    (see ``plans/curate.py``).  Bench set = doc_id % 50 == 0, thresholds
+    chosen to split the synthetic corpus non-degenerately."""
+    from nomenklatura_spark.plans.curate import curate_verdicts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _spark_ngram_pairs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return curate_verdicts(
+        docs, pairs, bench, boiler_max=0.85
+    ).orderBy("doc_id")
+
+
+def _corpus_curate_sql() -> str:
+    fingerprint = (
+        "md5(array_to_string(list_sort(list_distinct("
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+        " x -> x != ''))), ' '))"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
+    edges AS (
+        SELECT lid AS a, rid AS b FROM pairs
+        UNION SELECT rid, lid FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, reached) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
+    ),
+    comps AS (SELECT node, min(reached) AS component FROM walk GROUP BY node),
+    quality AS (SELECT doc_id, q_keep FROM ({_quality_sql()})),
+    fp AS (SELECT doc_id, {fingerprint} AS f FROM documents),
+    exact AS (
+        SELECT doc_id,
+               doc_id = min(doc_id) OVER (PARTITION BY f) AS keep_exact
+        FROM fp
+    ),
+    cws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    g5 AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 4, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM cws
+    ),
+    bench5 AS (SELECT doc_id AS bench_id, sh FROM g5 WHERE doc_id % 50 = 0),
+    bsizes AS (SELECT bench_id, count(*) AS n_bench FROM bench5 GROUP BY bench_id),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM g5 g JOIN bench5 b ON g.sh = b.sh
+        JOIN bsizes s ON s.bench_id = b.bench_id
+        WHERE g.doc_id != b.bench_id
+        GROUP BY g.doc_id, b.bench_id, s.n_bench
+        HAVING count(*) * 1.0 / s.n_bench >= 0.5
+    ),
+    g2 AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 1, 0)),
+            i -> w[i] || ' ' || w[i+1])) AS sh
+        FROM cws
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq2 AS (SELECT sh, count(*) AS gram_df FROM g2 GROUP BY sh),
+    boiler2 AS (SELECT sh FROM dfreq2, nd WHERE gram_df * 20 >= n_docs),
+    bratio AS (
+        SELECT g.doc_id,
+               round(CASE WHEN count(*) > 0
+                     THEN count(b.sh) * 1.0 / count(*) ELSE 0.0 END, 6) AS r
+        FROM g2 g LEFT JOIN boiler2 b ON g.sh = b.sh
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           q.q_keep AS keep_quality,
+           e.keep_exact,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS keep_near_dup,
+           (x.doc_id IS NULL) AS keep_decontam,
+           (coalesce(br.r, 0.0) < 0.85) AS keep_boiler,
+           (q.q_keep AND e.keep_exact
+            AND coalesce(c.component, d.doc_id) = d.doc_id
+            AND x.doc_id IS NULL
+            AND coalesce(br.r, 0.0) < 0.85) AS keep
+    FROM documents d
+    JOIN quality q USING (doc_id)
+    JOIN exact e USING (doc_id)
+    LEFT JOIN comps c ON c.node = d.doc_id
+    LEFT JOIN contaminated x ON x.doc_id = d.doc_id
+    LEFT JOIN bratio br ON br.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3141,6 +3236,7 @@ QUERIES = {
     "doc_boilerplate": q_doc_boilerplate,
     "doc_vocab": q_doc_vocab,
     "dedup_survivors": q_dedup_survivors,
+    "corpus_curate": q_corpus_curate,
 }
 
 ORACLES = {
@@ -3198,4 +3294,5 @@ ORACLES = {
     "doc_boilerplate": _DOC_BOILERPLATE_SQL,
     "doc_vocab": _DOC_VOCAB_SQL,
     "dedup_survivors": _DEDUP_SURVIVORS_SQL,
+    "corpus_curate": _corpus_curate_sql(),
 }

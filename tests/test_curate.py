@@ -1,0 +1,67 @@
+"""Composed curation verdict (plans/curate.py): per-stage flags on a
+crafted corpus where each document violates exactly one dimension; the
+corpus-level composition is oracle-checked by tests/test_entry_contract.py
+(`corpus_curate`)."""
+
+from __future__ import annotations
+
+from nomenklatura_spark.plans.curate import curate_verdicts, curation_audit
+
+
+def test_each_stage_flags_its_own_offender(spark):
+    rows = [
+        # 0: clean
+        (0, "alpha beta gamma delta epsilon zeta"),
+        # 1: exact duplicate of 0 (same word bag, shuffled) -> loses on min-id
+        (1, "zeta epsilon delta gamma beta alpha"),
+        # 2: quality offender (too few words)
+        (2, "tiny text"),
+        # 3: clean
+        (3, "completely different words in this one here"),
+        # 4: boilerplate offender is exercised at corpus scale (bigram
+        #    df bar needs a corpus); stays clean here
+        (4, "yet another unrelated document body text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "lid long, rid long")
+    bench = spark.createDataFrame(
+        [(100, "completely different words in this one here")],
+        "doc_id long, text string",
+    )
+    v = {
+        r.doc_id: r
+        for r in curate_verdicts(
+            docs, pairs, bench, boiler_max=1.01  # no boiler cut here
+        ).collect()
+    }
+    assert v[0].keep  # clean wins its component and fingerprint group
+    assert not v[1].keep_exact and not v[1].keep_near_dup  # dup of 0
+    assert v[1].keep_quality  # its other flags are independent
+    assert not v[2].keep_quality and v[2].keep_exact
+    assert not v[3].keep_decontam  # contains the bench item verbatim
+    assert v[4].keep
+
+    audit = curation_audit(
+        curate_verdicts(docs, pairs, bench, boiler_max=1.01)
+    ).collect()[0]
+    assert audit.n_docs == 5
+    assert audit.n_keep_quality == 4
+    assert audit.n_keep_exact == 4
+    assert audit.n_keep_near_dup == 4
+    assert audit.n_keep_decontam == 4
+    assert audit.n_keep == sum(1 for r in v.values() if r.keep)
+
+
+def test_keep_is_conjunction_of_stage_flags(spark, sf_dir):
+    from nomenklatura_spark.plans.queries import QUERIES
+
+    rows = QUERIES["corpus_curate"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.keep == (
+            r.keep_quality
+            and r.keep_exact
+            and r.keep_near_dup
+            and r.keep_decontam
+            and r.keep_boiler
+        )
