@@ -356,6 +356,9 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         "doc_boilerplate": 9,
         "doc_vocab": 3,
         "dedup_survivors": 4,
+        # five-dimension composition: each verdict's own shuffles plus
+        # the doc-grain joins; the bound documents the composition cost
+        "corpus_curate": 20,
     }
     over = {}
     for name, bound in bounds.items():
