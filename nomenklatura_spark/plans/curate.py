@@ -18,15 +18,19 @@ dimension, plus their conjunction:
 
 Returning verdict COLUMNS instead of a filtered corpus is deliberate:
 the audit (how many docs each stage would drop, which stages agree) is
-one aggregation over the flags, the final filter is one where(), and no
-stage pays for a separate pass over the corpus.
+one aggregation over the flags, and the final filter is one where().
 
-Plan shape (100 TB): quality is map-side on the base scan; the exact
-fingerprint is one window shuffle; the near-dup / decontamination /
-boilerplate verdicts are each bounded joins against SMALL relations (a
-pairs-only component map, the containment-hit list, the per-doc gram
-rollup) keyed by doc_id, which AQE broadcasts or co-partitions.  The
-conjunction is a final projection, not a pass.
+Plan shape (100 TB): every dimension prunes the scan to (doc_id, text)
+— plan-audited, nothing else reaches parquet — and re-scans that
+two-column projection rather than caching the corpus (at 100 TB a
+columnar re-scan of two columns beats materializing them; Catalyst
+can't share one scan across the five verdict subtrees anyway).  The
+quality gate is map-side; the exact fingerprint is one window shuffle;
+the near-dup / decontamination / boilerplate verdicts are each bounded
+joins against SMALL relations (a pairs-only component map, the
+containment-hit list, the per-doc gram rollup) keyed by doc_id, which
+AQE broadcasts or co-partitions.  The conjunction is a final
+projection, not a pass.
 """
 
 from __future__ import annotations
