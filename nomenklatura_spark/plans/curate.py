@@ -57,8 +57,16 @@ def curate_verdicts(
     k_contain: int = 5,
     boiler_k: int = 2,
     boiler_min_df: tuple[int, int] = (1, 20),
+    extra_dup_graphs: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
-    """Per-document curation verdict columns over the whole corpus."""
+    """Per-document curation verdict columns over the whole corpus.
+
+    ``extra_dup_graphs`` adds survivor-selection dimensions beyond the
+    n-gram graph — e.g. ``{"semantic": embedding_pairs}`` yields a
+    ``keep_semantic`` column (min-id survivor per component of that
+    graph) that joins the conjunction; any (lid, rid) pair relation on
+    the document id grain works (MinHash, SimHash, embedding LSH,
+    SemDeDup cells)."""
     base = docs.select(id_col, text_col)
 
     quality = quality_features(base, text_col).select(
@@ -108,35 +116,30 @@ def curate_verdicts(
         .join(decontam, id_col)
         .join(boiler, id_col)
     )
-    return out.select(
-        id_col,
+    flag_cols = [
         "keep_quality",
         "keep_exact",
         "keep_near_dup",
         "keep_decontam",
         "keep_boiler",
-        (
-            F.col("keep_quality")
-            & F.col("keep_exact")
-            & F.col("keep_near_dup")
-            & F.col("keep_decontam")
-            & F.col("keep_boiler")
-        ).alias("keep"),
-    )
+    ]
+    for name, graph in sorted((extra_dup_graphs or {}).items()):
+        extra = select_survivors(base, graph, id_col=id_col).select(
+            id_col, F.col("keep").alias(f"keep_{name}")
+        )
+        out = out.join(extra, id_col)
+        flag_cols.append(f"keep_{name}")
+    keep = F.col(flag_cols[0])
+    for c in flag_cols[1:]:
+        keep = keep & F.col(c)
+    return out.select(id_col, *flag_cols, keep.alias("keep"))
 
 
 def curation_audit(verdicts: DataFrame) -> DataFrame:
     """One-row audit over the verdict flags: corpus size, per-stage keep
     counts, and the final kept count — a single aggregation, no extra
     corpus pass."""
-    flags = [
-        "keep_quality",
-        "keep_exact",
-        "keep_near_dup",
-        "keep_decontam",
-        "keep_boiler",
-        "keep",
-    ]
+    flags = [c for c in verdicts.columns if c.startswith("keep")]
     return verdicts.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[F.count(F.when(F.col(c), 1)).alias(f"n_{c}") for c in flags],

@@ -52,6 +52,42 @@ def test_each_stage_flags_its_own_offender(spark):
     assert audit.n_keep == sum(1 for r in v.values() if r.keep)
 
 
+def test_extra_dup_graph_adds_a_dimension(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "completely different words in this one"),
+            (2, "yet another unrelated document body"),
+        ],
+        "doc_id long, text string",
+    )
+    no_pairs = spark.createDataFrame([], "lid long, rid long")
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    # a semantic (embedding) dup graph merging 1 and 2
+    semantic = spark.createDataFrame([(1, 2)], "lid long, rid long")
+    v = {
+        r.doc_id: r
+        for r in curate_verdicts(
+            docs,
+            no_pairs,
+            bench,
+            boiler_max=1.01,
+            extra_dup_graphs={"semantic": semantic},
+        ).collect()
+    }
+    assert v[1].keep_semantic and not v[2].keep_semantic
+    assert v[1].keep_near_dup and v[2].keep_near_dup  # ngram graph empty
+    assert v[0].keep and v[1].keep and not v[2].keep
+    audit = curation_audit(
+        curate_verdicts(
+            docs, no_pairs, bench, boiler_max=1.01,
+            extra_dup_graphs={"semantic": semantic},
+        )
+    ).collect()[0]
+    assert audit.n_keep_semantic == 2
+    assert audit.n_keep == 2
+
+
 def test_keep_is_conjunction_of_stage_flags(spark, sf_dir):
     from nomenklatura_spark.plans.queries import QUERIES
 
