@@ -13,6 +13,7 @@ the reference tool can drive the same workflows:
 - ``prune``              drop undecided suggestions from a resolver (G9)
 - ``make-sortable``      entity file → id-sorted JSON lines (P5 input form)
 - ``bench``              one matching-throughput measurement (contrib perf)
+- ``curate``             corpus curation verdicts / filtered corpus (LLM tier)
 
 The interactive ``dedupe`` TUI and network ``enrich``/``match`` verbs are
 out of scope per SURVEY §2 (TUI) and the sandbox (HTTP transports are
@@ -230,6 +231,53 @@ def bench_cmd(pairs: int) -> None:
             fn([n], ["test name canonical"])
         dt = time.time() - t0
         click.echo(f"{label}: {pairs / dt:,.0f} compares/s")
+
+
+@cli.command(
+    "curate",
+    help="Corpus curation verdicts (quality/dedup/decontam/boilerplate)",
+)
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output parquet directory")
+@click.option("--bench-path", type=click.Path(exists=True), default=None,
+              help="Benchmark documents parquet for decontamination "
+                   "(default: no decontamination set)")
+@click.option("--boiler-max", type=float, default=0.85)
+@click.option("--jaccard", type=float, default=0.5,
+              help="Word-trigram Jaccard threshold for the near-dup graph")
+@click.option("--filtered/--verdicts", default=False,
+              help="Write only kept documents instead of verdict columns")
+def curate_cmd(path: str, outpath: str, bench_path: str | None,
+               boiler_max: float, jaccard: float, filtered: bool) -> None:
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.dedup.ngram import ngram_jaccard_pairs
+    from nomenklatura_spark.plans.curate import curate_verdicts, curation_audit
+
+    spark = _spark()
+    docs = spark.read.parquet(path)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=jaccard, max_df=100,
+        mode="word",
+    ).select("lid", "rid")
+    bench = (
+        spark.read.parquet(bench_path)
+        if bench_path is not None
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    verdicts = curate_verdicts(docs, pairs, bench, boiler_max=boiler_max)
+    if filtered:
+        kept = (
+            docs.join(
+                verdicts.where(F.col("keep")).select("doc_id"), "doc_id"
+            )
+        )
+        kept.write.mode("overwrite").parquet(outpath)
+    else:
+        verdicts.write.mode("overwrite").parquet(outpath)
+    audit = curation_audit(verdicts).collect()[0].asDict()
+    click.echo(json.dumps(audit))
 
 
 def main() -> None:

@@ -88,6 +88,36 @@ def test_extra_dup_graph_adds_a_dimension(spark):
     assert audit.n_keep == 2
 
 
+def test_cli_curate(spark, tmp_path, sf_dir):
+    import json
+    import os
+
+    from click.testing import CliRunner
+
+    from nomenklatura_spark.cli import cli
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    out = tmp_path / "verdicts"
+    res = CliRunner().invoke(
+        cli, ["curate", docs_path, "-o", str(out), "--bench-path", docs_path]
+    )
+    assert res.exit_code == 0, res.output
+    audit = json.loads(res.output.strip().splitlines()[-1])
+    assert audit["n_docs"] == 500
+    assert 0 < audit["n_keep"] < audit["n_docs"]
+    rows = spark.read.parquet(str(out))
+    assert rows.count() == 500
+    assert "keep" in rows.columns
+    # filtered mode writes only kept documents
+    out2 = tmp_path / "kept"
+    res2 = CliRunner().invoke(
+        cli, ["curate", docs_path, "-o", str(out2), "--filtered"]
+    )
+    assert res2.exit_code == 0, res2.output
+    audit2 = json.loads(res2.output.strip().splitlines()[-1])
+    assert spark.read.parquet(str(out2)).count() == audit2["n_keep"]
+
+
 def test_keep_is_conjunction_of_stage_flags(spark, sf_dir):
     from nomenklatura_spark.plans.queries import QUERIES
 
