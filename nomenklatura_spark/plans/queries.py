@@ -3079,6 +3079,31 @@ _DOC_VOCAB_SQL = f"""
 """
 
 
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality proxy: mean token surprisal under the
+    corpus's own unigram model (see
+    ``textops.analysis.unigram_logprob_scores``).  Cross-engine ln
+    parity is already load-bearing in the flagship blocker_pairs IDF
+    score, so the float contract here is proven ground."""
+    from nomenklatura_spark.textops.analysis import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob_scores(docs).orderBy("doc_id")
+
+
+_DOC_LM_SCORE_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+    vocab AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    t AS (SELECT count(*) AS total FROM tok)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(v.c * 1.0 / t.total)), 6) AS avg_neg_logprob
+    FROM tok JOIN vocab v USING (word), t
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdict: quality gate, exact-fingerprint dedup,
     near-dup survivor selection, benchmark decontamination and
@@ -3237,6 +3262,7 @@ QUERIES = {
     "doc_vocab": q_doc_vocab,
     "dedup_survivors": q_dedup_survivors,
     "corpus_curate": q_corpus_curate,
+    "doc_lm_score": q_doc_lm_score,
 }
 
 ORACLES = {
@@ -3295,4 +3321,5 @@ ORACLES = {
     "doc_vocab": _DOC_VOCAB_SQL,
     "dedup_survivors": _DEDUP_SURVIVORS_SQL,
     "corpus_curate": _corpus_curate_sql(),
+    "doc_lm_score": _DOC_LM_SCORE_SQL,
 }

@@ -243,6 +243,52 @@ def boilerplate_stats(
     )
 
 
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: per document, the mean
+    negative log-probability of its tokens under the corpus's own
+    unigram model (high = surprising/rare vocabulary, low = typical).
+    The real CCNet uses a KenLM 5-gram; the unigram variant keeps the
+    exact same pipeline shape (train stats on the corpus, score every
+    doc) while staying SQL-oracle-checkable.
+
+    Plan shape (100 TB): one partially-aggregated shuffle builds the
+    unigram table (vocabulary-sized — Heaps' law), which BROADCASTS
+    back onto the token stream together with the 1-row total; the
+    per-doc mean is the only corpus-sized shuffle."""
+    from nomenklatura_spark.dedup.ngram import (
+        normalize_for_shingles,
+        widen_small_scan,
+    )
+
+    ws = F.filter(
+        F.split(normalize_for_shingles(F.col(text_col)), " "),
+        lambda w: w != "",
+    )
+    tok = widen_small_scan(df).select(
+        F.col(id_col).alias("id"), F.explode(ws).alias("word")
+    )
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.select(F.count(F.lit(1)).alias("_total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("_total"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col), "n_tokens", "avg_neg_logprob"
+    )
+
+
 def corpus_vocab(
     df: DataFrame,
     text_col: str = "text",

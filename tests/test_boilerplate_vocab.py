@@ -100,3 +100,22 @@ def test_vocab_top_k_truncates_deterministically(spark):
     rows = corpus_vocab(docs, "text", "doc_id", top_k=3).collect()
     # all counts tie at 1 -> lexicographic tiebreak picks a, b, c
     assert [r.word for r in rows] == ["a", "b", "c"]
+
+
+def test_lm_score_ranks_rare_words_as_surprising(spark):
+    from math import isclose, log
+
+    from nomenklatura_spark.textops.analysis import unigram_logprob_scores
+
+    # "common" appears 6x, each rare word once -> doc 1 (all common) must
+    # score lower surprisal than doc 2 (all rare)
+    docs = _docs(
+        spark,
+        ["common common common", "rare exotic singular", "common common common"],
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    assert rows[0].n_tokens == 3
+    assert rows[0].avg_neg_logprob < rows[1].avg_neg_logprob
+    # exact value: p(common) = 6/9 -> -ln(2/3)
+    assert isclose(rows[0].avg_neg_logprob, round(-log(6 / 9), 6), abs_tol=1e-6)
+    assert isclose(rows[1].avg_neg_logprob, round(-log(1 / 9), 6), abs_tol=1e-6)
