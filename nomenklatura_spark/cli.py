@@ -266,17 +266,22 @@ def curate_cmd(path: str, outpath: str, bench_path: str | None,
         if bench_path is not None
         else spark.createDataFrame([], "doc_id long, text string")
     )
-    verdicts = curate_verdicts(docs, pairs, bench, boiler_max=boiler_max)
-    if filtered:
-        kept = (
-            docs.join(
+    # persist: the verdict plan (including the n-gram self-join) feeds
+    # both the output write and the audit — one evaluation, not two
+    verdicts = curate_verdicts(
+        docs, pairs, bench, boiler_max=boiler_max
+    ).persist()
+    try:
+        if filtered:
+            kept = docs.join(
                 verdicts.where(F.col("keep")).select("doc_id"), "doc_id"
             )
-        )
-        kept.write.mode("overwrite").parquet(outpath)
-    else:
-        verdicts.write.mode("overwrite").parquet(outpath)
-    audit = curation_audit(verdicts).collect()[0].asDict()
+            kept.write.mode("overwrite").parquet(outpath)
+        else:
+            verdicts.write.mode("overwrite").parquet(outpath)
+        audit = curation_audit(verdicts).collect()[0].asDict()
+    finally:
+        verdicts.unpersist()
     click.echo(json.dumps(audit))
 
 

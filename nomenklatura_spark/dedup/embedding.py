@@ -113,8 +113,12 @@ def embedding_dup_pairs_lsh(
     # projections twice costs a full second scan; checkpoint blocks
     # release with the returned plan (round-5 lifecycle discipline).
     # eager=False so plan-only callers (explain, registry enumeration)
-    # don't pay a construction-time Spark job — the checkpoint computes
-    # once at the first real action and both join sides share it
+    # don't pay a construction-time Spark job.  Caveat: the lazy
+    # checkpoint dedups computation via block-manager caching, which is
+    # authoritative locally but only best-effort across executors when
+    # the two map stages race on a cluster — worst case is a partial
+    # recompute of the projection, never wrong results; callers that
+    # must guarantee one pass can materialize before calling
     sig = signatures(
         df, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, band_bits=band_bits, dim=dim,

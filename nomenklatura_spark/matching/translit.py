@@ -299,7 +299,14 @@ _TABLE_ISO: dict[str, str] = {
 
 
 def _fold(text: str, table: dict[str, str]) -> str:
-    text = _fold_kana_hangul(unicodedata.normalize("NFC", text))
+    # NFKC (not NFC) before the kana/Hangul pre-pass: compatibility
+    # forms that HIDE kana — circled katakana ㋐, halfwidth ｱ — only
+    # surface under compatibility decomposition, and NFKC's recompose
+    # step restores dakuten (か+゙ -> が) and Hangul syllables so the
+    # pre-pass still sees whole characters.  With NFC the hidden kana
+    # reached the main NFKD loop unromanised and folding was not
+    # idempotent (found by hypothesis: fold('㋐') -> 'ア' -> 'a').
+    text = _fold_kana_hangul(unicodedata.normalize("NFKC", text))
     out: list[str] = []
     # NFKD before lowercasing: compatibility forms (math alphabets,
     # fullwidth letters) decompose to cased base letters first, so one

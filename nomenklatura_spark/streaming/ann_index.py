@@ -47,6 +47,10 @@ class VectorIndexState(VersionedState):
 
     def codebook(self, version: int | None = None) -> DataFrame:
         v = self.version() if version is None else version
+        if v < 0:
+            raise ValueError(
+                "vector index has no codebook yet — bootstrap() it first"
+            )
         return self.spark.read.parquet(self._path("codebook", v))
 
     def cell_sizes(self) -> DataFrame:

@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from nomenklatura_spark.streaming.state import VersionedState
+from nomenklatura_spark.streaming.state import (
+    VersionedState,
+    start_maintenance_stream,
+)
 from nomenklatura_spark.dedup.minhash import (
     lsh_candidate_pairs,
     minhash_signatures,
@@ -162,16 +165,12 @@ def maintain_dedup_stream(
 ) -> StreamingQuery:
     """Structured Streaming driver: each micro-batch of documents folds
     into the dedup index via ``foreachBatch`` (the merge is a multi-table
-    transaction, which sinks can't express — same pattern as
-    ``maintain_index_stream``).  ``trigger_once`` drains the backlog and
-    terminates (availableNow), for cron-style catch-up runs."""
+    transaction, which sinks can't express).  Replay-idempotent by
+    construction (upsert-by-document + max-merged pair log), so no batch
+    guard is needed.  ``trigger_once`` drains the backlog and terminates
+    (availableNow), for cron-style catch-up runs."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         state.apply_batch(batch, id_col, text_col)
 
-    writer = stream.writeStream.foreachBatch(_process).outputMode("update")
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_maintenance_stream(stream, _process, checkpoint_dir, trigger_once)

@@ -20,8 +20,10 @@ skip batches at or below ``last_batch()`` or redelivery double-counts.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
 
 
 class VersionedState:
@@ -36,39 +38,72 @@ class VersionedState:
     def _version_file(self) -> str:
         return os.path.join(self.state_dir, "VERSION")
 
-    def _pointer(self) -> tuple[int, int]:
+    def _pointer(self) -> tuple[int, int, str]:
         try:
             with open(self._version_file) as fh:
                 parts = fh.read().split()
         except FileNotFoundError:
-            return -1, -1
+            return -1, -1, ""
         version = int(parts[0])
         batch = int(parts[1]) if len(parts) > 1 else -1
-        return version, batch
+        scope = parts[2] if len(parts) > 2 else ""
+        return version, batch, scope
 
     def version(self) -> int:
         return self._pointer()[0]
 
-    def last_batch(self) -> int:
-        """Highest streaming batch id folded in so far (-1 if none)."""
-        return self._pointer()[1]
+    def last_batch(self, scope: str = "") -> int:
+        """Highest streaming batch id folded in so far (-1 if none).
+        Batch ids are only comparable within one stream incarnation
+        (Spark restarts numbering per checkpoint), so the guard is keyed
+        by ``scope`` — a different scope (new checkpoint dir) reads as
+        -1 and the replay guard stands down instead of silently dropping
+        a fresh stream's first batches."""
+        _, batch, stored = self._pointer()
+        return batch if stored == scope else -1
 
     def _path(self, rel: str, version: int) -> str:
         return os.path.join(self.state_dir, rel, f"v{version}")
 
-    def _bump(self, version: int, batch_id: int | None = None) -> None:
+    def _bump(
+        self,
+        version: int,
+        batch_id: int | None = None,
+        scope: str = "",
+    ) -> None:
         if batch_id is None:
-            batch_id = self.last_batch()
+            _, batch_id, stored = self._pointer()
+            scope = stored
         tmp = self._version_file + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(f"{version} {batch_id}")
+            fh.write(f"{version} {batch_id} {scope}".rstrip())
         os.replace(tmp, self._version_file)
 
     def _read(
         self, rel: str, schema: str, version: int | None = None
     ) -> DataFrame:
         v = self.version() if version is None else version
-        path = self._path(rel, v)
-        if v < 0 or not os.path.exists(path):
+        if v < 0:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(path)
+        # deliberately NOT lenient for v >= 0: VERSION pointing at a
+        # missing snapshot is state corruption (partial deletion, wrong
+        # state_dir) and must fail loudly, not read as an empty index
+        return self.spark.read.parquet(self._path(rel, v))
+
+
+def start_maintenance_stream(
+    stream: DataFrame,
+    process: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Shared foreachBatch writer wiring for the maintained indexes
+    (the snapshot merges are multi-relation transactions no sink can
+    express).  ``trigger_once`` drains the backlog and terminates
+    (availableNow) for cron-style catch-up runs."""
+    writer = stream.writeStream.foreachBatch(process)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from nomenklatura_spark.streaming.state import VersionedState
+from nomenklatura_spark.streaming.state import (
+    VersionedState,
+    start_maintenance_stream,
+)
 from nomenklatura_spark.textops.analysis import corpus_vocab
 
 _VOCAB_SCHEMA = "word string, count long, n_docs long"
@@ -58,11 +61,14 @@ class VocabIndexState(VersionedState):
         id_col: str = "doc_id",
         text_col: str = "text",
         batch_id: int | None = None,
+        scope: str = "",
     ) -> DataFrame:
         """Fold one micro-batch of new documents into the vocabulary;
         returns the batch's own rollup (empty if the batch id was
-        already applied — a streaming redelivery)."""
-        if batch_id is not None and batch_id <= self.last_batch():
+        already applied — a streaming redelivery).  ``scope`` names the
+        stream incarnation (the checkpoint dir): batch ids restart per
+        checkpoint, so the guard only compares ids within one scope."""
+        if batch_id is not None and batch_id <= self.last_batch(scope):
             return self.spark.createDataFrame([], _VOCAB_SCHEMA)
         batch = corpus_vocab(docs, text_col, id_col, top_k=None).select(
             "word",
@@ -85,7 +91,10 @@ class VocabIndexState(VersionedState):
         )
         nv = self.version() + 1
         merged.write.mode("overwrite").parquet(self._path("vocab", nv))
-        self._bump(nv, batch_id)
+        if batch_id is None:
+            self._bump(nv)
+        else:
+            self._bump(nv, batch_id, scope)
         return batch
 
 
@@ -98,17 +107,13 @@ def maintain_vocab_stream(
     trigger_once: bool = False,
 ) -> StreamingQuery:
     """Structured Streaming driver: each micro-batch folds into the
-    vocabulary via ``foreachBatch`` (the versioned-snapshot swap is a
-    transaction sinks can't express — same pattern as
-    ``maintain_dedup_stream``).  ``trigger_once`` drains the backlog and
-    terminates (availableNow), for cron-style catch-up runs."""
+    vocabulary via ``foreachBatch``; the replay guard is scoped to the
+    checkpoint dir, since Spark restarts batch numbering per checkpoint.
+    ``trigger_once`` drains the backlog and terminates (availableNow),
+    for cron-style catch-up runs."""
+    scope = checkpoint_dir or ""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        state.apply_batch(batch, id_col, text_col, batch_id=batch_id)
+        state.apply_batch(batch, id_col, text_col, batch_id=batch_id, scope=scope)
 
-    writer = stream.writeStream.foreachBatch(_process).outputMode("update")
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_maintenance_stream(stream, _process, checkpoint_dir, trigger_once)

@@ -67,7 +67,9 @@ def test_maintain_vocab_stream(spark, tmp_path):
         q.stop()
 
     assert state.version() == 1  # two micro-batches, versions 0 and 1
-    assert state.last_batch() == 1
+    # the replay guard is keyed to this stream's checkpoint scope
+    assert state.last_batch(str(tmp_path / "chk")) == 1
+    assert state.last_batch("some-other-checkpoint") == -1
     scratch = corpus_vocab(
         spark.createDataFrame(BATCH1 + BATCH2, DOC_SCHEMA), top_k=None
     )
@@ -90,4 +92,17 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert state.last_batch() == 1
     assert _sorted(state.vocab()) == _sorted(
         corpus_vocab(spark.createDataFrame(BATCH1 + BATCH2, DOC_SCHEMA), top_k=None)
+    )
+    # a NEW stream incarnation restarts batch numbering: an overlapping
+    # batch id under a different scope is fresh data, not a redelivery
+    out = state.apply_batch(
+        spark.createDataFrame(BATCH3, DOC_SCHEMA), batch_id=0, scope="chk-B"
+    )
+    assert out.count() > 0
+    assert state.last_batch("chk-B") == 0
+    assert _sorted(state.vocab()) == _sorted(
+        corpus_vocab(
+            spark.createDataFrame(BATCH1 + BATCH2 + BATCH3, DOC_SCHEMA),
+            top_k=None,
+        )
     )
