@@ -359,6 +359,9 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         # five-dimension composition: each verdict's own shuffles plus
         # the doc-grain joins; the bound documents the composition cost
         "corpus_curate": 20,
+        # token stream feeds vocab + total + probe (broadcast lineage
+        # repeats in the dump)
+        "doc_lm_score": 10,
     }
     over = {}
     for name, bound in bounds.items():
