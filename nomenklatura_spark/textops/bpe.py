@@ -1,0 +1,128 @@
+"""Distributed BPE tokenizer training (training-data tier).
+
+Classic byte-pair encoding trains on the WORD-FREQUENCY table, not the
+raw corpus (Sennrich et al. 2016): every merge decision needs only
+(word, count).  That splits cleanly across Spark's execution model:
+
+- the corpus-scale part — counting words — is one partially-aggregated
+  shuffle (``textops.analysis.corpus_vocab``), whose output is
+  vocabulary-bounded (Heaps' law: sub-linear in the corpus);
+- the vocab-scale part — the merge loop — runs driver-local over that
+  bounded table, like fitted model coefficients elsewhere in this
+  engine (``matching/train.py``); nothing corpus-sized is collected.
+
+Applying a learned merge table is a per-document kernel
+(``bpe_token_counts`` — Arrow-batched pandas UDF over the documents),
+used for token budgeting with the learned vocabulary instead of the
+regex estimate in ``textops.analysis.bpe_ish_token_count``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def train_bpe(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_count: int = 1,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus; returns the
+    ranked merge list.  Ties on pair frequency break lexicographically
+    so training is deterministic across partitionings."""
+    from nomenklatura_spark.textops.analysis import corpus_vocab
+
+    rows = (
+        corpus_vocab(docs, text_col, id_col, top_k=None)
+        .where(F.col("count") >= min_count)
+        .select("word", "count")
+        .collect()
+    )
+    # symbol sequences with an explicit end-of-word marker
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]) + ("</w>",): int(r["count"]) for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        best_count = top
+        if best_count < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE tokens for one word under the learned merges."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+def bpe_token_counter(merges: list[tuple[str, str]]):
+    """Column function: token count per document under the learned
+    merges — an Arrow-batched pandas UDF; the merge table rides the
+    closure (broadcast once per executor, vocabulary-sized)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.IntegerType())
+    def _count(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            # same normalization as corpus_vocab / the training word counts
+            words = [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+            out.append(sum(_encode_word(w, ranks) for w in words))
+        return pd.Series(out, dtype="int32")
+
+    return _count
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bpe_tokens) per document under the learned merge table."""
+    counter = bpe_token_counter(merges)
+    return docs.select(
+        id_col, counter(F.col(text_col)).alias("n_bpe_tokens")
+    )

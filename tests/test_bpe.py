@@ -1,0 +1,64 @@
+"""Distributed BPE training (textops/bpe.py): the merge loop must match
+hand-derivable textbook behavior on the classic Sennrich-style corpus,
+and applying the learned table must compress token counts
+monotonically."""
+
+from __future__ import annotations
+
+from nomenklatura_spark.textops.bpe import (
+    _encode_word,
+    bpe_token_counts,
+    train_bpe,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_textbook_merges(spark):
+    # word counts: low x5, lower x2, newest x6, widest x3 (the classic
+    # example). First merges must fuse the most frequent adjacent pair.
+    docs = _docs(
+        spark,
+        [" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)],
+    )
+    merges = train_bpe(docs, n_merges=4)
+    # "es" occurs in newest(6) + widest(3) = 9 — the top pair; then
+    # "es"+"t" = 9, then "est"+"</w>" = 9, then lo (7)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    assert merges[3] == ("l", "o")
+
+
+def test_encode_word_uses_merge_ranks(spark):
+    merges = [("e", "s"), ("es", "t"), ("est", "</w>")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    # newest -> n e w est</w> = 4 tokens
+    assert _encode_word("newest", ranks) == 4
+    # no applicable merge: each char + </w>
+    assert _encode_word("low", ranks) == 4
+
+
+def test_token_counts_shrink_with_more_merges(spark):
+    corpus = ["the cat sat on the mat", "the bat and the rat sat"] * 3
+    docs = _docs(spark, corpus)
+    none = bpe_token_counts(docs, []).collect()
+    some = bpe_token_counts(docs, train_bpe(docs, n_merges=20)).collect()
+    total_none = sum(r.n_bpe_tokens for r in none)
+    total_some = sum(r.n_bpe_tokens for r in some)
+    assert total_some < total_none
+    # with zero merges every word costs len(word)+1 symbols
+    first = corpus[0]
+    n_chars = sum(len(w) + 1 for w in first.split())
+    assert none[0].n_bpe_tokens == n_chars
+
+
+def test_determinism_across_runs(spark):
+    docs = _docs(spark, ["aa ab ba bb ab aa", "ba aa bb ab"])
+    m1 = train_bpe(docs, n_merges=5)
+    m2 = train_bpe(docs, n_merges=5)
+    assert m1 == m2
