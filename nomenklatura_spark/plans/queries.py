@@ -3104,6 +3104,116 @@ _DOC_LM_SCORE_SQL = f"""
 """
 
 
+# fastText/DCLM-style membership supervision: the first five sources play
+# the curated corpus, the rest the crawl.  Arbitrary but fixed — the
+# classifier learns whatever signal separates them; what the oracle
+# verifies is the distributed training trajectory itself.
+CLF_POSITIVE_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+CLF_N_ITER = 6
+CLF_LR = 2.0
+CLF_EVAL_PERMILLE = 200
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier filter (fastText/DCLM shape): corpus-
+    membership labels, full-batch GD logistic fit on an md5-split train
+    fold, closed-form scoring of every document.  The oracle replays the
+    ENTIRE training loop as unrolled CTEs (gradient means and weights
+    rounded to 9dp per iteration — the k-means Lloyd contract), so the
+    fit is value-verified, not just the final arithmetic (contrast
+    ``pair_scores_regression``, which pins coefficients).  See
+    ``textops/classifier.py`` for the 100 TB cost model."""
+    from nomenklatura_spark.textops.classifier import quality_classifier_scores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    return quality_classifier_scores(
+        docs,
+        CLF_POSITIVE_SOURCES,
+        n_iter=CLF_N_ITER,
+        lr=CLF_LR,
+        eval_permille=CLF_EVAL_PERMILLE,
+    ).orderBy("doc_id")
+
+
+def _quality_clf_sql(
+    n_iter: int = CLF_N_ITER,
+    lr: float = CLF_LR,
+    eval_permille: int = CLF_EVAL_PERMILLE,
+) -> str:
+    """Unrolled gradient-descent replay of ``train_quality_lr``: CTE
+    ``g{i}`` aggregates the 9dp-rounded mean gradient under weights
+    ``w{i-1}``; CTE ``w{i}`` applies the 9dp-rounded update.  Feature,
+    label and split expressions mirror ``classifier_features`` /
+    ``quality_classifier_scores`` term for term."""
+    words = (
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+        " x -> x != '')"
+    )
+    en = _sql_list(LANG_MARKERS["en"])
+    srcs = ", ".join(f"'{s}'" for s in CLF_POSITIVE_SOURCES)
+    ctes = [
+        f"""base AS (
+        SELECT doc_id, source, {words} AS ws, length(text) AS n_chars, text
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+            CASE WHEN source IN ({srcs}) THEN 1.0 ELSE 0.0 END AS label,
+            (CAST(('0x' || substr(md5('clf:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000) >= {eval_permille} AS is_train,
+            round(CASE WHEN len(ws) > 0
+                THEN len(list_filter(ws, w -> w IN {en})) * 1.0 / len(ws)
+                ELSE 0.0 END, 4) AS f_stop,
+            round(CASE WHEN n_chars > 0
+                THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / n_chars
+                ELSE 0.0 END, 4) AS f_punct,
+            round(least(CASE WHEN len(ws) > 0
+                THEN list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)
+                ELSE 0.0 END / 12.0, 1.0), 4) AS f_wlen,
+            round(CASE WHEN n_chars > 0
+                THEN len(regexp_extract_all(text, '[0-9]')) * 1.0 / n_chars
+                ELSE 0.0 END, 4) AS f_digit
+        FROM base
+    ),
+    w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS b)"""
+    ]
+    lin = (
+        "w.b + w.w1 * f.f_stop + w.w2 * f.f_punct"
+        " + w.w3 * f.f_wlen + w.w4 * f.f_digit"
+    )
+    p = f"1.0 / (1.0 + exp(-({lin})))"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""g{i} AS (
+        SELECT round(avg(({p} - f.label) * f.f_stop), 9) AS g1,
+               round(avg(({p} - f.label) * f.f_punct), 9) AS g2,
+               round(avg(({p} - f.label) * f.f_wlen), 9) AS g3,
+               round(avg(({p} - f.label) * f.f_digit), 9) AS g4,
+               round(avg({p} - f.label), 9) AS gb
+        FROM feats f CROSS JOIN w{i - 1} w
+        WHERE f.is_train
+    ),
+    w{i} AS (
+        SELECT round(w.w1 - {lr} * g.g1, 9) AS w1,
+               round(w.w2 - {lr} * g.g2, 9) AS w2,
+               round(w.w3 - {lr} * g.g3, 9) AS w3,
+               round(w.w4 - {lr} * g.g4, 9) AS w4,
+               round(w.b - {lr} * g.gb, 9) AS b
+        FROM w{i - 1} w CROSS JOIN g{i} g
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT f.doc_id, f.label, f.is_train,
+           round({p}, 6) AS quality_prob
+    FROM feats f CROSS JOIN w{n_iter} w
+    ORDER BY f.doc_id
+"""
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdict: quality gate, exact-fingerprint dedup,
     near-dup survivor selection, benchmark decontamination and
@@ -3263,6 +3373,7 @@ QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "corpus_curate": q_corpus_curate,
     "doc_lm_score": q_doc_lm_score,
+    "doc_quality_classifier": q_doc_quality_classifier,
 }
 
 ORACLES = {
@@ -3322,4 +3433,5 @@ ORACLES = {
     "dedup_survivors": _DEDUP_SURVIVORS_SQL,
     "corpus_curate": _corpus_curate_sql(),
     "doc_lm_score": _DOC_LM_SCORE_SQL,
+    "doc_quality_classifier": _quality_clf_sql(),
 }
