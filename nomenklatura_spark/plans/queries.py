@@ -3104,6 +3104,105 @@ _DOC_LM_SCORE_SQL = f"""
 """
 
 
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain discovery + alpha-sampling mix weights
+    (``textops/domains.py``): k-means over the hashed-BoW document
+    embeddings (the oracle-proven deterministic Lloyd tier), per-cluster
+    sizes, and the multilingual alpha-sampling weight that flattens the
+    discovered domain distribution (α=0.5).  The DoReMi/cluster-
+    conditioned-sampling pipeline step."""
+    from nomenklatura_spark.textops.domains import domain_clusters
+    from nomenklatura_spark.textops.embed import hashed_embeddings
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = hashed_embeddings(docs, "doc_id", "text", dim=64)
+    out = domain_clusters(
+        emb, "doc_id", "embedding", n_clusters=8, n_iter=2, alpha=0.5
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "cluster_size",
+        "mix_weight",
+    ).orderBy("doc_id")
+
+
+def _doc_clusters_sql(n_clusters: int = 8, alpha: float = 0.5) -> str:
+    """Replays hashed-BoW embed → re-normalize → md5-seeded 2-round
+    Lloyd → assignment (the ``_ivf_inv_ctes`` chain, re-rooted at the
+    document vectors) → cluster sizes → alpha weights."""
+    words = (
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+        " x -> x != '')"
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest({words}) AS w
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+            CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS b,
+            CASE WHEN CAST(('0x' || substr(md5('sgn:' || w), 1, 2)) AS INT)
+                      % 2 = 0
+                 THEN 1.0 ELSE -1.0 END AS s
+        FROM w
+    ),
+    hist AS (SELECT doc_id, b, sum(s) AS v FROM h GROUP BY doc_id, b),
+    nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM hist GROUP BY doc_id),
+    grid AS (
+        SELECT d.doc_id, k AS pos
+        FROM (SELECT DISTINCT doc_id FROM documents) d,
+            LATERAL (SELECT unnest(generate_series(0, 63)) AS k)
+    ),
+    emb AS (
+        SELECT g.doc_id,
+            list(round(COALESCE(h.v, 0.0)
+                       / greatest(COALESCE(n.n, 0.0), 1e-12), 6)
+                 ORDER BY g.pos) AS e
+        FROM grid g
+        LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.b = g.pos
+        LEFT JOIN nrm n ON n.doc_id = g.doc_id
+        GROUP BY g.doc_id
+    ),
+    vecs AS (
+        SELECT doc_id AS id,
+            list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS vec
+        FROM emb
+    ),
+    seeds AS (
+        SELECT CAST(rk - 1 AS INT) AS centroid, vec AS c_vec FROM (
+            SELECT vec, row_number() OVER (
+                ORDER BY md5(CAST(id AS VARCHAR)), id
+            ) AS rk
+            FROM vecs
+        ) WHERE rk <= {n_clusters}
+    ),
+    a1 AS ({_ivf_assign_sql("vecs", "seeds")}),
+    c1 AS ({_ivf_update_sql("a1")}),
+    a2 AS ({_ivf_assign_sql("vecs", "c1")}),
+    c2 AS ({_ivf_update_sql("a2")}),
+    inv AS ({_ivf_assign_sql("vecs", "c2")}),
+    sizes AS (SELECT centroid, count(*) AS cluster_size FROM inv
+              GROUP BY centroid),
+    tot AS (SELECT sum(cluster_size) AS n FROM sizes),
+    shared AS (
+        SELECT centroid, cluster_size,
+            cluster_size * 1.0 / t.n AS share,
+            round(pow(cluster_size * 1.0 / t.n, {alpha}), 9) AS sh_a
+        FROM sizes CROSS JOIN tot t
+    ),
+    z AS (SELECT sum(sh_a) AS z FROM shared)
+    SELECT i.id AS doc_id, CAST(i.centroid AS INT) AS cluster,
+        s.cluster_size,
+        round(s.sh_a / z.z / s.share, 6) AS mix_weight
+    FROM inv i
+    JOIN shared s USING (centroid)
+    CROSS JOIN z
+    ORDER BY doc_id
+"""
+
+
 # fastText/DCLM-style membership supervision: the first five sources play
 # the curated corpus, the rest the crawl.  Arbitrary but fixed — the
 # classifier learns whatever signal separates them; what the oracle
@@ -3374,6 +3473,7 @@ QUERIES = {
     "corpus_curate": q_corpus_curate,
     "doc_lm_score": q_doc_lm_score,
     "doc_quality_classifier": q_doc_quality_classifier,
+    "doc_clusters": q_doc_clusters,
 }
 
 ORACLES = {
@@ -3434,4 +3534,5 @@ ORACLES = {
     "corpus_curate": _corpus_curate_sql(),
     "doc_lm_score": _DOC_LM_SCORE_SQL,
     "doc_quality_classifier": _quality_clf_sql(),
+    "doc_clusters": _doc_clusters_sql(),
 }
