@@ -76,9 +76,18 @@ def domain_clusters(
             emb, id_col, vec_col, n_centroids=n_clusters, n_iter=n_iter
         )
     )
-    inv = ivf_assign(emb, centroids, id_col, vec_col).select("centroid", "id")
+    # consumed twice by the returned plan (the size aggregate and the
+    # weight join) — localCheckpoint so the embed+assign lineage runs
+    # once, and the blocks release with the plan (not the session)
+    inv = (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .select("centroid", "id")
+        .localCheckpoint(eager=True)
+    )
     sizes = inv.groupBy("centroid").agg(F.count("*").alias("cluster_size"))
-    weights = alpha_mix_weights(sizes, alpha)
+    # k rows — a driver-local relation, so the returned plan is exactly
+    # (checkpointed assignment) ⋈ (broadcast weight table) + sort
+    weights = materialize_local(alpha_mix_weights(sizes, alpha))
     return inv.join(F.broadcast(weights), "centroid").select(
         F.col("id"),
         F.col("centroid").alias("cluster"),

@@ -362,6 +362,11 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         # token stream feeds vocab + total + probe (broadcast lineage
         # repeats in the dump)
         "doc_lm_score": 10,
+        # training happens at plan-build (driver-side weights); the
+        # served plan is the map-only scoring projection + final sort
+        "doc_quality_classifier": 2,
+        # checkpointed assignment ⋈ broadcast local weight table + sort
+        "doc_clusters": 3,
     }
     over = {}
     for name, bound in bounds.items():
