@@ -64,18 +64,24 @@ def domain_clusters(
     n_clusters: int = 8,
     n_iter: int = 2,
     alpha: float = 0.5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """One row per document: (id, cluster, cluster_size, mix_weight).
 
     ``emb`` is any (id, vector) frame — typically
     ``textops.embed.hashed_embeddings`` output, or a real model's
-    embedding column at production scale.
+    embedding column at production scale.  Pass pre-trained
+    ``centroids`` (train once on a sample, assign many batches — the
+    ``ivfpq_topk`` codebook-reuse shape) to skip in-call training;
+    training is hash-seeded and round(9)-pinned, so a retrain
+    reproduces the identical codebook.
     """
-    centroids = materialize_local(
-        train_centroids(
-            emb, id_col, vec_col, n_centroids=n_clusters, n_iter=n_iter
+    if centroids is None:
+        centroids = materialize_local(
+            train_centroids(
+                emb, id_col, vec_col, n_centroids=n_clusters, n_iter=n_iter
+            )
         )
-    )
     # consumed twice by the returned plan (the size aggregate and the
     # weight join) — localCheckpoint so the embed+assign lineage runs
     # once, and the blocks release with the plan (not the session)
