@@ -3233,6 +3233,87 @@ def _doc_clusters_sql(n_clusters: int = 8, alpha: float = 0.5) -> str:
 """
 
 
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (``textops/dsir.py``): hashed
+    unigram+bigram log-likelihood-ratio weights (target = the curated
+    sources, source = the whole corpus, Laplace-smoothed 256-bucket
+    models) and a deterministic Gumbel-top-100 resample.  The third
+    data-selection method on the shared supervision (with
+    ``doc_quality_classifier`` and ``doc_clusters``)."""
+    from nomenklatura_spark.textops.dsir import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = dsir_resample(
+        docs, F.col("source").isin(*CLF_POSITIVE_SOURCES), k=100
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "dsir_logweight", "sample_key", "sampled"
+    ).orderBy("doc_id")
+
+
+def _doc_dsir_sql(n_buckets: int = 256, k: int = 100) -> str:
+    srcs = ", ".join(f"'{s}'" for s in CLF_POSITIVE_SOURCES)
+    u = (
+        "((CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 100000) + 0.5) / 100000.0"
+    )
+    return f"""
+    WITH ws AS (
+        SELECT doc_id, source, {_DOC_WORDS} AS w FROM documents
+    ),
+    gr AS (
+        SELECT doc_id, source,
+            unnest(w || CASE WHEN len(w) >= 2
+                THEN list_transform(generate_series(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM ws
+    ),
+    st AS (
+        SELECT doc_id, source IN ({srcs}) AS t,
+            CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {n_buckets} AS b
+        FROM gr
+    ),
+    doc_counts AS (SELECT doc_id, b, count(*) AS c FROM st GROUP BY doc_id, b),
+    bc AS (
+        SELECT b, count(*) AS cs, count(*) FILTER (WHERE t) AS ct
+        FROM st GROUP BY b
+    ),
+    tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM bc),
+    grid AS (
+        SELECT gs.b, COALESCE(bc.cs, 0) AS cs, COALESCE(bc.ct, 0) AS ct
+        FROM (SELECT unnest(generate_series(0, {n_buckets - 1})) AS b) gs
+        LEFT JOIN bc USING (b)
+    ),
+    ratios AS (
+        SELECT b, CAST(round((ln((ct + 1.0) / (t.tt + {n_buckets}))
+                      - ln((cs + 1.0) / (t.ts + {n_buckets}))) * 1e9)
+                  AS BIGINT) AS lr9
+        FROM grid CROSS JOIN tot t
+    ),
+    wts AS (
+        SELECT doc_id, CAST(sum(c * lr9) AS BIGINT) AS w9,
+            round(CAST(sum(c * lr9) AS BIGINT) / 1e9, 9) AS dsir_logweight
+        FROM doc_counts JOIN ratios USING (b) GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT doc_id, dsir_logweight,
+            round((w9 + CAST(round(-ln(-ln({u})) * 1e9) AS BIGINT)) / 1e9, 9)
+                AS sample_key
+        FROM wts
+    ),
+    top AS (
+        SELECT doc_id FROM scored ORDER BY sample_key DESC, doc_id LIMIT {k}
+    )
+    SELECT s.doc_id, s.dsir_logweight, s.sample_key,
+        t.doc_id IS NOT NULL AS sampled
+    FROM scored s LEFT JOIN top t USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
 # fastText/DCLM-style membership supervision: the first five sources play
 # the curated corpus, the rest the crawl.  Arbitrary but fixed — the
 # classifier learns whatever signal separates them; what the oracle
@@ -3504,6 +3585,7 @@ QUERIES = {
     "doc_lm_score": q_doc_lm_score,
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_clusters": q_doc_clusters,
+    "doc_dsir": q_doc_dsir,
 }
 
 ORACLES = {
@@ -3565,4 +3647,5 @@ ORACLES = {
     "doc_lm_score": _DOC_LM_SCORE_SQL,
     "doc_quality_classifier": _quality_clf_sql(),
     "doc_clusters": _doc_clusters_sql(),
+    "doc_dsir": _doc_dsir_sql(),
 }

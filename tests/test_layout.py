@@ -367,6 +367,10 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         "doc_quality_classifier": 2,
         # checkpointed assignment ⋈ broadcast local weight table + sort
         "doc_clusters": 3,
+        # checkpointed scored frame ⋈ top-k + sort (the weight pipeline
+        # itself is one stream scan + two partial-agg shuffles, executed
+        # at checkpoint time)
+        "doc_dsir": 3,
     }
     over = {}
     for name, bound in bounds.items():
