@@ -1428,18 +1428,9 @@ def q_doc_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             list(MIX_PERMILLE.items()), "lang_pred string, permille int"
         )
     )
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(1000),
-    )
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
+    bucket = md5_bucket("mix", F.col("doc_id"), 1000)
     pred = docs.select(
         "doc_id",
         lang_id(F.col("text")).alias("lang_pred"),
@@ -3121,9 +3112,12 @@ def _doc_domain_artifacts_cached(
     from nomenklatura_spark.textops.embed import hashed_embeddings
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = hashed_embeddings(docs, "doc_id", "text", dim=64).localCheckpoint(
-        eager=True
-    )
+    # persist(), NOT localCheckpoint: plan_cache's eviction contract is
+    # DataFrame.unpersist(), a no-op for checkpoint blocks — a cached
+    # checkpoint would outlive its eviction until JVM GC.  The served
+    # doc_clusters plan never shows this lineage anyway (the assignment
+    # is checkpointed downstream), so the shuffle-bound net stays stable.
+    emb = hashed_embeddings(docs, "doc_id", "text", dim=64).persist()
     centroids = materialize_local(
         train_centroids(emb, "doc_id", "embedding", n_centroids=8, n_iter=2)
     )
@@ -3293,10 +3287,15 @@ def _doc_dsir_sql(n_buckets: int = 256, k: int = 100) -> str:
                   AS BIGINT) AS lr9
         FROM grid CROSS JOIN tot t
     ),
-    wts AS (
-        SELECT doc_id, CAST(sum(c * lr9) AS BIGINT) AS w9,
-            round(CAST(sum(c * lr9) AS BIGINT) / 1e9, 9) AS dsir_logweight
+    summed AS (
+        SELECT doc_id, CAST(sum(c * lr9) AS BIGINT) AS s9
         FROM doc_counts JOIN ratios USING (b) GROUP BY doc_id
+    ),
+    wts AS (
+        SELECT d.doc_id, COALESCE(s.s9, 0) AS w9,
+            round(COALESCE(s.s9, 0) / 1e9, 9) AS dsir_logweight
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN summed s USING (doc_id)
     ),
     scored AS (
         SELECT doc_id, dsir_logweight,

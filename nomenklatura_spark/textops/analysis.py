@@ -65,11 +65,12 @@ def lang_id(col: Column, min_ratio: float = 0.02) -> Column:
     return F.when(best["score"] >= min_ratio, best["lang"]).otherwise(F.lit("und"))
 
 
-def quality_features(df: DataFrame, text_col: str) -> DataFrame:
-    """Per-document quality features: length, word stats, punctuation and
-    stopword ratios, plus a composite keep/drop heuristic (Gopher-rule
-    flavored: C4/Gopher-style length and symbol filters)."""
-    c = F.col(text_col)
+def quality_ratio_exprs(c: Column) -> dict[str, Column]:
+    """The shared raw (unrounded) quality-ratio expression family —
+    single source of truth for ``quality_features`` and the trained
+    classifier's feature extractor (their SQL oracles replicate these
+    term for term, so a drift between two Python copies would silently
+    desynchronize the feature families)."""
     ws = words(c)
     n_chars = F.length(c)
     n_words = F.size(ws)
@@ -80,10 +81,33 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         n_words > 0, F.length(F.array_join(ws, "")) / n_words
     ).otherwise(F.lit(0.0))
     # count matches without materializing the match array
-    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.regexp_count(c, F.lit(r"[^\w\s]")) / n_chars
+    ).otherwise(F.lit(0.0))
     en_stop = F.size(F.filter(ws, lambda w: w.isin(*LANG_MARKERS["en"])))
     stop_ratio = F.when(n_words > 0, en_stop / n_words).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0, F.regexp_count(c, F.lit(r"[0-9]")) / n_chars
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "digit_ratio": digit_ratio,
+    }
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document quality features: length, word stats, punctuation and
+    stopword ratios, plus a composite keep/drop heuristic (Gopher-rule
+    flavored: C4/Gopher-style length and symbol filters)."""
+    c = F.col(text_col)
+    r = quality_ratio_exprs(c)
+    n_chars, n_words = r["n_chars"], r["n_words"]
+    mean_word_len = r["mean_word_len"]
+    punct_ratio, stop_ratio = r["punct_ratio"], r["stop_ratio"]
     return df.select(
         "*",
         n_chars.alias("q_n_chars"),

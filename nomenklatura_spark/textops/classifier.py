@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from nomenklatura_spark.functions.scoring import logistic_score
-from nomenklatura_spark.textops.analysis import LANG_MARKERS, words
+from nomenklatura_spark.textops.analysis import quality_ratio_exprs
 
 CLF_FEATURES = ["f_stop", "f_punct", "f_wlen", "f_digit"]
 
@@ -53,29 +53,15 @@ def classifier_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     normalized), so unscaled gradient descent is well-conditioned and
     the sigmoid never saturates from raw magnitudes.
     """
-    c = F.col(text_col)
-    ws = words(c)
-    n_chars = F.length(c)
-    n_words = F.size(ws)
-    mean_word_len = F.when(
-        n_words > 0, F.length(F.array_join(ws, "")) / n_words
-    ).otherwise(F.lit(0.0))
-    punct_ratio = F.when(
-        n_chars > 0, F.regexp_count(c, F.lit(r"[^\w\s]")) / n_chars
-    ).otherwise(F.lit(0.0))
-    en_stop = F.size(F.filter(ws, lambda w: w.isin(*LANG_MARKERS["en"])))
-    stop_ratio = F.when(n_words > 0, en_stop / n_words).otherwise(F.lit(0.0))
-    digit_ratio = F.when(
-        n_chars > 0, F.regexp_count(c, F.lit(r"[0-9]")) / n_chars
-    ).otherwise(F.lit(0.0))
+    r = quality_ratio_exprs(F.col(text_col))
     return docs.select(
         "*",
-        F.round(stop_ratio, 4).alias("f_stop"),
-        F.round(punct_ratio, 4).alias("f_punct"),
-        F.round(F.least(mean_word_len / F.lit(12.0), F.lit(1.0)), 4).alias(
-            "f_wlen"
-        ),
-        F.round(digit_ratio, 4).alias("f_digit"),
+        F.round(r["stop_ratio"], 4).alias("f_stop"),
+        F.round(r["punct_ratio"], 4).alias("f_punct"),
+        F.round(
+            F.least(r["mean_word_len"] / F.lit(12.0), F.lit(1.0)), 4
+        ).alias("f_wlen"),
+        F.round(r["digit_ratio"], 4).alias("f_digit"),
     )
 
 
@@ -140,19 +126,10 @@ def quality_classifier_scores(
     every document is scored.  Returns one row per document:
     ``(doc_id, label, is_train, quality_prob)``.
     """
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
     feats = classifier_features(docs, text_col)
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("clf:"), F.col(doc_id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(1000),
-    )
+    bucket = md5_bucket("clf", F.col(doc_id_col), 1000)
     labeled = feats.select(
         doc_id_col,
         F.when(F.col(source_col).isin(*positive_sources), F.lit(1.0))

@@ -134,15 +134,22 @@ def dsir_weights(
         .cast("bigint")
         .alias("lr9"),
     )
-    return (
+    summed = (
         doc_counts.join(F.broadcast(ratios), "b")
         .groupBy("id")
-        .agg(F.sum(F.col("c") * F.col("lr9")).alias("_w9"))
-        .select(
-            "id",
-            "_w9",
-            F.round(F.col("_w9") / 1e9, 9).alias("dsir_logweight"),
-        )
+        .agg(F.sum(F.col("c") * F.col("lr9")).alias("_s9"))
+    )
+    # left-join from the document universe: a doc with zero grams (text
+    # that normalizes to empty) still gets a row with the neutral weight
+    # 0 — the natural value for an empty feature set, and the same
+    # one-row-per-document contract as the classifier/cluster selectors
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(summed, "id", "left").select(
+        "id",
+        F.coalesce(F.col("_s9"), F.lit(0).cast("bigint")).alias("_w9"),
+        F.round(
+            F.coalesce(F.col("_s9"), F.lit(0).cast("bigint")) / 1e9, 9
+        ).alias("dsir_logweight"),
     )
 
 
@@ -159,22 +166,10 @@ def dsir_resample(
     without replacement ∝ exp(logweight), with the deterministic
     md5-bucket uniform standing in for RNG (the ``doc_sample_mix``
     device), so every engine draws the same sample."""
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
     weights = dsir_weights(docs, target_pred, id_col, text_col, n_buckets)
-    u = (
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("dsir:"), F.col("id").cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(100000),
-        )
-        + 0.5
-    ) / 100000.0
+    u = (md5_bucket("dsir", F.col("id"), 100000) + 0.5) / 100000.0
     # same integer discipline for the sample key: Gumbel term quantized
     # to the 1e-9 grid, added to the exact scaled weight
     gumbel9 = F.round(-F.log(-F.log(u)) * 1e9).cast("bigint")

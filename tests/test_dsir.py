@@ -80,12 +80,17 @@ def test_weights_partition_order_invariant(spark, corpus):
     assert [(r.id, r._w9) for r in a] == [(r.id, r._w9) for r in b]
 
 
-def test_single_word_documents_survive(spark):
-    """The bigram builder must not feed sequence(1, 0) a descending
-    range — one-word docs contribute their unigram only."""
+def test_degenerate_documents_survive(spark):
+    """One-word docs must not feed sequence(1, 0) a descending range,
+    and zero-gram docs (text that normalizes to empty) must still get a
+    row with the neutral weight 0 — the one-row-per-document contract
+    shared with the classifier/cluster selectors."""
     docs = spark.createDataFrame(
-        [(1, "word", "a"), (2, "two words", "b")],
+        [(1, "word", "a"), (2, "two words", "b"), (3, "!!! ... ###", "b")],
         "doc_id int, text string, source string",
     )
-    rows = dsir_weights(docs, docs.source == "a").collect()
-    assert len(rows) == 2
+    rows = {r.id: r for r in dsir_weights(docs, docs.source == "a").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]._w9 == 0 and rows[3].dsir_logweight == 0.0
+    sampled = dsir_resample(docs, docs.source == "a", k=3).collect()
+    assert len(sampled) == 3 and all(r.sampled for r in sampled)

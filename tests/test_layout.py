@@ -334,8 +334,17 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
     the cached lineage is truncated out of the final plan dump — if the
     checkpoint is ever removed, drop the row from this net.)
     What the net catches is a change that introduces extra shuffles —
-    invisible at test scale, multiplicative at cluster scale."""
+    invisible at test scale, multiplicative at cluster scale.
+
+    The caches are cleared up front so every plan is dumped in its COLD
+    shape: a warm plan_cache frame can be substituted by the
+    CacheManager into *other* queries sharing the same subplan (e.g.
+    the memoized doc-embedding frame into doc_embed), inflating their
+    dump's Exchange string count with the cached lineage."""
+    from nomenklatura_spark import clear_plan_caches
     from nomenklatura_spark.plans.queries import QUERIES
+
+    clear_plan_caches()
 
     bounds = {
         "pricing_summary": 4,
