@@ -1,0 +1,152 @@
+"""Temporal joins Spark lacks as built-ins: as-of (point-in-time) and
+banded range joins, expressed as shuffle-bounded compositions.
+
+Neither is in the reference's operator inventory (it has no event-time
+queries), but both are table-stakes for an analytics engine serving
+event streams — the prompt-level engine brief names them explicitly —
+and both have well-known naive forms that collapse at scale:
+
+- a naive as-of join is a per-key ``theta`` join (``r.ts <= l.ts``) that
+  Spark plans as BroadcastNestedLoop/cartesian — O(N·M) per key;
+- a naive band join (``|l.ts − r.ts| <= w``) is the same.
+
+The implementations here are the standard scale-safe reductions:
+
+- **as-of** — the union-sort trick: tag both sides, union, ONE window
+  sort per key, carry the last-seen right payload with
+  ``last(ignorenulls)`` over rows-unbounded-preceding.  Cost: one
+  shuffle of |L|+|R| rows on the key, no pair blowup, AQE-skew-safe.
+- **band** — bin-bucketed equi-join: quantize time into ``band``-width
+  bins, explode the probe side into its 3 candidate bins, equi-join on
+  (key, bin), exact-filter.  Each true pair is found exactly once (the
+  build side owns one bin), so no dedup pass; the theta join becomes a
+  shuffle equi-join whose fan-out is bounded by bin occupancy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = (),
+    prefix: str = "asof_",
+    tiebreak_col: str | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``r.ts <= l.ts`` in the same key group (point-in-time correctness:
+    a right row is visible to left rows at or after its timestamp,
+    never before).
+
+    Output = all left columns + ``{prefix}ts`` + ``{prefix}{c}`` for
+    each value column, null where no right row precedes.  If ``(key,
+    ts)`` is not unique in ``right``, pass ``tiebreak_col`` — the row
+    with the greatest tiebreak value wins (deterministic); otherwise
+    equal-timestamp duplicates would make the carried payload
+    order-dependent.  ``tolerance_seconds`` nulls out matches staler
+    than the tolerance (the pandas ``merge_asof`` contract).
+    """
+    keys = list(key_cols)
+    vcols = list(value_cols)
+    if tiebreak_col is not None:
+        r_rows = (
+            right.groupBy(*keys, ts_col)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in vcols]), F.col(tiebreak_col)
+                ).alias("_rv")
+            )
+        )
+    else:
+        r_rows = right.select(
+            *keys, ts_col, F.struct(*[F.col(c) for c in vcols]).alias("_rv")
+        )
+    payload = F.struct(F.col(ts_col).alias("_ats"), F.col("_rv").alias("_v"))
+    r_tagged = r_rows.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_r"),
+    )
+    r_type = r_tagged.schema["_r"].dataType
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_tagged = left.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_type).alias("_r"),
+        l_struct.alias("_l"),
+    )
+    l_type = l_tagged.schema["_l"].dataType
+    u = l_tagged.unionByName(
+        r_tagged.withColumn("_l", F.lit(None).cast(l_type))
+    )
+    # right rows sort before left at equal ts (r.ts <= l.ts is a match);
+    # ties among left peers are harmless (they contribute null _r) and
+    # right peers are unique per (key, ts) by construction above
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_r", ignorenulls=True).over(w)
+    matched = u.withColumn("_c", carried).where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(F.col("_c._ats"))
+        ) <= int(tolerance_seconds * 1_000_000)
+        matched = matched.withColumn(
+            "_c", F.when(fresh, F.col("_c"))
+        )
+    return matched.select(
+        F.col("_l.*"),
+        F.col("_c._ats").alias(f"{prefix}ts"),
+        *[F.col(f"_c._v.{c}").alias(f"{prefix}{c}") for c in vcols],
+    )
+
+
+def band_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    band_seconds: int = 3600,
+) -> DataFrame:
+    """All (l, r) pairs in the same key group with
+    ``|l.ts − r.ts| <= band_seconds``, as an equi-join.
+
+    Returns left and right rows as ``l``/``r`` structs plus ``dt_us``
+    (signed ``r.ts − l.ts`` in exact integer microseconds).  The probe
+    (left) side explodes into its bin and both neighbors; the build
+    side keeps its single bin, so every qualifying pair appears exactly
+    once — no post-join dedup.  At 100 TB the only shuffle is the
+    (key, bin) equi-join; skew is bounded by events-per-band-window.
+    """
+    band_us = band_seconds * 1_000_000
+    l_bin = F.floor(F.unix_micros(F.col(ts_col)) / band_us)
+    lb = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("l"),
+        *key_cols,
+        F.unix_micros(F.col(ts_col)).alias("_l_us"),
+        F.explode(
+            F.array(l_bin - 1, l_bin, l_bin + 1)
+        ).alias("_bin"),
+    )
+    rb = right.select(
+        F.struct(*[F.col(c) for c in right.columns]).alias("r"),
+        *key_cols,
+        F.unix_micros(F.col(ts_col)).alias("_r_us"),
+        F.floor(F.unix_micros(F.col(ts_col)) / band_us).alias("_bin"),
+    )
+    return (
+        lb.join(rb, [*key_cols, "_bin"])
+        .where(F.abs(F.col("_r_us") - F.col("_l_us")) <= band_us)
+        .select("l", "r", (F.col("_r_us") - F.col("_l_us")).alias("dt_us"))
+    )

@@ -1130,6 +1130,114 @@ _SESSIONIZE_SQL = """
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (``operators/temporal.asof_join``): every purchase
+    event attached to the user's most recent view at-or-before it —
+    the point-in-time join Spark lacks as a built-in, reduced to one
+    union-sort window (no per-key theta join).  The oracle replays the
+    same union + last(ignore nulls) formulation."""
+    from nomenklatura_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        ["user_id"],
+        ts_col="ts",
+        value_cols=("event_id",),
+        tiebreak_col="event_id",
+    )
+    # no-match rows report -1, not NULL: the driver compares through
+    # pandas, where a nullable BIGINT silently becomes float64 and
+    # hash-mismatches the other engine's ints
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.coalesce(F.col("asof_event_id"), F.lit(-1)).alias("asof_view_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")),
+            F.lit(-1),
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+_EVENTS_ASOF_SQL = """
+    WITH v AS (
+        SELECT user_id, ts, max(event_id) AS r_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    u AS (
+        SELECT user_id, ts, 1 AS side, event_id AS l_id,
+               CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS TIMESTAMP) AS r_ts
+        FROM p
+        UNION ALL
+        SELECT user_id, ts, 0, NULL, r_id, ts FROM v
+    ),
+    c AS (
+        SELECT *,
+            last_value(r_id IGNORE NULLS) OVER w AS a_id,
+            last_value(r_ts IGNORE NULLS) OVER w AS a_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT l_id AS event_id, user_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        COALESCE(a_id, -1) AS asof_view_id,
+        COALESCE(epoch_us(ts) - epoch_us(a_ts), -1) AS gap_us
+    FROM c WHERE side = 1
+    ORDER BY event_id
+"""
+
+
+def q_events_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range self-join (``operators/temporal.band_join_binned``):
+    same-user event pairs within one hour of each other.  The Spark
+    side runs the bin-bucketed equi-join reduction; the oracle is the
+    plain theta join — passing means the reduction finds EXACTLY the
+    naive join's pairs."""
+    from nomenklatura_spark.operators.temporal import band_join_binned
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = band_join_binned(
+        events, events, ["user_id"], ts_col="ts", band_seconds=3600
+    )
+    return (
+        pairs.where(F.col("l.event_id") < F.col("r.event_id"))
+        .select(
+            F.col("l.event_id").alias("lid"),
+            F.col("r.event_id").alias("rid"),
+            "dt_us",
+        )
+        .orderBy("lid", "rid")
+    )
+
+
+_EVENTS_BAND_SQL = """
+    SELECT l.event_id AS lid, r.event_id AS rid,
+        epoch_us(r.ts) - epoch_us(l.ts) AS dt_us
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_id < r.event_id
+     AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= CAST(3600 AS BIGINT) * 1000000
+    ORDER BY lid, rid
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH near-dup pairs with estimated jaccard."""
     from nomenklatura_spark.dedup.minhash import minhash_dedup_pairs
@@ -3585,6 +3693,8 @@ QUERIES = {
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_clusters": q_doc_clusters,
     "doc_dsir": q_doc_dsir,
+    "events_asof": q_events_asof,
+    "events_band_pairs": q_events_band_pairs,
 }
 
 ORACLES = {
@@ -3647,4 +3757,6 @@ ORACLES = {
     "doc_quality_classifier": _quality_clf_sql(),
     "doc_clusters": _doc_clusters_sql(),
     "doc_dsir": _doc_dsir_sql(),
+    "events_asof": _EVENTS_ASOF_SQL,
+    "events_band_pairs": _EVENTS_BAND_SQL,
 }

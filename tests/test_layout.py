@@ -380,6 +380,10 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         # itself is one stream scan + two partial-agg shuffles, executed
         # at checkpoint time)
         "doc_dsir": 3,
+        # union-sort trick: ONE key shuffle for the window + final sort
+        "events_asof": 4,
+        # bin-bucketed equi-join + final sort — no theta join anywhere
+        "events_band_pairs": 3,
     }
     over = {}
     for name, bound in bounds.items():
