@@ -1238,6 +1238,43 @@ _EVENTS_BAND_SQL = """
 """
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-statistics rollup per event type: exact interpolated
+    p50/p95 of ``value``, exact distinct users, stddev.  Covers the
+    aggregate family the other event queries don't (percentiles are the
+    workhorse of latency/value analytics); Spark's exact ``percentile``
+    and DuckDB's ``quantile_cont`` share the p·(n−1) linear-interpolation
+    definition, so the oracle is a direct replay.  At scale the exact
+    percentile is a sort-based agg — the documented trade; the
+    approximate path (``approx_percentile``) shares the plan shape and
+    is pinned against this row's values in tests."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.95), 6).alias("p95"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_QUANTILES_SQL = """
+    SELECT event_type,
+        count(*) AS n,
+        count(DISTINCT user_id) AS n_users,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.95), 6) AS p95,
+        round(stddev_samp(value), 4) AS sd
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH near-dup pairs with estimated jaccard."""
     from nomenklatura_spark.dedup.minhash import minhash_dedup_pairs
@@ -3695,6 +3732,7 @@ QUERIES = {
     "doc_dsir": q_doc_dsir,
     "events_asof": q_events_asof,
     "events_band_pairs": q_events_band_pairs,
+    "events_quantiles": q_events_quantiles,
 }
 
 ORACLES = {
@@ -3759,4 +3797,5 @@ ORACLES = {
     "doc_dsir": _doc_dsir_sql(),
     "events_asof": _EVENTS_ASOF_SQL,
     "events_band_pairs": _EVENTS_BAND_SQL,
+    "events_quantiles": _EVENTS_QUANTILES_SQL,
 }

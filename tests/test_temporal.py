@@ -124,3 +124,95 @@ def test_band_join_finds_cross_bin_neighbors(spark):
         .collect()
     )
     assert len(pairs) == 1 and pairs[0].dt_us == 2_000_000
+
+
+# --- property tests: the reductions equal their naive references ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_events = st.lists(
+    st.tuples(
+        st.sampled_from(["u", "v"]),          # key
+        st.integers(min_value=0, max_value=120),  # seconds offset
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _mk(spark, rows):
+    data = [
+        (i, k, datetime(2024, 1, 1, 0, s // 60, s % 60))
+        for i, (k, s) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id int, user_id string, ts timestamp"
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(left=_events, right=_events)
+def test_asof_equals_naive(spark, left, right):
+    l_df, r_df = _mk(spark, left), _mk(spark, right)
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(
+            l_df, r_df, ["user_id"], value_cols=("event_id",),
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cands = [
+            (rs, j) for j, (rk, rs) in enumerate(right) if rk == k and rs <= s
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (left, right, i)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_events, band=st.sampled_from([1, 7, 30]))
+def test_band_join_equals_naive(spark, rows, band):
+    df = _mk(spark, rows)
+    got = sorted(
+        (r.l.event_id, r.r.event_id)
+        for r in band_join_binned(df, df, ["user_id"], band_seconds=band)
+        .where(F.col("l.event_id") < F.col("r.event_id"))
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (ki, si) in enumerate(rows)
+        for j, (kj, sj) in enumerate(rows)
+        if i < j and ki == kj and abs(si - sj) <= band
+    )
+    assert got == want, (rows, band)
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The scale path for the events_quantiles row: approx_percentile
+    returns an actual order statistic (no interpolation), so the right
+    accuracy contract is RANK error, not value error — the fraction of
+    group values at or below the approx answer must sit within ±2
+    percentile points of the requested 0.95."""
+    from nomenklatura_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    approx = (
+        events.groupBy("event_type")
+        .agg(F.approx_percentile("value", 0.95, 10000).alias("approx"))
+    )
+    ranked = (
+        events.join(approx, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.count_if(F.col("value") <= F.col("approx"))
+                / F.count(F.lit(1))
+            ).alias("rank_frac")
+        )
+        .collect()
+    )
+    assert ranked
+    for r in ranked:
+        assert 0.93 <= r.rank_frac <= 0.97, r
