@@ -1238,6 +1238,91 @@ _EVENTS_BAND_SQL = """
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate — the window family member the
+    tumbling (`events_hourly`) and session (`events_sessionize`) rows
+    don't cover: 6-hour windows hopping hourly, per event type.  Uses
+    Spark's native ``window(ts, '6 hours', '1 hour')``, which assigns
+    each event to its 6 covering hops map-side (an explode, no
+    self-join); the oracle replays the hop assignment relationally."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "6 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+_EVENTS_SLIDING_SQL = """
+    WITH hops AS (
+        SELECT event_type, value,
+            date_trunc('hour', ts) - (k * INTERVAL '1 hour') AS win_start
+        FROM events, LATERAL (SELECT unnest(generate_series(0, 5)) AS k)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        event_type,
+        count(*) AS n_events,
+        round(sum(value), 2) AS sum_value
+    FROM hops
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic events-analytics rollup: users
+    cohorted by the day of their first event; for each (cohort_day,
+    day_offset), how many of the cohort's users were active.  One
+    window (first event per user) + one distinct aggregation; at scale
+    both are partial-agg shuffles on user_id / (cohort, offset)."""
+    events = load_table(spark, sf_dir, "events")
+    first_day = (
+        events.groupBy("user_id")
+        .agg(F.date_trunc("DAY", F.min("ts")).alias("cohort_day"))
+    )
+    return (
+        events.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("DAY", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_EVENTS_RETENTION_SQL = """
+    WITH first_day AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset,
+        count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_day f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-statistics rollup per event type: exact interpolated
     p50/p95 of ``value``, exact distinct users, stddev.  Covers the
@@ -3733,6 +3818,8 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_band_pairs": q_events_band_pairs,
     "events_quantiles": q_events_quantiles,
+    "events_sliding": q_events_sliding,
+    "events_retention": q_events_retention,
 }
 
 ORACLES = {
@@ -3798,4 +3885,6 @@ ORACLES = {
     "events_asof": _EVENTS_ASOF_SQL,
     "events_band_pairs": _EVENTS_BAND_SQL,
     "events_quantiles": _EVENTS_QUANTILES_SQL,
+    "events_sliding": _EVENTS_SLIDING_SQL,
+    "events_retention": _EVENTS_RETENTION_SQL,
 }
