@@ -1583,8 +1583,13 @@ _DOC_REPETITION_SQL = """
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID distribution."""
     docs = load_table(spark, sf_dir, "documents")
+    from nomenklatura_spark.textops.analysis import words
+
+    staged = docs.withColumn("_ws", words(F.col("text")))
     return (
-        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        staged.select(
+            lang_id(F.col("text"), ws=F.col("_ws")).alias("lang_pred")
+        )
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_pred")
@@ -1660,10 +1665,12 @@ def q_doc_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from nomenklatura_spark.functions.hashing import md5_bucket
 
+    from nomenklatura_spark.textops.analysis import words
+
     bucket = md5_bucket("mix", F.col("doc_id"), 1000)
-    pred = docs.select(
+    pred = docs.withColumn("_ws", words(F.col("text"))).select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_pred"),
+        lang_id(F.col("text"), ws=F.col("_ws")).alias("lang_pred"),
         bucket.alias("bucket"),
     )
     return (
@@ -1710,9 +1717,11 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard) bound every window to one partition's worth of rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    from nomenklatura_spark.textops.analysis import words
+
+    base = docs.withColumn("_ws", words(F.col("text"))).select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_pred"),
+        lang_id(F.col("text"), ws=F.col("_ws")).alias("lang_pred"),
         token_count(F.col("text")).alias("n_tokens"),
     )
     w = (

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from nomenklatura_spark.functions.scoring import logistic_score
-from nomenklatura_spark.textops.analysis import quality_ratio_exprs
+from nomenklatura_spark.textops.analysis import quality_ratio_exprs, words
 
 CLF_FEATURES = ["f_stop", "f_punct", "f_wlen", "f_digit"]
 
@@ -53,7 +53,8 @@ def classifier_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     normalized), so unscaled gradient descent is well-conditioned and
     the sigmoid never saturates from raw magnitudes.
     """
-    r = quality_ratio_exprs(F.col(text_col))
+    docs = docs.withColumn("_c_ws", words(F.col(text_col)))
+    r = quality_ratio_exprs(F.col(text_col), F.col("_c_ws"))
     return docs.select(
         "*",
         F.round(r["stop_ratio"], 4).alias("f_stop"),
@@ -62,7 +63,7 @@ def classifier_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.least(r["mean_word_len"] / F.lit(12.0), F.lit(1.0)), 4
         ).alias("f_wlen"),
         F.round(r["digit_ratio"], 4).alias("f_digit"),
-    )
+    ).drop("_c_ws")
 
 
 def train_quality_lr(
