@@ -3762,8 +3762,10 @@ def _corpus_curate_sql() -> str:
 
 QUERIES = {
     # Ordering is deliberate: the driver's correctness board checks the
-    # first 50 entries, and the registry holds exactly 50 — flagship and
-    # round-3-critical rows lead so a lower cap still covers them.
+    # first 50 entries — flagship and round-3-critical rows lead so the
+    # board cap always covers them.  Rows past the cap (the r5
+    # data-selection / temporal / analytics additions) are
+    # oracle-checked by tests/test_entry_contract.py at every SF.
     "pricing_summary": q_pricing_summary,
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
