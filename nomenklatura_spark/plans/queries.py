@@ -3334,6 +3334,62 @@ _DOC_LM_SCORE_SQL = f"""
 """
 
 
+def q_doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 more-like-this retrieval (``textops/retrieval.py``): the 8
+    md5-first documents as queries, top-5 corpus matches each by Okapi
+    BM25 (Lucene idf, k1=1.2, b=0.75), self-matches excluded.  Document
+    frequencies are computed only for query terms (semi-join before the
+    rollup), so the plan carries no vocabulary-sized aggregate."""
+    from nomenklatura_spark.textops.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ).limit(8)
+    return bm25_topk(
+        docs,
+        probes,
+        id_col="doc_id",
+        text_col="text",
+        query_id_col="doc_id",
+        query_text_col="text",
+        k=5,
+        exclude_self=True,
+    ).orderBy("query_id", "rank")
+
+
+def _doc_bm25_sql(n_queries: int = 8, k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS word FROM ws),
+    tf AS (SELECT doc_id, dl, word, count(*) AS n
+           FROM tok GROUP BY doc_id, dl, word),
+    stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM ws),
+    probes AS (SELECT doc_id AS query_id FROM documents
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {n_queries}),
+    qt AS (SELECT DISTINCT p.query_id, t.word
+           FROM probes p JOIN tok t ON t.doc_id = p.query_id),
+    dfq AS (SELECT word, count(*) AS df FROM tf
+            WHERE word IN (SELECT word FROM qt) GROUP BY word),
+    qidf AS (SELECT qt.query_id, qt.word, s.avgdl,
+                    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+             FROM qt JOIN dfq d USING (word), stats s),
+    sc AS (SELECT qi.query_id, tf.doc_id,
+                  count(*) AS n_terms,
+                  round(sum(qi.idf * (tf.n * ({k1} + 1.0))
+                        / (tf.n + {k1} * (1.0 - {b} + {b} * tf.dl / qi.avgdl))), 6)
+                      AS bm25
+           FROM tf JOIN qidf qi USING (word)
+           WHERE tf.doc_id <> qi.query_id
+           GROUP BY qi.query_id, tf.doc_id),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+          FROM sc)
+    SELECT query_id, doc_id, n_terms, bm25, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 @plan_cache(maxsize=8)
 def _doc_domain_artifacts_cached(
     spark: SparkSession, sf_dir: str
@@ -3831,6 +3887,7 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "events_sliding": q_events_sliding,
     "events_retention": q_events_retention,
+    "doc_search_bm25": q_doc_search_bm25,
 }
 
 ORACLES = {
@@ -3898,4 +3955,5 @@ ORACLES = {
     "events_quantiles": _EVENTS_QUANTILES_SQL,
     "events_sliding": _EVENTS_SLIDING_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
+    "doc_search_bm25": _doc_bm25_sql(),
 }

@@ -384,6 +384,9 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         "events_asof": 4,
         # bin-bucketed equi-join + final sort — no theta join anywhere
         "events_band_pairs": 3,
+        # checkpointed tf read by df rollup + scoring join; stats is a
+        # map-only 1-row agg; probes are a LocalRelation
+        "doc_search_bm25": 9,
     }
     over = {}
     for name, bound in bounds.items():

@@ -1,0 +1,77 @@
+"""BM25 retrieval (`textops/retrieval.py`): ranking behavior on crafted
+corpora plus the plan-shape claims the module docstring makes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nomenklatura_spark.textops.retrieval import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "spark shuffle join"),
+            (2, "spark spark spark shuffle"),
+            (3, "gardening tips for spring bulbs"),
+            (4, "spark"),
+            (5, "the catalyst optimizer and the shuffle service of spark"),
+        ],
+    )
+    q = _docs(spark, [(100, "spark shuffle")])
+    out = bm25_topk(corpus, q, query_id_col="doc_id", k=5).collect()
+    assert [r["doc_id"] for r in out if r["query_id"] == 100][0] in (1, 2)
+    ranked = {r["doc_id"]: r["rank"] for r in out}
+    # doc 3 shares no term and must be absent entirely
+    assert 3 not in ranked
+    # both-term docs (1, 2, 5) outrank the one-term doc 4 on idf mass
+    assert max(ranked[1], ranked[2], ranked[5]) < ranked[4]
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    # "zebra" appears once, "common" in every doc: the zebra doc must
+    # win a query containing both despite equal tf
+    rows = [(i, "common filler words here") for i in range(1, 9)]
+    rows.append((9, "common zebra"))
+    corpus = _docs(spark, rows)
+    q = _docs(spark, [(100, "common zebra")])
+    out = bm25_topk(corpus, q, query_id_col="doc_id", k=3).collect()
+    assert out[0]["doc_id"] == 9 and out[0]["rank"] == 1
+
+
+def test_bm25_exclude_self_and_k_bound(spark):
+    rows = [(i, "alpha beta gamma delta") for i in range(1, 7)]
+    corpus = _docs(spark, rows)
+    q = corpus.limit(2)
+    out = bm25_topk(corpus, q, query_id_col="doc_id", k=3, exclude_self=True)
+    rows_out = out.collect()
+    per_q = {}
+    for r in rows_out:
+        assert r["doc_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
+def test_bm25_plan_single_corpus_tokenize(spark, sf_dir):
+    """The docstring's 100 TB claims, held against the actual plan: the
+    served plan holds exactly ONE parquet scan (the map-only stats
+    pass) per adaptive plan copy — the token pass ran once into the tf
+    checkpoint, which both the df rollup and the scoring join read back
+    as an RDD scan; the probe lineage is a LocalRelation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    probes = docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(4)
+    out = bm25_topk(corpus=docs, queries=probes, query_id_col="doc_id", k=5,
+                    exclude_self=True)
+    out.collect()  # resolve the final adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert final.count("Scan ExistingRDD[id") >= 2  # tf read by both branches
