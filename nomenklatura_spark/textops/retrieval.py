@@ -126,9 +126,30 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    # document frequency for the query terms: branches off tf with the
-    # identical exchange underneath — ReusedExchange, no second pass
+    # document frequency for the query terms: branches off tf through
+    # the shared checkpoint — no second corpus pass
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return _score_from_tf(
+        tf, qt, df_tbl, stats, id_col, k, k1, b, exclude_self
+    )
+
+
+def _score_from_tf(
+    tf: DataFrame,
+    qt: DataFrame,
+    df_tbl: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    exclude_self: bool,
+) -> DataFrame:
+    """The shared BM25 scoring tail: (query, word) idf table ⋈ tf,
+    partial-agg sum per (query, doc), per-query top-k window.  ``tf``
+    is the candidate-bounded (id, dl, word, n) relation; ``df_tbl`` is
+    (word, df) for at least the query terms; ``stats`` is the 1-row
+    (n_docs, avgdl) frame."""
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -159,4 +180,120 @@ def bm25_topk(
             "bm25",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+# --- at-rest BM25 index (serving layout) ------------------------------------
+
+
+def _word_bucket(n_buckets: int):
+    return F.pmod(F.xxhash64("word"), F.lit(n_buckets)).alias("wb")
+
+
+def write_bm25_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the BM25 serving layout on disk — the lexical analog
+    of ``ann.pq.write_ivfpq_index`` ("build once, serve many"):
+
+    - ``{path}/postings`` — the full (id, dl, word, n) term-frequency
+      relation PARTITIONED BY ``wb = pmod(xxhash64(word), n_buckets)``,
+      so a query batch reads only the buckets its terms hash into
+      (partition pruning does what a search engine does with posting
+      list offsets).
+    - ``{path}/df``       — (word, df), same bucketing.
+    - ``{path}/stats``    — one row: n_docs, avgdl, n_buckets.
+
+    Unlike the per-batch ``bm25_topk`` plan, the index pays the FULL
+    corpus tokenize+shuffle once at build time; serving never touches
+    the text again."""
+    tf = (
+        _doc_terms(corpus, id_col, text_col, "id")
+        .groupBy("id", "dl", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # df rolls up from the same pass
+    )
+    (
+        tf.withColumn("wb", _word_bucket(n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("wb")
+        .parquet(f"{path}/postings")
+    )
+    (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("wb", _word_bucket(n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("wb")
+        .parquet(f"{path}/df")
+    )
+    ws = F.filter(
+        F.split(normalize_for_shingles(F.col(text_col)), " "),
+        lambda w: w != "",
+    )
+    (
+        corpus.select(F.size(ws).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .withColumn("n_buckets", F.lit(n_buckets))
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve BM25 queries from a ``write_bm25_index`` directory.
+
+    The query-term bucket set is computed against the driver-local term
+    relation and pushed into the postings/df scans as a partition
+    filter (``wb IN (...)`` — bounded by |query terms|), so only the
+    probed posting buckets are ever read; within a bucket the broadcast
+    term join prunes to exact matches.  Scoring is bit-identical to
+    ``bm25_topk`` (tests pin the in-memory and indexed paths equal)."""
+    n_docs, avgdl, n_buckets = (
+        spark.read.parquet(f"{path}/stats")
+        .select("n_docs", "avgdl", "n_buckets")
+        .first()
+    )
+    qt = materialize_local(
+        _doc_terms(queries, query_id_col, query_text_col, "query_id")
+        .select("query_id", "word")
+        .distinct()
+    )
+    qwords = materialize_local(
+        qt.select("word").distinct().withColumn("wb", _word_bucket(n_buckets))
+    )
+    buckets = [r["wb"] for r in qwords.select("wb").distinct().collect()]
+
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("wb").isin(buckets))
+        .join(F.broadcast(qwords.select("word")), "word")
+        .select("id", "dl", "word", "n")
+    )
+    df_tbl = (
+        spark.read.parquet(f"{path}/df")
+        .where(F.col("wb").isin(buckets))
+        .join(F.broadcast(qwords.select("word")), "word")
+        .select("word", "df")
+    )
+    stats = spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs bigint, avgdl double"
+    )
+    return _score_from_tf(
+        tf, qt, df_tbl, stats, id_col, k, k1, b, exclude_self
     )

@@ -58,6 +58,38 @@ def test_bm25_exclude_self_and_k_bound(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
 
 
+def test_bm25_indexed_matches_in_memory(spark, sf_dir, tmp_path):
+    """The at-rest serving layout returns exactly the in-memory rows,
+    and its postings/df scans carry the probed buckets as partition
+    filters (only the query terms' posting buckets are read)."""
+    from nomenklatura_spark.textops.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    probes = docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(4)
+    path = str(tmp_path / "bm25_index")
+    write_bm25_index(docs, path, n_buckets=16)
+
+    mem = bm25_topk(docs, probes, query_id_col="doc_id", k=5, exclude_self=True)
+    idx = bm25_topk_indexed(
+        spark, path, probes, query_id_col="doc_id", k=5, exclude_self=True
+    )
+    mrows = sorted((tuple(r) for r in mem.collect()), key=lambda t: (t[0], t[4]))
+    irows = sorted((tuple(r) for r in idx.collect()), key=lambda t: (t[0], t[4]))
+    assert mrows == irows and len(mrows) > 0
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "wb" in line.split("PartitionFilters")[1][:120]
+    ]
+    assert len(pf) >= 2, f"postings/df scans not partition-pruned:\n{plan}"
+
+
 def test_bm25_plan_single_corpus_tokenize(spark, sf_dir):
     """The docstring's 100 TB claims, held against the actual plan: the
     served plan holds exactly ONE parquet scan (the map-only stats
