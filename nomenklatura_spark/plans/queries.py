@@ -3334,6 +3334,36 @@ _DOC_LM_SCORE_SQL = f"""
 """
 
 
+def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (``textops.analysis.source_cap``):
+    RefinedWeb-style domain capping — at most 10 docs per source by
+    deterministic md5 order.  The rank filter rides the window, so
+    WindowGroupLimit bounds what each map task ships (plan-asserted in
+    tests/test_retrieval.py)."""
+    from nomenklatura_spark.textops.analysis import source_cap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        source_cap(docs, "source", "doc_id", cap=10)
+        .select("doc_id", "source", F.col("src_rank").cast("int").alias("src_rank"))
+        .orderBy("source", "src_rank")
+    )
+
+
+_DOC_SOURCE_CAP_SQL = """
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS src_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank
+    FROM r WHERE src_rank <= 10 ORDER BY source, src_rank
+"""
+
+
 def q_doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 more-like-this retrieval (``textops/retrieval.py``): the 8
     md5-first documents as queries, top-5 corpus matches each by Okapi
@@ -3888,6 +3918,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_retention": q_events_retention,
     "doc_search_bm25": q_doc_search_bm25,
+    "doc_source_cap": q_doc_source_cap,
 }
 
 ORACLES = {
@@ -3956,4 +3987,5 @@ ORACLES = {
     "events_sliding": _EVENTS_SLIDING_SQL,
     "events_retention": _EVENTS_RETENTION_SQL,
     "doc_search_bm25": _doc_bm25_sql(),
+    "doc_source_cap": _DOC_SOURCE_CAP_SQL,
 }

@@ -289,6 +289,38 @@ def boilerplate_stats(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """RefinedWeb-style per-source document cap: keep at most ``cap``
+    documents per source, chosen by a deterministic content-hash order
+    (md5 over a salted id — the ``doc_sample_mix`` device), so the kept
+    set is reproducible under any partitioning or retry and never
+    correlates with ingest order.
+
+    Plan shape (100 TB): the rank predicate is applied WITH the window,
+    so Spark's WindowGroupLimit pushes a partial per-source top-``cap``
+    BELOW the shuffle (plan-asserted) — each map task forwards at most
+    ``cap`` rows per source it sees, and the single key shuffle carries
+    O(sources × cap × tasks) rows, not the corpus.  A pathological
+    single-source corpus degrades to cap×tasks rows on one reducer,
+    which is still bounded by the cap, not the data."""
+    from pyspark.sql.window import Window
+
+    order = F.md5(
+        F.concat(F.lit("cap:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.select(id_col, group_col)
+        .withColumn("src_rank", F.row_number().over(w))
+        .where(F.col("src_rank") <= cap)
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     id_col: str = "doc_id",

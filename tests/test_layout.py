@@ -387,6 +387,8 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         # checkpointed tf read by df rollup + scoring join; stats is a
         # map-only 1-row agg; probes are a LocalRelation
         "doc_search_bm25": 9,
+        # one window shuffle (WindowGroupLimit-bounded) + final sort
+        "doc_source_cap": 2,
     }
     over = {}
     for name, bound in bounds.items():

@@ -58,6 +58,33 @@ def test_bm25_exclude_self_and_k_bound(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
 
 
+def test_source_cap_determinism_and_plan(spark, sf_dir):
+    """source_cap keeps at most `cap` docs per source, identically
+    across repartitionings, and the rank filter compiles to a partial
+    WindowGroupLimit below the shuffle (each map task ships at most
+    cap rows per source)."""
+    from nomenklatura_spark.textops.analysis import source_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = source_cap(docs, cap=3)
+    rows = {(r["doc_id"], r["source"], r["src_rank"]) for r in out.collect()}
+    per_src = {}
+    for _, s, rk in rows:
+        per_src.setdefault(s, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per_src.values())
+    rows2 = {
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in source_cap(docs.repartition(7), cap=3).collect()
+    }
+    assert rows == rows2
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_bm25_indexed_matches_in_memory(spark, sf_dir, tmp_path):
     """The at-rest serving layout returns exactly the in-memory rows,
     and its postings/df scans carry the probed buckets as partition
