@@ -3394,7 +3394,8 @@ def _doc_bm25_sql(n_queries: int = 8, k: int = 5, k1: float = 1.2, b: float = 0.
     tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS word FROM ws),
     tf AS (SELECT doc_id, dl, word, count(*) AS n
            FROM tok GROUP BY doc_id, dl, word),
-    stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM ws),
+    stats AS (SELECT count(*) AS n_docs,
+                     sum(len(w)) * 1.0 / count(*) AS avgdl FROM ws),
     probes AS (SELECT doc_id AS query_id FROM documents
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {n_queries}),
     qt AS (SELECT DISTINCT p.query_id, t.word

@@ -122,9 +122,18 @@ def bm25_topk(
         F.split(normalize_for_shingles(F.col(text_col)), " "),
         lambda w: w != "",
     )
-    stats = corpus.select(F.size(ws).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+    # sum/count, not avg(): the integer sum is exact, so the division
+    # gives the bit-identical double in the batch path, the DuckDB
+    # oracle, AND the incremental index (which maintains sum_dl/n_docs
+    # as additive counters) — avg()'s running mean would drift at 1e-16
+    # between the three
+    stats = (
+        corpus.select(F.size(ws).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
     )
     # document frequency for the query terms: branches off tf through
     # the shared checkpoint — no second corpus pass
@@ -237,7 +246,8 @@ def write_bm25_index(
     )
     (
         corpus.select(F.size(ws).alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
         .withColumn("n_buckets", F.lit(n_buckets))
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
