@@ -87,8 +87,47 @@ class VersionedState:
             return self.spark.createDataFrame([], schema)
         # deliberately NOT lenient for v >= 0: VERSION pointing at a
         # missing snapshot is state corruption (partial deletion, wrong
-        # state_dir) and must fail loudly, not read as an empty index
+        # state_dir) and must fail loudly, not read as an empty index.
+        # (A version below the vacuum horizon also lands here — time
+        # travel past vacuum(keep_last) is gone by design, like Delta.)
         return self.spark.read.parquet(self._path(rel, v))
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete snapshot directories older than the newest
+        ``keep_last`` versions — the Delta VACUUM analog for the
+        maintained indexes, whose every ``apply_batch`` lays down a new
+        ``v{N}`` set and never removes the old one (time travel).
+        Without vacuuming, state storage grows with versions × relation
+        size; a deployment runs this on a retention schedule.
+
+        Only ``v{N}`` directories under the state's relation
+        subdirectories are touched — non-versioned layouts (the BM25
+        index's batch-partitioned postings root) hold live data for
+        EVERY version and are left alone.  The current version is
+        always kept (``keep_last`` is clamped to >= 1); reading a
+        vacuumed version afterwards fails loudly (the horizon moved).
+        Returns the removed directory paths."""
+        import shutil
+
+        v = self.version()
+        if v < 0:
+            return []
+        cutoff = v - max(keep_last, 1) + 1
+        removed: list[str] = []
+        for rel in sorted(os.listdir(self.state_dir)):
+            reldir = os.path.join(self.state_dir, rel)
+            if not os.path.isdir(reldir):
+                continue
+            for d in sorted(os.listdir(reldir)):
+                if (
+                    d.startswith("v")
+                    and d[1:].isdigit()
+                    and int(d[1:]) < cutoff
+                ):
+                    target = os.path.join(reldir, d)
+                    shutil.rmtree(target)
+                    removed.append(target)
+        return removed
 
 
 def start_maintenance_stream(

@@ -118,3 +118,28 @@ def test_maintain_bm25_stream(spark, tmp_path):
         k=4,
     )
     assert _sorted(state.topk(q, query_id_col="doc_id", k=4)) == _sorted(scratch)
+
+
+def test_vacuum_trims_old_versions_keeps_live_postings(spark, tmp_path):
+    """VersionedState.vacuum removes snapshot versions below the
+    retention horizon, keeps the serving version intact, and never
+    touches the BM25 postings root (batch partitions are live state
+    for every version, not snapshots)."""
+    import pytest
+
+    state = Bm25IndexState(spark, str(tmp_path / "state"), n_buckets=8)
+    for batch in (BATCH1, BATCH2, BATCH3):
+        state.apply_batch(spark.createDataFrame(batch, DOC_SCHEMA))
+    assert state.version() == 2
+    q = spark.createDataFrame(QUERIES, DOC_SCHEMA)
+    before = _sorted(state.topk(q, query_id_col="doc_id", k=4))
+
+    removed = state.vacuum(keep_last=1)
+    assert removed and all("counters" in p for p in removed)
+    # serving is untouched; postings for ALL batches still readable
+    assert _sorted(state.topk(q, query_id_col="doc_id", k=4)) == before
+    assert state.postings().count() == state.postings(version=2).count()
+    # time travel below the horizon fails loudly, current version reads
+    assert state.counters().first()["n_docs"] == 8
+    with pytest.raises(Exception):
+        state.counters(version=0).collect()
