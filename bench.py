@@ -189,11 +189,20 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _noop_wall(df) -> float:
+def _noop_wall(df, passes: int = 2) -> float:
+    # Warm once, then best-of-N timed passes: a single timed pass
+    # regularly absorbs a transient contention spike from the round
+    # driver's co-located jobs (the r5 scaling section recorded
+    # doc_dup_passages at 18.4x on unchanged code; r3/r4 measured
+    # 6.5-7x on an idle machine) — same rationale as the headline
+    # best-of-3 above.
     df.write.format("noop").mode("overwrite").save()  # warm
-    start = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - start
+    best = float("inf")
+    for _ in range(passes):
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    return best
 
 
 def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
@@ -331,12 +340,14 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     section: dict[str, dict] = {"n_repl": n_repl}
     for name, fn in ops.items():
         base, big = inputs[name]
+        load = _load1()
         w1 = _noop_wall(fn(base))
         wn = _noop_wall(fn(big))
         section[name] = {
             "x1": round(w1, 3),
             f"x{n_repl}": round(wn, 3),
             "ratio": round(wn / max(w1, 1e-9), 2),
+            "load": load,
         }
         print(
             f"# scaling {name}: x1 {w1:.2f}s -> x{n_repl} {wn:.2f}s "

@@ -1063,6 +1063,76 @@ _DECONTAM_SQL = f"""
 """
 
 
+def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side Bloom decontamination — the 100 TB scale path for
+    `doc_decontaminate`.  Bench set = doc_id % 50 == 0 (standing in for
+    an eval suite), corpus = the rest; the bench's word 5-grams are
+    packed into a 2^17-bit / 3-hash Bloom filter broadcast as one
+    array<bigint> row, and every corpus document's verdict is a single
+    projection over the documents scan — no corpus-side join or
+    shuffle.  The DuckDB oracle replays the bit positions relationally,
+    so the filter's (deterministic) collision behavior is value-checked,
+    and tests/test_bloom.py pins the no-false-negative guarantee against
+    the exact broadcast-join operator."""
+    from nomenklatura_spark.dedup.bloom import bench_bloom, bloom_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bloom = bench_bloom(bench, "doc_id", "text", k=5, mode="word")
+    out = bloom_contamination(corpus, bloom, "doc_id", "text", k=5, mode="word")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_hits",
+        "hit_frac",
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+_DECONTAM_BLOOM_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 4, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM ws
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 2)) AS seed),
+    bpos AS (
+        SELECT DISTINCT
+            CAST(('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15)) AS BIGINT)
+                % 131072 AS pos
+        FROM grams, seeds WHERE doc_id % 50 = 0
+    ),
+    probe AS (
+        SELECT g.doc_id, g.sh,
+            CAST(('0x' || substr(md5(s.seed::VARCHAR || ':' || g.sh), 1, 15)) AS BIGINT)
+                % 131072 AS pos
+        FROM grams g, seeds s WHERE g.doc_id % 50 != 0
+    ),
+    shhit AS (
+        SELECT doc_id, sh, bool_and(b.pos IS NOT NULL) AS hit
+        FROM probe p LEFT JOIN bpos b USING (pos)
+        GROUP BY doc_id, sh
+    ),
+    per AS (
+        SELECT doc_id, count(*) AS n_shingles,
+               count(*) FILTER (WHERE hit) AS n_hits
+        FROM shhit GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+        CAST(COALESCE(p.n_shingles, 0) AS INT) AS n_shingles,
+        CAST(COALESCE(p.n_hits, 0) AS INT) AS n_hits,
+        CASE WHEN COALESCE(p.n_shingles, 0) > 0
+             THEN round(p.n_hits * 1.0 / p.n_shingles, 6) ELSE 0.0 END AS hit_frac,
+        COALESCE(p.n_hits, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — connected components over the near-dup pair graph."""
     pairs = _spark_ngram_pairs(spark, sf_dir)
@@ -3920,6 +3990,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "doc_search_bm25": q_doc_search_bm25,
     "doc_source_cap": q_doc_source_cap,
+    "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
 }
 
 ORACLES = {
@@ -3989,4 +4060,5 @@ ORACLES = {
     "events_retention": _EVENTS_RETENTION_SQL,
     "doc_search_bm25": _doc_bm25_sql(),
     "doc_source_cap": _DOC_SOURCE_CAP_SQL,
+    "doc_decontaminate_bloom": _DECONTAM_BLOOM_SQL,
 }
