@@ -1,0 +1,122 @@
+"""Graph centrality (fixed-point PageRank) over DataFrame edge relations.
+
+Why this operator exists in a curation/ER engine: web-scale training-data
+pipelines weight documents by host/page centrality over the link graph
+(the CommonCrawl harmonic-centrality / PageRank prior), and the ER tier
+ranks xref work queues by how central an entity is in the relationship
+graph (the reference walks the same adjacency in
+``nomenklatura/store/base.py`` view traversal — J6).  Connected
+components (resolver/components.py) answers *membership*; PageRank
+answers *importance*.
+
+Design — exact fixed-point integer arithmetic, not floats:
+
+- Ranks are BIGINT micro-units on a ``scale`` grid (default 1e9), the
+  same exact-integer device as the blocker pair-cost Decimal and the
+  DSIR weight grid: floating-point addition is not associative, so a
+  float PageRank's low bits depend on partitioning and engine; the
+  integer form is bit-identical across partitionings AND across engines,
+  which is what lets a DuckDB oracle replay the whole iteration as
+  unrolled CTEs.
+- One iteration = contribution join + partial-agg sum: each node sends
+  ``rank_q DIV out_degree`` along its out-edges (truncating integer
+  division), inflows are summed per destination (map-side combine), and
+  ``rank' = (1-d)·scale + d · (inflow + dangling_share)`` with the
+  damping ``d`` applied as an exact rational (17/20 for 0.85).
+- Dangling mass (nodes without out-edges) is redistributed uniformly:
+  ``dangling_share = sum(dangling rank) DIV N`` — computed as a one-row
+  aggregate crossJoined back (broadcast of a scalar, not a shuffle).
+- The teleport term uses the *initial* per-node mass (``scale``), so it
+  is a compile-time constant; total mass drifts by at most one unit per
+  node per iteration from the floor divisions — the standard fixed-point
+  formulation, replayed identically by the oracle.
+
+100 TB shape: the edge relation is hash-partitioned on ``src`` once and
+localCheckpointed; every iteration's contribution join reuses that
+layout against the rank frame (which leaves each iteration partitioned
+on the node id from its groupBy), so steady state is ONE partial-agg
+shuffle per iteration plus a scalar broadcast.  Lineage is truncated per
+iteration, exactly like resolver/components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 1_000_000_000
+DAMP_NUM = 17
+DAMP_DEN = 20
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    scale: int = PR_SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge relation.
+
+    Returns ``(node, rank_q, rank)``: the exact integer rank in
+    ``1/scale`` units after ``n_iter`` iterations, and its double form
+    (``rank_q / scale``).  Multi-edges are collapsed (out-degree counts
+    distinct destinations).  Deterministic under any partitioning.
+    """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    # Partition the contribution relation by the join key once; every
+    # iteration reuses the layout.
+    e = e.join(deg, "src").repartition(par, "src")
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    base = (scale * (damp_den - damp_num)) // damp_den
+
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_q"))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.expr("rank_q DIV odeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("ds"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inflow, 0L) + (ds DIV {n_nodes})))"
+                        f" DIV {damp_den}"
+                    )
+                ).alias("rank_q"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        "rank_q",
+        F.round(F.col("rank_q") / F.lit(float(scale)), 6).alias("rank"),
+    )

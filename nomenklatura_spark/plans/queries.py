@@ -1157,6 +1157,72 @@ _DEDUP_COMPONENTS_SQL = f"""
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the customer↔supplier trade
+    graph (distinct (customer, supplier) pairs from orders ⋈ lineitem,
+    symmetrized) — the centrality prior a curation pipeline puts on a
+    web/host graph, and the xref-queue importance ranking for the ER
+    entity graph.  Exact BIGINT micro-unit arithmetic (operators/
+    graph.py) lets DuckDB replay all 5 iterations as unrolled CTEs
+    bit-identically."""
+    from nomenklatura_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    trade = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    edges = trade.union(
+        trade.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, n_iter=5).orderBy("node")
+
+
+def _pagerank_sql(n_iter: int = 5, scale: int = 1_000_000_000) -> str:
+    base = scale * 3 // 20
+    ctes = [
+        f"""trade AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM trade UNION SELECT dst, src FROM trade),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rq FROM nodes)"""
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{t} AS (
+        SELECT e.dst AS node, sum(r.rq // d.odeg) AS inflow
+        FROM r{t - 1} r JOIN edges e ON e.src = r.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    dg{t} AS (
+        SELECT COALESCE(sum(r.rq), 0) AS ds
+        FROM r{t - 1} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
+    ),
+    r{t} AS (
+        SELECT nd.node,
+               CAST({base} + (17 * (COALESCE(c.inflow, 0)
+                   + (SELECT ds FROM dg{t}) // (SELECT n FROM nn))) // 20
+                   AS BIGINT) AS rq
+        FROM nodes nd LEFT JOIN c{t} c USING (node)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, rq AS rank_q, round(rq / {scale}.0, 6) AS rank
+    FROM r{n_iter} ORDER BY node"""
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-min gap) — Spark's session_window vs
     the classic gaps-and-islands SQL as oracle."""
@@ -3991,6 +4057,7 @@ QUERIES = {
     "doc_search_bm25": q_doc_search_bm25,
     "doc_source_cap": q_doc_source_cap,
     "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLES = {
@@ -4061,4 +4128,5 @@ ORACLES = {
     "doc_search_bm25": _doc_bm25_sql(),
     "doc_source_cap": _DOC_SOURCE_CAP_SQL,
     "doc_decontaminate_bloom": _DECONTAM_BLOOM_SQL,
+    "graph_pagerank": _pagerank_sql(),
 }

@@ -1,0 +1,78 @@
+"""Fixed-point PageRank (operators/graph.py): exact parity with a pure
+Python fixed-point reference on a crafted graph with dangling nodes,
+partition invariance, and the ranking sanity property."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from nomenklatura_spark.operators.graph import PR_SCALE, pagerank
+
+
+def _reference_pagerank(edges, n_iter=5, scale=PR_SCALE):
+    """Driver-side replay of the exact integer recurrence."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {}
+    for a, b in set(edges):
+        out.setdefault(a, []).append(b)
+    n = len(nodes)
+    base = scale * 3 // 20
+    rank = {v: scale for v in nodes}
+    for _ in range(n_iter):
+        inflow = {v: 0 for v in nodes}
+        for a, dsts in out.items():
+            c = rank[a] // len(dsts)
+            for b in dsts:
+                inflow[b] += c
+        ds = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: base + (17 * (inflow[v] + ds // n)) // 20 for v in nodes
+        }
+    return rank
+
+
+# Diamond with a dangling sink E and a chain: exercises dangling
+# redistribution, multi-in-degree, and zero-in-degree nodes.
+EDGES = [
+    ("A", "B"),
+    ("A", "C"),
+    ("B", "D"),
+    ("C", "D"),
+    ("D", "E"),  # E is dangling (no out-edges)
+    ("F", "D"),  # F has no in-edges
+    ("A", "B"),  # duplicate edge must collapse
+]
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in EDGES])
+    got = {r["node"]: r["rank_q"] for r in pagerank(df).collect()}
+    want = _reference_pagerank(EDGES)
+    assert got == want
+    # high in-degree hub outranks leaves; teleport floor for sources
+    assert got["D"] > got["B"] > got["F"]
+
+
+def test_pagerank_partition_invariant(spark):
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in EDGES])
+    one = {r["node"]: r["rank_q"] for r in pagerank(df.coalesce(1)).collect()}
+    many = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(df.repartition(16, "dst")).collect()
+    }
+    assert one == many
+
+
+def test_pagerank_conserves_mass_without_dangling(spark):
+    """On a symmetric graph every node has out-edges; total mass can only
+    shrink by the per-node floor truncations (< n_nodes units per
+    iteration per division), never grow."""
+    sym = EDGES + [(b, a) for a, b in EDGES]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in sym])
+    rows = pagerank(df, n_iter=5).collect()
+    total = sum(r["rank_q"] for r in rows)
+    n = len(rows)
+    assert total <= n * PR_SCALE
+    assert total >= n * PR_SCALE - 5 * (2 * n + 2)
+    for r in rows:
+        assert abs(r["rank"] - r["rank_q"] / PR_SCALE) < 1e-6
