@@ -3500,6 +3500,35 @@ _DOC_SOURCE_CAP_SQL = """
 """
 
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic train/val/test split
+    (``textops.analysis.stratified_split``): exact 90/5/5 per language
+    by salted-md5 rank with integer cut boundaries — reproducible under
+    any partitioning, exact per-stratum counts."""
+    from nomenklatura_spark.textops.analysis import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_split(docs, "lang", "doc_id").orderBy("doc_id")
+
+
+_DOC_SPLIT_SQL = """
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS rk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rk < (n * 90) // 100 THEN 'train'
+                WHEN rk < (n * 95) // 100 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r ORDER BY doc_id
+"""
+
+
 def q_doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 more-like-this retrieval (``textops/retrieval.py``): the 8
     md5-first documents as queries, top-5 corpus matches each by Okapi
@@ -4058,6 +4087,7 @@ QUERIES = {
     "doc_source_cap": q_doc_source_cap,
     "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
     "graph_pagerank": q_graph_pagerank,
+    "doc_split": q_doc_split,
 }
 
 ORACLES = {
@@ -4129,4 +4159,5 @@ ORACLES = {
     "doc_source_cap": _DOC_SOURCE_CAP_SQL,
     "doc_decontaminate_bloom": _DECONTAM_BLOOM_SQL,
     "graph_pagerank": _pagerank_sql(),
+    "doc_split": _DOC_SPLIT_SQL,
 }

@@ -321,6 +321,58 @@ def source_cap(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment with EXACT
+    per-stratum proportions — the split a training pipeline materializes
+    once and must be able to reproduce forever.
+
+    Docs are ordered within each stratum by a salted content hash (the
+    ``doc_sample_mix``/``source_cap`` md5 device — reproducible under any
+    partitioning, uncorrelated with ingest order) and cut at integer
+    rank boundaries ``(n·train_pct)//100`` / ``(n·(train_pct+val_pct))//100``,
+    so counts are exact, not expected values (a plain hash-mod split
+    drifts by O(√n) per stratum and can starve small strata).
+
+    Plan shape: one key shuffle on the stratum + two window functions
+    over it (rank + stratum size) — no joins, no second pass.  Skewed
+    strata (one dominant language) are real at 100 TB: the rank must see
+    the whole stratum, so this op intentionally trades one full-stratum
+    sort for exactness; use a hash-mod split when approximate
+    proportions suffice.
+    """
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    ws = Window.partitionBy(strata_col)
+    ranked = df.select(
+        id_col,
+        strata_col,
+        (F.row_number().over(w) - 1).cast("long").alias("_r"),
+        F.count(F.lit(1)).over(ws).alias("_n"),
+    )
+    # integer boundaries (DIV, not float division): exact at any stratum size
+    return ranked.select(
+        id_col,
+        strata_col,
+        F.when(
+            F.col("_r") < F.expr(f"(_n * {train_pct}) DIV 100"), F.lit("train")
+        )
+        .when(
+            F.col("_r") < F.expr(f"(_n * {train_pct + val_pct}) DIV 100"),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     id_col: str = "doc_id",
