@@ -53,6 +53,68 @@ def _bloom_position(shingle: Column, seed: Column, n_bits: int) -> Column:
     return F.pmod(_hash64(shingle, seed), F.lit(n_bits)).cast("long")
 
 
+def sparse_bloom_words(
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    mode: str = "word",
+    n_bits: int = N_BITS,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Sparse packed form ``(w int, v long)`` of the benchmark's Bloom
+    filter: only the non-zero 64-bit words.  This is the MERGEABLE form —
+    Bloom union is bitwise OR, so two sparse word sets combine with one
+    ``groupBy(w).agg(bit_or(v))``, which is what the incrementally
+    maintained index (streaming/bloom_index.py) stores."""
+    spark = bench.sparkSession
+    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    sh = (
+        shingle_arrays(bench, id_col, text_col, k, mode)
+        .select(F.explode_outer("shingles").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    pos = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            _bloom_position(F.col("shingle"), F.col("seed"), n_bits).alias("pos")
+        )
+        .distinct()
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("v"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("v").alias("v"))
+    )
+
+
+def densify_bloom(words: DataFrame, n_bits: int = N_BITS) -> DataFrame:
+    """Pack sparse ``(w, v)`` words into the one-row dense
+    ``(bloom array<bigint>)`` form the map-side membership test reads."""
+    n_words = n_bits // 64
+    return (
+        words.groupBy()
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("v")
+            ).alias("_m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("bloom")
+        )
+    )
+
+
 def bench_bloom(
     bench: DataFrame,
     id_col: str,
@@ -70,46 +132,9 @@ def bench_bloom(
     side only, then a dense ``n_bits/64``-long array assembled in one
     final aggregation.  The result is broadcast-sized by construction.
     """
-    spark = bench.sparkSession
-    n_words = n_bits // 64
-    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    sh = (
-        shingle_arrays(bench, id_col, text_col, k, mode)
-        .select(F.explode_outer("shingles").alias("shingle"))
-        .where(F.col("shingle").isNotNull())
-        .distinct()
-    )
-    pos = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            _bloom_position(F.col("shingle"), F.col("seed"), n_bits).alias("pos")
-        )
-        .distinct()
-    )
-    words = (
-        pos.select(
-            F.floor(F.col("pos") / 64).cast("int").alias("w"),
-            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("v"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("v").alias("v"))
-    )
-    return (
-        words.groupBy()
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("w"), F.collect_list("v")
-            ).alias("_m")
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("_m"), i.cast("int")),
-                    F.lit(0).cast("long"),
-                ),
-            ).alias("bloom")
-        )
+    return densify_bloom(
+        sparse_bloom_words(bench, id_col, text_col, k, mode, n_bits, n_hashes),
+        n_bits,
     )
 
 
