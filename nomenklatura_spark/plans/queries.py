@@ -3529,6 +3529,50 @@ _DOC_SPLIT_SQL = """
 """
 
 
+def q_doc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (``textops.analysis.unigram_drift``): the 25
+    words whose smoothed unigram probability moved most between the two
+    snapshot halves (doc_id parity stands in for crawl N vs N+1), with
+    each word's KL(new‖old) contribution.  Rank key is the 9dp-rounded
+    delta (round-before-rank float discipline), ties by word."""
+    from nomenklatura_spark.textops.analysis import unigram_drift
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drift = unigram_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+    return drift.orderBy(
+        F.abs(F.col("delta")).desc(), F.col("word")
+    ).limit(25)
+
+
+_DOC_DRIFT_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tok AS (SELECT doc_id % 2 AS side, unnest(w) AS word FROM ws),
+    co AS (
+        SELECT word,
+               count(*) FILTER (WHERE side = 0) AS c_old,
+               count(*) FILTER (WHERE side = 1) AS c_new
+        FROM tok GROUP BY word
+    ),
+    tot AS (SELECT sum(c_old) AS t_old, sum(c_new) AS t_new, count(*) AS v FROM co),
+    p AS (
+        SELECT word, c_old, c_new,
+               (c_old + 1) * 1.0 / (t_old + v) AS po,
+               (c_new + 1) * 1.0 / (t_new + v) AS pn
+        FROM co, tot
+    )
+    SELECT word, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
+           round(po, 9) AS p_old, round(pn, 9) AS p_new,
+           round(pn - po, 9) AS delta,
+           round(pn * ln(pn / po), 9) AS kl_term
+    FROM p
+    ORDER BY abs(round(pn - po, 9)) DESC, word
+    LIMIT 25
+"""
+
+
 def q_doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 more-like-this retrieval (``textops/retrieval.py``): the 8
     md5-first documents as queries, top-5 corpus matches each by Okapi
@@ -4088,6 +4132,7 @@ QUERIES = {
     "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
     "graph_pagerank": q_graph_pagerank,
     "doc_split": q_doc_split,
+    "doc_drift": q_doc_drift,
 }
 
 ORACLES = {
@@ -4160,4 +4205,5 @@ ORACLES = {
     "doc_decontaminate_bloom": _DECONTAM_BLOOM_SQL,
     "graph_pagerank": _pagerank_sql(),
     "doc_split": _DOC_SPLIT_SQL,
+    "doc_drift": _DOC_DRIFT_SQL,
 }

@@ -419,6 +419,72 @@ def unigram_logprob_scores(
     )
 
 
+def unigram_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    decimals: int = 9,
+) -> DataFrame:
+    """Corpus drift monitor: per-word probability shift between two
+    corpus snapshots (crawl N vs crawl N+1, pre- vs post-filter) under
+    Laplace-smoothed unigram models on the union vocabulary.
+
+    Returns ``(word, c_old, c_new, p_old, p_new, delta, kl_term)`` where
+    ``delta = p_new − p_old`` and ``kl_term = p_new·ln(p_new/p_old)`` is
+    the word's contribution to KL(new ‖ old) — the standard distribution
+    -shift alarm a training pipeline runs between snapshots, with the
+    per-word table telling you *what* drifted, not just how much.
+
+    Plan shape (100 TB): each snapshot contributes one partial-agg token
+    shuffle; everything downstream (full-outer vocabulary join, totals)
+    is vocabulary-sized (Heaps' law), with the 1-row totals broadcast
+    back.  Smoothing (+1 on the union vocabulary) keeps every log/ratio
+    finite, so no word needs special-casing in either engine.
+    """
+    from nomenklatura_spark.dedup.ngram import (
+        normalize_for_shingles,
+        widen_small_scan,
+    )
+
+    def _counts(df: DataFrame, alias: str) -> DataFrame:
+        ws = F.filter(
+            F.split(normalize_for_shingles(F.col(text_col)), " "),
+            lambda w: w != "",
+        )
+        return (
+            widen_small_scan(df)
+            .select(F.explode(ws).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    co = (
+        _counts(old, "c_old")
+        .join(_counts(new, "c_new"), "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    totals = co.agg(
+        F.sum("c_old").alias("_t_old"),
+        F.sum("c_new").alias("_t_new"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    p_old = (F.col("c_old") + 1) / (F.col("_t_old") + F.col("_v"))
+    p_new = (F.col("c_new") + 1) / (F.col("_t_new") + F.col("_v"))
+    return co.crossJoin(F.broadcast(totals)).select(
+        "word",
+        "c_old",
+        "c_new",
+        F.round(p_old, decimals).alias("p_old"),
+        F.round(p_new, decimals).alias("p_new"),
+        F.round(p_new - p_old, decimals).alias("delta"),
+        F.round(p_new * F.log(p_new / p_old), decimals).alias("kl_term"),
+    )
+
+
 def corpus_vocab(
     df: DataFrame,
     text_col: str = "text",
