@@ -14,6 +14,8 @@ the reference tool can drive the same workflows:
 - ``make-sortable``      entity file → id-sorted JSON lines (P5 input form)
 - ``bench``              one matching-throughput measurement (contrib perf)
 - ``curate``             corpus curation verdicts / filtered corpus (LLM tier)
+- ``split``              stratified train/val/test assignment, split-partitioned
+- ``drift``              unigram distribution drift between two corpora
 
 The interactive ``dedupe`` TUI and network ``enrich``/``match`` verbs are
 out of scope per SURVEY §2 (TUI) and the sandbox (HTTP transports are
@@ -283,6 +285,69 @@ def curate_cmd(path: str, outpath: str, bench_path: str | None,
     finally:
         verdicts.unpersist()
     click.echo(json.dumps(audit))
+
+
+@cli.command(
+    "split",
+    help="Assign stratified train/val/test splits to a document corpus",
+)
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output parquet directory, partitioned by split")
+@click.option("--strata", default="lang", help="Stratification column")
+@click.option("--train-pct", type=int, default=90)
+@click.option("--val-pct", type=int, default=5)
+def split_cmd(path: str, outpath: str, strata: str, train_pct: int,
+              val_pct: int) -> None:
+    from nomenklatura_spark.textops.analysis import stratified_split
+
+    spark = _spark()
+    docs = spark.read.parquet(path)
+    assigned = docs.join(
+        stratified_split(docs, strata, "doc_id", train_pct, val_pct),
+        ["doc_id", strata],
+    )
+    # split-partitioned layout: downstream loaders read one directory
+    # per split with partition pruning, never re-deriving the cut
+    assigned.write.mode("overwrite").partitionBy("split").parquet(outpath)
+    counts = {
+        r["split"]: r["n"]
+        for r in assigned.groupBy("split").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    click.echo(json.dumps({"splits": counts}))
+
+
+@cli.command(
+    "drift",
+    help="Unigram distribution drift between two document corpora",
+)
+@click.argument("old_path", type=click.Path(exists=True))
+@click.argument("new_path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), default=None,
+              help="Optional parquet output for the full per-word table")
+@click.option("--top", type=int, default=20, help="Top movers to print")
+def drift_cmd(old_path: str, new_path: str, outpath: str | None,
+              top: int) -> None:
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.textops.analysis import unigram_drift
+
+    spark = _spark()
+    drift = unigram_drift(
+        spark.read.parquet(old_path), spark.read.parquet(new_path)
+    )
+    if outpath is not None:
+        drift.write.mode("overwrite").parquet(outpath)
+        drift = spark.read.parquet(outpath)  # reuse the written table
+    kl = drift.agg(F.round(F.sum("kl_term"), 9).alias("kl")).first()["kl"]
+    movers = [
+        r.asDict()
+        for r in drift.orderBy(F.abs(F.col("delta")).desc(), "word")
+        .limit(top)
+        .collect()
+    ]
+    click.echo(json.dumps({"kl_new_vs_old": kl, "top_movers": movers}))
 
 
 def main() -> None:

@@ -148,3 +148,42 @@ def test_cli_prune(runner, tmp_path, spark):
     # the dump keeps live edges only — the pruned suggestion is gone
     live = read_resolver_dump(spark, str(out)).collect()
     assert [r["judgement"] for r in live] == ["positive"]
+
+
+def test_cli_split(runner, tmp_path, spark):
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, "en" if i < 40 else "de", f"text {i}") for i in range(60)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "splits"
+    res = runner.invoke(cli, ["split", str(src), "-o", str(out)])
+    assert res.exit_code == 0, res.output
+    counts = json.loads(res.output.strip().splitlines()[-1])["splits"]
+    assert sum(counts.values()) == 60 and counts["train"] == 36 + 18
+    back = spark.read.parquet(str(out))
+    # split-partitioned layout prunes: one split reads one directory
+    assert back.where("split = 'val'").count() == counts.get("val", 0)
+
+
+def test_cli_drift(runner, tmp_path, spark):
+    old = tmp_path / "old"
+    new = tmp_path / "new"
+    spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "cherry banana")],
+        "doc_id long, text string",
+    ).write.parquet(str(old))
+    spark.createDataFrame(
+        [(3, "durian durian apple"), (4, "cherry durian")],
+        "doc_id long, text string",
+    ).write.parquet(str(new))
+    out = tmp_path / "drift"
+    res = runner.invoke(
+        cli, ["drift", str(old), str(new), "-o", str(out), "--top", "3"]
+    )
+    assert res.exit_code == 0, res.output
+    rep = json.loads(res.output.strip().splitlines()[-1])
+    assert rep["kl_new_vs_old"] > 0  # vocabulary genuinely shifted
+    words = {m["word"] for m in rep["top_movers"]}
+    assert "durian" in words and len(rep["top_movers"]) == 3
+    assert spark.read.parquet(str(out)).count() >= 4
