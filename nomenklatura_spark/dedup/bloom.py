@@ -174,16 +174,24 @@ def bloom_contamination(
             lambda j: _bit_set(j.cast("int")),
         )
 
-    n_sh = F.size(F.col("shingles"))
-    n_hits = F.size(F.filter(F.col("shingles"), _is_hit))
-    return probed.select(
+    # two-step projection: the k-hash membership filter is the expensive
+    # expression and feeds three output columns — bind it to a column
+    # first so it is evaluated once per row by construction instead of
+    # relying on codegen subexpression elimination
+    counted = probed.select(
         F.col("id"),
-        n_sh.cast("int").alias("n_shingles"),
-        n_hits.cast("int").alias("n_hits"),
+        F.size(F.col("shingles")).cast("int").alias("n_shingles"),
+        F.size(F.filter(F.col("shingles"), _is_hit)).cast("int").alias("n_hits"),
+    )
+    return counted.select(
+        "id",
+        "n_shingles",
+        "n_hits",
         F.when(
-            n_sh > 0, F.round(n_hits / n_sh, decimals)
+            F.col("n_shingles") > 0,
+            F.round(F.col("n_hits") / F.col("n_shingles"), decimals),
         )
         .otherwise(F.lit(0.0))
         .alias("hit_frac"),
-        (n_hits >= 1).alias("contaminated"),
+        (F.col("n_hits") >= 1).alias("contaminated"),
     )

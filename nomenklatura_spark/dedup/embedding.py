@@ -97,6 +97,51 @@ def embedding_dup_pairs(
     return left.mapInPandas(gen, out_schema)
 
 
+def embedding_containment_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Semantic decontamination: corpus vectors whose cosine similarity
+    to ANY benchmark vector clears ``threshold`` — the embedding-space
+    complement of the n-gram containment check (``dedup/ngram.py``),
+    catching paraphrased eval items verbatim n-grams miss.
+
+    Scale shape mirrors the n-gram decontaminator: the benchmark side is
+    orders of magnitude smaller, so its LSH signature relation (and its
+    unit vectors for verification) are **broadcast** — the corpus is
+    scanned once for signatures and once for verification vectors, never
+    shuffled, and the bucket join emits only same-bucket candidates.
+    Returns (doc_vec_id, bench_vec_id, cosine_sim) pairs at or above the
+    threshold, self-pairs excluded.
+    """
+    d_sig = signatures(
+        docs, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, band_bits=band_bits, dim=dim,
+    )
+    b_sig = signatures(
+        bench, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, band_bits=band_bits, dim=dim,
+    )
+    cands = (
+        d_sig.alias("a")
+        .join(F.broadcast(b_sig.alias("b")), ["band", "key"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("lid"), F.col("b.id").alias("rid"))
+        .distinct()
+    )
+    left = _prep(docs, id_col, vec_col, "l")
+    right = _prep(bench, id_col, vec_col, "r")
+    pairs = cands.join(left, "lid").join(F.broadcast(right), "rid")
+    return _verify(pairs, threshold, score_decimals, dim=dim)
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2673,6 +2673,70 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus vectors within cosine 0.25 of a
+    benchmark vector (bench set = vec_id % 997 == 0, the ANN probe
+    convention), candidates from the LSH bucket join with the bench side
+    broadcast — catches paraphrased eval items the n-gram check misses
+    (``dedup/embedding.py:embedding_containment_pairs``)."""
+    from nomenklatura_spark.dedup.embedding import embedding_containment_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 997 == 0)
+    corpus = emb.where(F.col("vec_id") % 997 != 0)
+    pairs = embedding_containment_pairs(
+        corpus, bench, threshold=0.25, n_planes=16, band_bits=4, dim=64
+    )
+    return pairs.select(
+        F.col("lid").alias("doc_vec_id"),
+        F.col("rid").alias("bench_vec_id"),
+        "cosine_sim",
+    ).orderBy("doc_vec_id", "bench_vec_id")
+
+
+def _decontam_semantic_sql(n_planes: int = 16, band_bits: int = 4) -> str:
+    """DuckDB replay of the directional LSH decontamination (same plane
+    constants and banding as _dedup_emb_lsh_sql, doc/bench split on
+    vec_id % 997)."""
+    from nomenklatura_spark.ann.lsh import _plane_coeffs
+
+    rows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join("1.0" if c > 0 else "-1.0" for c in cs)
+        )
+        for p, cs in _plane_coeffs(n_planes, 64)
+    )
+    return f"""
+        WITH planes(p, coeffs) AS (VALUES {rows}),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bits AS (
+            SELECT vec_id, p,
+                CASE WHEN list_dot_product(v, coeffs) >= 0
+                     THEN '1' ELSE '0' END AS b
+            FROM vecs, planes
+        ),
+        sigs AS (
+            SELECT vec_id, CAST(p // {band_bits} AS INT) AS band,
+                   string_agg(b, '' ORDER BY p) AS key
+            FROM bits GROUP BY vec_id, p // {band_bits}
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS lid, b.vec_id AS rid
+            FROM sigs a JOIN sigs b USING (band, key)
+            WHERE a.vec_id % 997 != 0 AND b.vec_id % 997 = 0
+        )
+        SELECT lid AS doc_vec_id, rid AS bench_vec_id,
+            round(list_cosine_similarity(lv.v, rv.v), 6) AS cosine_sim
+        FROM cands
+        JOIN vecs lv ON lv.vec_id = lid
+        JOIN vecs rv ON rv.vec_id = rid
+        WHERE round(list_cosine_similarity(lv.v, rv.v), 6) >= 0.25
+        ORDER BY doc_vec_id, bench_vec_id
+    """
+
+
 def _dedup_emb_lsh_sql(n_planes: int = 16, band_bits: int = 4) -> str:
     """DuckDB replay of the LSH-bucketed dedup (same plane constants as
     the Spark side — ann/lsh.py:_plane_coeffs; same banding)."""
@@ -4133,6 +4197,7 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "doc_split": q_doc_split,
     "doc_drift": q_doc_drift,
+    "doc_decontaminate_semantic": q_doc_decontaminate_semantic,
 }
 
 ORACLES = {
@@ -4206,4 +4271,5 @@ ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "doc_split": _DOC_SPLIT_SQL,
     "doc_drift": _DOC_DRIFT_SQL,
+    "doc_decontaminate_semantic": _decontam_semantic_sql(),
 }

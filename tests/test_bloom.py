@@ -91,3 +91,32 @@ def test_bloom_corpus_side_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_embedding_containment_planted(spark):
+    """Directional semantic decontamination (dedup/embedding.py):
+    a corpus vector nearly parallel to a bench vector is flagged with
+    cosine ~1; an orthogonal one is not."""
+    import math
+
+    from nomenklatura_spark.dedup.embedding import (
+        embedding_containment_pairs,
+    )
+
+    dim = 64
+    bench_vec = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    near = [v + (0.01 if i == 0 else 0.0) for i, v in enumerate(bench_vec)]
+    ortho = [1.0 if i < dim // 2 else -1.0 for i in range(dim)]
+    rows = [(100, near), (101, ortho)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(0, bench_vec)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["lid"], r["rid"]): r["cosine_sim"]
+        for r in embedding_containment_pairs(
+            docs, bench, threshold=0.9, dim=dim
+        ).collect()
+    }
+    assert (100, 0) in got and math.isclose(got[(100, 0)], 1.0, abs_tol=1e-4)
+    assert not any(lid == 101 for lid, _ in got)
