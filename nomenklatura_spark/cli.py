@@ -16,6 +16,7 @@ the reference tool can drive the same workflows:
 - ``curate``             corpus curation verdicts / filtered corpus (LLM tier)
 - ``split``              stratified train/val/test assignment, split-partitioned
 - ``drift``              unigram distribution drift between two corpora
+- ``decontaminate``      benchmark-overlap verdicts (exact join or Bloom)
 
 The interactive ``dedupe`` TUI and network ``enrich``/``match`` verbs are
 out of scope per SURVEY §2 (TUI) and the sandbox (HTTP transports are
@@ -285,6 +286,56 @@ def curate_cmd(path: str, outpath: str, bench_path: str | None,
     finally:
         verdicts.unpersist()
     click.echo(json.dumps(audit))
+
+
+@cli.command(
+    "decontaminate",
+    help="Flag corpus documents overlapping a benchmark corpus",
+)
+@click.argument("path", type=click.Path(exists=True))
+@click.argument("bench_path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output parquet directory for the verdict/pair table")
+@click.option("--method", type=click.Choice(["exact", "bloom"]),
+              default="bloom",
+              help="exact = broadcast n-gram containment join (pair "
+                   "table); bloom = map-side filter (per-doc verdicts)")
+@click.option("--k", type=int, default=5, help="Word n-gram width")
+@click.option("--threshold", type=float, default=0.5,
+              help="Containment threshold (exact method)")
+def decontaminate_cmd(path: str, bench_path: str, outpath: str,
+                      method: str, k: int, threshold: float) -> None:
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    docs = spark.read.parquet(path)
+    bench = spark.read.parquet(bench_path)
+    if method == "exact":
+        from nomenklatura_spark.dedup.ngram import ngram_containment_pairs
+
+        out = ngram_containment_pairs(
+            docs, bench, "doc_id", "text", k=k, threshold=threshold,
+            mode="word",
+        )
+        out.write.mode("overwrite").parquet(outpath)
+        n_flagged = (
+            spark.read.parquet(outpath).select("doc_id").distinct().count()
+        )
+    else:
+        from nomenklatura_spark.dedup.bloom import (
+            bench_bloom,
+            bloom_contamination,
+        )
+
+        bloom = bench_bloom(bench, "doc_id", "text", k=k)
+        out = bloom_contamination(docs, bloom, "doc_id", "text", k=k)
+        out.withColumnRenamed("id", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(outpath)
+        n_flagged = (
+            spark.read.parquet(outpath).where("contaminated").count()
+        )
+    click.echo(json.dumps({"method": method, "flagged_docs": n_flagged}))
 
 
 @cli.command(

@@ -187,3 +187,29 @@ def test_cli_drift(runner, tmp_path, spark):
     words = {m["word"] for m in rep["top_movers"]}
     assert "durian" in words and len(rep["top_movers"]) == 3
     assert spark.read.parquet(str(out)).count() >= 4
+
+
+def test_cli_decontaminate_bloom(runner, tmp_path, spark):
+    docs = tmp_path / "docs"
+    bench = tmp_path / "bench"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about gardens and tulips here"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(docs))
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    ).write.parquet(str(bench))
+    out = tmp_path / "verdicts"
+    res = runner.invoke(
+        cli, ["decontaminate", str(docs), str(bench), "-o", str(out)]
+    )
+    assert res.exit_code == 0, res.output
+    rep = json.loads(res.output.strip().splitlines()[-1])
+    assert rep == {"method": "bloom", "flagged_docs": 1}
+    v = {r["doc_id"]: r["contaminated"]
+         for r in spark.read.parquet(str(out)).collect()}
+    assert v[1] and not v[2]

@@ -76,3 +76,20 @@ def test_pagerank_conserves_mass_without_dangling(spark):
     assert total >= n * PR_SCALE - 5 * (2 * n + 2)
     for r in rows:
         assert abs(r["rank"] - r["rank_q"] / PR_SCALE) < 1e-6
+
+
+def test_pagerank_edge_shapes(spark):
+    """Self-loops, a star hub, and disconnected components all follow
+    the exact reference recurrence."""
+    from pyspark.sql import Row
+
+    edges = [
+        ("L", "L"),              # self-loop
+        ("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1"),
+        ("i1", "i2"), ("i2", "i1"),  # separate 2-cycle
+    ]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["node"]: r["rank_q"] for r in pagerank(df).collect()}
+    want = _reference_pagerank(edges)
+    assert got == want
+    assert got["hub"] == max(got.values())
