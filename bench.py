@@ -314,9 +314,22 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             tf, schemata, max_pairs=MAX_PAIRS, score_decimals=6
         )
 
+    from nomenklatura_spark.dedup.bloom import bench_bloom, bloom_contamination
+
+    def bloom_decontam_op(d):
+        # full build + probe: filter from the bench slice, map-side
+        # verdicts over the corpus slice (the r6 scale path — corpus
+        # side never shuffles, so the curve should track the scan)
+        bench = d.where(F.col("doc_id") % 50 == 0)
+        corpus = d.where(F.col("doc_id") % 50 != 0)
+        return bloom_contamination(
+            corpus, bench_bloom(bench, "doc_id", "text"), "doc_id", "text"
+        )
+
     ops = {
         "doc_embed": lambda d: hashed_embeddings(d),
         "doc_dup_passages": lambda d: duplicated_passages(d),
+        "doc_decontaminate_bloom": bloom_decontam_op,
         "dedup_semantic_hier": lambda e: semantic_dup_pairs_hier(
             e, threshold=0.35, codebooks=(cb1 if e is emb else cbn), dim=64
         ),
@@ -333,6 +346,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     inputs = {
         "doc_embed": (docs, docs_n),
         "doc_dup_passages": (docs, docs_n),
+        "doc_decontaminate_bloom": (docs, docs_n),
         "dedup_semantic_hier": (emb, emb_n),
         "ann_pq_topk": (emb, emb_n),
         "blocker_pairs": (stmts, stmts_n),

@@ -57,6 +57,7 @@ def pagerank(
     damp_num: int = DAMP_NUM,
     damp_den: int = DAMP_DEN,
     checkpoint: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge relation.
 
@@ -64,20 +65,37 @@ def pagerank(
     ``1/scale`` units after ``n_iter`` iterations, and its double form
     (``rank_q / scale``).  Multi-edges are collapsed (out-degree counts
     distinct destinations).  Deterministic under any partitioning.
+
+    With ``weight`` (a non-negative INTEGER edge column — quantize
+    upstream if you have float weights, the DSIR grid device), each node
+    splits its rank proportionally: the edge carries
+    ``(rank_q · w) DIV sum_w(src)`` — still exact integer arithmetic,
+    the weighted-graph form a host-level quality prior actually uses
+    (edge weight = link count between hosts).  Zero-total-weight sources
+    behave as dangling.  The unweighted form is the special case w ≡ 1.
     """
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
+    w_col = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
+        )
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))  # collapse multi-edges deterministically
+        .where(F.col("w") > 0)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("odeg"))
     # Partition the contribution relation by the join key once; every
     # iteration reuses the layout.
     e = e.join(deg, "src").repartition(par, "src")
@@ -91,7 +109,10 @@ def pagerank(
     for _ in range(n_iter):
         contrib = (
             ranks.join(e, ranks["node"] == e["src"])
-            .select(F.col("dst").alias("node"), F.expr("rank_q DIV odeg").alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_q * w) DIV odeg").alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )

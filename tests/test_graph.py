@@ -93,3 +93,28 @@ def test_pagerank_edge_shapes(spark):
     want = _reference_pagerank(edges)
     assert got == want
     assert got["hub"] == max(got.values())
+
+
+def test_pagerank_weighted_split(spark):
+    """Weighted form: a source splits rank proportionally to integer
+    edge weights ((rank·w) DIV sum_w).  Hand-computed one iteration:
+    A→B w=3, A→C w=1; B and C dangle."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(src="A", dst="B", w=3), Row(src="A", dst="C", w=1)]
+    )
+    got = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(df, n_iter=1, weight="w").collect()
+    }
+    s, base = PR_SCALE, (PR_SCALE * 3) // 20
+    share = (2 * s) // 3  # dangling mass from B and C over N=3
+    assert got["A"] == base + (17 * share) // 20
+    assert got["B"] == base + (17 * ((s * 3) // 4 + share)) // 20
+    assert got["C"] == base + (17 * (s // 4 + share)) // 20
+    # weight ignored => equal split: B and C tie
+    eq = {
+        r["node"]: r["rank_q"] for r in pagerank(df, n_iter=1).collect()
+    }
+    assert eq["B"] == eq["C"]
