@@ -17,6 +17,7 @@ the reference tool can drive the same workflows:
 - ``split``              stratified train/val/test assignment, split-partitioned
 - ``drift``              unigram distribution drift between two corpora
 - ``decontaminate``      benchmark-overlap verdicts (exact join or Bloom)
+- ``pagerank``           graph centrality over an edge parquet
 
 The interactive ``dedupe`` TUI and network ``enrich``/``match`` verbs are
 out of scope per SURVEY §2 (TUI) and the sandbox (HTTP transports are
@@ -286,6 +287,38 @@ def curate_cmd(path: str, outpath: str, bench_path: str | None,
     finally:
         verdicts.unpersist()
     click.echo(json.dumps(audit))
+
+
+@cli.command(
+    "pagerank",
+    help="Fixed-point PageRank over an edge parquet (src, dst[, weight])",
+)
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output parquet directory for (node, rank_q, rank)")
+@click.option("--iters", type=int, default=5)
+@click.option("--weight", default=None,
+              help="Optional integer edge-weight column")
+@click.option("--top", type=int, default=10, help="Top nodes to print")
+def pagerank_cmd(path: str, outpath: str, iters: int, weight: str | None,
+                 top: int) -> None:
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.operators.graph import pagerank
+
+    spark = _spark()
+    ranks = pagerank(
+        spark.read.parquet(path), n_iter=iters, weight=weight
+    )
+    ranks.write.mode("overwrite").parquet(outpath)
+    head = [
+        r.asDict()
+        for r in spark.read.parquet(outpath)
+        .orderBy(F.col("rank_q").desc(), "node")
+        .limit(top)
+        .collect()
+    ]
+    click.echo(json.dumps({"top": head}))
 
 
 @cli.command(

@@ -3637,6 +3637,55 @@ _DOC_DRIFT_SQL = f"""
 """
 
 
+def q_doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a 10k-token budget per language
+    (``textops.analysis.budget_select``): the data-selection assembly
+    step — fill each stratum's budget with its best-scoring docs via one
+    running-sum window; rank key is the rounded score (ties by id)."""
+    from nomenklatura_spark.textops.analysis import budget_select
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    out = budget_select(docs, budget_tokens=10_000)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("stratum").alias("lang"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "score",
+        "cum_tokens",
+    ).orderBy("lang", "cum_tokens")
+
+
+def _budget_select_sql() -> str:
+    stops = _sql_list(LANG_MARKERS["en"])
+    wsplit = (
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+        " x -> x != '')"
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, lang, {wsplit} AS ws FROM documents),
+        feat AS (
+            SELECT doc_id, lang, len(ws) AS n_tokens,
+                round(CASE WHEN len(ws) > 0
+                    THEN len(list_filter(ws, w -> w IN {stops})) * 1.0 / len(ws)
+                    ELSE 0.0 END, 6) AS score
+            FROM base
+        ),
+        run AS (
+            SELECT *, sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS cum_tokens
+            FROM feat
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, score,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM run WHERE cum_tokens <= 10000
+        ORDER BY lang, cum_tokens
+    """
+
+
 def q_doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 more-like-this retrieval (``textops/retrieval.py``): the 8
     md5-first documents as queries, top-5 corpus matches each by Okapi
@@ -4198,6 +4247,7 @@ QUERIES = {
     "doc_split": q_doc_split,
     "doc_drift": q_doc_drift,
     "doc_decontaminate_semantic": q_doc_decontaminate_semantic,
+    "doc_budget_select": q_doc_budget_select,
 }
 
 ORACLES = {
@@ -4272,4 +4322,5 @@ ORACLES = {
     "doc_split": _DOC_SPLIT_SQL,
     "doc_drift": _DOC_DRIFT_SQL,
     "doc_decontaminate_semantic": _decontam_semantic_sql(),
+    "doc_budget_select": _budget_select_sql(),
 }

@@ -419,6 +419,64 @@ def unigram_logprob_scores(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Quality-ranked selection under a per-stratum token budget — the
+    final assembly step of a data-selection pipeline: fill each
+    language's token budget with its highest-quality documents
+    (score = stopword density, the classic fluency proxy; swap in the
+    trained classifier's probability upstream for the production form).
+
+    Docs are ranked within each stratum by the ROUNDED score
+    (round-before-rank float discipline; ties by id), a running token
+    sum gates admission at ``budget_tokens``, and only admitted rows
+    return: ``(id, stratum, n_tokens, score, cum_tokens)``.
+
+    Plan shape: one stratum shuffle + one running-sum window — the
+    ``doc_pack`` budgeting device pointed at selection instead of shard
+    assignment.  The full-stratum sort is inherent to exact greedy
+    selection; at 100 TB pre-filter with a score floor so the sort sees
+    candidates, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).alias("stratum"),
+        words(F.col(text_col)).alias("_ws"),
+    )
+    feats = base.select(
+        "id",
+        "stratum",
+        F.size("_ws").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size("_ws") > 0,
+                F.size(
+                    F.filter(F.col("_ws"), lambda w: w.isin(*LANG_MARKERS["en"]))
+                )
+                / F.size("_ws"),
+            ).otherwise(F.lit(0.0)),
+            decimals,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("score").desc(), F.col("id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        feats.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
 def unigram_drift(
     old: DataFrame,
     new: DataFrame,

@@ -39,3 +39,26 @@ def test_split_deterministic_and_partition_invariant(spark):
         ).collect()
     }
     assert a == b and len(a) == 124
+
+
+def test_budget_select_greedy_exact(spark):
+    """budget_select admits the maximal quality-ranked prefix whose
+    running token sum fits the budget, per stratum."""
+    from nomenklatura_spark.textops.analysis import budget_select
+
+    rows = [
+        # en: scores by stopword density (markers: the/and/of/to/in/is/...)
+        (1, "en", "the and of to in a is it"),            # 8 tokens, 6/8
+        (2, "en", "the cat sat on a mat quietly today"),  # 8 tokens, 1/8
+        (3, "en", "zebra quagga okapi tapir bongo"),      # 5 tokens, 0.0
+        (4, "de", "und der das ein"),                     # no en stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["id"]: (r["cum_tokens"], r["score"])
+        for r in budget_select(df, budget_tokens=16).collect()
+    }
+    # en ranking: 1 (0.75) -> 2 (0.125) -> 3 (0.0); cum 8, 16, 21 -> 3 cut
+    assert set(got) == {1, 2, 4}
+    assert got[1][0] == 8 and got[2][0] == 16
+    assert got[1][1] == 0.75 and got[2][1] == 0.125 and got[4][1] == 0.0
