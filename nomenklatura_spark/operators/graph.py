@@ -141,3 +141,106 @@ def pagerank(
         "rank_q",
         F.round(F.col("rank_q") / F.lit(float(scale)), 6).alias("rank"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    n_iter: int = 5,
+    scale: int = PR_SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass concentrates on a seed set
+    instead of spreading uniformly, so ranks measure *proximity to the
+    seeds* through the graph — the lead-prioritization ranking an ER
+    investigation runs from known entities (sanctioned parties, a
+    takedown list) over the relationship graph, and the seeded variant
+    of the host-quality prior (seeds = trusted domains).
+
+    Same exact fixed-point integer recurrence as ``pagerank`` with two
+    substitutions: the teleport term ``(1−d)·M0`` lands entirely on the
+    seeds (``DIV n_seeds`` each, zero elsewhere) and dangling mass
+    returns to the seeds, not to all nodes.  Seeds outside the graph's
+    node set are ignored.  Start mass remains uniform (M0 = N·scale),
+    which only rescales ranks, not their order.
+    """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    e = e.join(deg, "src").repartition(par, "src")
+    seed_nodes = (
+        nodes.join(
+            seeds.select(F.col(seed_col).alias("node")).distinct(), "node"
+        )
+    )
+    marked = nodes.join(
+        seed_nodes.select("node", F.lit(True).alias("_seed")), "node", "left"
+    ).select("node", F.coalesce("_seed", F.lit(False)).alias("is_seed"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        marked = marked.localCheckpoint(eager=True)
+    n_nodes = marked.count()
+    n_seeds = marked.where("is_seed").count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed appears in the graph")
+    base_total = (scale * n_nodes * (damp_den - damp_num)) // damp_den
+    seed_base = base_total // n_seeds
+
+    ranks = marked.select(
+        "node", "is_seed", F.lit(scale).cast("long").alias("rank_q")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_q DIV odeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("ds"))
+        )
+        ranks = (
+            marked.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(seed_base)).otherwise(
+                        F.lit(0)
+                    ).cast("long")
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inflow, 0L)"
+                        f" + if(is_seed, ds DIV {n_seeds}, 0L)))"
+                        f" DIV {damp_den}"
+                    )
+                ).alias("rank_q"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        "is_seed",
+        "rank_q",
+        F.round(F.col("rank_q") / F.lit(float(scale)), 6).alias("rank"),
+    )

@@ -1223,6 +1223,89 @@ def _pagerank_sql(n_iter: int = 5, scale: int = 1_000_000_000) -> str:
     )
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the trade graph: teleport mass pinned
+    to a seed set (suppliers with suppkey % 20 == 0 — standing in for a
+    sanctions list), so ranks measure graph proximity to the seeds —
+    the ER lead-prioritization ranking.  Same exact-integer recurrence
+    as `graph_pagerank`, replayed by unrolled DuckDB CTEs."""
+    from nomenklatura_spark.operators.graph import personalized_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    trade = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    edges = trade.union(
+        trade.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        lineitem.where(F.col("l_suppkey") % 20 == 0)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("node"))
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds).orderBy("node")
+
+
+def _ppr_sql(n_iter: int = 5, scale: int = 1_000_000_000) -> str:
+    ctes = [
+        f"""trade AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM trade UNION SELECT dst, src FROM trade),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+    seeds AS (
+        SELECT DISTINCT 's' || l_suppkey AS node FROM lineitem
+        WHERE l_suppkey % 20 = 0
+    ),
+    marked AS (
+        SELECT n.node, s.node IS NOT NULL AS is_seed
+        FROM nodes n LEFT JOIN seeds s USING (node)
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    ns AS (SELECT count(*) AS k FROM marked WHERE is_seed),
+    sb AS (
+        SELECT (({scale} * n * 3) // 20) // k AS v FROM nn, ns
+    ),
+    r0 AS (SELECT node, is_seed, CAST({scale} AS BIGINT) AS rq FROM marked)"""
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{t} AS (
+        SELECT e.dst AS node, sum(r.rq // d.odeg) AS inflow
+        FROM r{t - 1} r JOIN edges e ON e.src = r.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    dg{t} AS (
+        SELECT COALESCE(sum(r.rq), 0) AS ds
+        FROM r{t - 1} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
+    ),
+    r{t} AS (
+        SELECT m.node, m.is_seed,
+               CAST((CASE WHEN m.is_seed THEN (SELECT v FROM sb) ELSE 0 END)
+                   + (17 * (COALESCE(c.inflow, 0)
+                       + CASE WHEN m.is_seed
+                         THEN (SELECT ds FROM dg{t}) // (SELECT k FROM ns)
+                         ELSE 0 END)) // 20
+                   AS BIGINT) AS rq
+        FROM marked m LEFT JOIN c{t} c USING (node)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, is_seed, rq AS rank_q, round(rq / {scale}.0, 6) AS rank
+    FROM r{n_iter} ORDER BY node"""
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-min gap) — Spark's session_window vs
     the classic gaps-and-islands SQL as oracle."""
@@ -4248,6 +4331,7 @@ QUERIES = {
     "doc_drift": q_doc_drift,
     "doc_decontaminate_semantic": q_doc_decontaminate_semantic,
     "doc_budget_select": q_doc_budget_select,
+    "graph_ppr": q_graph_ppr,
 }
 
 ORACLES = {
@@ -4323,4 +4407,5 @@ ORACLES = {
     "doc_drift": _DOC_DRIFT_SQL,
     "doc_decontaminate_semantic": _decontam_semantic_sql(),
     "doc_budget_select": _budget_select_sql(),
+    "graph_ppr": _ppr_sql(),
 }

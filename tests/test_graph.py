@@ -118,3 +118,71 @@ def test_pagerank_weighted_split(spark):
         r["node"]: r["rank_q"] for r in pagerank(df, n_iter=1).collect()
     }
     assert eq["B"] == eq["C"]
+
+
+def test_personalized_pagerank_proximity(spark):
+    """PPR with seeds concentrates rank near the seed set, returns
+    dangling mass to the seeds, and ranks by graph proximity."""
+    from pyspark.sql import Row
+
+    from nomenklatura_spark.operators.graph import personalized_pagerank
+
+    # chain S -> A -> B -> sink, plus S <-> A back-edge; sink dangles
+    edges = [("S", "A"), ("A", "S"), ("A", "B"), ("B", "sink")]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    seeds = spark.createDataFrame([Row(node="S")])
+    got = {
+        r["node"]: (r["rank_q"], r["is_seed"])
+        for r in personalized_pagerank(df, seeds).collect()
+    }
+    ranks = {k: v[0] for k, v in got.items()}
+    assert got["S"][1] and not got["A"][1]
+    # proximity order: seed > 1-hop > 2-hop > dangling sink
+    assert ranks["S"] > ranks["A"] > ranks["B"] > ranks["sink"]
+    # a seed absent from the graph raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            df, spark.createDataFrame([Row(node="nope")])
+        ).collect()
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """Exact parity with a driver-side replay of the seeded recurrence
+    on a graph with dangling mass."""
+    from pyspark.sql import Row
+
+    from nomenklatura_spark.operators.graph import (
+        PR_SCALE,
+        personalized_pagerank,
+    )
+
+    edges = [("S", "A"), ("A", "S"), ("A", "B"), ("B", "sink")]
+    seeds = {"S"}
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {}
+    for a, b in set(edges):
+        out.setdefault(a, []).append(b)
+    n, k = len(nodes), len(seeds)
+    seed_base = ((PR_SCALE * n * 3) // 20) // k
+    rank = {v: PR_SCALE for v in nodes}
+    for _ in range(5):
+        inflow = {v: 0 for v in nodes}
+        for a, dsts in out.items():
+            c = rank[a] // len(dsts)
+            for b in dsts:
+                inflow[b] += c
+        ds = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: (seed_base if v in seeds else 0)
+            + (17 * (inflow[v] + (ds // k if v in seeds else 0))) // 20
+            for v in nodes
+        }
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    sdf = spark.createDataFrame([Row(node="S")])
+    got = {
+        r["node"]: r["rank_q"]
+        for r in personalized_pagerank(df, sdf).collect()
+    }
+    assert got == rank
