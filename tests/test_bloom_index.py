@@ -99,3 +99,20 @@ def test_maintain_bloom_stream(spark, tmp_path):
     assert _bloom_array(state.bloom()) == _bloom_array(
         bench_bloom(union, "doc_id", "text")
     )
+
+
+def test_bloom_state_vacuum(spark, tmp_path):
+    state = BloomIndexState(spark, str(tmp_path / "state"))
+    for i, batch in enumerate((BATCH1, BATCH2, BATCH1)):
+        state.apply_batch(
+            spark.createDataFrame(batch, DOC_SCHEMA), batch_id=i, scope="s"
+        )
+    assert state.version() == 2
+    removed = state.vacuum(keep_last=1)
+    assert len(removed) == 2  # v0 and v1 word snapshots
+    # the live version still serves, vacuumed time travel fails loudly
+    assert state.words().count() > 0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        state.words(version=0).count()
