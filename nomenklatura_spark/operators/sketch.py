@@ -1,0 +1,178 @@
+"""Mergeable HyperLogLog distinct-count sketches.
+
+Spark's built-in ``approx_count_distinct`` answers one query over one
+scan, but a 100 TB analytics store wants the SKETCH itself as data: a
+tiny mergeable relation per (key, day, source, ...) that is computed
+once per ingest increment, stored, and merged at read time across any
+grouping — distinct users per week = max-merge of seven daily sketches,
+never a rescan of the raw events (Flajolet et al., "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm", AofA
+2007; the reference's statistics views recount distinct entities per
+dataset on every refresh — `/root/reference/nomenklatura/store/sql.py`
+— which is exactly the rescan this tier replaces at scale).
+
+Engine-portable and oracle-checkable by construction:
+
+- The hash is the repo-wide md5 device (``functions/hashing.py``): 15
+  hex chars → a 60-bit non-negative BIGINT, identical in Spark and
+  ANSI SQL, independent of partitioning, cluster size and retries.
+- ``bucket = h % m`` (m = 2**p registers), ``rho`` = leading-zero rank
+  of the remaining ``60 - p`` bits, computed EXACTLY via the length of
+  the minimal binary string (``F.bin`` / DuckDB ``bin``) — no floating
+  log anywhere in the register path.
+- The harmonic total is kept as an exact BIGINT in units of 2**-W
+  (register r contributes ``1 << (W - r)``, empty registers ``1 << W``
+  with W = 61 - p), so sketches, merges and totals are bit-identical
+  across engines and aggregation orders; floating point appears only in
+  the final one-shot estimate arithmetic.
+
+Shuffle shape: building registers is ONE partially-aggregated shuffle
+on (key, bucket) — the map-side combine collapses each partition to at
+most m rows per key before anything moves.  Merging sketches is the
+same max-aggregation and, max being idempotent and commutative,
+re-delivered or overlapping increments cannot corrupt a merged sketch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Register width: the 60-bit md5 hash spends p bits on the bucket and
+# the remaining 60-p on the rank; rho ranges in [1, 61-p].
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    """The standard HLL bias constant; inlined identically into the SQL
+    oracles so both engines evaluate the same IEEE expression."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_rho(hash_col: Column, p: int) -> Column:
+    """Leading-zero rank of the rank bits of a 60-bit hash, exactly.
+
+    ``w = h // m`` has ``W = 60 - p`` significant bits;
+    ``length(bin(w))`` is ``floor(log2(w)) + 1`` (a string length — no
+    floating point), so the number of leading zeros is ``W -
+    length(bin(w))`` and the HLL rank is that plus one.  ``w = 0``
+    (all rank bits zero) pins the maximum rank ``W + 1``.
+    """
+    # shiftright, NOT `/ 2**p`: double division would round the 60-bit
+    # hash into a 53-bit mantissa and corrupt the rank bits
+    w = F.shiftright(hash_col, p)
+    width = _HASH_BITS - p
+    return (
+        F.when(w == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+    prefix: str = "hll",
+) -> DataFrame:
+    """The mergeable sketch relation: (keys..., bucket, reg).
+
+    At most ``2**p`` rows per key survive the single partial-agg
+    shuffle; only non-empty buckets are materialized (the estimator
+    reconstructs the empties arithmetically).  ``prefix`` keys the md5
+    stream so distinct sketch families never share hash bits.
+    """
+    m = 1 << p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix + ":"), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(*key_cols, h.alias("_h"))
+        .select(
+            *key_cols,
+            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("bucket"),
+            hll_rho(F.col("_h"), p).alias("reg"),
+        )
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches over the same key layout into one: register-wise
+    max.  Idempotent — overlapping or re-delivered increments are
+    absorbed, which is why the streaming index needs no replay guard."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("reg",)]
+    return out.groupBy(*keys).agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    key_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Cardinality estimate per key from a register relation.
+
+    Returns (keys..., harmonic_q, zeros, n_hll): the EXACT integer
+    harmonic total (units of 2**-(61-p)), the number of empty
+    registers, and the estimate with the standard small-range linear
+    counting correction.  ``harmonic_q`` and ``zeros`` are the
+    engine-exact audit columns; ``n_hll`` is the one place a double
+    appears, rounded to 4dp.
+    """
+    m = 1 << p
+    width = _HASH_BITS - p
+    alpha = _alpha(m)
+    # Each present register r contributes 2^(width+1-r); the (m - k)
+    # absent registers contribute 2^(width+1) * ... no: empty register
+    # (r = 0) contributes 2^-0 = 1 = 2^(width+1) / 2^(width+1); in
+    # integer units of 2^-(width+1): present -> 1 << (width + 1 - r),
+    # empty -> 1 << (width + 1).
+    unit = width + 1
+    term = F.expr(f"shiftleft(cast(1 as bigint), {unit} - reg)")
+    agg = registers.groupBy(*key_cols).agg(
+        F.sum(term).alias("_present"),
+        F.count(F.lit(1)).alias("_nonempty"),
+    )
+    zeros = (F.lit(m) - F.col("_nonempty")).cast("long")
+    harmonic = (
+        F.col("_present") + zeros * F.shiftleft(F.lit(1).cast("long"), unit)
+    ).cast("long")
+    raw = F.lit(alpha * m * m) * F.lit(float(1 << unit)) / F.col("harmonic_q")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), linear).otherwise(
+        raw
+    )
+    return (
+        agg.select(
+            *key_cols,
+            harmonic.alias("harmonic_q"),
+            zeros.alias("zeros"),
+        )
+        .withColumn("n_hll", F.round(est, 4))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+    prefix: str = "hll",
+) -> DataFrame:
+    """One-shot convenience: build registers and estimate in one plan."""
+    return hll_estimate(hll_registers(df, key_cols, value_col, p, prefix), key_cols, p)

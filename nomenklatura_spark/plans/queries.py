@@ -1542,6 +1542,86 @@ _EVENTS_RETENTION_SQL = """
 """
 
 
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-user sketches per event type.
+
+    The Spark side deliberately takes the INCREMENTAL path: registers
+    are built per (event_type, day) — the shape an ingest pipeline
+    stores, one tiny sketch per partition-of-arrival — then max-merged
+    down to per-type estimates.  The oracle computes the DIRECT sketch
+    over all events, so a hash-green row proves the HLL merge identity
+    (merge-of-parts == sketch-of-whole) cross-engine, bit-for-bit: the
+    register path is exact integer arithmetic end-to-end
+    (operators/sketch.py), and ``harmonic_q``/``zeros`` are the
+    engine-exact audit columns next to the one rounded double.
+    ``n_exact`` rides along to expose the estimation error."""
+    from nomenklatura_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = hll_registers(
+        events.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "user_id",
+        p=8,
+    )
+    merged = hll_merge(daily.drop("day"))
+    est = hll_estimate(merged, ["event_type"], p=8)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").orderBy("event_type")
+
+
+# Direct-sketch replay of the Spark side's daily-merge path: identical
+# output is the HLL merge identity.  Constants: p=8 -> m=256 registers,
+# 60-bit md5 hash -> rank width 52, harmonic units 2^-53; alpha_256
+# spelled as the same IEEE expression Spark inlines.
+_EVENTS_HLL_SQL = """
+    WITH h AS (
+        SELECT event_type,
+            CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM events
+    ),
+    regs AS (
+        SELECT event_type, h % 256 AS bucket,
+            MAX(CASE WHEN h // 256 = 0 THEN 53
+                ELSE 53 - length(bin(h // 256)) END) AS reg
+        FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type,
+            SUM(1::BIGINT << CAST(53 - reg AS INT)) AS present,
+            COUNT(*) AS nonempty
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type,
+            CAST(present + (256 - nonempty) * (1::BIGINT << 53) AS BIGINT)
+                AS harmonic_q,
+            CAST(256 - nonempty AS BIGINT) AS zeros
+        FROM agg
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT x.event_type, x.n_exact, e.harmonic_q, e.zeros,
+        round(CASE WHEN ((0.7213 / (1 + 1.079 / 256)) * 65536.0
+                         * 9007199254740992.0 / e.harmonic_q) <= 640.0
+                    AND e.zeros > 0
+              THEN 256.0 * ln(256.0 / e.zeros)
+              ELSE (0.7213 / (1 + 1.079 / 256)) * 65536.0
+                   * 9007199254740992.0 / e.harmonic_q END, 4) AS n_hll
+    FROM est e JOIN ex x USING (event_type)
+    ORDER BY event_type
+"""
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-statistics rollup per event type: exact interpolated
     p50/p95 of ``value``, exact distinct users, stddev.  Covers the
@@ -4332,6 +4412,7 @@ QUERIES = {
     "doc_decontaminate_semantic": q_doc_decontaminate_semantic,
     "doc_budget_select": q_doc_budget_select,
     "graph_ppr": q_graph_ppr,
+    "events_hll_users": q_events_hll_users,
 }
 
 ORACLES = {
@@ -4408,4 +4489,5 @@ ORACLES = {
     "doc_decontaminate_semantic": _decontam_semantic_sql(),
     "doc_budget_select": _budget_select_sql(),
     "graph_ppr": _ppr_sql(),
+    "events_hll_users": _EVENTS_HLL_SQL,
 }

@@ -1,0 +1,114 @@
+"""HyperLogLog sketch tier: exact-integer register algebra, the merge
+identity (merge-of-parts == sketch-of-whole), estimation accuracy, and
+the incrementally-maintained index (redelivery-safe by idempotence)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nomenklatura_spark.operators.sketch import (
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    hll_rho,
+)
+from nomenklatura_spark.streaming.hll_index import HllIndexState
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_rho_exact_on_crafted_hashes(spark):
+    # p=8: bucket = low 8 bits, rank bits = the remaining 52.
+    cases = [
+        (1 << 59, 1),            # top rank bit set -> rho 1
+        ((1 << 59) + 255, 1),    # bucket bits don't leak into the rank
+        (1 << 8, 52),            # lowest non-zero rank bit -> rho 52
+        (255, 53),               # rank bits all zero -> max rho
+        ((1 << 30) + 7, 30),     # w = 2^22 -> len(bin) = 23 -> 53 - 23
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h long")
+    got = [
+        r[0]
+        for r in df.select(hll_rho(F.col("h"), 8).alias("rho")).collect()
+    ]
+    assert got == [rho for _, rho in cases]
+
+
+def test_merge_identity_and_idempotence(spark):
+    rows = [("k", f"user-{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, v string")
+    direct = hll_registers(df, ["key"], "v")
+    # split on an arbitrary predicate: merge of part-sketches == whole
+    a = hll_registers(df.where(F.length("v") <= 6), ["key"], "v")
+    b = hll_registers(df.where(F.length("v") > 6), ["key"], "v")
+    merged = hll_merge(a, b)
+    assert _sorted(merged) == _sorted(direct)
+    # idempotence: folding a sketch into itself changes nothing
+    assert _sorted(hll_merge(direct, direct, b)) == _sorted(direct)
+
+
+def test_estimate_accuracy_and_exact_audit_columns(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [("k", f"user-{i}") for i in range(n)], "key string, v string"
+    )
+    row = hll_distinct(df, ["key"], "v").collect()[0]
+    # 3 sigma for m=256 is ~19.5%
+    assert abs(row["n_hll"] - n) / n < 3 * 1.04 / math.sqrt(256)
+    # audit columns are exact integers consistent with the registers
+    regs = hll_registers(df, ["key"], "v").collect()
+    present = sum(1 << (53 - r["reg"]) for r in regs)
+    zeros = 256 - len(regs)
+    assert row["harmonic_q"] == present + zeros * (1 << 53)
+    assert row["zeros"] == zeros
+
+
+def test_small_range_uses_linear_counting(spark):
+    df = spark.createDataFrame(
+        [("k", f"u{i}") for i in range(40)], "key string, v string"
+    )
+    row = hll_distinct(df, ["key"], "v").collect()[0]
+    expect = 256.0 * math.log(256.0 / row["zeros"])
+    assert row["n_hll"] == round(expect, 4)
+    assert abs(row["n_hll"] - 40) / 40 < 0.15
+
+
+def test_hll_index_incremental_matches_scratch(spark, tmp_path):
+    state = HllIndexState(spark, str(tmp_path / "state"))
+    schema = "key string, v string"
+    batches = [
+        [("a", f"x{i}") for i in range(200)],
+        [("a", f"y{i}") for i in range(100)] + [("b", f"x{i}") for i in range(50)],
+        [("a", f"x{i}") for i in range(200)],  # pure overlap with batch 1
+    ]
+    seen: list[tuple] = []
+    for batch in batches:
+        seen.extend(batch)
+        state.apply_batch(spark.createDataFrame(batch, schema), "key", "v")
+        scratch = hll_registers(
+            spark.createDataFrame(seen, schema), ["key"], "v"
+        )
+        assert _sorted(state.registers()) == _sorted(scratch)
+    # read path: estimates off the maintained state == one-shot batch op
+    assert _sorted(state.estimates()) == _sorted(
+        hll_distinct(spark.createDataFrame(seen, schema), ["key"], "v").orderBy(
+            "key"
+        )
+    )
+
+
+def test_hll_index_redelivery_is_absorbed_by_algebra(spark, tmp_path):
+    """Even BYPASSING the batch-id guard, re-folding a batch is a no-op:
+    max-merge idempotence, not bookkeeping, carries correctness."""
+    state = HllIndexState(spark, str(tmp_path / "state"))
+    schema = "key string, v string"
+    b1 = spark.createDataFrame([("a", f"x{i}") for i in range(100)], schema)
+    state.apply_batch(b1, "key", "v")
+    before = _sorted(state.registers())
+    state.apply_batch(b1, "key", "v")  # no batch_id: guard not in play
+    assert _sorted(state.registers()) == before
