@@ -1306,6 +1306,87 @@ def _ppr_sql(n_iter: int = 5, scale: int = 1_000_000_000) -> str:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    part co-occurrence graph (parts sharing an order) — the transitivity
+    diagnostic for any candidate-pair graph: coherent duplicate clusters
+    have high clustering, stopword-like hubs bridge unrelated nodes at
+    clustering ~0.  Degree-ordered wedge algorithm, pure equi-joins
+    (operators/graph.triangle_counts); the oracle replays the same
+    orientation relationally."""
+    from nomenklatura_spark.operators.graph import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_counts(pairs).orderBy("node")
+
+
+_GRAPH_TRIANGLES_SQL = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT
+            least(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS a,
+            greatest(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node
+    ),
+    ori AS (
+        SELECT CASE WHEN fwd THEN a ELSE b END AS u,
+               CASE WHEN fwd THEN b ELSE a END AS v,
+               CASE WHEN fwd THEN db ELSE da END AS dv
+        FROM (
+            SELECT u2.a, u2.b, da.degree AS da, db.degree AS db,
+                   (da.degree < db.degree
+                    OR (da.degree = db.degree AND u2.a < u2.b)) AS fwd
+            FROM und u2
+            JOIN deg da ON da.node = u2.a
+            JOIN deg db ON db.node = u2.b
+        )
+    ),
+    wedges AS (
+        SELECT e1.u, e1.v AS x, e2.v AS y
+        FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+        WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+    ),
+    tri AS (
+        SELECT w.u, w.x, w.y
+        FROM wedges w JOIN ori c ON c.u = w.x AND c.v = w.y
+    ),
+    corners AS (
+        SELECT node, COUNT(*) AS triangles FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * COALESCE(c.triangles, 0)
+                           / (d.degree * (d.degree - 1)), 4)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN corners c USING (node)
+    ORDER BY node
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-min gap) — Spark's session_window vs
     the classic gaps-and-islands SQL as oracle."""
@@ -4413,6 +4494,7 @@ QUERIES = {
     "doc_budget_select": q_doc_budget_select,
     "graph_ppr": q_graph_ppr,
     "events_hll_users": q_events_hll_users,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLES = {
@@ -4490,4 +4572,5 @@ ORACLES = {
     "doc_budget_select": _budget_select_sql(),
     "graph_ppr": _ppr_sql(),
     "events_hll_users": _EVENTS_HLL_SQL,
+    "graph_triangles": _GRAPH_TRIANGLES_SQL,
 }

@@ -186,3 +186,94 @@ def test_personalized_pagerank_matches_reference(spark):
         for r in personalized_pagerank(df, sdf).collect()
     }
     assert got == rank
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+
+
+def _tri_reference(edges):
+    """Brute-force per-node triangle counts over undirected edges."""
+    und = set()
+    for a, b in edges:
+        a, b = str(a), str(b)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # per node: triangles = edges among its neighbors
+    tri = {}
+    for v, nb in adj.items():
+        t = 0
+        for x in nb:
+            for y in nb:
+                if x < y and (x, y) in und:
+                    t += 1
+        tri[v] = t
+    return {
+        v: (len(adj[v]), tri[v]) for v in adj
+    }
+
+
+def test_triangles_on_crafted_graph(spark):
+    from nomenklatura_spark.operators.graph import triangle_counts
+
+    # K4 on {a,b,c,d} (4 triangles, every node in 3) plus a pendant 'e'
+    # and an open wedge f-g-h (no triangle)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("f", "g"), ("g", "h"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in triangle_counts(df).collect()}
+    ref = _tri_reference(edges)
+    assert {v: (d, t) for v, (d, t, _) in got.items()} == ref
+    assert got["a"] == (3, 3, 1.0)
+    assert got["d"] == (4, 3, 0.5)
+    assert got["e"] == (1, 0, 0.0)
+    assert got["g"] == (2, 0, 0.0)
+
+
+def test_triangles_normalize_direction_and_multiplicity(spark):
+    from nomenklatura_spark.operators.graph import triangle_counts
+
+    # the same triangle fed as mixed directions, duplicates, self-loops
+    messy = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("a", "a"), ("b", "c"),
+    ]
+    clean = [("a", "b"), ("b", "c"), ("a", "c")]
+    got_m = sorted(
+        tuple(r)
+        for r in triangle_counts(
+            spark.createDataFrame(messy, "src string, dst string")
+        ).collect()
+    )
+    got_c = sorted(
+        tuple(r)
+        for r in triangle_counts(
+            spark.createDataFrame(clean, "src string, dst string")
+        ).collect()
+    )
+    assert got_m == got_c
+    assert all(t == 1 and c == 1.0 for _, _, t, c in got_m)
+
+
+def test_triangles_partition_invariant_and_random_parity(spark):
+    import random
+
+    from nomenklatura_spark.operators.graph import triangle_counts
+
+    rnd = random.Random(7)
+    edges = list({(f"n{rnd.randrange(30)}", f"n{rnd.randrange(30)}")
+                  for _ in range(160)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    base = sorted(tuple(r) for r in triangle_counts(df).collect())
+    ref = _tri_reference(edges)
+    assert {v: (d, t) for v, d, t, _ in base} == ref
+    assert base == sorted(
+        tuple(r) for r in triangle_counts(df.repartition(13)).collect()
+    )
