@@ -3987,6 +3987,131 @@ def _doc_bm25_sql(n_queries: int = 8, k: int = 5, k1: float = 1.2, b: float = 0.
 """
 
 
+def q_doc_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and hashed-BoW cosine (semantic)
+    top-20 runs fused by reciprocal rank (k0=60), top-10 per query —
+    the standard two-tower retrieval composition, here entirely from
+    oracle-proven tiers (``bm25_topk`` + ``cosine_topk`` over
+    ``hashed_embeddings``) so the fusion itself is the only new
+    algebra.  Ranks are small integers → the fused score is
+    cross-engine exact; the oracle replays both runs and the fusion."""
+    from nomenklatura_spark.ann.brute import cosine_topk
+    from nomenklatura_spark.textops.embed import hashed_embeddings
+    from nomenklatura_spark.textops.retrieval import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ).limit(8)
+    lex = bm25_topk(
+        docs,
+        probes,
+        id_col="doc_id",
+        text_col="text",
+        query_id_col="doc_id",
+        query_text_col="text",
+        k=20,
+        exclude_self=True,
+    )
+    emb = hashed_embeddings(docs, "doc_id", "text", dim=64)
+    qv = emb.join(probes.select("doc_id"), "doc_id")
+    sem = cosine_topk(emb, qv, id_col="doc_id", vec_col="embedding", k=20)
+    return rrf_fuse(
+        {
+            "lex": lex,
+            "sem": sem.select(
+                "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+            ),
+        },
+        k=10,
+    ).orderBy("query_id", "rank")
+
+
+def _doc_hybrid_sql(n_queries: int = 8, run_k: int = 20, k: int = 10) -> str:
+    words = (
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+        " x -> x != '')"
+    )
+    return f"""
+    WITH lex AS (
+        SELECT query_id, doc_id, rank
+        FROM ({_doc_bm25_sql(n_queries, run_k)})
+    ),
+    w2 AS (SELECT doc_id, unnest({words}) AS w FROM documents),
+    h2 AS (
+        SELECT doc_id,
+            CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS b,
+            CASE WHEN CAST(('0x' || substr(md5('sgn:' || w), 1, 2)) AS INT)
+                      % 2 = 0
+                 THEN 1.0 ELSE -1.0 END AS s
+        FROM w2
+    ),
+    hist2 AS (SELECT doc_id, b, sum(s) AS v FROM h2 GROUP BY doc_id, b),
+    nrm2 AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM hist2 GROUP BY doc_id),
+    grid2 AS (
+        SELECT d.doc_id, k AS pos
+        FROM (SELECT DISTINCT doc_id FROM documents) d,
+            LATERAL (SELECT unnest(generate_series(0, 63)) AS k)
+    ),
+    emb2 AS (
+        SELECT g.doc_id,
+            list(round(COALESCE(h.v, 0.0)
+                       / greatest(COALESCE(n.n, 0.0), 1e-12), 6)
+                 ORDER BY g.pos) AS e
+        FROM grid2 g
+        LEFT JOIN hist2 h ON h.doc_id = g.doc_id AND h.b = g.pos
+        LEFT JOIN nrm2 n ON n.doc_id = g.doc_id
+        GROUP BY g.doc_id
+    ),
+    vecs2 AS (
+        SELECT doc_id AS id,
+            list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS vec
+        FROM emb2
+    ),
+    probes2 AS (SELECT doc_id AS query_id FROM documents
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT {n_queries}),
+    qv AS (SELECT p.query_id, v.vec FROM probes2 p
+           JOIN vecs2 v ON v.id = p.query_id),
+    cs AS (
+        SELECT q.query_id, c.id AS doc_id,
+            round(list_dot_product(q.vec, c.vec), 6) AS sim
+        FROM qv q JOIN vecs2 c ON c.id <> q.query_id
+    ),
+    sem AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+            FROM cs
+        ) WHERE rank <= {run_k}
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE(l.rank, 0) AS lex_rank,
+               COALESCE(s.rank, 0) AS sem_rank,
+               COALESCE(1.0 / (60 + l.rank), 0.0)
+                   + COALESCE(1.0 / (60 + s.rank), 0.0) AS score
+        FROM lex l FULL OUTER JOIN sem s
+            ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, lex_rank, sem_rank,
+               round(score, 6) AS rrf,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT query_id, doc_id,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(sem_rank AS INT) AS sem_rank,
+           rrf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+"""
+
+
 @plan_cache(maxsize=8)
 def _doc_domain_artifacts_cached(
     spark: SparkSession, sf_dir: str
@@ -4495,6 +4620,7 @@ QUERIES = {
     "graph_ppr": q_graph_ppr,
     "events_hll_users": q_events_hll_users,
     "graph_triangles": q_graph_triangles,
+    "doc_search_hybrid": q_doc_search_hybrid,
 }
 
 ORACLES = {
@@ -4573,4 +4699,5 @@ ORACLES = {
     "graph_ppr": _ppr_sql(),
     "events_hll_users": _EVENTS_HLL_SQL,
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
+    "doc_search_hybrid": _doc_hybrid_sql(),
 }

@@ -307,3 +307,63 @@ def bm25_topk_indexed(
     return _score_from_tf(
         tf, qt, df_tbl, stats, id_col, k, k1, b, exclude_self
     )
+
+
+def rrf_fuse(
+    runs: dict[str, DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval runs (Cormack, Clarke
+    & Buettcher, SIGIR 2009): ``score(d) = Σ_runs 1/(k0 + rank_run(d))``
+    over the union of each run's candidates.
+
+    Ranks are small integers, so every engine computes the identical
+    IEEE terms — the fused score is cross-engine exact without any
+    quantization device, and (repo discipline) it is rounded BEFORE the
+    final rank so ordering never hangs on sub-round bits.  Absent ranks
+    surface as 0 (not NULL: the driver's pandas fetch would smear an
+    int-with-NULL column into floats on one side only).
+
+    100 TB shape: each run is already a per-query top-K relation (K·Q
+    rows), so the fusion is a full-outer equi-join of tiny frames plus
+    one window — the retrieval scans happened inside the runs.
+
+    Returns (query, id, <name>_rank ... per run, rrf, rank), rank 1..k
+    by fused score desc / id asc.
+    """
+    fused = None
+    names = list(runs)
+    for name, df in runs.items():
+        r = df.select(
+            F.col(query_col).alias("_q"),
+            F.col(id_col).alias("_d"),
+            F.col(rank_col).cast("int").alias(f"{name}_rank"),
+        )
+        fused = r if fused is None else fused.join(r, ["_q", "_d"], "full_outer")
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("_q").orderBy(
+        F.round(score, decimals).desc(), F.col("_d").asc()
+    )
+    return (
+        fused.select(
+            F.col("_q").alias(query_col),
+            F.col("_d").alias(id_col),
+            *[
+                F.coalesce(F.col(f"{name}_rank"), F.lit(0)).alias(f"{name}_rank")
+                for name in names
+            ],
+            F.round(score, decimals).alias("rrf"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )

@@ -134,3 +134,42 @@ def test_bm25_plan_single_corpus_tokenize(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
     assert final.count("Scan ExistingRDD[id") >= 2  # tf read by both branches
+
+
+def test_rrf_fuse_crafted_runs(spark):
+    from nomenklatura_spark.textops.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"lex": lex, "sem": sem}, k=10).collect()
+    }
+    # doc 11 appears in both runs: score = 1/62 + 1/61 and wins
+    assert out[11]["lex_rank"] == 2 and out[11]["sem_rank"] == 1
+    assert out[11]["rank"] == 1
+    assert out[11]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    # single-run docs carry 0 (not NULL) for the absent rank
+    assert out[10]["sem_rank"] == 0
+    assert out[10]["rrf"] == round(1 / 61, 6)
+    assert out[13]["lex_rank"] == 0
+    # fused order: 11 (both) > 10 (lex#1) > 13 (sem#2) > 12 (lex#3)
+    assert [out[d]["rank"] for d in (11, 10, 13, 12)] == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_ties_break_on_id_and_k_cuts(spark):
+    from nomenklatura_spark.textops.retrieval import rrf_fuse
+
+    # same rank in the same run -> identical scores -> id ascending
+    a = spark.createDataFrame(
+        [(1, 20, 1), (1, 5, 1), (1, 7, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = rrf_fuse({"only": a}, k=2).orderBy("rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(5, 1), (20, 2)]
