@@ -35,10 +35,11 @@ re-delivered or overlapping increments cannot corrupt a merged sketch.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from nomenklatura_spark.functions.hashing import md5_bucket
 
 # Register width: the 60-bit md5 hash spends p bits on the bucket and
 # the remaining 60-p on the rank; rho ranges in [1, 61-p].
@@ -137,11 +138,9 @@ def hll_estimate(
     m = 1 << p
     width = _HASH_BITS - p
     alpha = _alpha(m)
-    # Each present register r contributes 2^(width+1-r); the (m - k)
-    # absent registers contribute 2^(width+1) * ... no: empty register
-    # (r = 0) contributes 2^-0 = 1 = 2^(width+1) / 2^(width+1); in
-    # integer units of 2^-(width+1): present -> 1 << (width + 1 - r),
-    # empty -> 1 << (width + 1).
+    # In integer units of 2^-(width+1): a present register r contributes
+    # 2^-r -> 1 << (width + 1 - r); an empty register contributes
+    # 2^-0 = 1 -> 1 << (width + 1).
     unit = width + 1
     term = F.expr(f"shiftleft(cast(1 as bigint), {unit} - reg)")
     agg = registers.groupBy(*key_cols).agg(
@@ -176,3 +175,99 @@ def hll_distinct(
 ) -> DataFrame:
     """One-shot convenience: build registers and estimate in one plan."""
     return hll_estimate(hll_registers(df, key_cols, value_col, p, prefix), key_cols, p)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy hitters)
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    prefix: str = "cms",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of a value stream: (d, bucket, cnt).
+
+    ``depth`` independent md5-derived hash rows of ``width`` counters
+    (Cormode & Muthukrishnan, "An improved data stream summary: the
+    count-min sketch and its applications", J.Algorithms 2005).  The
+    sketch is EXACT integer arithmetic end-to-end — estimates carry the
+    one-sided overcount guarantee (never undercount) and the relation
+    is bit-identical across engines and partitionings, no rounding
+    device needed.
+
+    Shuffle shape: the value stream fans out map-side to ``depth`` rows
+    (one array+explode, no join), then ONE partially-aggregated shuffle
+    collapses to at most depth*width rows — however large the stream.
+    Sketches merge by (d, bucket) SUM (additive, so increments need the
+    usual replay guard, unlike the max-merged HLL).  ``weight_col``
+    aggregates a non-negative integer measure instead of row counts.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                md5_bucket(f"{prefix}{d}", F.col(value_col), width).cast(
+                    "int"
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"), w.alias("_w"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with identical (depth, width,
+    prefix): counter-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    prefix: str = "cms",
+) -> DataFrame:
+    """Point estimates for ``items``: min over the depth counters.
+
+    ``items`` is expected driver-small (the candidate heavy hitters) →
+    its d-fanout joins the sketch (itself at most depth*width rows) and
+    one min-aggregation returns (value, n_cms).  Absent buckets count 0
+    (value never seen)."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                md5_bucket(f"{prefix}{d}", F.col(value_col), width).cast(
+                    "int"
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probes = items.select(
+        F.col(value_col).alias("value"), F.explode(rows).alias("r")
+    ).select("value", F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+    return (
+        probes.join(sketch, ["d", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("n_cms"))
+    )

@@ -4112,6 +4112,76 @@ def _doc_hybrid_sql(n_queries: int = 8, run_k: int = 20, k: int = 10) -> str:
 """
 
 
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream
+    (``operators/sketch.py``): the true top-20 words next to their CMS
+    estimates and the one-sided overcount.  The sketch collapses the
+    unbounded vocabulary into depth*width counters through ONE
+    partially-aggregated shuffle — the mergeable alternative to the
+    vocabulary-sized rollup (`doc_vocab`) when only heavy hitters
+    matter; everything is exact BIGINT, so the oracle replay is
+    bit-for-bit."""
+    from nomenklatura_spark.dedup.ngram import (
+        normalize_for_shingles,
+        widen_small_scan,
+    )
+    from nomenklatura_spark.operators.sketch import cms_lookup, cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(
+        F.split(normalize_for_shingles(F.col("text")), " "), lambda w: w != ""
+    )
+    tok = widen_small_scan(docs).select(F.explode(ws).alias("w"))
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.desc("n_true"), "w")
+        .limit(20)
+    )
+    est = cms_lookup(cms_sketch(tok, "w"), top.select("w"), "w")
+    return (
+        top.join(est, top["w"] == est["value"])
+        .select(
+            F.col("w").alias("word"),
+            "n_true",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_true")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("n_true"), "word")
+    )
+
+
+_DOC_HEAVY_HITTERS_SQL = f"""
+    WITH tok AS (SELECT unnest({_DOC_WORDS}) AS w FROM documents),
+    tru AS (
+        SELECT w AS word, COUNT(*) AS n_true FROM tok GROUP BY w
+        ORDER BY n_true DESC, word LIMIT 20
+    ),
+    cnts AS (
+        SELECT dd.d,
+            CAST(('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR)
+                 || ':' || w), 1, 15)) AS BIGINT) % 1024 AS bucket,
+            COUNT(*) AS cnt
+        FROM tok, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT t.word, t.n_true, dd.d,
+            CAST(('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR)
+                 || ':' || t.word), 1, 15)) AS BIGINT) % 1024 AS bucket
+        FROM tru t, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+    ),
+    est AS (
+        SELECT p.word, p.n_true, MIN(COALESCE(c.cnt, 0)) AS n_cms
+        FROM probes p LEFT JOIN cnts c ON c.d = p.d AND c.bucket = p.bucket
+        GROUP BY p.word, p.n_true
+    )
+    SELECT word, n_true, CAST(n_cms AS BIGINT) AS n_cms,
+           CAST(n_cms - n_true AS BIGINT) AS overcount
+    FROM est ORDER BY n_true DESC, word
+"""
+
+
 @plan_cache(maxsize=8)
 def _doc_domain_artifacts_cached(
     spark: SparkSession, sf_dir: str
@@ -4621,6 +4691,7 @@ QUERIES = {
     "events_hll_users": q_events_hll_users,
     "graph_triangles": q_graph_triangles,
     "doc_search_hybrid": q_doc_search_hybrid,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
 }
 
 ORACLES = {
@@ -4700,4 +4771,5 @@ ORACLES = {
     "events_hll_users": _EVENTS_HLL_SQL,
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "doc_search_hybrid": _doc_hybrid_sql(),
+    "doc_heavy_hitters": _DOC_HEAVY_HITTERS_SQL,
 }

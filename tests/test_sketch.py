@@ -112,3 +112,60 @@ def test_hll_index_redelivery_is_absorbed_by_algebra(spark, tmp_path):
     before = _sorted(state.registers())
     state.apply_batch(b1, "key", "v")  # no batch_id: guard not in play
     assert _sorted(state.registers()) == before
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+
+
+def test_cms_never_undercounts_and_is_often_exact(spark):
+    from nomenklatura_spark.operators.sketch import cms_lookup, cms_sketch
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 40
+        + [(f"cold-{i}",) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_sketch(df, "v", depth=4, width=1024)
+    items = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold-7",), ("never-seen",)], "v string"
+    )
+    got = {r["value"]: r["n_cms"] for r in cms_lookup(sk, items, "v").collect()}
+    assert got["hot"] >= 500 and got["warm"] >= 40 and got["cold-7"] >= 1
+    # sparse stream vs 4096 counters: the heavy key is exact w.h.p.
+    assert got["hot"] <= 500 + 300 + 40
+    # a never-inserted value can only collide, never go negative
+    assert 0 <= got["never-seen"] <= 840
+
+
+def test_cms_merge_is_additive(spark):
+    from nomenklatura_spark.operators.sketch import (
+        cms_lookup,
+        cms_merge,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 3, "v string")
+    b = spark.createDataFrame([("x",)] * 7 + [("z",)] * 2, "v string")
+    merged = cms_merge(cms_sketch(a, "v"), cms_sketch(b, "v"))
+    whole = cms_sketch(a.unionAll(b), "v")
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+
+
+def test_cms_weighted_counts(spark):
+    from nomenklatura_spark.operators.sketch import cms_lookup, cms_sketch
+
+    df = spark.createDataFrame(
+        [("x", 5), ("x", 2), ("y", 1)], "v string, w int"
+    )
+    sk = cms_sketch(df, "v", weight_col="w")
+    got = {
+        r["value"]: r["n_cms"]
+        for r in cms_lookup(
+            sk, spark.createDataFrame([("x",), ("y",)], "v string"), "v"
+        ).collect()
+    }
+    assert got["x"] >= 7 and got["y"] >= 1
