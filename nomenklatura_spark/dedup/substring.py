@@ -94,3 +94,68 @@ def duplicated_passages(
             .alias("dup_frac"),
         )
     )
+
+
+def trim_duplicated_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Remove duplicated passages instead of just measuring them — the
+    second half of exact-substring dedup (Lee et al. ACL 2022 drop the
+    duplicated spans; ``duplicated_passages`` above is the audit view).
+
+    A word is removed iff it is covered by at least one ``k``-word
+    window whose corpus multiplicity is >= 2; the surviving words are
+    re-joined with single spaces (whitespace-normalized output, the
+    shape the tokenizer sees anyway).  Returns
+    ``(id, n_words, words_removed, trimmed_text)``.
+
+    Plan shape on top of the detection operator's two shuffles: the
+    duplicated window POSITIONS come back as one per-document array
+    (bounded by the document's own length), the corpus rejoins on the
+    document id — three shuffles total, and the trim itself is a
+    map-side indexed ``filter`` over the word array (position p is
+    covered iff a duplicated window starts in ``[p-k+1, p]``), so no
+    per-word relation ever shuffles.
+    """
+    ws = docs.select(F.col(id_col).alias("id"), _words(F.col(text_col)).alias("ws"))
+    n = F.size(F.col("ws")) - F.lit(k - 1)
+    wins = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
+    ex = ws.select("id", F.explode(wins).alias("w"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("w.h"))
+    dup_pos = (
+        ex.select("id", F.col("w.i").alias("i"), cnt.alias("c"))
+        .where(F.col("c") >= 2)
+        .groupBy("id")
+        .agg(F.collect_list("i").alias("dup_i"))
+    )
+    joined = ws.join(dup_pos, "id", "left").select(
+        "id",
+        "ws",
+        F.coalesce("dup_i", F.array().cast("array<int>")).alias("dup_i"),
+    )
+    # indexed filter: lambda index is 0-based, window starts are 1-based
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: ~F.exists(
+            F.col("dup_i"),
+            lambda j: (j <= i + 1) & (j >= i + 2 - k),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("ws").cast("int").alias("n_words"),
+        (F.size("ws") - F.size(kept)).cast("int").alias("words_removed"),
+        F.concat_ws(" ", kept).alias("trimmed_text"),
+    )

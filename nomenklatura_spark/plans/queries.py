@@ -3102,6 +3102,63 @@ _DOC_DUP_PASSAGES_SQL = """
 """
 
 
+def q_doc_dup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage REMOVAL (``dedup/substring.py``): every word
+    covered by a corpus-duplicated 8-word window is dropped and the
+    survivors re-joined — the action half of exact-substring dedup
+    (`doc_dup_passages` is the audit half).  The oracle replays the
+    window counting and the coverage filter relationally (NOT EXISTS
+    over window starts)."""
+    from nomenklatura_spark.dedup.substring import trim_duplicated_passages
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return trim_duplicated_passages(docs).orderBy("doc_id")
+
+
+_DOC_DUP_TRIM_SQL = """
+    WITH base AS (
+        SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),
+                        x -> x != '') AS ws
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i,
+            array_to_string(list_slice(ws, i, i + 7), ' ') AS w
+        FROM base,
+            LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i)
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM wins GROUP BY w),
+    dup AS (
+        SELECT wins.doc_id, wins.i FROM wins JOIN cnt USING (w) WHERE c >= 2
+    ),
+    tok AS (
+        SELECT doc_id, unnest(ws) AS w,
+            unnest(generate_series(1, len(ws))) AS p
+        FROM base
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.w
+        FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dup d
+            WHERE d.doc_id = t.doc_id AND d.i <= t.p AND d.i >= t.p - 7
+        )
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+            string_agg(w, ' ' ORDER BY p) AS trimmed
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+        CAST(len(b.ws) AS INT) AS n_words,
+        CAST(len(b.ws) - COALESCE(a.n_kept, 0) AS INT) AS words_removed,
+        COALESCE(a.trimmed, '') AS trimmed_text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image + audio decode, oracle-checked (the former
     ``media_pixels`` and ``media_audio`` driver rows unioned onto one
@@ -4692,6 +4749,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "doc_search_hybrid": q_doc_search_hybrid,
     "doc_heavy_hitters": q_doc_heavy_hitters,
+    "doc_dup_trim": q_doc_dup_trim,
 }
 
 ORACLES = {
@@ -4772,4 +4830,5 @@ ORACLES = {
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "doc_search_hybrid": _doc_hybrid_sql(),
     "doc_heavy_hitters": _DOC_HEAVY_HITTERS_SQL,
+    "doc_dup_trim": _DOC_DUP_TRIM_SQL,
 }

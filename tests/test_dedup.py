@@ -322,3 +322,42 @@ def test_hier_codebook_reuse_covers_empty_coarse_cells(spark):
     stripped = fine.join(occupied.select(F.col("centroid").alias("coarse")),
                          "coarse", "semi")
     assert ivf_assign_hier(corpus_b, coarse, stripped).count() < corpus_b.count()
+
+
+def test_trim_duplicated_passages_planted(spark):
+    """Trim removes exactly the words covered by corpus-duplicated
+    8-word windows and keeps everything else verbatim."""
+    from nomenklatura_spark.dedup.substring import (
+        duplicated_passages,
+        trim_duplicated_passages,
+    )
+
+    passage = "one two three four five six seven eight"  # 8 shared words
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {passage} gamma delta"),
+            (2, f"epsilon {passage} zeta"),
+            (3, "totally unrelated words that repeat nothing at all here"),
+            (4, "short doc"),  # fewer than k words: no windows, kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in trim_duplicated_passages(docs, "doc_id", "text", k=8).collect()
+    }
+    assert got[1]["trimmed_text"] == "alpha beta gamma delta"
+    assert got[1]["n_words"] == 12 and got[1]["words_removed"] == 8
+    assert got[2]["trimmed_text"] == "epsilon zeta"
+    assert got[3]["words_removed"] == 0
+    assert got[3]["trimmed_text"].startswith("totally unrelated")
+    assert got[4]["trimmed_text"] == "short doc"
+    assert got[4]["n_words"] == 2 and got[4]["words_removed"] == 0
+    # consistency with the audit view: a doc loses words iff it has
+    # duplicated windows
+    audit = {
+        r["doc_id"]: r["dup_windows"]
+        for r in duplicated_passages(docs, "doc_id", "text", k=8).collect()
+    }
+    for d, row in got.items():
+        assert (row["words_removed"] > 0) == (audit[d] > 0)
