@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "doc_embed",
     "media_features",
+    # r6 additions: sketch, graph, fusion and trim tiers
+    "events_hll_users",
+    "doc_heavy_hitters",
+    "graph_triangles",
+    "doc_search_hybrid",
+    "doc_dup_trim",
 ]
 
 
@@ -326,6 +332,34 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             corpus, bench_bloom(bench, "doc_id", "text"), "doc_id", "text"
         )
 
+    # Triangle scaling probe on DISJOINT graph copies (both endpoints
+    # id-remapped per replica): the graph's own wedge count is what the
+    # degree-ordered algorithm is bounded by, so the fair implementation
+    # probe holds topology fixed and multiplies components — ideal is
+    # ~linear.  (Replicating only orderkeys would densify one shared
+    # graph and measure graph math, not the operator.)
+    from nomenklatura_spark.operators.graph import triangle_counts
+    from nomenklatura_spark.session import load_table as _lt
+
+    li = (
+        _lt(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)  # the registry row's slice
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    tri_edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .persist()
+    )
+    tri_edges_n = replicate(tri_edges, ["src", "dst"]).persist()
+    tri_edges.count(), tri_edges_n.count()
+
     ops = {
         "doc_embed": lambda d: hashed_embeddings(d),
         "doc_dup_passages": lambda d: duplicated_passages(d),
@@ -342,6 +376,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             rerank=50,
         ),
         "blocker_pairs": blocker_pairs_op,
+        "graph_triangles": lambda e: triangle_counts(e),
     }
     inputs = {
         "doc_embed": (docs, docs_n),
@@ -350,6 +385,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "dedup_semantic_hier": (emb, emb_n),
         "ann_pq_topk": (emb, emb_n),
         "blocker_pairs": (stmts, stmts_n),
+        "graph_triangles": (tri_edges, tri_edges_n),
     }
     section: dict[str, dict] = {"n_repl": n_repl}
     for name, fn in ops.items():
@@ -415,7 +451,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         file=sys.stderr,
     )
 
-    for df in (docs, emb, stmts, docs_n, emb_n, stmts_n, *cb1, *cbn):
+    for df in (docs, emb, stmts, docs_n, emb_n, stmts_n,
+               tri_edges, tri_edges_n, *cb1, *cbn):
         df.unpersist()
     return section
 

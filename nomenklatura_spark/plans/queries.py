@@ -1316,8 +1316,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation relationally."""
     from nomenklatura_spark.operators.graph import triangle_counts
 
+    # deterministic 20% order slice: the wedge volume of a co-occurrence
+    # graph grows with degree^2, so the diagnostic row bounds its INPUT
+    # (a fixed orderkey slice), not the algorithm — the operator itself
+    # is the full degree-ordered plan at any density
     li = (
         load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -1334,11 +1339,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRAPH_TRIANGLES_SQL = """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 5 = 0),
     und AS (
         SELECT DISTINCT
-            least(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS a,
-            greatest(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS b
+            least(x.l_partkey, y.l_partkey) AS a,
+            greatest(x.l_partkey, y.l_partkey) AS b
         FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         WHERE x.l_partkey < y.l_partkey
     ),
@@ -4189,7 +4195,12 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(normalize_for_shingles(F.col("text")), " "), lambda w: w != ""
     )
     tok = widen_small_scan(docs).select(F.explode(ws).alias("w"))
-    top = (
+    # 20 rows by contract -> LocalRelation: the top list feeds BOTH the
+    # result join and the CMS probes, and a lazy lineage would re-run
+    # the corpus rollup per branch
+    from nomenklatura_spark.ann.brute import materialize_local
+
+    top = materialize_local(
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_true"))
         .orderBy(F.desc("n_true"), "w")
