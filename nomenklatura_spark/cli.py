@@ -434,6 +434,103 @@ def drift_cmd(old_path: str, new_path: str, outpath: str | None,
     click.echo(json.dumps({"kl_new_vs_old": kl, "top_movers": movers}))
 
 
+@cli.command(
+    "sketch-distinct",
+    help="Mergeable HLL distinct-count sketch over a parquet column",
+)
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--key", default=None,
+              help="Grouping column (default: one global sketch)")
+@click.option("--value", required=True, help="Column whose distinct "
+              "values are estimated")
+@click.option("-o", "--outpath", type=click.Path(), default=None,
+              help="Optional parquet output for the register relation")
+@click.option("--merge-with", type=click.Path(exists=True), default=None,
+              help="Existing register parquet to max-merge (the "
+                   "incremental path: estimate covers both)")
+def sketch_distinct_cmd(path: str, key: str | None, value: str,
+                        outpath: str | None, merge_with: str | None) -> None:
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(path)
+    if key is None:
+        df = df.withColumn("_key", F.lit("all"))
+        key = "_key"
+    regs = hll_registers(
+        df.select(F.col(key).cast("string").alias("key"), value),
+        ["key"], value,
+    )
+    if merge_with is not None:
+        regs = hll_merge(regs, spark.read.parquet(merge_with))
+    if outpath is not None:
+        regs.write.mode("overwrite").parquet(outpath)
+        regs = spark.read.parquet(outpath)
+    est = {
+        r["key"]: r["n_hll"]
+        for r in hll_estimate(regs, ["key"]).collect()
+    }
+    click.echo(json.dumps({"distinct": est}))
+
+
+@cli.command(
+    "triangles",
+    help="Triangle counts + clustering coefficients over an edge parquet",
+)
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output parquet for (node, degree, triangles, clustering)")
+@click.option("--src", default="src")
+@click.option("--dst", default="dst")
+def triangles_cmd(path: str, outpath: str, src: str, dst: str) -> None:
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.operators.graph import triangle_counts
+
+    spark = _spark()
+    out = triangle_counts(spark.read.parquet(path), src, dst)
+    out.write.mode("overwrite").parquet(outpath)
+    out = spark.read.parquet(outpath)
+    summary = out.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        (F.sum("triangles") / 3).cast("long").alias("triangles"),
+        F.round(F.avg("clustering"), 4).alias("avg_clustering"),
+    ).first()
+    click.echo(json.dumps(summary.asDict()))
+
+
+@cli.command(
+    "trim-passages",
+    help="Remove corpus-duplicated passages from a document parquet",
+)
+@click.argument("path", type=click.Path(exists=True))
+@click.option("-o", "--outpath", type=click.Path(), required=True,
+              help="Output parquet for (doc_id, n_words, words_removed, "
+                   "trimmed_text)")
+@click.option("--k", type=int, default=8, help="Window width in words")
+def trim_passages_cmd(path: str, outpath: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.dedup.substring import trim_duplicated_passages
+
+    spark = _spark()
+    out = trim_duplicated_passages(spark.read.parquet(path), k=k)
+    out.write.mode("overwrite").parquet(outpath)
+    out = spark.read.parquet(outpath)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("words_removed").alias("words_removed"),
+        F.sum("n_words").alias("words_total"),
+    ).first()
+    click.echo(json.dumps(stats.asDict()))
+
+
 def main() -> None:
     cli(prog_name="nomenklatura-spark")
 

@@ -213,3 +213,60 @@ def test_cli_decontaminate_bloom(runner, tmp_path, spark):
     v = {r["doc_id"]: r["contaminated"]
          for r in spark.read.parquet(str(out)).collect()}
     assert v[1] and not v[2]
+
+
+def test_cli_sketch_distinct_incremental(runner, tmp_path, spark):
+    d1 = tmp_path / "d1"
+    d2 = tmp_path / "d2"
+    spark.createDataFrame(
+        [("a", f"u{i}") for i in range(300)], "k string, v string"
+    ).write.parquet(str(d1))
+    spark.createDataFrame(
+        [("a", f"w{i}") for i in range(200)], "k string, v string"
+    ).write.parquet(str(d2))
+    regs = tmp_path / "regs"
+    r1 = runner.invoke(
+        cli, ["sketch-distinct", str(d1), "--key", "k", "--value", "v",
+              "-o", str(regs)]
+    )
+    assert r1.exit_code == 0, r1.output
+    est1 = json.loads(r1.output.strip().splitlines()[-1])["distinct"]["a"]
+    assert abs(est1 - 300) / 300 < 0.25
+    # incremental: merge batch 2 into the stored registers
+    regs2 = tmp_path / "regs2"
+    r2 = runner.invoke(
+        cli, ["sketch-distinct", str(d2), "--key", "k", "--value", "v",
+              "--merge-with", str(regs), "-o", str(regs2)]
+    )
+    assert r2.exit_code == 0, r2.output
+    est2 = json.loads(r2.output.strip().splitlines()[-1])["distinct"]["a"]
+    assert abs(est2 - 500) / 500 < 0.25
+
+
+def test_cli_triangles(runner, tmp_path, spark):
+    edges = tmp_path / "edges"
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    ).write.parquet(str(edges))
+    out = tmp_path / "tri"
+    res = runner.invoke(cli, ["triangles", str(edges), "-o", str(out)])
+    assert res.exit_code == 0, res.output
+    summary = json.loads(res.output.strip().splitlines()[-1])
+    assert summary["nodes"] == 4 and summary["triangles"] == 1
+
+
+def test_cli_trim_passages(runner, tmp_path, spark):
+    docs = tmp_path / "docs"
+    passage = "one two three four five six seven eight"
+    spark.createDataFrame(
+        [(1, f"intro {passage} outro"), (2, f"other {passage} coda")],
+        "doc_id long, text string",
+    ).write.parquet(str(docs))
+    out = tmp_path / "trimmed"
+    res = runner.invoke(cli, ["trim-passages", str(docs), "-o", str(out)])
+    assert res.exit_code == 0, res.output
+    stats = json.loads(res.output.strip().splitlines()[-1])
+    assert stats["docs"] == 2 and stats["words_removed"] == 16
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows[1]["trimmed_text"] == "intro outro"
