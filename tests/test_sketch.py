@@ -169,3 +169,53 @@ def test_cms_weighted_counts(spark):
         ).collect()
     }
     assert got["x"] >= 7 and got["y"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# randomized properties (a few Spark rounds each — small example budgets)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vals = st.lists(
+    st.text(alphabet="abcdefg0123456789", min_size=1, max_size=8),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_vals, st.integers(min_value=0, max_value=60))
+def test_hll_merge_identity_random_splits(spark, vals, cut):
+    """merge(sketch(prefix), sketch(suffix)) == sketch(whole) for ANY
+    split point, including empty sides."""
+    rows = [("k", v) for v in vals]
+    schema = "key string, v string"
+    cut = min(cut, len(rows))
+    whole = hll_registers(spark.createDataFrame(rows, schema), ["key"], "v")
+    merged = hll_merge(
+        hll_registers(spark.createDataFrame(rows[:cut], schema), ["key"], "v"),
+        hll_registers(spark.createDataFrame(rows[cut:], schema), ["key"], "v"),
+    )
+    assert _sorted(merged) == _sorted(whole)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_vals)
+def test_cms_one_sided_error_random_streams(spark, vals):
+    """CMS estimates are >= the true count for EVERY value in the
+    stream — the one-sided guarantee, on arbitrary multisets."""
+    from collections import Counter
+
+    from nomenklatura_spark.operators.sketch import cms_lookup, cms_sketch
+
+    if not vals:
+        return
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sk = cms_sketch(df, "v", depth=2, width=16)  # tiny: force collisions
+    items = spark.createDataFrame([(v,) for v in true], "v string")
+    got = {r["value"]: r["n_cms"] for r in cms_lookup(
+        sk, items, "v", depth=2, width=16).collect()}
+    for v, n in true.items():
+        assert got[v] >= n
