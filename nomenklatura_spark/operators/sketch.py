@@ -271,3 +271,108 @@ def cms_lookup(
         .groupBy("value")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("n_cms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch (mergeable approximate quantiles)
+
+
+def hist_bounds(df: DataFrame, value_col: str) -> DataFrame:
+    """Global (lo, hi) bounds as a 1-row relation — the fixed frame every
+    increment of a histogram family must share to stay mergeable."""
+    return df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    )
+
+
+def hist_sketch(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    bounds: DataFrame,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Fixed-bin histogram sketch: (keys..., bin, cnt).
+
+    The third member of the sketch tier (HLL = distinct, CMS = heavy
+    hitters, histogram = quantiles): per (key, increment) at most
+    ``n_bins`` counter rows, built by one partially-aggregated shuffle,
+    merged across increments by bin-wise SUM — approximate quantiles
+    over any grouping or time window without re-scanning raw history.
+
+    ``bounds`` is a 1-row (lo, hi) relation shared by every increment
+    of the family (broadcast, no shuffle); values outside clip into the
+    edge bins, equal-lo==hi collapses to bin 0.  Counters are exact
+    BIGINTs; the bin index is one arithmetic expression over the raw
+    double, so the relation replays identically in ANSI SQL.
+    """
+    v = F.col(value_col).cast("double")
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    raw = F.floor((v - F.col("lo")) / width).cast("int")
+    bin_ = F.when(F.col("hi") <= F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(*key_cols, bin_.alias("bin"))
+        .groupBy(*key_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches built against the SAME bounds frame:
+    bin-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("cnt",)]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    bounds: DataFrame,
+    key_cols: Sequence[str],
+    q: float,
+    n_bins: int = 32,
+    decimals: int = 6,
+) -> DataFrame:
+    """Approximate quantile per key from a histogram sketch.
+
+    Standard cumulative-bin interpolation: find the first bin whose
+    running count reaches ``q * n``, place the quantile linearly inside
+    it by the overshoot fraction.  Every input is an exact integer or
+    the shared bounds doubles, so the estimate is engine-identical;
+    rounded before output.  Returns (keys..., n, q<q*100>).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("bin")
+    tot = Window.partitionBy(*key_cols)
+    cum = F.sum("cnt").over(w)
+    n = F.sum("cnt").over(tot)
+    hit = sketch.select(
+        *key_cols,
+        "bin",
+        "cnt",
+        cum.alias("cum"),
+        n.alias("n"),
+    ).where(F.col("cum") - F.col("cnt") < F.lit(q) * F.col("n"))
+    # the LAST qualifying bin per key is the one containing the quantile
+    pick = Window.partitionBy(*key_cols).orderBy(F.col("bin").desc())
+    top = (
+        hit.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .crossJoin(F.broadcast(bounds))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    frac = (F.lit(q) * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    est = F.col("lo") + width * (F.col("bin") + F.least(frac, F.lit(1.0)))
+    qname = f"q{int(round(q * 100)):02d}"
+    return top.select(
+        *key_cols,
+        F.col("n").cast("long").alias("n"),
+        F.round(est, decimals).alias(qname),
+    )

@@ -1709,6 +1709,86 @@ _EVENTS_HLL_SQL = """
 """
 
 
+def q_events_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles per event type — the third sketch
+    next to HLL (distinct) and CMS (heavy hitters): 32 fixed bins over
+    the global value range, built per (type, day) and bin-wise SUMMED
+    to per-type sketches (the ingest-increment shape), then p50/p95 by
+    cumulative-bin interpolation.  Bin counters are exact BIGINTs and
+    the bounds frame is shared, so the merged estimate replays
+    engine-identically; `events_quantiles` holds the exact percentiles
+    this approximates (sort-free here vs sort-based there)."""
+    from nomenklatura_spark.operators.sketch import (
+        hist_bounds,
+        hist_merge,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = hist_bounds(events, "value")
+    daily = hist_sketch(
+        events.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "value",
+        bounds,
+    )
+    sk = hist_merge(daily.drop("day"))
+    p50 = hist_quantile(sk, bounds, ["event_type"], 0.5)
+    p95 = hist_quantile(sk, bounds, ["event_type"], 0.95)
+    return p50.join(p95.drop("n"), "event_type").orderBy("event_type")
+
+
+_EVENTS_VALUE_HIST_SQL = """
+    WITH b AS (
+        SELECT min(CAST(value AS DOUBLE)) AS lo,
+               max(CAST(value AS DOUBLE)) AS hi
+        FROM events
+    ),
+    bins AS (
+        SELECT event_type,
+            CASE WHEN b.hi <= b.lo THEN 0
+                 ELSE least(greatest(CAST(floor(
+                        (CAST(value AS DOUBLE) - b.lo)
+                        / ((b.hi - b.lo) / 32.0)) AS INT), 0), 31)
+            END AS bin,
+            COUNT(*) AS cnt
+        FROM events, b GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin, cnt,
+            SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+            SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM bins
+    ),
+    pick50 AS (
+        SELECT event_type, n, bin, cnt, cum FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY bin DESC) AS rn
+            FROM cum WHERE cum - cnt < CAST(0.5 AS DOUBLE) * n
+        ) WHERE rn = 1
+    ),
+    pick95 AS (
+        SELECT event_type, bin, cnt, cum, n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY bin DESC) AS rn
+            FROM cum WHERE cum - cnt < CAST(0.95 AS DOUBLE) * n
+        ) WHERE rn = 1
+    )
+    SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
+        round(b.lo + ((b.hi - b.lo) / 32.0)
+              * (p.bin + least((CAST(0.5 AS DOUBLE) * p.n - (p.cum - p.cnt))
+                             / p.cnt, CAST(1.0 AS DOUBLE))),
+              6) AS q50,
+        round(b.lo + ((b.hi - b.lo) / 32.0)
+              * (x.bin + least((CAST(0.95 AS DOUBLE) * x.n - (x.cum - x.cnt))
+                             / x.cnt, CAST(1.0 AS DOUBLE))),
+              6) AS q95
+    FROM pick50 p JOIN pick95 x USING (event_type), b
+    ORDER BY p.event_type
+"""
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-statistics rollup per event type: exact interpolated
     p50/p95 of ``value``, exact distinct users, stddev.  Covers the
@@ -4761,6 +4841,7 @@ QUERIES = {
     "doc_search_hybrid": q_doc_search_hybrid,
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_dup_trim": q_doc_dup_trim,
+    "events_value_hist": q_events_value_hist,
 }
 
 ORACLES = {
@@ -4842,4 +4923,5 @@ ORACLES = {
     "doc_search_hybrid": _doc_hybrid_sql(),
     "doc_heavy_hitters": _DOC_HEAVY_HITTERS_SQL,
     "doc_dup_trim": _DOC_DUP_TRIM_SQL,
+    "events_value_hist": _EVENTS_VALUE_HIST_SQL,
 }

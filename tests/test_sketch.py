@@ -219,3 +219,54 @@ def test_cms_one_sided_error_random_streams(spark, vals):
         sk, items, "v", depth=2, width=16).collect()}
     for v, n in true.items():
         assert got[v] >= n
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch
+
+
+def test_hist_merge_identity_and_quantile_accuracy(spark):
+    from nomenklatura_spark.operators.sketch import (
+        hist_bounds,
+        hist_merge,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    rows = [("k", float(i)) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "key string, v double")
+    bounds = hist_bounds(df, "v")
+    whole = hist_sketch(df, ["key"], "v", bounds)
+    a = hist_sketch(df.where(F.col("v") <= 400), ["key"], "v", bounds)
+    b = hist_sketch(df.where(F.col("v") > 400), ["key"], "v", bounds)
+    assert _sorted(hist_merge(a, b)) == _sorted(whole)
+    q50 = hist_quantile(whole, bounds, ["key"], 0.5).collect()[0]
+    assert q50["n"] == 1000
+    # uniform data: bin interpolation is near-exact (within one bin width)
+    assert abs(q50["q50"] - 500.0) <= (1000 - 1) / 32 + 1
+
+
+def test_hist_degenerate_and_clipping(spark):
+    from nomenklatura_spark.operators.sketch import (
+        hist_bounds,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    # all-equal values: hi == lo -> single bin, quantile == the value
+    eq = spark.createDataFrame([("k", 7.5)] * 10, "key string, v double")
+    bounds = hist_bounds(eq, "v")
+    sk = hist_sketch(eq, ["key"], "v", bounds)
+    assert [tuple(r) for r in sk.collect()] == [("k", 0, 10)]
+    q = hist_quantile(sk, bounds, ["key"], 0.5).collect()[0]
+    assert q["q50"] == 7.5
+    # increments scored against FOREIGN bounds clip into edge bins
+    wide = spark.createDataFrame(
+        [("k", -100.0), ("k", 100.0)], "key string, v double"
+    )
+    bounds2 = hist_bounds(
+        spark.createDataFrame([("k", 0.0), ("k", 10.0)], "key string, v double"),
+        "v",
+    )
+    sk2 = hist_sketch(wide, ["key"], "v", bounds2, n_bins=8)
+    assert sorted(tuple(r) for r in sk2.collect()) == [("k", 0, 1), ("k", 7, 1)]
