@@ -270,3 +270,42 @@ def test_hist_degenerate_and_clipping(spark):
     )
     sk2 = hist_sketch(wide, ["key"], "v", bounds2, n_bins=8)
     assert sorted(tuple(r) for r in sk2.collect()) == [("k", 0, 1), ("k", 7, 1)]
+
+
+def test_maintain_hll_stream(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from nomenklatura_spark.streaming.hll_index import maintain_hll_stream
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    batches = [
+        [("a", f"x{i}") for i in range(50)],
+        [("a", f"y{i}") for i in range(30)] + [("b", f"x{i}") for i in range(20)],
+    ]
+    for n, rows in enumerate(batches):
+        with open(_os.path.join(src, f"b{n}.json"), "w") as fh:
+            for k, v in rows:
+                fh.write(_json.dumps({"k": k, "v": v}) + "\n")
+
+    state = HllIndexState(spark, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema("k string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = maintain_hll_stream(
+        stream, state, "k", "v", checkpoint_dir=str(tmp_path / "chk")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.version() == 1  # two micro-batches
+    scratch = hll_registers(
+        spark.createDataFrame(batches[0] + batches[1], "key string, v string"),
+        ["key"],
+        "v",
+    )
+    assert _sorted(state.registers()) == _sorted(scratch)
