@@ -346,3 +346,92 @@ def triangle_counts(
             .alias("clustering"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Bounded k-core peeling: which nodes survive ``n_rounds`` of
+    removing everything with degree < ``k``.
+
+    The density diagnostic the xref queue reads after triangles: the
+    k-core of a candidate-pair graph isolates the dense duplicate blobs
+    that deserve batch review, while early-peeled nodes are stragglers
+    attached by one or two candidate edges.  Bounded rounds (not
+    run-to-fixpoint) keep the operator a fixed-depth plan that an
+    unrolled SQL oracle can replay; each round that changes nothing is
+    a no-op, so ``n_rounds`` is an upper bound on peel depth, not a
+    semantic knob — report ``peel_round`` so the caller can see whether
+    the cascade was still moving at the horizon.
+
+    Returns ``(node, degree, peel_round, in_core)``: the initial
+    degree, the 1-based round the node was removed (0 = survived all
+    rounds), and the survivor flag.
+
+    100 TB shape: per round ONE partial-agg degree count over the
+    surviving symmetric edge relation plus two semi-joins against the
+    alive set; lineage is truncated per round via localCheckpoint exactly
+    like connected components, so the plan depth stays constant.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg0 = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    nodes = deg0.select("node", "degree", F.lit(0).alias("peel_round"))
+    nodes = nodes.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for t in range(1, n_rounds + 1):
+        cur = nodes.where(F.col("peel_round") == 0)
+        deg_t = sym.groupBy(F.col("s").alias("node")).agg(
+            F.count(F.lit(1)).alias("_d")
+        )
+        peeled = (
+            cur.join(deg_t, "node", "left")
+            .where(F.coalesce("_d", F.lit(0)) < k)
+            .select("node")
+        )
+        # no .count() round-trip: marking with a join keeps the loop
+        # lazy per round; a vacuous round just re-marks nothing
+        nodes = (
+            nodes.join(peeled.withColumn("_p", F.lit(t)), "node", "left")
+            .select(
+                "node",
+                "degree",
+                F.when(
+                    (F.col("peel_round") == 0) & F.col("_p").isNotNull(),
+                    F.lit(t),
+                )
+                .otherwise(F.col("peel_round"))
+                .alias("peel_round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        alive = nodes.where(F.col("peel_round") == 0).select(
+            F.col("node").alias("s")
+        )
+        sym = (
+            sym.join(alive, "s", "left_semi")
+            .join(alive.select(F.col("s").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    return nodes.select(
+        "node",
+        "degree",
+        F.col("peel_round").cast("int").alias("peel_round"),
+        (F.col("peel_round") == 0).alias("in_core"),
+    )

@@ -1316,26 +1316,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation relationally."""
     from nomenklatura_spark.operators.graph import triangle_counts
 
-    # deterministic 20% order slice: the wedge volume of a co-occurrence
-    # graph grows with degree^2, so the diagnostic row bounds its INPUT
-    # (a fixed orderkey slice), not the algorithm — the operator itself
-    # is the full degree-ordered plan at any density
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"),
-            F.col("y.l_partkey").alias("dst"),
-        )
-    )
-    return triangle_counts(pairs).orderBy("node")
+    # deterministic 20% order slice (_tri_part_pairs): the wedge volume
+    # of a co-occurrence graph grows with degree^2, so the diagnostic
+    # row bounds its INPUT (a fixed orderkey slice), not the algorithm —
+    # the operator itself is the full degree-ordered plan at any density
+    return triangle_counts(_tri_part_pairs(spark, sf_dir)).orderBy("node")
 
 
 _GRAPH_TRIANGLES_SQL = """
@@ -1391,6 +1376,108 @@ _GRAPH_TRIANGLES_SQL = """
     FROM deg d LEFT JOIN corners c USING (node)
     ORDER BY node
 """
+
+
+def _tri_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded part co-occurrence graph shared by the triangle and
+    k-core diagnostics: distinct (part, part) pairs within a
+    deterministic 20% order slice."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the part co-occurrence graph — the
+    density diagnostic after triangles: survivors of 5 peel rounds at
+    k = ceil(p75 of initial degree) are the dense blobs worth batch
+    review; ``peel_round`` says how quickly each straggler fell off.
+    k derives from a degree percentile so the cut sits at the knee at
+    every SF; the DuckDB oracle replays all rounds as unrolled CTEs
+    with k as a scalar subquery (``quantile_cont`` and Spark's
+    ``percentile`` share the interpolation definition — the
+    events_quantiles device)."""
+    import math
+
+    from nomenklatura_spark.operators.graph import kcore_peel
+
+    pairs = _tri_part_pairs(spark, sf_dir)
+    und = (
+        pairs.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    k = math.ceil(deg.agg(F.percentile("degree", 0.75)).first()[0])
+    return kcore_peel(pairs, k=k).orderBy("node")
+
+
+def _kcore_sql(n_rounds: int = 5) -> str:
+    ctes = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_orderkey % 5 = 0),
+    und AS (
+        SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                        greatest(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+    ),
+    s0 AS MATERIALIZED (SELECT a AS s, b AS d FROM und
+           UNION ALL SELECT b AS s, a AS d FROM und),
+    deg AS MATERIALIZED (SELECT s AS node, count(*) AS degree FROM s0 GROUP BY s),
+    kk AS (SELECT CAST(ceil(quantile_cont(degree, 0.75)) AS INT) AS k
+           FROM deg),
+    a0 AS (SELECT node FROM deg)"""
+    ]
+    # AS MATERIALIZED everywhere: each round references the previous
+    # round several times, and DuckDB's default CTE inlining would make
+    # the unrolled expression tree grow exponentially with the rounds
+    # (observed: round 5 planning never returns without the hint)
+    for t in range(1, n_rounds + 1):
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+        SELECT s AS node, count(*) AS d FROM s{t - 1} GROUP BY s),
+    rm{t} AS MATERIALIZED (
+        SELECT a.node FROM a{t - 1} a LEFT JOIN d{t} d USING (node)
+        WHERE COALESCE(d.d, 0) < (SELECT k FROM kk)
+    ),
+    a{t} AS MATERIALIZED (SELECT node FROM a{t - 1}
+             WHERE node NOT IN (SELECT node FROM rm{t})),
+    s{t} AS MATERIALIZED (SELECT s, d FROM s{t - 1}
+             WHERE s IN (SELECT node FROM a{t})
+               AND d IN (SELECT node FROM a{t}))"""
+        )
+    peel = "CASE "
+    for t in range(1, n_rounds + 1):
+        peel += f"WHEN node IN (SELECT node FROM rm{t}) THEN {t} "
+    peel += "ELSE 0 END"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, degree, CAST({peel} AS INT) AS peel_round,
+           ({peel}) = 0 AS in_core
+    FROM deg ORDER BY node"""
+    )
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4842,6 +4929,7 @@ QUERIES = {
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_dup_trim": q_doc_dup_trim,
     "events_value_hist": q_events_value_hist,
+    "graph_kcore": q_graph_kcore,
 }
 
 ORACLES = {
@@ -4924,4 +5012,5 @@ ORACLES = {
     "doc_heavy_hitters": _DOC_HEAVY_HITTERS_SQL,
     "doc_dup_trim": _DOC_DUP_TRIM_SQL,
     "events_value_hist": _EVENTS_VALUE_HIST_SQL,
+    "graph_kcore": _kcore_sql(),
 }

@@ -277,3 +277,51 @@ def test_triangles_partition_invariant_and_random_parity(spark):
     assert base == sorted(
         tuple(r) for r in triangle_counts(df.repartition(13)).collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+
+
+def test_kcore_peels_tail_progressively(spark):
+    from nomenklatura_spark.operators.graph import kcore_peel
+
+    # triangle {a,b,c} (2-core) with a chain c-d-e hanging off it:
+    # at k=2, e (deg 1) peels in round 1, then d (deg drops to 1) in
+    # round 2, and the triangle survives.
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in kcore_peel(df, k=2, n_rounds=5).collect()}
+    assert got["e"]["peel_round"] == 1 and not got["e"]["in_core"]
+    assert got["d"]["peel_round"] == 2 and not got["d"]["in_core"]
+    for v in ("a", "b", "c"):
+        assert got[v]["in_core"] and got[v]["peel_round"] == 0
+    # initial degrees are reported, not residual ones
+    assert got["c"]["degree"] == 3 and got["d"]["degree"] == 2
+
+
+def test_kcore_k_above_max_degree_peels_everything(spark):
+    from nomenklatura_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    got = kcore_peel(df, k=10, n_rounds=3).collect()
+    assert all(r["peel_round"] == 1 and not r["in_core"] for r in got)
+
+
+def test_kcore_bounded_rounds_report_unfinished_cascade(spark):
+    from nomenklatura_spark.operators.graph import kcore_peel
+
+    # a 6-node path at k=2 peels from both ends, one layer per round;
+    # with only 1 round, just the endpoints are gone
+    path = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    got = {r["node"]: r["peel_round"]
+           for r in kcore_peel(df, k=2, n_rounds=1).collect()}
+    assert got["n0"] == 1 and got["n5"] == 1
+    assert all(got[f"n{i}"] == 0 for i in (1, 2, 3, 4))
+    # with enough rounds the whole path dissolves layer by layer
+    full = {r["node"]: r["peel_round"]
+            for r in kcore_peel(df, k=2, n_rounds=5).collect()}
+    assert full == {"n0": 1, "n5": 1, "n1": 2, "n4": 2, "n2": 3, "n3": 3}
