@@ -150,3 +150,88 @@ def band_join_binned(
         .where(F.abs(F.col("_r_us") - F.col("_l_us")) <= band_us)
         .select("l", "r", (F.col("_r_us") - F.col("_l_us")).alias("dt_us"))
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """First-touch ordered funnel: how many users reach each step of
+    ``steps`` IN ORDER (each step strictly after the previous one's
+    first qualifying occurrence).
+
+    The product-analytics reduction Spark has no built-in for: per
+    user, t1 = first step-1 event; t_k = first step-k event strictly
+    after t_{k-1}; a user converts through step k iff t_k exists (and,
+    with ``within`` — an INTERVAL literal like ``'7 days'`` — lands
+    inside the horizon opened at t1).
+
+    Returns one row per step: (step int, event_type, n_users,
+    conversion — fraction of step-1 users, 6dp).
+
+    100 TB shape: the event stream is hash-partitioned by user ONCE;
+    each step is then a partial-agg min over that layout plus a
+    broadcast-sized rejoin of the per-user step times (per-user state
+    is k timestamps, never the events), so the plan is k conditional
+    aggregations over one shuffle of the big relation — no self-join of
+    the event stream against itself.
+    """
+    spark = events.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(type_col).alias("et"),
+        )
+        .where(F.col("et").isin(list(steps)))
+        .repartition(par, "u")
+        .localCheckpoint(eager=True)
+    )
+    horizon = (
+        F.expr(f"_t1 + INTERVAL {within}") if within is not None else None
+    )
+    reached = None  # per-user frame: (u, _t1, ..., _ti)
+    counts = []
+    for i, step in enumerate(steps, start=1):
+        if i == 1:
+            reached = (
+                ev.where(F.col("et") == step)
+                .groupBy("u")
+                .agg(F.min("t").alias("_t1"))
+            )
+        else:
+            prev = f"_t{i - 1}"
+            cand = ev.where(F.col("et") == step).join(reached, "u")
+            cond = F.col("t") > F.col(prev)
+            if horizon is not None:
+                cond = cond & (F.col("t") <= horizon)
+            reached = (
+                cand.where(cond)
+                .groupBy("u", *[f"_t{j}" for j in range(1, i)])
+                .agg(F.min("t").alias(f"_t{i}"))
+            )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    base = Window.partitionBy()
+    return out.select(
+        "step",
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(
+            F.col("n_users") / F.first("n_users").over(base.orderBy("step")),
+            6,
+        ).alias("conversion"),
+    ).orderBy("step")

@@ -1716,6 +1716,58 @@ _EVENTS_RETENTION_SQL = """
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel view → click → purchase within 7
+    days (``operators/temporal.funnel_steps``): per user, each step's
+    first occurrence strictly after the previous step's, all inside the
+    horizon opened at the first view.  The product-analytics reduction
+    Spark lacks as a built-in, shaped as one user-keyed shuffle + k
+    conditional aggregations (never a self-join of the event stream);
+    the oracle replays the same step chain as CTEs."""
+    from nomenklatura_spark.operators.temporal import funnel_steps
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        events, ["view", "click", "purchase"], within="7 DAYS"
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+    WITH ev AS (
+        SELECT user_id AS u, ts AS t, event_type AS et FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE et = 'view' GROUP BY u),
+    s2 AS (
+        SELECT e.u, s.t1, min(e.t) AS t2
+        FROM ev e JOIN s1 s USING (u)
+        WHERE e.et = 'click' AND e.t > s.t1
+          AND e.t <= s.t1 + INTERVAL 7 DAY
+        GROUP BY e.u, s.t1
+    ),
+    s3 AS (
+        SELECT e.u, s.t1, s.t2, min(e.t) AS t3
+        FROM ev e JOIN s2 s USING (u)
+        WHERE e.et = 'purchase' AND e.t > s.t2
+          AND e.t <= s.t1 + INTERVAL 7 DAY
+        GROUP BY e.u, s.t1, s.t2
+    ),
+    c AS (
+        SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT CAST(step AS INT) AS step, event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6)
+               AS conversion
+    FROM c ORDER BY step
+"""
+
+
 def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog distinct-user sketches per event type.
 
@@ -4930,6 +4982,7 @@ QUERIES = {
     "doc_dup_trim": q_doc_dup_trim,
     "events_value_hist": q_events_value_hist,
     "graph_kcore": q_graph_kcore,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -5013,4 +5066,5 @@ ORACLES = {
     "doc_dup_trim": _DOC_DUP_TRIM_SQL,
     "events_value_hist": _EVENTS_VALUE_HIST_SQL,
     "graph_kcore": _kcore_sql(),
+    "events_funnel": _EVENTS_FUNNEL_SQL,
 }

@@ -216,3 +216,64 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     assert ranked
     for r in ranked:
         assert 0.93 <= r.rank_frac <= 0.97, r
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel
+
+
+def test_funnel_order_horizon_and_strictness(spark):
+    from nomenklatura_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # u1 converts fully in order
+        ("u1", "2024-01-01 10:00:00", "view"),
+        ("u1", "2024-01-01 11:00:00", "click"),
+        ("u1", "2024-01-02 09:00:00", "purchase"),
+        # u2 clicked BEFORE viewing: click must not count; no purchase
+        ("u2", "2024-01-01 08:00:00", "click"),
+        ("u2", "2024-01-01 09:00:00", "view"),
+        # u3 views then clicks, but purchase is outside the 7-day horizon
+        ("u3", "2024-01-01 00:00:00", "view"),
+        ("u3", "2024-01-02 00:00:00", "click"),
+        ("u3", "2024-01-20 00:00:00", "purchase"),
+        # u4 view+click at the SAME timestamp: strictly-after fails
+        ("u4", "2024-01-01 12:00:00", "view"),
+        ("u4", "2024-01-01 12:00:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["step"]: (r["event_type"], r["n_users"], r["conversion"])
+        for r in funnel_steps(
+            df, ["view", "click", "purchase"], within="7 DAYS"
+        ).collect()
+    }
+    assert got[1] == ("view", 4, 1.0)
+    assert got[2] == ("click", 2, 0.5)     # u1 and u3 only
+    assert got[3] == ("purchase", 1, 0.25)  # u1 only
+    # without a horizon u3's late purchase counts
+    free = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    }
+    assert free[3] == 2
+
+
+def test_funnel_second_occurrence_qualifies(spark):
+    from nomenklatura_spark.operators.temporal import funnel_steps
+
+    # the FIRST click precedes the view, but a second click follows it:
+    # first-touch per step means first QUALIFYING touch, not first ever
+    rows = [
+        ("u", "2024-01-01 08:00:00", "click"),
+        ("u", "2024-01-01 09:00:00", "view"),
+        ("u", "2024-01-01 10:00:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {r["step"]: r["n_users"]
+           for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert got == {1: 1, 2: 1}
