@@ -4296,7 +4296,12 @@ def q_doc_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_self=True,
     )
     emb = hashed_embeddings(docs, "doc_id", "text", dim=64)
-    qv = emb.join(probes.select("doc_id"), "doc_id")
+    # probe vectors from the 8 probe docs alone: feature hashing is
+    # per-document (no corpus statistics), so this is value-identical
+    # to filtering the corpus embeddings and skips a full embed pass
+    # inside cosine_topk's query-matrix collect (measured 10.6s -> 6s
+    # for the whole row at sf0.1)
+    qv = hashed_embeddings(probes, "doc_id", "text", dim=64)
     sem = cosine_topk(emb, qv, id_col="doc_id", vec_col="embedding", k=20)
     return rrf_fuse(
         {
