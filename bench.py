@@ -38,12 +38,15 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "doc_embed",
     "media_features",
-    # r6 additions: sketch, graph, fusion and trim tiers
+    # r6 additions: sketch, graph, fusion, trim and funnel tiers
     "events_hll_users",
     "doc_heavy_hitters",
+    "events_value_hist",
     "graph_triangles",
+    "graph_kcore",
     "doc_search_hybrid",
     "doc_dup_trim",
+    "events_funnel",
 ]
 
 
