@@ -376,3 +376,33 @@ def hist_quantile(
         F.col("n").cast("long").alias("n"),
         F.round(est, decimals).alias(qname),
     )
+
+
+def hll_pairwise_union(
+    registers: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Union sketches for every unordered key pair: (key_a, key_b,
+    bucket, reg) with reg = max over the two keys' registers.
+
+    The sketch-algebra payoff: |A ∪ B| estimates come from stored
+    kilobyte sketches, and |A ∩ B| ≈ est(A) + est(B) − est(A∪B)
+    (inclusion–exclusion), so corpus-overlap questions — shared users
+    between segments, document overlap between snapshots — never join
+    or rescan the raw relations.  The distinct key set is expected
+    small (it drives a pair cross-join); the register relation stays
+    sketch-sized throughout.
+    """
+    keys = registers.select(F.col(key_col).alias("_k")).distinct()
+    pairs = (
+        keys.select(F.col("_k").alias("key_a"))
+        .crossJoin(F.broadcast(keys.select(F.col("_k").alias("key_b"))))
+        .where(F.col("key_a") < F.col("key_b"))
+    )
+    joined = pairs.join(
+        F.broadcast(registers),
+        (F.col(key_col) == F.col("key_a")) | (F.col(key_col) == F.col("key_b")),
+    )
+    return joined.groupBy("key_a", "key_b", "bucket").agg(
+        F.max("reg").alias("reg")
+    )

@@ -1802,6 +1802,133 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").orderBy("event_type")
 
 
+def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra set overlap: estimated shared users between every
+    pair of event types via inclusion–exclusion over HLL sketches
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B), union = register max) — the
+    corpus-overlap question answered from stored kilobyte sketches with
+    NO join of the raw event streams.  The exact intersection rides
+    along to expose the estimation error; the oracle replays the full
+    register algebra."""
+    from nomenklatura_spark.operators.sketch import (
+        hll_estimate,
+        hll_pairwise_union,
+        hll_registers,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    regs = hll_registers(events, ["event_type"], "user_id")
+    singles = hll_estimate(regs, ["event_type"]).select(
+        "event_type", "n_hll"
+    )
+    unions = hll_estimate(
+        hll_pairwise_union(regs, "event_type"), ["key_a", "key_b"]
+    ).select("key_a", "key_b", F.col("n_hll").alias("n_union_hll"))
+    users = events.select("event_type", "user_id").distinct()
+    exact = (
+        users.alias("x")
+        .join(users.alias("y"), "user_id")
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("key_a"),
+            F.col("y.event_type").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("key_a"), F.col("n_hll").alias("_na")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("key_b"), F.col("n_hll").alias("_nb")
+    )
+    return (
+        unions.join(sa, "key_a")
+        .join(sb, "key_b")
+        .join(exact, ["key_a", "key_b"], "left")
+        .select(
+            "key_a",
+            "key_b",
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            "n_union_hll",
+            F.round(
+                F.col("_na") + F.col("_nb") - F.col("n_union_hll"), 4
+            ).alias("n_intersect_hll"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+def _overlap_sql() -> str:
+    est = (
+        "round(CASE WHEN ((0.7213 / (1 + 1.079 / 256)) * 65536.0"
+        " * 9007199254740992.0 / {r}.harmonic_q) <= 640.0"
+        " AND {r}.zeros > 0"
+        " THEN 256.0 * ln(256.0 / {r}.zeros)"
+        " ELSE (0.7213 / (1 + 1.079 / 256)) * 65536.0"
+        " * 9007199254740992.0 / {r}.harmonic_q END, 4)"
+    )
+
+    def agg_est(keys: str, rel: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT {keys},
+            CAST(present + (256 - nonempty) * (1::BIGINT << 53) AS BIGINT)
+                AS harmonic_q,
+            CAST(256 - nonempty AS BIGINT) AS zeros
+        FROM (
+            SELECT {keys},
+                SUM(1::BIGINT << CAST(53 - reg AS INT)) AS present,
+                COUNT(*) AS nonempty
+            FROM {rel} GROUP BY {keys}
+        )
+    )"""
+
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+            CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM events
+    ),
+    regs AS MATERIALIZED (
+        SELECT event_type, h % 256 AS bucket,
+            MAX(CASE WHEN h // 256 = 0 THEN 53
+                ELSE 53 - length(bin(h // 256)) END) AS reg
+        FROM h GROUP BY 1, 2
+    ),
+    {agg_est("event_type", "regs", "se")},
+    tp AS (SELECT DISTINCT event_type FROM regs),
+    prs AS (
+        SELECT x.event_type AS key_a, y.event_type AS key_b
+        FROM tp x JOIN tp y ON x.event_type < y.event_type
+    ),
+    uregs AS (
+        SELECT p.key_a, p.key_b, r.bucket, MAX(r.reg) AS reg
+        FROM prs p JOIN regs r
+            ON r.event_type = p.key_a OR r.event_type = p.key_b
+        GROUP BY 1, 2, 3
+    ),
+    {agg_est("key_a, key_b", "uregs", "ue")},
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+        SELECT x.event_type AS key_a, y.event_type AS key_b,
+            COUNT(*) AS n_exact
+        FROM du x JOIN du y ON x.user_id = y.user_id
+            AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT u.key_a, u.key_b,
+        CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+        {est.format(r="u")} AS n_union_hll,
+        round({est.format(r="a")} + {est.format(r="b")}
+              - {est.format(r="u")}, 4) AS n_intersect_hll
+    FROM ue u
+    JOIN se a ON a.event_type = u.key_a
+    JOIN se b ON b.event_type = u.key_b
+    LEFT JOIN exact e ON e.key_a = u.key_a AND e.key_b = u.key_b
+    ORDER BY u.key_a, u.key_b
+"""
+
+
 # Direct-sketch replay of the Spark side's daily-merge path: identical
 # output is the HLL merge identity.  Constants: p=8 -> m=256 registers,
 # 60-bit md5 hash -> rank width 52, harmonic units 2^-53; alpha_256
@@ -4988,6 +5115,7 @@ QUERIES = {
     "events_value_hist": q_events_value_hist,
     "graph_kcore": q_graph_kcore,
     "events_funnel": q_events_funnel,
+    "events_user_overlap": q_events_user_overlap,
 }
 
 ORACLES = {
@@ -5072,4 +5200,5 @@ ORACLES = {
     "events_value_hist": _EVENTS_VALUE_HIST_SQL,
     "graph_kcore": _kcore_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,
+    "events_user_overlap": _overlap_sql(),
 }

@@ -309,3 +309,42 @@ def test_maintain_hll_stream(spark, tmp_path):
         "v",
     )
     assert _sorted(state.registers()) == _sorted(scratch)
+
+
+def test_hll_pairwise_union_and_overlap_estimates(spark):
+    from nomenklatura_spark.operators.sketch import (
+        hll_estimate,
+        hll_pairwise_union,
+        hll_registers,
+    )
+
+    # A and B share exactly 500 of 1000 members; C is disjoint from both
+    rows = (
+        [("A", f"s{i}") for i in range(500)]
+        + [("A", f"a{i}") for i in range(500)]
+        + [("B", f"s{i}") for i in range(500)]
+        + [("B", f"b{i}") for i in range(500)]
+        + [("C", f"c{i}") for i in range(300)]
+    )
+    regs = hll_registers(
+        spark.createDataFrame(rows, "key string, v string"), ["key"], "v"
+    )
+    singles = {
+        r["key"]: r["n_hll"]
+        for r in hll_estimate(regs, ["key"]).collect()
+    }
+    unions = {
+        (r["key_a"], r["key_b"]): r["n_hll"]
+        for r in hll_estimate(
+            hll_pairwise_union(regs, "key"), ["key_a", "key_b"]
+        ).collect()
+    }
+    inter_ab = singles["A"] + singles["B"] - unions[("A", "B")]
+    inter_ac = singles["A"] + singles["C"] - unions[("A", "C")]
+    # |A∩B| = 500 true; inclusion-exclusion compounds ~6.5% errors,
+    # so allow a generous band — the property is the ORDER of magnitude
+    assert 250 < inter_ab < 750
+    # disjoint sets estimate near zero (can be slightly negative)
+    assert abs(inter_ac) < 200
+    # union of a key with itself never appears (strict a < b pairing)
+    assert all(a < b for a, b in unions)
