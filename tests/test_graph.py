@@ -325,3 +325,27 @@ def test_kcore_bounded_rounds_report_unfinished_cascade(spark):
     full = {r["node"]: r["peel_round"]
             for r in kcore_peel(df, k=2, n_rounds=5).collect()}
     assert full == {"n0": 1, "n5": 1, "n1": 2, "n4": 2, "n2": 3, "n3": 3}
+
+
+def test_graph_diagnostics_on_er_candidate_graph(spark, sf_dir):
+    """The ER story end-to-end: the blocker's candidate-pair relation IS
+    a graph; triangles/clustering and k-core run directly on it and
+    agree with each other about density."""
+    from nomenklatura_spark.operators.graph import kcore_peel, triangle_counts
+    from nomenklatura_spark.plans.queries import QUERIES
+
+    pairs = QUERIES["blocker_pairs"](spark, sf_dir).select(
+        F.col("lid").alias("src"), F.col("rid").alias("dst")
+    )
+    tri = triangle_counts(pairs)
+    core = kcore_peel(pairs, k=2, n_rounds=3)
+    t = {r["node"]: r for r in tri.collect()}
+    c = {r["node"]: r for r in core.collect()}
+    assert set(t) == set(c) and len(t) > 0
+    # a node inside any triangle has degree >= 2 twice over: it cannot
+    # peel in round 1 of the 2-core
+    for node, row in t.items():
+        if row["triangles"] > 0:
+            assert c[node]["peel_round"] != 1
+    # initial degrees agree between the two operators
+    assert all(t[n]["degree"] == c[n]["degree"] for n in t)
