@@ -402,3 +402,63 @@ def test_headline_plan_shapes_bounded(spark, sf_dir):
         if n > bound:
             over[name] = (n, bound)
     assert not over, f"queries exceeding their shuffle bound: {over}"
+
+
+def test_sketch_plans_partial_aggregate_map_side(spark, sf_dir):
+    """The sketch tier's whole 100 TB claim is the map-side combine:
+    every register/counter build must partially aggregate BEFORE its
+    one exchange, and the CMS fanout must be a single Generate (array
+    explode), not a join."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.operators.sketch import cms_sketch, hll_registers
+    from nomenklatura_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    hll = _plan(hll_registers(events, ["event_type"], "user_id"))
+    # a partial_max stage exists and only ONE exchange moves data, so
+    # the combine necessarily ran map-side below it
+    assert "partial_max" in hll
+    assert hll.count("Exchange") == 1
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    )
+    cms = _plan(cms_sketch(tok, "w"))
+    assert "partial_sum" in cms and cms.count("Exchange") == 1
+    # scan fanout Generate(s) only — no join anywhere in the build
+    assert "Join" not in cms
+
+
+def test_funnel_shuffles_event_stream_once(spark, sf_dir):
+    """funnel_steps: after the initial user-keyed repartition (inside
+    the checkpoint), no step may re-exchange the event stream — the
+    step joins exchange only the per-user timestamp frames."""
+    from nomenklatura_spark.operators.temporal import funnel_steps
+    from nomenklatura_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plan = _plan(
+        funnel_steps(events, ["view", "click", "purchase"], within="7 DAYS")
+    )
+    # the checkpointed stream appears as scans; the only exchanges are
+    # per-user aggregations over it (tiny frames), never a re-shuffle
+    # of raw events: every exchange keys on the user hash
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-zA-Z0-9_#]+)", plan)
+    assert exchanges and all(e.startswith("u#") for e in exchanges)
+
+
+def test_trim_positions_travel_as_one_array(spark, sf_dir):
+    """trim_duplicated_passages: exactly one window-count exchange and
+    one per-doc rollup + one id rejoin; the coverage filter itself is
+    map-side (no extra Generate past the window explode)."""
+    from nomenklatura_spark.dedup.substring import trim_duplicated_passages
+    from nomenklatura_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(trim_duplicated_passages(docs))
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") <= 4  # window, rollup, join both sides
