@@ -531,6 +531,58 @@ def trim_passages_cmd(path: str, outpath: str, k: int) -> None:
     click.echo(json.dumps(stats.asDict()))
 
 
+@cli.command(
+    "search",
+    help="Rank documents in a parquet corpus against a free-text query",
+)
+@click.argument("path", type=click.Path(exists=True))
+@click.argument("query")
+@click.option("--k", type=int, default=10, help="Results to return")
+@click.option("--hybrid", is_flag=True, default=False,
+              help="Fuse BM25 with hashed-embedding cosine (RRF)")
+def search_cmd(path: str, query: str, k: int, hybrid: bool) -> None:
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.textops.retrieval import bm25_topk, rrf_fuse
+
+    spark = _spark()
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    probe = spark.createDataFrame(
+        [(-1, query)], "query_id long, text string"
+    )
+    run_k = max(k, 20) if hybrid else k
+    lex = bm25_topk(docs, probe, id_col="doc_id", text_col="text",
+                    query_id_col="query_id", query_text_col="text", k=run_k)
+    if hybrid:
+        from nomenklatura_spark.ann.brute import cosine_topk
+        from nomenklatura_spark.textops.embed import hashed_embeddings
+
+        emb = hashed_embeddings(docs, "doc_id", "text", dim=64)
+        qv = hashed_embeddings(probe, "query_id", "text", dim=64).select(
+            F.col("query_id").alias("doc_id"), "embedding"
+        )
+        sem = cosine_topk(emb, qv, id_col="doc_id",
+                          vec_col="embedding", k=run_k)
+        out = rrf_fuse(
+            {
+                "lex": lex,
+                "sem": sem.select(
+                    "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+                ),
+            },
+            k=k,
+        )
+        rows = [r.asDict() for r in out.orderBy("rank").collect()]
+    else:
+        rows = [
+            r.asDict()
+            for r in lex.orderBy("rank").limit(k).collect()
+        ]
+    for r in rows:
+        r.pop("query_id", None)
+        click.echo(json.dumps(r))
+
+
 def main() -> None:
     cli(prog_name="nomenklatura-spark")
 

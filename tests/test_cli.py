@@ -270,3 +270,29 @@ def test_cli_trim_passages(runner, tmp_path, spark):
     assert stats["docs"] == 2 and stats["words_removed"] == 16
     rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
     assert rows[1]["trimmed_text"] == "intro outro"
+
+
+def test_cli_search_bm25_and_hybrid(runner, tmp_path, spark):
+    docs = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown foxes are quick and brown"),
+            (3, "entirely unrelated legal filing about tax codes"),
+            (4, "dog dog dog kennel"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(docs))
+    res = runner.invoke(cli, ["search", str(docs), "quick brown fox", "--k", "2"])
+    assert res.exit_code == 0, res.output
+    hits = [json.loads(l) for l in res.output.strip().splitlines()]
+    assert len(hits) == 2
+    assert hits[0]["doc_id"] in (1, 2) and hits[0]["rank"] == 1
+    hy = runner.invoke(
+        cli, ["search", str(docs), "quick brown fox", "--k", "3", "--hybrid"]
+    )
+    assert hy.exit_code == 0, hy.output
+    hhits = [json.loads(l) for l in hy.output.strip().splitlines()]
+    assert len(hhits) == 3
+    assert {"lex_rank", "sem_rank", "rrf"} <= set(hhits[0])
+    assert hhits[0]["doc_id"] in (1, 2)
