@@ -277,3 +277,31 @@ def test_funnel_second_occurrence_qualifies(spark):
     got = {r["step"]: r["n_users"]
            for r in funnel_steps(df, ["view", "click"]).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_funnel_partition_invariant(spark):
+    from nomenklatura_spark.operators.temporal import funnel_steps
+
+    import random
+
+    rnd = random.Random(11)
+    types = ["view", "click", "purchase"]
+    rows = [
+        (f"u{rnd.randrange(40)}",
+         f"2024-01-{rnd.randrange(1, 28):02d} {rnd.randrange(24):02d}:00:00",
+         types[rnd.randrange(3)])
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    base = sorted(
+        tuple(r) for r in funnel_steps(df, types, within="7 DAYS").collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in funnel_steps(
+            df.repartition(17), types, within="7 DAYS"
+        ).collect()
+    )
+    assert base == shuffled and base[0][2] > 0
