@@ -289,6 +289,14 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # und feeds deg (twice, via the endpoint union) AND the
+        # orientation join, and oriented feeds three plan branches —
+        # without materialization Spark re-derives the caller's edge
+        # pipeline once PER REFERENCE (measured: the co-occurrence
+        # self-join ran 6x in the executed plan; checkpointing und and
+        # oriented cut the sf0.1 row 3.1s -> ~1.4s).  Same eager
+        # lineage-truncation device as pagerank/components.
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -308,7 +316,7 @@ def triangle_counts(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("_db")).otherwise(F.col("_da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)  # referenced by e1, e2 and closing
     e1 = oriented.select(
         F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
     )
