@@ -305,3 +305,57 @@ def test_funnel_partition_invariant(spark):
         ).collect()
     )
     assert base == shuffled and base[0][2] > 0
+
+
+def _funnel_reference(rows, steps, within_days=None):
+    """Driver-side replay: per user, first qualifying time per step."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    by_user = defaultdict(list)
+    for u, ts, et in rows:
+        by_user[u].append((datetime.fromisoformat(ts), et))
+    counts = [0] * len(steps)
+    for u, evs in by_user.items():
+        prev = None
+        horizon = None
+        for i, step in enumerate(steps):
+            cand = [
+                t for t, et in evs
+                if et == step
+                and (prev is None or t > prev)
+                and (horizon is None or t <= horizon)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            if i == 0 and within_days is not None:
+                horizon = prev + timedelta(days=within_days)
+            counts[i] += 1
+    return counts
+
+
+def test_funnel_matches_reference_on_random_streams(spark):
+    import random
+
+    from nomenklatura_spark.operators.temporal import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    for seed in (3, 17, 29):
+        rnd = random.Random(seed)
+        rows = [
+            (f"u{rnd.randrange(25)}",
+             f"2024-01-{rnd.randrange(1, 28):02d}T{rnd.randrange(24):02d}:"
+             f"{rnd.randrange(60):02d}:00",
+             steps[rnd.randrange(3)])
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id string, ts string, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = [
+            r["n_users"]
+            for r in funnel_steps(df, steps, within="7 DAYS")
+            .orderBy("step").collect()
+        ]
+        assert got == _funnel_reference(rows, steps, within_days=7), seed
