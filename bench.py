@@ -262,7 +262,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         for c in id_cols:
             typ = dict(df.dtypes)[c]
             if typ in ("bigint", "int"):
-                out = out.withColumn(c, F.col(c) + F.col("_rep") * 10_000_000)
+                out = out.withColumn(c, F.col(c) + F.col("_rep") * 1_000_000_000_000)
             else:
                 out = out.withColumn(
                     c, F.concat_ws("-r", F.col(c), F.col("_rep"))
@@ -352,24 +352,11 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     # ~linear.  (Replicating only orderkeys would densify one shared
     # graph and measure graph math, not the operator.)
     from nomenklatura_spark.operators.graph import triangle_counts
-    from nomenklatura_spark.session import load_table as _lt
+    from nomenklatura_spark.plans.queries import _tri_part_pairs
 
-    li = (
-        _lt(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 5 == 0)  # the registry row's slice
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    tri_edges = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"),
-            F.col("y.l_partkey").alias("dst"),
-        )
-        .persist()
-    )
+    # the registry row's own edge builder, so the probe always measures
+    # the same graph the headline row runs on
+    tri_edges = _tri_part_pairs(spark, sf_dir).persist()
     tri_edges_n = replicate(tri_edges, ["src", "dst"]).persist()
     tri_edges.count(), tri_edges_n.count()
 
@@ -434,6 +421,10 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         .collect()
     ]
     n_batches, per_batch = 8, 100
+    # tiny SFs carry fewer than n_batches*per_batch*2 entities: shrink
+    # the batch, keep the batch COUNT (the constant-wall-per-batch claim
+    # is about batch index, not batch size)
+    per_batch = min(per_batch, len(ids) // (2 * n_batches))
     edge_ddl = (
         "target string, source string, judgement string, score double,"
         " user string, created_at string, deleted_at string"

@@ -392,6 +392,11 @@ def kcore_peel(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # und is referenced twice by the sym union, and sym feeds both
+        # the deg0/nodes checkpoint and its own — without truncation the
+        # caller's edge pipeline re-executes once per reference (the
+        # triangle_counts lesson, same fix)
+        .localCheckpoint(eager=True)
     )
     sym = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         und.select(F.col("b").alias("s"), F.col("a").alias("d"))

@@ -99,7 +99,10 @@ def hll_registers(
         10,
     ).cast("long")
     return (
-        df.select(*key_cols, h.alias("_h"))
+        # NULL values are ignored, matching the exact aggregates this
+        # approximates (count distinct / approx_count_distinct)
+        df.where(F.col(value_col).isNotNull())
+        .select(*key_cols, h.alias("_h"))
         .select(
             *key_cols,
             F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("bucket"),
@@ -223,7 +226,8 @@ def cms_sketch(
         ]
     )
     return (
-        df.select(F.explode(rows).alias("r"), w.alias("_w"))
+        df.where(F.col(value_col).isNotNull())  # NULLs don't count
+        .select(F.explode(rows).alias("r"), w.alias("_w"))
         .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
         .agg(F.sum("_w").alias("cnt"))
     )
@@ -314,7 +318,11 @@ def hist_sketch(
         F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     )
     return (
-        df.crossJoin(F.broadcast(bounds))
+        # NULL values are ignored, matching percentile/quantile_cont —
+        # a NULL would otherwise ride as a NULL bin inside n but outside
+        # the cumulative walk, shifting every quantile upward
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
         .select(*key_cols, bin_.alias("bin"))
         .groupBy(*key_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -348,3 +348,35 @@ def test_hll_pairwise_union_and_overlap_estimates(spark):
     assert abs(inter_ac) < 200
     # union of a key with itself never appears (strict a < b pairing)
     assert all(a < b for a, b in unions)
+
+
+def test_sketches_ignore_nulls_like_exact_aggregates(spark):
+    from nomenklatura_spark.operators.sketch import (
+        cms_lookup,
+        cms_sketch,
+        hist_bounds,
+        hist_quantile,
+        hist_sketch,
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("k", "a"), ("k", "b"), ("k", None), ("k", None)],
+        "key string, v string",
+    )
+    clean = df.where(F.col("v").isNotNull())
+    assert _sorted(hll_distinct(df, ["key"], "v")) == _sorted(
+        hll_distinct(clean, ["key"], "v")
+    )
+    sk = cms_sketch(df, "v")
+    assert _sorted(sk) == _sorted(cms_sketch(clean, "v"))
+    nums = spark.createDataFrame(
+        [("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", None), ("k", None)],
+        "key string, v double",
+    )
+    b = hist_bounds(nums, "v")
+    q = hist_quantile(hist_sketch(nums, ["key"], "v", b), b, ["key"], 0.5)
+    row = q.collect()[0]
+    # NULLs excluded from n AND from the walk: the median of {1,2,3}
+    assert row["n"] == 3
+    assert 1.0 <= row["q50"] <= 3.0
