@@ -349,3 +349,37 @@ def test_graph_diagnostics_on_er_candidate_graph(spark, sf_dir):
             assert c[node]["peel_round"] != 1
     # initial degrees agree between the two operators
     assert all(t[n]["degree"] == c[n]["degree"] for n in t)
+
+
+def test_kcore_matches_reference_on_random_graphs(spark):
+    """Fuzz against a driver-side synchronous peeler (same bounded-round
+    semantics) on random graphs."""
+    import random
+
+    from nomenklatura_spark.operators.graph import kcore_peel
+
+    def reference(edges, k, rounds):
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        peel = {v: 0 for v in adj}
+        alive = set(adj)
+        for t in range(1, rounds + 1):
+            dead = {v for v in alive if len(adj[v] & alive) < k}
+            for v in dead:
+                peel[v] = t
+            alive -= dead
+        return peel
+
+    for seed in (2, 13, 41):
+        rnd = random.Random(seed)
+        edges = list({(f"n{rnd.randrange(40)}", f"n{rnd.randrange(40)}")
+                      for _ in range(150)})
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        k = rnd.choice([2, 3, 4])
+        got = {r["node"]: r["peel_round"]
+               for r in kcore_peel(df, k=k, n_rounds=4).collect()}
+        assert got == reference(edges, k, 4), (seed, k)

@@ -380,3 +380,35 @@ def test_sketches_ignore_nulls_like_exact_aggregates(spark):
     # NULLs excluded from n AND from the walk: the median of {1,2,3}
     assert row["n"] == 3
     assert 1.0 <= row["q50"] <= 3.0
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark):
+    import random
+
+    from nomenklatura_spark.operators.sketch import (
+        hist_bounds,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    for seed, gen in ((5, "uniform"), (9, "clustered")):
+        rnd = random.Random(seed)
+        if gen == "uniform":
+            vals = [rnd.uniform(-50, 150) for _ in range(2000)]
+        else:  # two tight clusters + outliers
+            vals = (
+                [rnd.gauss(10, 0.5) for _ in range(900)]
+                + [rnd.gauss(90, 0.5) for _ in range(900)]
+                + [rnd.uniform(-100, 300) for _ in range(200)]
+            )
+        df = spark.createDataFrame([("k", v) for v in vals], "key string, v double")
+        b = hist_bounds(df, "v")
+        sk = hist_sketch(df, ["key"], "v", b, n_bins=32)
+        lo, hi = min(vals), max(vals)
+        width = (hi - lo) / 32.0
+        svals = sorted(vals)
+        for q in (0.5, 0.95):
+            row = hist_quantile(sk, b, ["key"], q, n_bins=32).collect()[0]
+            exact = svals[int(q * (len(svals) - 1))]
+            qcol = f"q{int(round(q * 100)):02d}"
+            assert abs(row[qcol] - exact) <= width + 1e-9, (gen, q)
