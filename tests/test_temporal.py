@@ -359,3 +359,21 @@ def test_funnel_matches_reference_on_random_streams(spark):
             .orderBy("step").collect()
         ]
         assert got == _funnel_reference(rows, steps, within_days=7), seed
+
+
+def test_funnel_repeated_step_types(spark):
+    """A funnel may name the same event type twice (view -> view):
+    step 2 needs a SECOND occurrence strictly after the first."""
+    from nomenklatura_spark.operators.temporal import funnel_steps
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00", "view"),
+        ("u1", "2024-01-01 11:00:00", "view"),   # converts
+        ("u2", "2024-01-01 10:00:00", "view"),   # only one view
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["step"]: r["n_users"]
+           for r in funnel_steps(df, ["view", "view"]).collect()}
+    assert got == {1: 2, 2: 1}
