@@ -448,3 +448,104 @@ def kcore_peel(
         F.col("peel_round").cast("int").alias("peel_round"),
         (F.col("peel_round") == 0).alias("in_core"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Seeded synchronous label propagation over an undirected graph.
+
+    The semi-supervised companion to personalized PageRank: PPR ranks
+    nodes by *proximity* to one seed set; label propagation ASSIGNS
+    each node the majority label among its labeled neighbors, seeded
+    from several competing sets at once — the ER risk-propagation step
+    (sanctioned vs vetted entities pulling the unlabeled middle), or a
+    host-graph trust/spam vote.
+
+    Semantics (deterministic by construction): each round every
+    non-seed node takes the most common label among its neighbors'
+    previous-round labels (ties broken by label ascending); seeds are
+    clamped; nodes whose neighborhood is entirely unlabeled stay
+    unlabeled.  Seeds not present in the graph are ignored.  Returns
+    ``(node, label, votes, is_seed)`` with label ``'(none)'`` and
+    votes 0 for never-labeled nodes (no NULLs — driver-hash
+    discipline), votes 0 for seeds (their label is an input, not a
+    vote).
+
+    100 TB shape: per round ONE partial-agg count of (node, neighbor
+    label) pairs over the symmetric edge relation joined to the
+    LABEL frame (node-sized, shrinking to stable), plus a per-node
+    window on the vote relation (bounded by labels-per-node); lineage
+    truncated per round.  The edge relation is materialized once.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    seed_lab = (
+        seeds.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("label")
+        )
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    lab = seed_lab
+    win = None
+    from pyspark.sql.window import Window
+
+    for _ in range(n_rounds):
+        votes = (
+            sym.join(lab.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        win = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label", "c")
+            .localCheckpoint(eager=True)
+        )
+        lab = seed_lab.unionByName(
+            win.join(seed_lab.select("node"), "node", "left_anti").select(
+                "node", "label"
+            )
+        ).localCheckpoint(eager=True)
+    is_seed = F.col("_sn").isNotNull()
+    return (
+        nodes.join(lab.withColumnRenamed("label", "_lab"), "node", "left")
+        .join(
+            seed_lab.select(F.col("node"), F.lit(1).alias("_sn")),
+            "node",
+            "left",
+        )
+        .join(
+            win.select("node", F.col("c").alias("_c")), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce("_lab", F.lit("(none)")).alias("label"),
+            F.when(is_seed | F.col("_lab").isNull(), F.lit(0))
+            .otherwise(F.coalesce("_c", F.lit(0)))
+            .cast("long")
+            .alias("votes"),
+            is_seed.alias("is_seed"),
+        )
+    )

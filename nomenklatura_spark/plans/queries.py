@@ -1306,6 +1306,101 @@ def _ppr_sql(n_iter: int = 5, scale: int = 1_000_000_000) -> str:
     )
 
 
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation over the trade graph: two competing
+    seed sets ('flagged' suppliers at suppkey%20==0, 'vetted' at ==10)
+    pull the unlabeled middle by 3 rounds of neighbor majority vote —
+    the ER risk-propagation step (PPR ranks proximity to ONE seed set;
+    this ASSIGNS the label of the winning set, with the vote count as
+    confidence).  Deterministic: integer votes, ties by label; the
+    oracle replays every round as materialized CTEs."""
+    from nomenklatura_spark.operators.graph import label_propagation
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    trade = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    seeds = (
+        lineitem.where((F.col("l_suppkey") % 20).isin(0, 10))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("node"),
+            F.when(F.col("l_suppkey") % 20 == 0, F.lit("flagged"))
+            .otherwise(F.lit("vetted"))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    return label_propagation(trade, seeds, n_rounds=3).orderBy("node")
+
+
+def _label_prop_sql(n_rounds: int = 3) -> str:
+    ctes = [
+        """trade AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM trade WHERE src <> dst
+    ),
+    sym AS MATERIALIZED (
+        SELECT a AS s, b AS d FROM und UNION ALL SELECT b AS s, a AS d FROM und
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
+    seeds0 AS (
+        SELECT DISTINCT 's' || l_suppkey AS node,
+            CASE WHEN l_suppkey % 20 = 0 THEN 'flagged'
+                 ELSE 'vetted' END AS label
+        FROM lineitem WHERE l_suppkey % 20 IN (0, 10)
+    ),
+    seeds AS MATERIALIZED (
+        SELECT s.node, s.label FROM seeds0 s JOIN nodes n USING (node)
+    ),
+    lab0 AS MATERIALIZED (SELECT node, label FROM seeds)"""
+    ]
+    for t in range(1, n_rounds + 1):
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+        SELECT e.s AS node, l.label, COUNT(*) AS c
+        FROM sym e JOIN lab{t - 1} l ON l.node = e.d
+        GROUP BY 1, 2
+    ),
+    w{t} AS MATERIALIZED (
+        SELECT node, label, c FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM v{t}
+        ) WHERE rn = 1
+    ),
+    lab{t} AS MATERIALIZED (
+        SELECT node, label FROM seeds
+        UNION ALL
+        SELECT w.node, w.label FROM w{t} w
+        WHERE w.node NOT IN (SELECT node FROM seeds)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n.node,
+        COALESCE(l.label, '(none)') AS label,
+        CAST(CASE WHEN sd.node IS NOT NULL OR l.label IS NULL THEN 0
+             ELSE COALESCE(w.c, 0) END AS BIGINT) AS votes,
+        (sd.node IS NOT NULL) AS is_seed
+    FROM nodes n
+    LEFT JOIN lab{n_rounds} l USING (node)
+    LEFT JOIN seeds sd ON sd.node = n.node
+    LEFT JOIN w{n_rounds} w ON w.node = n.node
+    ORDER BY n.node"""
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     part co-occurrence graph (parts sharing an order) — the transitivity
@@ -5137,6 +5232,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "events_funnel": q_events_funnel,
     "events_user_overlap": q_events_user_overlap,
+    "graph_label_prop": q_graph_label_prop,
 }
 
 ORACLES = {
@@ -5222,4 +5318,5 @@ ORACLES = {
     "graph_kcore": _kcore_sql(),
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_user_overlap": _overlap_sql(),
+    "graph_label_prop": _label_prop_sql(),
 }

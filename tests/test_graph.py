@@ -383,3 +383,80 @@ def test_kcore_matches_reference_on_random_graphs(spark):
         got = {r["node"]: r["peel_round"]
                for r in kcore_peel(df, k=k, n_rounds=4).collect()}
         assert got == reference(edges, k, 4), (seed, k)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+
+
+def test_label_prop_competing_seeds(spark):
+    from nomenklatura_spark.operators.graph import label_propagation
+
+    # F--f1--m--v1--V : one flagged seed, one vetted seed; m sits between
+    # two labeled neighbors (tie -> lexicographically smaller label)
+    edges = [("F", "f1"), ("f1", "m"), ("m", "v1"), ("v1", "V"), ("x", "y")]
+    seeds = [("F", "flagged"), ("V", "vetted")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame(seeds, "node string, label string")
+    out = {
+        r["node"]: r for r in label_propagation(e, s, n_rounds=2).collect()
+    }
+    assert out["F"]["is_seed"] and out["F"]["label"] == "flagged"
+    assert out["F"]["votes"] == 0  # seed labels are inputs, not votes
+    assert out["f1"]["label"] == "flagged" and not out["f1"]["is_seed"]
+    assert out["v1"]["label"] == "vetted"
+    # m's neighbors carry one flagged + one vetted vote -> tie -> label asc
+    assert out["m"]["label"] == "flagged" and out["m"]["votes"] == 1
+    # the disconnected component never receives a label
+    assert out["x"]["label"] == "(none)" and out["x"]["votes"] == 0
+    assert out["y"]["label"] == "(none)"
+    # one more round: v1 now ties between V (vetted) and m (flagged
+    # since round 2) and the ascending tie-break flips it — synchronous
+    # LP tie churn is part of the pinned semantics, not a bug
+    out3 = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, s, n_rounds=3).collect()
+    }
+    assert out3["v1"] == "flagged"
+
+
+def test_label_prop_majority_and_off_graph_seeds(spark):
+    from nomenklatura_spark.operators.graph import label_propagation
+
+    # hub with 3 flagged + 2 vetted neighbors -> majority flagged with 3
+    # votes; a seed naming a node absent from the graph is ignored
+    edges = (
+        [(f"f{i}", "hub") for i in range(3)]
+        + [(f"v{i}", "hub") for i in range(2)]
+    )
+    seeds = (
+        [(f"f{i}", "flagged") for i in range(3)]
+        + [(f"v{i}", "vetted") for i in range(2)]
+        + [("ghost", "flagged")]
+    )
+    out = {
+        r["node"]: r
+        for r in label_propagation(
+            spark.createDataFrame(edges, "src string, dst string"),
+            spark.createDataFrame(seeds, "node string, label string"),
+            n_rounds=2,
+        ).collect()
+    }
+    assert "ghost" not in out
+    assert out["hub"]["label"] == "flagged" and out["hub"]["votes"] == 3
+
+
+def test_label_prop_spreads_outward_by_round(spark):
+    from nomenklatura_spark.operators.graph import label_propagation
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    seeds = [("n0", "risk")]
+    e = spark.createDataFrame(chain, "src string, dst string")
+    s = spark.createDataFrame(seeds, "node string, label string")
+    for rounds, labeled in ((1, {"n0", "n1"}), (3, {"n0", "n1", "n2", "n3"})):
+        got = {
+            r["node"]
+            for r in label_propagation(e, s, n_rounds=rounds).collect()
+            if r["label"] != "(none)"
+        }
+        assert got == labeled, rounds
