@@ -1,0 +1,182 @@
+"""Incrementally-maintained count-min and histogram sketches (§2.12).
+
+Completes the incremental sketch tier next to ``hll_index``: every
+member of the sketch family (HLL distinct, CMS heavy-hitter counts,
+fixed-bin histogram quantiles) can be maintained as a materialised view
+over an append-only stream, so distinct/frequency/quantile questions
+never rescan ingested history.
+
+Unlike the max-merged HLL registers, BOTH of these merge by SUM —
+additive state needs the batch-id replay guard (the
+``vocab_index`` discipline): foreachBatch redelivery after a crash
+between snapshot swap and checkpoint commit must not double-count.
+
+The histogram index additionally carries its bounds contract IN the
+state (a 1-row bounds snapshot written at creation): every increment
+must bin against the SAME (lo, hi) frame or the bin-wise sum is
+meaningless.  ``apply_batch`` reuses the stored bounds; values outside
+them clip into the edge bins (the operator's documented behavior for
+foreign-bounds increments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nomenklatura_spark.operators.sketch import (
+    cms_sketch,
+    hist_quantile,
+    hist_sketch,
+)
+from nomenklatura_spark.streaming.state import (
+    VersionedState,
+    start_maintenance_stream,
+)
+
+_CMS_SCHEMA = "d int, bucket int, cnt long"
+_HIST_SCHEMA = "key string, bin int, cnt long"
+_BOUNDS_SCHEMA = "lo double, hi double"
+
+
+class CmsIndexState(VersionedState):
+    """Versioned on-disk count-min counters for one sketch family
+    (fixed depth/width/prefix per index)."""
+
+    def __init__(self, spark, root: str, depth: int = 4, width: int = 1024,
+                 prefix: str = "cms"):
+        super().__init__(spark, root)
+        self.depth, self.width, self.prefix = depth, width, prefix
+
+    def counters(self, version: int | None = None) -> DataFrame:
+        return self._read("counters", _CMS_SCHEMA, version)
+
+    def lookup(self, items: DataFrame, value_col: str) -> DataFrame:
+        from nomenklatura_spark.operators.sketch import cms_lookup
+
+        return cms_lookup(
+            self.counters(), items, value_col,
+            self.depth, self.width, self.prefix,
+        )
+
+    def apply_batch(
+        self,
+        df: DataFrame,
+        value_col: str,
+        weight_col: str | None = None,
+        batch_id: int | None = None,
+        scope: str = "",
+    ) -> DataFrame:
+        if batch_id is not None and batch_id <= self.last_batch(scope):
+            return self.spark.createDataFrame([], _CMS_SCHEMA)
+        batch = cms_sketch(
+            df, value_col, self.depth, self.width, self.prefix, weight_col
+        ).select("d", "bucket", F.col("cnt").cast("long").alias("cnt"))
+        merged = (
+            self.counters()
+            .unionByName(batch)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        nv = self.version() + 1
+        merged.write.mode("overwrite").parquet(self._path("counters", nv))
+        if batch_id is None:
+            self._bump(nv)
+        else:
+            self._bump(nv, batch_id, scope)
+        return batch
+
+
+class HistIndexState(VersionedState):
+    """Versioned on-disk histogram bins keyed by ``key``, bound to ONE
+    (lo, hi) frame fixed at index creation."""
+
+    def __init__(self, spark, root: str, n_bins: int = 32):
+        super().__init__(spark, root)
+        self.n_bins = n_bins
+
+    def set_bounds(self, lo: float, hi: float) -> None:
+        """Fix the bounds contract; must happen once, before the first
+        batch (bin-wise sums across differing frames are meaningless)."""
+        if self.version() >= 0:
+            raise ValueError("bounds must be fixed before the first batch")
+        self.spark.createDataFrame([(float(lo), float(hi))], _BOUNDS_SCHEMA) \
+            .write.mode("overwrite").parquet(self._path("bounds", 0))
+
+    def bounds(self) -> DataFrame:
+        return self.spark.read.schema(_BOUNDS_SCHEMA).parquet(
+            self._path("bounds", 0)
+        )
+
+    def bins(self, version: int | None = None) -> DataFrame:
+        return self._read("bins", _HIST_SCHEMA, version)
+
+    def quantile(self, q: float) -> DataFrame:
+        return hist_quantile(
+            self.bins(), self.bounds(), ["key"], q, self.n_bins
+        ).orderBy("key")
+
+    def apply_batch(
+        self,
+        df: DataFrame,
+        key_col: str,
+        value_col: str,
+        batch_id: int | None = None,
+        scope: str = "",
+    ) -> DataFrame:
+        if batch_id is not None and batch_id <= self.last_batch(scope):
+            return self.spark.createDataFrame([], _HIST_SCHEMA)
+        batch = hist_sketch(
+            df.select(F.col(key_col).cast("string").alias("key"), value_col),
+            ["key"],
+            value_col,
+            self.bounds(),
+            self.n_bins,
+        ).select("key", "bin", F.col("cnt").cast("long").alias("cnt"))
+        merged = (
+            self.bins()
+            .unionByName(batch)
+            .groupBy("key", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        nv = self.version() + 1
+        merged.write.mode("overwrite").parquet(self._path("bins", nv))
+        if batch_id is None:
+            self._bump(nv)
+        else:
+            self._bump(nv, batch_id, scope)
+        return batch
+
+
+def maintain_cms_stream(
+    stream: DataFrame,
+    state: CmsIndexState,
+    value_col: str,
+    weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    scope = checkpoint_dir or ""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        state.apply_batch(
+            batch, value_col, weight_col, batch_id=batch_id, scope=scope
+        )
+
+    return start_maintenance_stream(stream, _process, checkpoint_dir, trigger_once)
+
+
+def maintain_hist_stream(
+    stream: DataFrame,
+    state: HistIndexState,
+    key_col: str,
+    value_col: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    scope = checkpoint_dir or ""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        state.apply_batch(batch, key_col, value_col, batch_id=batch_id, scope=scope)
+
+    return start_maintenance_stream(stream, _process, checkpoint_dir, trigger_once)

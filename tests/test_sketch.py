@@ -412,3 +412,104 @@ def test_hist_quantile_error_bounded_by_bin_width(spark):
             exact = svals[int(q * (len(svals) - 1))]
             qcol = f"q{int(round(q * 100)):02d}"
             assert abs(row[qcol] - exact) <= width + 1e-9, (gen, q)
+
+
+# ---------------------------------------------------------------------------
+# incremental CMS / histogram indexes
+
+
+def test_cms_index_incremental_matches_scratch(spark, tmp_path):
+    from nomenklatura_spark.operators.sketch import cms_sketch
+    from nomenklatura_spark.streaming.sketch_index import CmsIndexState
+
+    state = CmsIndexState(spark, str(tmp_path / "state"))
+    schema = "v string"
+    batches = [
+        [("hot",)] * 50 + [(f"a{i}",) for i in range(30)],
+        [("hot",)] * 20 + [(f"b{i}",) for i in range(10)],
+    ]
+    seen: list[tuple] = []
+    for n, batch in enumerate(batches):
+        seen.extend(batch)
+        state.apply_batch(spark.createDataFrame(batch, schema), "v", batch_id=n)
+        scratch = cms_sketch(spark.createDataFrame(seen, schema), "v")
+        assert _sorted(state.counters()) == _sorted(scratch)
+    # replay guard: additive state must not double-count a redelivery
+    before = _sorted(state.counters())
+    out = state.apply_batch(
+        spark.createDataFrame(batches[1], schema), "v", batch_id=1
+    )
+    assert out.count() == 0 and _sorted(state.counters()) == before
+    # read path
+    items = spark.createDataFrame([("hot",)], schema)
+    got = {r["value"]: r["n_cms"] for r in state.lookup(items, "v").collect()}
+    assert got["hot"] >= 70
+
+
+def test_hist_index_incremental_and_bounds_contract(spark, tmp_path):
+    import pytest as _pytest
+
+    from nomenklatura_spark.operators.sketch import (
+        hist_quantile,
+        hist_sketch,
+    )
+    from nomenklatura_spark.streaming.sketch_index import HistIndexState
+
+    state = HistIndexState(spark, str(tmp_path / "state"))
+    state.set_bounds(0.0, 100.0)
+    schema = "key string, v double"
+    batches = [
+        [("k", float(i)) for i in range(0, 50)],
+        [("k", float(i)) for i in range(50, 101)] + [("k", 500.0)],  # clips
+    ]
+    seen: list[tuple] = []
+    for n, batch in enumerate(batches):
+        seen.extend(batch)
+        state.apply_batch(spark.createDataFrame(batch, schema), "key", "v",
+                          batch_id=n)
+        scratch = hist_sketch(
+            spark.createDataFrame(seen, schema), ["key"], "v",
+            state.bounds(),
+        )
+        assert _sorted(state.bins()) == _sorted(scratch)
+    row = state.quantile(0.5).collect()[0]
+    assert row["n"] == 102 and 40.0 <= row["q50"] <= 60.0
+    # bounds are fixed once, before the first batch
+    with _pytest.raises(ValueError):
+        state.set_bounds(0.0, 1.0)
+
+
+def test_maintain_cms_stream(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from nomenklatura_spark.operators.sketch import cms_sketch
+    from nomenklatura_spark.streaming.sketch_index import (
+        CmsIndexState,
+        maintain_cms_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    batches = [[("x",)] * 5 + [("y",)], [("x",)] * 2 + [("z",)]]
+    for n, rows in enumerate(batches):
+        with open(_os.path.join(src, f"b{n}.json"), "w") as fh:
+            for (v,) in rows:
+                fh.write(_json.dumps({"v": v}) + "\n")
+    state = CmsIndexState(spark, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = maintain_cms_stream(
+        stream, state, "v", checkpoint_dir=str(tmp_path / "chk")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    scratch = cms_sketch(
+        spark.createDataFrame(batches[0] + batches[1], "v string"), "v"
+    )
+    assert _sorted(state.counters()) == _sorted(scratch)
