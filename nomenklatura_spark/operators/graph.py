@@ -484,6 +484,8 @@ def label_propagation(
     window on the vote relation (bounded by labels-per-node); lineage
     truncated per round.  The edge relation is materialized once.
     """
+    if n_rounds < 1:
+        raise ValueError("label_propagation needs at least one round")
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
