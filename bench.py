@@ -425,6 +425,15 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     # the batch, keep the batch COUNT (the constant-wall-per-batch claim
     # is about batch index, not batch size)
     per_batch = min(per_batch, len(ids) // (2 * n_batches))
+    if per_batch == 0:
+        # fewer than 2*n_batches entities: 8 empty batches would report
+        # a plausible-looking but meaningless ratio — skip loudly
+        print("# scaling store_update_loop: skipped (corpus too small)",
+              file=sys.stderr)
+        for df in (docs, emb, stmts, docs_n, emb_n, stmts_n,
+                   tri_edges, tri_edges_n, *cb1, *cbn):
+            df.unpersist()
+        return section
     edge_ddl = (
         "target string, source string, judgement string, score double,"
         " user string, created_at string, deleted_at string"

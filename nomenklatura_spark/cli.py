@@ -547,9 +547,13 @@ def search_cmd(path: str, query: str, k: int, hybrid: bool) -> None:
 
     spark = _spark()
     docs = spark.read.parquet(path).select("doc_id", "text")
+    # the probe id rides through cosine_topk under the CORPUS id type
+    # (its output schema is keyed on it), so cast the sentinel to match
+    # — a string-doc_id corpus otherwise dies in the Arrow conversion
+    idt = docs.schema["doc_id"].dataType.simpleString()
     probe = spark.createDataFrame(
         [(-1, query)], "query_id long, text string"
-    )
+    ).select(F.col("query_id").cast(idt).alias("query_id"), "text")
     run_k = max(k, 20) if hybrid else k
     lex = bm25_topk(docs, probe, id_col="doc_id", text_col="text",
                     query_id_col="query_id", query_text_col="text", k=run_k)

@@ -246,6 +246,30 @@ def personalized_pagerank(
     )
 
 
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge set (a < b, self-loops dropped,
+    multiplicity collapsed), eagerly checkpointed: every consumer
+    references it several times, and without lineage truncation the
+    caller's edge pipeline re-executes once per reference (measured 6x
+    for the triangle plan)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _symmetrize(und: DataFrame) -> DataFrame:
+    """Both directions of a canonical undirected relation as (s, d)."""
+    return und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",
@@ -282,22 +306,11 @@ def triangle_counts(
     # node ids keep their input type (both endpoints must share it):
     # integral ids sort/join at half the byte cost of their string forms
     # in the wedge-sized exchanges — measured 30s -> 17s at sf0.1
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.select(
-            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        # und feeds deg (twice, via the endpoint union) AND the
-        # orientation join, and oriented feeds three plan branches —
-        # without materialization Spark re-derives the caller's edge
-        # pipeline once PER REFERENCE (measured: the co-occurrence
-        # self-join ran 6x in the executed plan; checkpointing und and
-        # oriented cut the sf0.1 row 3.1s -> ~1.4s).  Same eager
-        # lineage-truncation device as pagerank/components.
-        .localCheckpoint(eager=True)
-    )
+    # und feeds deg (twice, via the endpoint union) AND the orientation
+    # join, and oriented feeds three plan branches — checkpointing und
+    # and oriented cut the sf0.1 row 3.1s -> ~1.4s (the self-join had
+    # executed 6x in one plan)
+    und = _canonical_undirected(edges, src, dst)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -385,22 +398,8 @@ def kcore_peel(
     alive set; lineage is truncated per round via localCheckpoint exactly
     like connected components, so the plan depth stays constant.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        # und is referenced twice by the sym union, and sym feeds both
-        # the deg0/nodes checkpoint and its own — without truncation the
-        # caller's edge pipeline re-executes once per reference (the
-        # triangle_counts lesson, same fix)
-        .localCheckpoint(eager=True)
-    )
-    sym = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
-        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
-    )
+    und = _canonical_undirected(edges, src, dst)
+    sym = _symmetrize(und)
     deg0 = sym.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -486,18 +485,8 @@ def label_propagation(
     """
     if n_rounds < 1:
         raise ValueError("label_propagation needs at least one round")
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    sym = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
-        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
-    ).localCheckpoint(eager=True)
+    und = _canonical_undirected(edges, src, dst)
+    sym = _symmetrize(und).localCheckpoint(eager=True)
     nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint(
         eager=True
     )
@@ -505,6 +494,12 @@ def label_propagation(
         seeds.select(
             F.col(node_col).alias("node"), F.col(label_col).alias("label")
         )
+        # one row per seed node: duplicates would double-count votes and
+        # duplicate output rows; CONFLICTING labels for one node resolve
+        # to the ascending label — the same deterministic tie rule the
+        # vote itself uses
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
         .join(nodes, "node", "left_semi")
         .localCheckpoint(eager=True)
     )

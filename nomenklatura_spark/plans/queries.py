@@ -1984,7 +1984,7 @@ def _overlap_sql() -> str:
         SELECT event_type,
             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
                  AS BIGINT) AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     regs AS MATERIALIZED (
         SELECT event_type, h % 256 AS bucket,
@@ -2035,7 +2035,7 @@ _EVENTS_HLL_SQL = """
         SELECT event_type,
             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
                  AS BIGINT) AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     regs AS (
         SELECT event_type, h % 256 AS bucket,
@@ -2116,7 +2116,7 @@ _EVENTS_VALUE_HIST_SQL = """
                         / ((b.hi - b.lo) / 32.0)) AS INT), 0), 31)
             END AS bin,
             COUNT(*) AS cnt
-        FROM events, b GROUP BY 1, 2
+        FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
         SELECT event_type, bin, cnt,

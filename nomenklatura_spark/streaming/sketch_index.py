@@ -95,17 +95,26 @@ class HistIndexState(VersionedState):
         super().__init__(spark, root)
         self.n_bins = n_bins
 
+    def _bounds_path(self) -> str:
+        # NOT a versioned v{N} layout: vacuum() deletes stale v{N} dirs
+        # under every relation subdir, and the bounds contract is live
+        # data for EVERY version — a v0 placement would be deleted by
+        # the first retention pass and permanently brick the index
+        import os
+
+        return os.path.join(self.state_dir, "bounds_meta")
+
     def set_bounds(self, lo: float, hi: float) -> None:
         """Fix the bounds contract; must happen once, before the first
         batch (bin-wise sums across differing frames are meaningless)."""
         if self.version() >= 0:
             raise ValueError("bounds must be fixed before the first batch")
         self.spark.createDataFrame([(float(lo), float(hi))], _BOUNDS_SCHEMA) \
-            .write.mode("overwrite").parquet(self._path("bounds", 0))
+            .write.mode("overwrite").parquet(self._bounds_path())
 
     def bounds(self) -> DataFrame:
         return self.spark.read.schema(_BOUNDS_SCHEMA).parquet(
-            self._path("bounds", 0)
+            self._bounds_path()
         )
 
     def bins(self, version: int | None = None) -> DataFrame:

@@ -296,3 +296,20 @@ def test_cli_search_bm25_and_hybrid(runner, tmp_path, spark):
     assert len(hhits) == 3
     assert {"lex_rank", "sem_rank", "rrf"} <= set(hhits[0])
     assert hhits[0]["doc_id"] in (1, 2)
+
+
+def test_cli_search_hybrid_string_doc_ids(runner, tmp_path, spark):
+    """A corpus with STRING doc ids must work in hybrid mode too (the
+    probe sentinel is cast to the corpus id type)."""
+    docs = tmp_path / "sdocs"
+    spark.createDataFrame(
+        [("doc-a", "quick brown fox"), ("doc-b", "lazy dog sleeps"),
+         ("doc-c", "quick quick fox")],
+        "doc_id string, text string",
+    ).write.parquet(str(docs))
+    res = runner.invoke(
+        cli, ["search", str(docs), "quick fox", "--k", "2", "--hybrid"]
+    )
+    assert res.exit_code == 0, res.output
+    hits = [json.loads(l) for l in res.output.strip().splitlines()]
+    assert len(hits) == 2 and hits[0]["doc_id"] in ("doc-a", "doc-c")

@@ -460,3 +460,27 @@ def test_label_prop_spreads_outward_by_round(spark):
             if r["label"] != "(none)"
         }
         assert got == labeled, rounds
+
+
+def test_label_prop_seed_duplicates_and_conflicts(spark):
+    """Duplicate seed rows must not double-count votes; conflicting
+    labels for one seed node resolve to the ascending label."""
+    from nomenklatura_spark.operators.graph import label_propagation
+
+    edges = [("A", "m"), ("B", "m")]
+    seeds = [
+        ("A", "vetted"), ("A", "vetted"),  # duplicate rows
+        ("B", "flagged"), ("B", "vetted"),  # conflict -> 'flagged'
+    ]
+    out = {
+        r["node"]: r
+        for r in label_propagation(
+            spark.createDataFrame(edges, "src string, dst string"),
+            spark.createDataFrame(seeds, "node string, label string"),
+            n_rounds=1,
+        ).collect()
+    }
+    assert len(out) == 3  # one row per node, no duplicates
+    assert out["B"]["label"] == "flagged"
+    # m sees ONE vetted vote (A) and ONE flagged vote (B): tie -> flagged
+    assert out["m"]["label"] == "flagged" and out["m"]["votes"] == 1

@@ -513,3 +513,32 @@ def test_maintain_cms_stream(spark, tmp_path):
         spark.createDataFrame(batches[0] + batches[1], "v string"), "v"
     )
     assert _sorted(state.counters()) == _sorted(scratch)
+
+
+def test_hist_index_bounds_survive_vacuum(spark, tmp_path):
+    """The bounds contract is live data for every version: retention
+    vacuums must never delete it (it lives outside the v{N} layout)."""
+    from nomenklatura_spark.streaming.sketch_index import HistIndexState
+
+    state = HistIndexState(spark, str(tmp_path / "state"))
+    state.set_bounds(0.0, 10.0)
+    schema = "key string, v double"
+    for n in range(3):
+        state.apply_batch(
+            spark.createDataFrame([("k", float(n))], schema), "key", "v",
+            batch_id=n,
+        )
+    removed = state.vacuum(keep_last=1)
+    assert removed  # old bins versions went away
+    import os as _os
+
+    assert all(
+        _os.path.basename(_os.path.dirname(p)) == "bins" for p in removed
+    )
+    # the index still reads and still accepts increments
+    row = state.quantile(0.5).collect()[0]
+    assert row["n"] == 3
+    state.apply_batch(
+        spark.createDataFrame([("k", 9.0)], schema), "key", "v", batch_id=3
+    )
+    assert state.quantile(0.5).collect()[0]["n"] == 4
