@@ -73,6 +73,17 @@ def pagerank(
     the weighted-graph form a host-level quality prior actually uses
     (edge weight = link count between hosts).  Zero-total-weight sources
     behave as dangling.  The unweighted form is the special case w ≡ 1.
+
+    Overflow contract: the weighted product ``rank_q · w`` is computed
+    in DECIMAL(38,0) (exact, 38 digits — no BIGINT overflow for any
+    representable weight; the quotient itself is ≤ rank_q because
+    w ≤ sum_w(src)), so arbitrary link-count weights are safe as long
+    as each source's TOTAL weight fits BIGINT.  Separately, the
+    dampening step computes ``damp_num · total_mass`` in BIGINT, and
+    total mass is conserved at ``n_nodes · scale`` — the constructor
+    validates ``damp_num · (n_nodes + 1) · scale < 2^63`` and asks for
+    a smaller ``scale`` on graphs big enough to violate it (at the
+    default 1e9 scale that bound sits near 10^8 nodes).
     """
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -103,15 +114,33 @@ def pagerank(
         e = e.localCheckpoint(eager=True)
         nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()
+    if damp_num * (n_nodes + 1) * scale >= 2**63:
+        raise ValueError(
+            f"pagerank: damp_num * (n_nodes + 1) * scale = "
+            f"{damp_num * (n_nodes + 1) * scale} would overflow BIGINT "
+            f"in the dampening step (total rank mass is conserved at "
+            f"n_nodes * scale); pass a smaller scale= (need scale < "
+            f"{2**63 // (damp_num * (n_nodes + 1))})"
+        )
     base = (scale * (damp_den - damp_num)) // damp_den
 
+    # Weighted path: rank_q * w can exceed BIGINT for link-count-sized
+    # weights (rank_q alone approaches n_nodes * scale on hub nodes);
+    # DECIMAL(38,0) keeps the product exact, and the quotient is back
+    # in BIGINT range by construction (w <= odeg => quotient <= rank_q).
+    # The unweighted path (w = 1) stays in pure BIGINT codegen.
+    contrib_expr = (
+        "CAST((CAST(rank_q AS DECIMAL(38,0)) * w) DIV odeg AS BIGINT)"
+        if weight is not None
+        else "(rank_q * w) DIV odeg"
+    )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_q"))
     for _ in range(n_iter):
         contrib = (
             ranks.join(e, ranks["node"] == e["src"])
             .select(
                 F.col("dst").alias("node"),
-                F.expr("(rank_q * w) DIV odeg").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))

@@ -45,13 +45,27 @@ from nomenklatura_spark.functions.hashing import md5_bucket
 # the remaining 60-p on the rank; rho ranges in [1, 61-p].
 _HASH_BITS = 60
 
+# hll_pairwise_union's all-pairs form is for driver-small key sets;
+# above this it raises and points at a banded formulation.
+_MAX_UNION_KEYS = 4096
+
 
 def _alpha(m: int) -> float:
     """The standard HLL bias constant; inlined identically into the SQL
-    oracles so both engines evaluate the same IEEE expression."""
+    oracles so both engines evaluate the same IEEE expression.
+
+    Defined only for m = 2^p with p >= 4 — the published constants
+    start at m=16 and the estimator's bias correction is meaningless
+    below that (raises, rather than KeyError-ing obscurely)."""
     if m >= 128:
         return 0.7213 / (1.0 + 1.079 / m)
-    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    try:
+        return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    except KeyError:
+        raise ValueError(
+            f"HLL precision too small: m={m}; need m = 2^p with p >= 4 "
+            f"(the standard bias constants are undefined below m=16)"
+        ) from None
 
 
 def hll_rho(hash_col: Column, p: int) -> Column:
@@ -400,8 +414,23 @@ def hll_pairwise_union(
     or rescan the raw relations.  The distinct key set is expected
     small (it drives a pair cross-join); the register relation stays
     sketch-sized throughout.
+
+    The driver-small contract is EXECUTABLE: more than
+    ``_MAX_UNION_KEYS`` distinct keys raises, because |keys|^2 / 2
+    pairs x 2^p registers stops being "sketch-sized" — at that point
+    restrict the key set upstream, or band the keys and union within
+    bands so each pair batch stays bounded.
     """
     keys = registers.select(F.col(key_col).alias("_k")).distinct()
+    n_keys = keys.count()
+    if n_keys > _MAX_UNION_KEYS:
+        raise ValueError(
+            f"hll_pairwise_union: {n_keys} distinct keys would generate "
+            f"~{n_keys * (n_keys - 1) // 2} key pairs x registers — the "
+            f"all-pairs form is for driver-small key sets "
+            f"(<= {_MAX_UNION_KEYS}); filter the keys first, or band "
+            f"them and union per band"
+        )
     pairs = (
         keys.select(F.col("_k").alias("key_a"))
         .crossJoin(F.broadcast(keys.select(F.col("_k").alias("key_b"))))

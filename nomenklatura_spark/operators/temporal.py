@@ -226,12 +226,18 @@ def funnel_steps(
     for c in counts[1:]:
         out = out.unionByName(c)
     base = Window.partitionBy()
+    # An empty funnel (zero users reach step 1) must report conversion
+    # 0.0, not raise: the sessions run ANSI mode, where a bare division
+    # by the step-1 count would be a hard DIVIDE_BY_ZERO error.
+    n_first = F.first("n_users").over(base.orderBy("step"))
     return out.select(
         "step",
         "event_type",
         F.col("n_users").cast("long").alias("n_users"),
         F.round(
-            F.col("n_users") / F.first("n_users").over(base.orderBy("step")),
+            F.when(n_first > 0, F.col("n_users") / n_first).otherwise(
+                F.lit(0.0)
+            ),
             6,
         ).alias("conversion"),
     ).orderBy("step")

@@ -1316,6 +1316,17 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays every round as materialized CTEs."""
     from nomenklatura_spark.operators.graph import label_propagation
 
+    trade, seeds = _label_prop_inputs(spark, sf_dir)
+    return label_propagation(trade, seeds, n_rounds=3).orderBy("node")
+
+
+def _label_prop_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The trade graph + competing seed sets shared by the
+    ``graph_label_prop`` registry row and the bench scaling probe (the
+    probe replicates both relations onto disjoint id spaces, so it
+    measures the operator, not graph densification)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     trade = (
@@ -1335,7 +1346,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return label_propagation(trade, seeds, n_rounds=3).orderBy("node")
+    return trade, seeds
 
 
 def _label_prop_sql(n_rounds: int = 3) -> str:
@@ -1858,9 +1869,10 @@ _EVENTS_FUNNEL_SQL = """
     )
     SELECT CAST(step AS INT) AS step, event_type,
            CAST(n_users AS BIGINT) AS n_users,
-           round(CAST(n_users AS DOUBLE)
-                 / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6)
-               AS conversion
+           round(CASE WHEN (SELECT count(*) FROM s1) > 0
+                 THEN CAST(n_users AS DOUBLE)
+                      / CAST((SELECT count(*) FROM s1) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS conversion
     FROM c ORDER BY step
 """
 
@@ -2059,6 +2071,129 @@ _EVENTS_HLL_SQL = """
     ex AS (
         SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
         FROM events GROUP BY 1
+    )
+    SELECT x.event_type, x.n_exact, e.harmonic_q, e.zeros,
+        round(CASE WHEN ((0.7213 / (1 + 1.079 / 256)) * 65536.0
+                         * 9007199254740992.0 / e.harmonic_q) <= 640.0
+                    AND e.zeros > 0
+              THEN 256.0 * ln(256.0 / e.zeros)
+              ELSE (0.7213 / (1 + 1.079 / 256)) * 65536.0
+                   * 9007199254740992.0 / e.harmonic_q END, 4) AS n_hll
+    FROM est e JOIN ex x USING (event_type)
+    ORDER BY event_type
+"""
+
+
+def q_events_hll_weekly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-sketch SERVING, end to end at rest: per-(type, day) HLL
+    registers are folded into the ``streaming/hll_index.py`` snapshot
+    layout by three decade-of-month ingest batches, then a week query
+    (2024-01-08..14, the data spans January) is answered by READING the
+    stored registers for those seven day-keys and max-merging — the raw
+    event history is never rescanned on the serving path (only the
+    ``n_exact`` audit column touches it, to expose estimation error).
+
+    The oracle computes the DIRECT sketch over the week's raw events,
+    so a hash-green row proves the full at-rest chain — fold to disk
+    across arbitrary ingest slicing, read back, merge at read —
+    reproduces sketch-of-whole bit-for-bit (register algebra is exact
+    BIGINT throughout).  This is the serving story `bm25_topk_indexed`
+    and `ivfpq_topk_indexed` establish for retrieval/ANN, applied to the
+    sketch tier: at 100 TB the week answer costs 7 day-keys x 2^p rows
+    per event type, however large the history grows.
+    """
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.operators.sketch import hll_estimate, hll_merge
+    from nomenklatura_spark.streaming.hll_index import HllIndexState
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    keyed = events.select(
+        F.concat_ws(
+            "|", "event_type", F.date_format("day", "yyyy-MM-dd")
+        ).alias("k"),
+        "user_id",
+        "day",
+    )
+    root = tempfile.mkdtemp(prefix="nk_hll_weekly_")
+    try:
+        state = HllIndexState(spark, root, p=8)
+        # ingest arrival slicing is deliberately NOT the query window:
+        # the week answer must assemble from increments that straddle it
+        for b, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 31)]):
+            state.apply_batch(
+                keyed.where(F.dayofmonth("day").between(lo, hi)).select(
+                    "k", "user_id"
+                ),
+                "k",
+                "user_id",
+                batch_id=b,
+            )
+        week_lo, week_hi = "2024-01-08", "2024-01-14"
+        parsed = state.registers().select(
+            F.split("key", "[|]").getItem(0).alias("event_type"),
+            F.split("key", "[|]").getItem(1).alias("day"),
+            "bucket",
+            "reg",
+        )
+        merged = hll_merge(
+            parsed.where(F.col("day").between(week_lo, week_hi)).drop("day")
+        )
+        est = hll_estimate(merged, ["event_type"], p=8)
+        exact = (
+            events.where(
+                F.col("day").between(
+                    F.to_date(F.lit(week_lo)), F.to_date(F.lit(week_hi))
+                )
+            )
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n_exact"))
+        )
+        out = exact.join(est, "event_type").orderBy("event_type")
+        # materialize before dropping the on-disk state: the returned
+        # frame must stay collectable after the temp index is gone
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_EVENTS_HLL_WEEKLY_SQL = """
+    WITH ev AS (
+        SELECT event_type, user_id FROM events
+        WHERE CAST(ts AS DATE)
+              BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    ),
+    h AS (
+        SELECT event_type,
+            CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM ev WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+        SELECT event_type, h % 256 AS bucket,
+            MAX(CASE WHEN h // 256 = 0 THEN 53
+                ELSE 53 - length(bin(h // 256)) END) AS reg
+        FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type,
+            SUM(1::BIGINT << CAST(53 - reg AS INT)) AS present,
+            COUNT(*) AS nonempty
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type,
+            CAST(present + (256 - nonempty) * (1::BIGINT << 53) AS BIGINT)
+                AS harmonic_q,
+            CAST(256 - nonempty AS BIGINT) AS zeros
+        FROM agg
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        FROM ev GROUP BY 1
     )
     SELECT x.event_type, x.n_exact, e.harmonic_q, e.zeros,
         round(CASE WHEN ((0.7213 / (1 + 1.079 / 256)) * 65536.0
@@ -5145,11 +5280,14 @@ def _corpus_curate_sql() -> str:
 
 QUERIES = {
     # Ordering is deliberate: the driver's correctness board checks the
-    # first 50 entries — flagship and round-3-critical rows lead so the
-    # board cap always covers them.  Rows past the cap (the r5
-    # data-selection / temporal / analytics additions) are
-    # oracle-checked by tests/test_entry_contract.py at every SF.
-    "pricing_summary": q_pricing_summary,
+    # first 50 entries — flagship rows plus one representative per tier
+    # (blocker, matcher, resolver, dedup, ANN, text, multimodal, graph,
+    # sketch, funnel, hybrid retrieval) sit inside the cap so every
+    # tier's health is driver-visible.  Rows past the cap are
+    # oracle-checked by tests/test_entry_contract.py at every SF —
+    # same contract, just not on the driver board.  (r7 rotation: the
+    # r6 graph/sketch/funnel/hybrid rows moved on-board, displacing
+    # low-information relational rows.)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -5160,10 +5298,14 @@ QUERIES = {
     "media_decode": q_media_decode,
     "pair_scores_v2": q_pair_scores_v2,
     "dedup_semantic": q_dedup_semantic,
-    "top_revenue_nations": q_top_revenue_nations,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
+    "graph_kcore": q_graph_kcore,
     "events_user_topk": q_events_user_topk,
     "events_hourly": q_events_hourly,
-    "events_json": q_events_json,
+    "events_hll_users": q_events_hll_users,
+    "events_value_hist": q_events_value_hist,
+    "events_funnel": q_events_funnel,
     "statements_unpivot": q_statements_unpivot,
     "entity_properties": q_entity_properties,
     "adjacency_orders": q_adjacency_orders,
@@ -5174,15 +5316,13 @@ QUERIES = {
     "pair_scores_regression": q_pair_scores_regression,
     "pair_scores_ofac": q_pair_scores_ofac,
     "dedup_exact": q_dedup_exact,
-    "dedup_ngram_pairs": q_dedup_ngram_pairs,
-    "doc_decontaminate": q_doc_decontaminate,
-    "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
     "events_sessionize": q_events_sessionize,
     "linker_apply": q_linker_apply,
     "doc_stats": q_doc_stats,
-    "doc_langid": q_doc_langid,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
+    "doc_search_hybrid": q_doc_search_hybrid,
     "doc_sample_mix": q_doc_sample_mix,
     "doc_pack": q_doc_pack,
     "doc_chunks": q_doc_chunks,
@@ -5195,12 +5335,19 @@ QUERIES = {
     "doc_embed": q_doc_embed,
     "dedup_embedding": q_dedup_embedding,
     "doc_dup_passages": q_doc_dup_passages,
-    "xref_stats": q_xref_stats,
     "conflicting_matches": q_conflicting_matches,
     "entity_delta": q_entity_delta,
     "blocker_stopwords": q_blocker_stopwords,
     # entries past the driver's 50-row board cap: oracle-checked by the
     # pytest suite (tests/test_entry_contract.py), invisible to the board
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_nations": q_top_revenue_nations,
+    "events_json": q_events_json,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "doc_decontaminate": q_doc_decontaminate,
+    "dedup_minhash": q_dedup_minhash,
+    "doc_langid": q_doc_langid,
+    "xref_stats": q_xref_stats,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_vocab": q_doc_vocab,
     "dedup_survivors": q_dedup_survivors,
@@ -5217,22 +5364,15 @@ QUERIES = {
     "doc_search_bm25": q_doc_search_bm25,
     "doc_source_cap": q_doc_source_cap,
     "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
-    "graph_pagerank": q_graph_pagerank,
     "doc_split": q_doc_split,
     "doc_drift": q_doc_drift,
     "doc_decontaminate_semantic": q_doc_decontaminate_semantic,
     "doc_budget_select": q_doc_budget_select,
     "graph_ppr": q_graph_ppr,
-    "events_hll_users": q_events_hll_users,
-    "graph_triangles": q_graph_triangles,
-    "doc_search_hybrid": q_doc_search_hybrid,
-    "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_dup_trim": q_doc_dup_trim,
-    "events_value_hist": q_events_value_hist,
-    "graph_kcore": q_graph_kcore,
-    "events_funnel": q_events_funnel,
     "events_user_overlap": q_events_user_overlap,
     "graph_label_prop": q_graph_label_prop,
+    "events_hll_weekly_served": q_events_hll_weekly_served,
 }
 
 ORACLES = {
@@ -5319,4 +5459,5 @@ ORACLES = {
     "events_funnel": _EVENTS_FUNNEL_SQL,
     "events_user_overlap": _overlap_sql(),
     "graph_label_prop": _label_prop_sql(),
+    "events_hll_weekly_served": _EVENTS_HLL_WEEKLY_SQL,
 }

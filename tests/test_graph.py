@@ -484,3 +484,48 @@ def test_label_prop_seed_duplicates_and_conflicts(spark):
     assert out["B"]["label"] == "flagged"
     # m sees ONE vetted vote (A) and ONE flagged vote (B): tie -> flagged
     assert out["m"]["label"] == "flagged" and out["m"]["votes"] == 1
+
+
+def test_pagerank_weighted_large_weights_no_overflow(spark):
+    """Link-count-sized weights (~1e10) used to overflow the BIGINT
+    product rank_q * w mid-iteration (ANSI error); the DECIMAL(38,0)
+    product keeps the split exact for any representable weight.  The
+    quotient must equal the proportional split computed in Python's
+    unbounded ints."""
+    from pyspark.sql import Row
+
+    w_b, w_c = 30_000_000_000, 10_000_000_000  # product ~3e28 >> 2^63
+    df = spark.createDataFrame(
+        [Row(src="A", dst="B", w=w_b), Row(src="A", dst="C", w=w_c)]
+    )
+    got = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(df, n_iter=1, weight="w").collect()
+    }
+    s, base = PR_SCALE, (PR_SCALE * 3) // 20
+    share = (2 * s) // 3
+    tot = w_b + w_c
+    assert got["B"] == base + (17 * ((s * w_b) // tot + share)) // 20
+    assert got["C"] == base + (17 * ((s * w_c) // tot + share)) // 20
+    # small weights: the decimal path agrees with the all-BIGINT split
+    small = spark.createDataFrame(
+        [Row(src="A", dst="B", w=3), Row(src="A", dst="C", w=1)]
+    )
+    got_small = {
+        r["node"]: r["rank_q"]
+        for r in pagerank(small, n_iter=1, weight="w").collect()
+    }
+    assert got_small["B"] == base + (17 * ((s * 3) // 4 + share)) // 20
+    assert got_small["C"] == base + (17 * ((s * 1) // 4 + share)) // 20
+
+
+def test_pagerank_scale_overflow_contract(spark):
+    """The dampening step multiplies total mass (n_nodes * scale) by
+    damp_num in BIGINT; a scale big enough to overflow must raise a
+    clear ValueError up front, not fail mid-iteration."""
+    import pytest
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(src="A", dst="B"), Row(src="B", dst="C")])
+    with pytest.raises(ValueError, match="smaller scale"):
+        pagerank(df, n_iter=1, scale=2**61)

@@ -542,3 +542,83 @@ def test_hist_index_bounds_survive_vacuum(spark, tmp_path):
         spark.createDataFrame([("k", 9.0)], schema), "key", "v", batch_id=3
     )
     assert state.quantile(0.5).collect()[0]["n"] == 4
+
+
+def test_alpha_rejects_sub_minimum_precision():
+    """p < 4 has no published bias constant: _alpha must raise a clear
+    ValueError, not KeyError."""
+    import pytest
+
+    from nomenklatura_spark.operators.sketch import _alpha
+
+    assert _alpha(16) == 0.673
+    assert _alpha(256) == 0.7213 / (1.0 + 1.079 / 256)
+    for m in (2, 4, 8):
+        with pytest.raises(ValueError, match="p >= 4"):
+            _alpha(m)
+
+
+def test_hll_pairwise_union_key_set_bound(spark, monkeypatch):
+    """The all-pairs union is contractually driver-small: above
+    _MAX_UNION_KEYS distinct keys it must raise and point at a banded
+    formulation instead of silently cross-joining the key set."""
+    import pytest
+
+    import nomenklatura_spark.operators.sketch as sk
+
+    rows = [(f"k{i}", f"v{i}") for i in range(12)]
+    regs = hll_registers(
+        spark.createDataFrame(rows, "key string, v string"), ["key"], "v"
+    )
+    monkeypatch.setattr(sk, "_MAX_UNION_KEYS", 10)
+    with pytest.raises(ValueError, match="banded|driver-small"):
+        sk.hll_pairwise_union(regs, "key")
+    monkeypatch.setattr(sk, "_MAX_UNION_KEYS", 12)
+    assert sk.hll_pairwise_union(regs, "key").count() > 0
+
+
+def test_weekly_serving_from_stored_registers_matches_scratch(spark, tmp_path):
+    """The at-rest serving chain: per-(key, day) registers folded to
+    disk by ingest batches that STRADDLE the query window must answer a
+    windowed distinct-count by merge-at-read, bit-identically to the
+    direct sketch over the window's raw rows (merge identity, through
+    the snapshot layout)."""
+    from nomenklatura_spark.operators.sketch import hll_merge
+
+    rows = [
+        (f"2024-01-{d:02d}", f"u{(d * 31 + i) % 97}")
+        for d in range(1, 22)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "day string, user string")
+    state = HllIndexState(spark, str(tmp_path), p=8)
+    # ingest slicing deliberately misaligned with the week window
+    for b, (lo, hi) in enumerate([(1, 9), (10, 16), (17, 21)]):
+        batch = df.where(
+            F.substring("day", 9, 2).cast("int").between(lo, hi)
+        )
+        state.apply_batch(batch, "day", "user", batch_id=b)
+    week = ("2024-01-08", "2024-01-14")
+    served = hll_merge(
+        state.registers()
+        .where(F.col("key").between(*week))
+        .select(F.lit("w").alias("k"), "bucket", "reg")
+    )
+    scratch = hll_registers(
+        df.where(F.col("day").between(*week)).select(
+            F.lit("w").alias("k"), "user"
+        ),
+        ["k"],
+        "user",
+        p=8,
+    ).select("k", "bucket", F.col("reg").cast("int").alias("reg"))
+    assert _sorted(served) == _sorted(scratch)
+    # and the estimates agree with the exact recount within HLL error
+    est = hll_estimate(served, ["k"], p=8).collect()[0]["n_hll"]
+    n_true = (
+        df.where(F.col("day").between(*week))
+        .select("user")
+        .distinct()
+        .count()
+    )
+    assert abs(est - n_true) / n_true < 0.15

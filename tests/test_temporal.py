@@ -377,3 +377,32 @@ def test_funnel_repeated_step_types(spark):
     got = {r["step"]: r["n_users"]
            for r in funnel_steps(df, ["view", "view"]).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_funnel_empty_first_step_reports_zero_conversion(spark):
+    """ANSI mode is on in get_spark sessions: a stream where NO user
+    reaches step 1 must report conversion 0.0, not raise
+    DIVIDE_BY_ZERO (the denominator is the step-1 user count)."""
+    from nomenklatura_spark.operators.temporal import funnel_steps
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00", "click"),
+        ("u2", "2024-01-01 11:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["step"]: (r["n_users"], r["conversion"])
+        for r in funnel_steps(
+            df, ["view", "click", "purchase"], within="7 DAYS"
+        ).collect()
+    }
+    assert got == {1: (0, 0.0), 2: (0, 0.0), 3: (0, 0.0)}
+    # fully empty stream: same contract
+    empty = df.where(F.lit(False))
+    got2 = {
+        r["step"]: (r["n_users"], r["conversion"])
+        for r in funnel_steps(empty, ["view", "click"]).collect()
+    }
+    assert got2 == {1: (0, 0.0), 2: (0, 0.0)}
