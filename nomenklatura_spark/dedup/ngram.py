@@ -241,3 +241,90 @@ def ngram_containment_pairs(
         "bench_id",
         (F.col("n_common") / F.col("n_bench")).alias("containment"),
     ).where(F.col("containment") >= threshold)
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    mode: str = "word",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Corpus-self ASYMMETRIC containment join via prefix filtering
+    (SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08): all (contained_id, container_id, containment) pairs with
+    ``containment = |S_c ∩ S_o| / |S_c| >= threshold``, S = distinct
+    shingle set.
+
+    The dedup gap this closes: a document fully quoted inside one 4x
+    larger has Jaccard <= 0.25 — symmetric near-dup passes (n-gram
+    Jaccard, MinHash/LSH bands, SimHash) structurally miss it, because
+    band collision probability decays as jaccard^band_size.  Asymmetric
+    containment is the right measure for quote inclusion, boilerplate
+    wrapping and partial mirrors, and prefix filtering is its EXACT
+    candidate generator: order each document's shingles by global
+    document frequency (rarest first, ties by shingle); a pair with
+    containment >= t over S_c must share at least ceil(t*|S_c|)
+    shingles, so it must share one of S_c's first
+    ``|S_c| - ceil(t*|S_c|) + 1`` rarest shingles — join ONLY that
+    prefix against the full shingle relation and no qualifying pair can
+    be missed (no LSH recall loss, no all-pairs join).
+
+    Scale shape: one shuffle for shingle document frequencies, one
+    window rank per document, one prefix-to-full equi-join on shingle
+    (fan-out bounded because the prefix side holds each document's
+    RAREST shingles — a hot boilerplate shingle enters a prefix only
+    for documents that have nothing rarer), then the exact verify
+    joins the shingle relation through the candidate set only.  The
+    reference has no containment operator; nearest surface is its
+    xref candidate bounding (SURVEY.md §2.4 J1).
+    """
+    arrays = shingle_arrays(widen_small_scan(df), id_col, text_col, k, mode)
+    sh = (
+        arrays.select(
+            "id",
+            F.size("shingles").alias("n"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    # read twice below (prefix + both verify sides): checkpoint so the
+    # shingle+frequency relation is computed once, and blocks release
+    # with the returned plan (the ngram_jaccard_pairs device)
+    sh = sh.join(freq, "shingle").localCheckpoint(eager=True)
+    rk = F.row_number().over(
+        Window.partitionBy("id").orderBy("sdf", "shingle")
+    )
+    prefix = (
+        sh.withColumn("rk", rk)
+        .where(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select(F.col("id").alias("cid"), "shingle")
+    )
+    cand = (
+        prefix.join(
+            sh.select(F.col("id").alias("oid"), "shingle"), "shingle"
+        )
+        .where(F.col("cid") != F.col("oid"))
+        .select("cid", "oid")
+        .distinct()
+    )
+    l = sh.select(
+        F.col("id").alias("cid"), F.col("n").alias("c_n"), "shingle"
+    )
+    r = sh.select(F.col("id").alias("oid"), "shingle")
+    inter = (
+        cand.join(l, "cid")
+        .join(r, ["oid", "shingle"])
+        .groupBy("cid", "oid", "c_n")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        F.col("cid").alias("contained_id"),
+        F.col("oid").alias("container_id"),
+        (F.col("n_common") / F.col("c_n")).alias("containment"),
+    ).where(F.col("containment") >= threshold)

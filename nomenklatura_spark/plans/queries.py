@@ -434,6 +434,77 @@ def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup via exact prefix filtering
+    (``dedup/ngram.containment_join``): (contained, container) pairs
+    where >= 60% of the contained document's word trigrams appear in
+    the container — the quote-inclusion / partial-mirror duplicates
+    that every symmetric pass (Jaccard, MinHash bands, SimHash)
+    structurally under-recalls, found with NO all-pairs join and NO
+    LSH recall loss (prefix filtering is candidate-complete by
+    construction).  The oracle replays the identical prefix/verify
+    algebra, so a hash-green row proves candidate completeness on
+    real data, not just the crafted pytests."""
+    from nomenklatura_spark.dedup.ngram import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = containment_join(
+        docs, "doc_id", "text", k=3, mode="word",
+        threshold=CONTAINMENT_THRESHOLD,
+    )
+    return out.select(
+        "contained_id",
+        "container_id",
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("contained_id", "container_id")
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tri AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 2, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM ws
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    freq AS (SELECT sh, count(*) AS sdf FROM tri GROUP BY sh),
+    ranked AS (
+        SELECT t.doc_id, t.sh, s.n,
+            row_number() OVER (
+                PARTITION BY t.doc_id ORDER BY f.sdf, t.sh
+            ) AS rk
+        FROM tri t
+        JOIN freq f USING (sh)
+        JOIN sizes s USING (doc_id)
+    ),
+    prefix AS (
+        SELECT doc_id AS cid, sh FROM ranked
+        WHERE rk <= n - ceil({CONTAINMENT_THRESHOLD} * n) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT p.cid, t.doc_id AS oid
+        FROM prefix p JOIN tri t ON t.sh = p.sh AND t.doc_id != p.cid
+    ),
+    inter AS (
+        SELECT c.cid, c.oid, s.n AS c_n, count(*) AS n_common
+        FROM cand c
+        JOIN tri l ON l.doc_id = c.cid
+        JOIN tri r ON r.doc_id = c.oid AND r.sh = l.sh
+        JOIN sizes s ON s.doc_id = c.cid
+        GROUP BY c.cid, c.oid, s.n
+    )
+    SELECT cid AS contained_id, oid AS container_id,
+        round(n_common * 1.0 / c_n, 6) AS containment
+    FROM inter
+    WHERE n_common * 1.0 / c_n >= {CONTAINMENT_THRESHOLD}
+    ORDER BY contained_id, container_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -5373,6 +5444,7 @@ QUERIES = {
     "events_user_overlap": q_events_user_overlap,
     "graph_label_prop": q_graph_label_prop,
     "events_hll_weekly_served": q_events_hll_weekly_served,
+    "dedup_containment": q_dedup_containment,
 }
 
 ORACLES = {
@@ -5460,4 +5532,5 @@ ORACLES = {
     "events_user_overlap": _overlap_sql(),
     "graph_label_prop": _label_prop_sql(),
     "events_hll_weekly_served": _EVENTS_HLL_WEEKLY_SQL,
+    "dedup_containment": _DEDUP_CONTAINMENT_SQL,
 }

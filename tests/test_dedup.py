@@ -361,3 +361,115 @@ def test_trim_duplicated_passages_planted(spark):
     }
     for d, row in got.items():
         assert (row["words_removed"] > 0) == (audit[d] > 0)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (prefix filtering)
+
+
+def _brute_containment(rows, k, threshold):
+    """Unbounded-int reference: exact containment over all ordered pairs."""
+    import re
+
+    def shingles(text):
+        ws = [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if w]
+        return {
+            " ".join(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 0))
+        }
+
+    sets = {i: shingles(t) for i, t in rows}
+    out = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            if len(sa & sb) / len(sa) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_containment_finds_quote_inclusion_jaccard_misses(spark):
+    """A short doc fully quoted inside one ~5x larger: jaccard ~0.2 (all
+    symmetric passes below a 0.5 gate miss it) but containment is 1.0 —
+    the pair the asymmetric operator exists for.  Both directions are
+    checked: only the small doc is 'contained'."""
+    from nomenklatura_spark.dedup.ngram import (
+        containment_join,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(18))
+    rows = [("small", quote), ("big", f"{filler} {quote} {filler}")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_join(
+            df, "doc_id", "text", k=3, mode="word", threshold=0.9
+        ).collect()
+    }
+    assert got.keys() == {("small", "big")}
+    assert got[("small", "big")] == 1.0
+    # and the symmetric pass indeed misses it at the usual 0.5 gate
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.5, mode="word"
+    ).collect()
+    assert jac == []
+
+
+def test_containment_matches_brute_force_random_corpus(spark):
+    """Candidate completeness: prefix filtering must recover EVERY pair
+    the all-pairs brute force finds (and nothing else) on a random
+    corpus with planted substrings, at two thresholds."""
+    import random
+
+    from nomenklatura_spark.dedup.ngram import containment_join
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(30):
+        rows.append(
+            (f"d{i}", " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(6, 40))))
+        )
+    # plant containment structure: fragments + wrapped copies
+    for i in range(5):
+        frag = rows[i][1]
+        rows.append(
+            (f"wrap{i}", f"{rows[(i + 7) % 30][1]} {frag} extra{i} tail{i}")
+        )
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for t in (0.6, 0.9):
+        want = _brute_containment(rows, 3, t)
+        got = {
+            (r["contained_id"], r["container_id"])
+            for r in containment_join(
+                df, "doc_id", "text", k=3, mode="word", threshold=t
+            ).collect()
+        }
+        assert got == want, (t, got ^ want)
+
+
+def test_containment_partition_invariant(spark):
+    from nomenklatura_spark.dedup.ngram import containment_join
+
+    rows = [
+        (f"d{i}", " ".join(f"t{(i * 13 + j) % 40}" for j in range(5 + i % 20)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    base = sorted(
+        tuple(r)
+        for r in containment_join(
+            df, "doc_id", "text", k=3, mode="word", threshold=0.7
+        ).collect()
+    )
+    rep = sorted(
+        tuple(r)
+        for r in containment_join(
+            df.repartition(13), "doc_id", "text", k=3, mode="word", threshold=0.7
+        ).collect()
+    )
+    assert base == rep and len(base) > 0
