@@ -167,13 +167,11 @@ def main() -> None:
         ("logic_v2", score_pairs_logic_v2),
         ("ofac", score_pairs_ofac),
     ):
+        # best-of-3 like every other number: a single timed pass on the
+        # shared round machine has recorded 3x contention artifacts
+        # (r6: logic_v1 75.6k recorded vs 239.6k idle truth)
         scored = fn(assembled).select("score")
-        scored.write.format("noop").mode("overwrite").save()  # warm
-        wall = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            scored.write.format("noop").mode("overwrite").save()
-            wall = min(wall, time.perf_counter() - start)
+        wall = _noop_wall(scored, passes=3)
         compare[name] = round(n_pairs / wall, 1)
         print(f"# compare {name}: {n_pairs} pairs in {wall:.2f}s", file=sys.stderr)
 
@@ -181,6 +179,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         scaling = _scaling_section(spark, sf_dir, cpus)
 
+    # The machine-readable line stays COMPACT — the r6 line carried the
+    # per-query loadavg map plus the scaling section and outgrew the
+    # driver's tail capture (BENCH_r06.json "parsed": null).  Per-query
+    # loads and the scaling curves go to BENCH_DETAIL.json beside the
+    # repo root (and to stderr above); the stdout line carries only the
+    # headline totals the driver records.
     out = {
         "metric": "headline_queries_wall",
         "value": round(total, 3),
@@ -188,14 +192,40 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "loadavg_start": load_start,
-        "loadavg_1m": loads,
         "loadavg_final": _load1(),
         "compares_per_sec": compare,
         "n_scored_pairs": n_pairs,
     }
+    detail = dict(out)
+    detail["loadavg_1m"] = loads
     if scaling is not None:
-        out["scaling"] = scaling
+        detail["scaling"] = scaling
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print(f"# detail (loadavg_1m + scaling) -> {detail_path}",
+              file=sys.stderr)
+    except OSError as exc:  # read-only checkout: keep the bench alive
+        print(f"# detail write failed: {exc}", file=sys.stderr)
+        print(json.dumps({"scaling": scaling}), file=sys.stderr)
     print(json.dumps(out))
+
+
+def _noop_wall_build(fn, inp, passes: int = 3) -> float:
+    # Iterative operators (k-core, label-prop, funnel) materialize each
+    # round eagerly via localCheckpoint DURING DataFrame construction —
+    # timing only the final noop write would measure an already-computed
+    # result.  For those, every timed pass rebuilds the whole frame so
+    # the wall covers the actual per-round shuffles.
+    fn(inp).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(passes):
+        start = time.perf_counter()
+        fn(inp).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    return best
 
 
 def _noop_wall(df, passes: int = 3) -> float:
@@ -360,6 +390,51 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     tri_edges_n = replicate(tri_edges, ["src", "dst"]).persist()
     tri_edges.count(), tri_edges_n.count()
 
+    # k-core / label-prop / funnel probes (r7): same disjoint-copy
+    # discipline.  k is fixed from the BASE graph's degree knee (the
+    # registry row's p75 rule) and reused at x10 — disjoint replicas
+    # preserve the degree distribution, so a shared k keeps both
+    # probes peeling identical rounds and the ratio measures the
+    # operator, not k drift.
+    import math as _m
+
+    from nomenklatura_spark.operators.graph import (
+        kcore_peel,
+        label_propagation,
+    )
+    from nomenklatura_spark.operators.temporal import funnel_steps
+    from nomenklatura_spark.plans.queries import _label_prop_inputs
+
+    _und = (
+        tri_edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    _deg = (
+        _und.select(F.col("a").alias("node"))
+        .unionAll(_und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    kco = _m.ceil(_deg.agg(F.percentile("degree", 0.75)).first()[0])
+
+    lp_trade, lp_seeds = _label_prop_inputs(spark, sf_dir)
+    lp_trade, lp_seeds = lp_trade.persist(), lp_seeds.persist()
+    lp_trade_n = replicate(lp_trade, ["src", "dst"]).persist()
+    lp_seeds_n = replicate(lp_seeds, ["node"]).persist()
+    lp_trade.count(), lp_seeds.count(), lp_trade_n.count(), lp_seeds_n.count()
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .persist()
+    )
+    ev_n = replicate(ev, ["user_id"]).persist()
+    ev.count(), ev_n.count()
+
     ops = {
         "doc_embed": lambda d: hashed_embeddings(d),
         "doc_dup_passages": lambda d: duplicated_passages(d),
@@ -377,6 +452,13 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         ),
         "blocker_pairs": blocker_pairs_op,
         "graph_triangles": lambda e: triangle_counts(e),
+        "graph_kcore": lambda e: kcore_peel(e, k=kco),
+        "graph_label_prop": lambda t: label_propagation(
+            t[0], t[1], n_rounds=3
+        ),
+        "events_funnel": lambda d: funnel_steps(
+            d, ["view", "click", "purchase"], within="7 DAYS"
+        ),
     }
     inputs = {
         "doc_embed": (docs, docs_n),
@@ -386,13 +468,24 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "ann_pq_topk": (emb, emb_n),
         "blocker_pairs": (stmts, stmts_n),
         "graph_triangles": (tri_edges, tri_edges_n),
+        "graph_kcore": (tri_edges, tri_edges_n),
+        "graph_label_prop": ((lp_trade, lp_seeds), (lp_trade_n, lp_seeds_n)),
+        "events_funnel": (ev, ev_n),
     }
+    # operators whose rounds materialize at build time (localCheckpoint
+    # inside the builder): time build+execute per pass, not just execute
+    build_timed = {"graph_kcore", "graph_label_prop", "events_funnel"}
+
     section: dict[str, dict] = {"n_repl": n_repl}
     for name, fn in ops.items():
         base, big = inputs[name]
         load = _load1()
-        w1 = _noop_wall(fn(base))
-        wn = _noop_wall(fn(big))
+        if name in build_timed:
+            w1 = _noop_wall_build(fn, base)
+            wn = _noop_wall_build(fn, big)
+        else:
+            w1 = _noop_wall(fn(base))
+            wn = _noop_wall(fn(big))
         section[name] = {
             "x1": round(w1, 3),
             f"x{n_repl}": round(wn, 3),
@@ -431,7 +524,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         print("# scaling store_update_loop: skipped (corpus too small)",
               file=sys.stderr)
         for df in (docs, emb, stmts, docs_n, emb_n, stmts_n,
-                   tri_edges, tri_edges_n, *cb1, *cbn):
+                   tri_edges, tri_edges_n, lp_trade, lp_seeds,
+                   lp_trade_n, lp_seeds_n, ev, ev_n, *cb1, *cbn):
             df.unpersist()
         return section
     edge_ddl = (
@@ -465,7 +559,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     )
 
     for df in (docs, emb, stmts, docs_n, emb_n, stmts_n,
-               tri_edges, tri_edges_n, *cb1, *cbn):
+               tri_edges, tri_edges_n, lp_trade, lp_seeds,
+               lp_trade_n, lp_seeds_n, ev, ev_n, *cb1, *cbn):
         df.unpersist()
     return section
 
