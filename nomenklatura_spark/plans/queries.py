@@ -4979,16 +4979,18 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _doc_clusters_sql(n_clusters: int = 8, alpha: float = 0.5) -> str:
-    """Replays hashed-BoW embed → re-normalize → md5-seeded 2-round
-    Lloyd → assignment (the ``_ivf_inv_ctes`` chain, re-rooted at the
-    document vectors) → cluster sizes → alpha weights."""
-    words = (
-        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
-        " x -> x != '')"
-    )
-    return f"""
-    WITH w AS (
+_CLUSTER_WORDS = (
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+    " x -> x != '')"
+)
+
+
+def _doc_cluster_chain_ctes(n_clusters: int = 8) -> str:
+    """The shared CTE chain hashed-BoW embed → re-normalize →
+    md5-seeded 2-round Lloyd → assignment (`inv`), reused by the
+    `doc_clusters` and `doc_cluster_keywords` oracles."""
+    words = _CLUSTER_WORDS
+    return f"""w AS (
         SELECT doc_id, unnest({words}) AS w
         FROM documents
     ),
@@ -5034,7 +5036,13 @@ def _doc_clusters_sql(n_clusters: int = 8, alpha: float = 0.5) -> str:
     c1 AS ({_ivf_update_sql("a1")}),
     a2 AS ({_ivf_assign_sql("vecs", "c1")}),
     c2 AS ({_ivf_update_sql("a2")}),
-    inv AS ({_ivf_assign_sql("vecs", "c2")}),
+    inv AS ({_ivf_assign_sql("vecs", "c2")})"""
+
+
+def _doc_clusters_sql(n_clusters: int = 8, alpha: float = 0.5) -> str:
+    """Cluster sizes + alpha weights on top of the shared Lloyd chain."""
+    return f"""
+    WITH {_doc_cluster_chain_ctes(n_clusters)},
     sizes AS (SELECT centroid, count(*) AS cluster_size FROM inv
               GROUP BY centroid),
     tot AS (SELECT sum(cluster_size) AS n FROM sizes),
@@ -5052,6 +5060,71 @@ def _doc_clusters_sql(n_clusters: int = 8, alpha: float = 0.5) -> str:
     JOIN shared s USING (centroid)
     CROSS JOIN z
     ORDER BY doc_id
+"""
+
+
+def q_doc_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF keyword labels for the discovered domain clusters
+    (``textops/domains.cluster_keywords``): top-10 words per cluster by
+    ``tf_{w,c} * ln(1 + A / f_w)`` — the BERTopic-style step that turns
+    `doc_clusters`' opaque ids into auditable topic labels when
+    deciding what a training mixture actually contains.  Reuses the
+    memoized embeddings + centroids (one Lloyd chain per session), so
+    the row's own cost is the token shuffle + two partial aggs; the
+    oracle replays the full chain from raw text."""
+    from nomenklatura_spark.ann.ivf import ivf_assign
+    from nomenklatura_spark.textops.domains import cluster_keywords
+
+    emb, centroids = _doc_domain_artifacts_cached(spark, sf_dir)
+    assign = ivf_assign(emb, centroids, "doc_id", "embedding").select(
+        "id", F.col("centroid").alias("cluster")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = cluster_keywords(
+        docs, assign, id_col="doc_id", text_col="text",
+        cluster_col="cluster", top_k=10,
+    )
+    return out.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "rank",
+        "word",
+        "tf",
+        "score",
+    ).orderBy("cluster", "rank")
+
+
+def _doc_cluster_keywords_sql(n_clusters: int = 8, top_k: int = 10) -> str:
+    return f"""
+    WITH {_doc_cluster_chain_ctes(n_clusters)},
+    tokw AS (
+        SELECT doc_id, unnest({_CLUSTER_WORDS}) AS w FROM documents
+    ),
+    asg AS (SELECT id AS doc_id, centroid AS c FROM inv),
+    tf AS (
+        SELECT a.c, t.w, count(*) AS tf
+        FROM tokw t JOIN asg a USING (doc_id)
+        GROUP BY a.c, t.w
+    ),
+    fw AS (SELECT w, sum(tf) AS fw FROM tf GROUP BY w),
+    aa AS (
+        SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT c) AS a FROM tf
+    ),
+    scored AS (
+        SELECT tf.c, tf.w, tf.tf,
+            round(tf.tf * ln(1.0 + aa.a / fw.fw), 6) AS score
+        FROM tf JOIN fw USING (w) CROSS JOIN aa
+    ),
+    rk AS (
+        SELECT c, w, tf, score,
+            row_number() OVER (
+                PARTITION BY c ORDER BY score DESC, w
+            ) AS rank
+        FROM scored
+    )
+    SELECT CAST(c AS INT) AS cluster, CAST(rank AS INT) AS rank,
+        w AS word, CAST(tf AS BIGINT) AS tf, score
+    FROM rk WHERE rank <= {top_k}
+    ORDER BY cluster, rank
 """
 
 
@@ -5445,6 +5518,7 @@ QUERIES = {
     "graph_label_prop": q_graph_label_prop,
     "events_hll_weekly_served": q_events_hll_weekly_served,
     "dedup_containment": q_dedup_containment,
+    "doc_cluster_keywords": q_doc_cluster_keywords,
 }
 
 ORACLES = {
@@ -5533,4 +5607,5 @@ ORACLES = {
     "graph_label_prop": _label_prop_sql(),
     "events_hll_weekly_served": _EVENTS_HLL_WEEKLY_SQL,
     "dedup_containment": _DEDUP_CONTAINMENT_SQL,
+    "doc_cluster_keywords": _doc_cluster_keywords_sql(),
 }

@@ -24,7 +24,7 @@ Spark-first shape — everything reuses the deterministic k-means tier:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from nomenklatura_spark.ann.brute import materialize_local
 from nomenklatura_spark.ann.ivf import ivf_assign, train_centroids
@@ -99,4 +99,93 @@ def domain_clusters(
         F.col("centroid").alias("cluster"),
         "cluster_size",
         "mix_weight",
+    )
+
+
+def cluster_keywords(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str = "cluster",
+    top_k: int = 10,
+) -> DataFrame:
+    """Class-based TF-IDF keyword extraction per discovered cluster —
+    the c-TF-IDF topic-labeling step (Grootendorst 2022, the BERTopic
+    reduction): treat each cluster's concatenated text as one document,
+    score word w in cluster c as ``tf_{w,c} * ln(1 + A / f_w)`` with
+    ``A`` the average token count per cluster and ``f_w`` the
+    corpus-wide frequency of w, and keep each cluster's ``top_k``
+    words.  This is what turns `domain_clusters`' opaque cluster ids
+    into auditable labels ("cluster 3 = legalese") when curating a
+    training mixture.
+
+    Returns (cluster, rank, word, tf, score) — score rounded to 6dp
+    BEFORE ranking so the top-k cut is engine-stable; ties break by
+    word.
+
+    Scale shape: one token explode + (cluster, word) partial-agg
+    shuffle, one word-keyed partial agg for corpus frequencies, the
+    scalar A as a broadcast one-row relation, and a WindowGroupLimit-
+    bounded top-k per cluster — no relation ever exceeds the (cluster
+    x vocabulary) grain, and the docs relation is read once.
+    """
+    from nomenklatura_spark.textops.analysis import words
+
+    tok = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            # explode_outer + null filter, NOT plain explode: the
+            # generate-inferred size()>0 prefilter would duplicate the
+            # split/filter expression into the scan (dedup/ngram.py's
+            # measured pessimization)
+            F.explode_outer(words(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+    )
+    assigned = tok.join(
+        assignments.select(
+            F.col("id"), F.col(cluster_col).alias("_c")
+        ),
+        "id",
+    )
+    tf = assigned.groupBy("_c", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # consumed by the corpus-frequency aggregate AND the score join:
+    # checkpoint so the token shuffle runs once, blocks release with
+    # the returned plan
+    tf = tf.localCheckpoint(eager=True)
+    fw = tf.groupBy("w").agg(F.sum("tf").alias("fw"))
+    avg_cluster = F.broadcast(
+        tf.agg(
+            (
+                F.sum("tf") / F.count_distinct("_c")
+            ).alias("_a")
+        )
+    )
+    scored = (
+        tf.join(fw, "w")
+        .crossJoin(avg_cluster)
+        .select(
+            "_c",
+            "w",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(1.0) + F.col("_a") / F.col("fw")),
+                6,
+            ).alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("_c").orderBy(F.col("score").desc(), "w")
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("_c").alias(cluster_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+        )
     )

@@ -61,3 +61,69 @@ def test_domain_clusters_covers_corpus(spark, sf_dir):
         assert bad.count() == 0
     finally:
         out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# c-TF-IDF cluster keywords
+
+
+def test_cluster_keywords_surface_topic_words(spark):
+    """Two crafted topics with distinct vocabularies plus shared filler:
+    each cluster's top keywords must be its OWN topic words, and the
+    shared filler (high corpus frequency -> low idf) must rank below
+    them."""
+    import math
+
+    from nomenklatura_spark.textops.domains import cluster_keywords
+
+    legal = "contract clause liability indemnity " * 5 + "the and of"
+    cooking = "recipe flour oven bake simmer " * 5 + "the and of"
+    docs = spark.createDataFrame(
+        [(f"l{i}", legal) for i in range(3)]
+        + [(f"c{i}", cooking) for i in range(3)],
+        "doc_id string, text string",
+    )
+    assign = spark.createDataFrame(
+        [(f"l{i}", 0) for i in range(3)] + [(f"c{i}", 1) for i in range(3)],
+        "id string, cluster int",
+    )
+    out = cluster_keywords(docs, assign, top_k=4).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    top0 = {r["word"] for r in by_cluster[0]}
+    top1 = {r["word"] for r in by_cluster[1]}
+    assert top0 <= {"contract", "clause", "liability", "indemnity"}
+    assert top1 <= {"recipe", "flour", "oven", "bake", "simmer"}
+    # hand-check one score: tf=15 for 'contract' in cluster 0; A = total
+    # tokens / 2 clusters; f_w = corpus frequency of 'contract'
+    total = 3 * (4 * 5 + 3) + 3 * (5 * 5 + 3)  # 23-token legal, 28-token cooking
+    a = total / 2
+    contract = next(r for r in out if r["word"] == "contract")
+    assert contract["tf"] == 15
+    assert contract["score"] == round(15 * math.log(1 + a / 15), 6)
+    # ranks are 1..k dense per cluster, ordered by score desc then word
+    for rows in by_cluster.values():
+        ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_cluster_keywords_partition_invariant(spark):
+    from nomenklatura_spark.textops.domains import cluster_keywords
+
+    rows = [
+        (f"d{i}", " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    assign = spark.createDataFrame(
+        [(f"d{i}", i % 3) for i in range(24)], "id string, cluster int"
+    )
+    base = sorted(tuple(r) for r in cluster_keywords(docs, assign).collect())
+    rep = sorted(
+        tuple(r)
+        for r in cluster_keywords(docs.repartition(7), assign).collect()
+    )
+    assert base == rep and len(base) > 0
