@@ -47,6 +47,13 @@ BENCH_QUERIES = [
     "doc_search_hybrid",
     "doc_dup_trim",
     "events_funnel",
+    # r7 additions: at-rest sketch serving, cluster topic labels, and
+    # the maintained-state funnel (dedup_containment is board-checked
+    # but not headline: its exact verify is the one deliberately-heavy
+    # row, see SCALE.md)
+    "events_hll_weekly_served",
+    "doc_cluster_keywords",
+    "events_funnel_served",
 ]
 
 

@@ -2155,6 +2155,39 @@ _EVENTS_HLL_SQL = """
 """
 
 
+def q_events_funnel_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel answered from maintained state
+    (``streaming/funnel_index.py``): raw events are folded into the
+    per-user candidate-time index by three decade-of-month ingest
+    batches ARRIVING OUT OF TIME ORDER (decades 2, 3, then 1 — every
+    chain-lowering late-data path executes), and the funnel counts are
+    served from state alone.  The oracle is the batch funnel SQL over
+    the full history, so a hash-green row proves the pruned incremental
+    state is SUFFICIENT: fold-in-any-order == rescan-everything.  At
+    100 TB the serving cost is O(users x steps), however long the event
+    history grows."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.funnel_index import FunnelIndexState
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth(F.to_date("ts"))
+    )
+    root = tempfile.mkdtemp(prefix="nk_funnel_idx_")
+    try:
+        state = FunnelIndexState(
+            spark, root, ["view", "click", "purchase"], within="7 DAYS"
+        )
+        for b, (lo, hi) in enumerate([(11, 20), (21, 31), (1, 10)]):
+            state.apply_batch(
+                events.where(F.col("day").between(lo, hi)), batch_id=b
+            )
+        return state.counts().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_events_hll_weekly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed-sketch SERVING, end to end at rest: per-(type, day) HLL
     registers are folded into the ``streaming/hll_index.py`` snapshot
@@ -5519,6 +5552,7 @@ QUERIES = {
     "events_hll_weekly_served": q_events_hll_weekly_served,
     "dedup_containment": q_dedup_containment,
     "doc_cluster_keywords": q_doc_cluster_keywords,
+    "events_funnel_served": q_events_funnel_served,
 }
 
 ORACLES = {
@@ -5608,4 +5642,5 @@ ORACLES = {
     "events_hll_weekly_served": _EVENTS_HLL_WEEKLY_SQL,
     "dedup_containment": _DEDUP_CONTAINMENT_SQL,
     "doc_cluster_keywords": _doc_cluster_keywords_sql(),
+    "events_funnel_served": _EVENTS_FUNNEL_SQL,
 }

@@ -1,0 +1,215 @@
+"""Incrementally-maintained funnel index (streaming/funnel_index.py):
+incremental-equals-scratch under out-of-order arrival, redelivery
+idempotence by algebra, the pruning invariants, and the Structured
+Streaming driver."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nomenklatura_spark.operators.temporal import funnel_steps
+from nomenklatura_spark.streaming.funnel_index import (
+    FunnelIndexState,
+    maintain_funnel_stream,
+)
+
+STEPS = ["view", "click", "purchase"]
+SCHEMA = "user_id string, ts string, event_type string"
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def _counts(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _random_rows(seed, n=400, users=40):
+    rnd = random.Random(seed)
+    types = STEPS
+    return [
+        (
+            f"u{rnd.randrange(users)}",
+            f"2024-01-{rnd.randrange(1, 28):02d} "
+            f"{rnd.randrange(24):02d}:{rnd.randrange(60):02d}:00",
+            types[rnd.randrange(3)],
+        )
+        for _ in range(n)
+    ]
+
+
+def test_funnel_index_incremental_matches_scratch(spark, tmp_path):
+    """Three ARRIVAL-shuffled batches (event time and arrival order are
+    deliberately uncorrelated, so late data crosses every batch
+    boundary): counts from state must equal the batch operator over the
+    full history, with and without a horizon."""
+    rows = _random_rows(3)
+    rnd = random.Random(99)
+    rnd.shuffle(rows)
+    cuts = [rows[:130], rows[130:260], rows[260:]]
+    for within, sub in (("7 DAYS", "w"), (None, "n")):
+        state = FunnelIndexState(
+            spark, str(tmp_path / f"state_{sub}"), STEPS, within=within
+        )
+        for b, chunk in enumerate(cuts):
+            state.apply_batch(_events_df(spark, chunk), batch_id=b)
+        scratch = funnel_steps(
+            _events_df(spark, rows), STEPS, within=within
+        )
+        assert _counts(state.counts()) == _counts(scratch)
+
+
+def test_funnel_index_redelivery_absorbed_by_algebra(spark, tmp_path):
+    """Re-folding an already-applied batch WITHOUT the replay guard
+    (batch_id=None) must not change counts or state — distinct-union +
+    re-prune is idempotent."""
+    rows = _random_rows(11)
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, within="7 DAYS"
+    )
+    b1, b2 = rows[:200], rows[200:]
+    state.apply_batch(_events_df(spark, b1), batch_id=None)
+    state.apply_batch(_events_df(spark, b2), batch_id=None)
+    before_counts = _counts(state.counts())
+    before_state = sorted(tuple(r) for r in state.times().collect())
+    state.apply_batch(_events_df(spark, b2), batch_id=None)  # redelivery
+    assert _counts(state.counts()) == before_counts
+    assert sorted(tuple(r) for r in state.times().collect()) == before_state
+
+
+def test_funnel_index_late_data_lowers_the_chain(spark, tmp_path):
+    """The adversarial out-of-order case: a late batch lowers q1, which
+    re-qualifies a click the first batch had already seen (and kept,
+    because it sat below the then-current q2)."""
+    state = FunnelIndexState(spark, str(tmp_path / "state"), STEPS)
+    state.apply_batch(
+        _events_df(
+            spark,
+            [
+                ("u", "2024-01-09 00:00:00", "view"),
+                ("u", "2024-01-10 00:00:00", "click"),
+                ("u", "2024-01-03 00:00:00", "click"),  # below q2=10th: kept
+            ],
+        ),
+        batch_id=0,
+    )
+    got1 = {r["step"]: r["n_users"] for r in state.counts().collect()}
+    assert got1 == {1: 1, 2: 1, 3: 0}
+    # late view on the 1st: q1 drops to the 1st, q2 must become the 3rd
+    state.apply_batch(
+        _events_df(spark, [("u", "2024-01-01 00:00:00", "view")]),
+        batch_id=1,
+    )
+    q = state._user_steps(state.times()).collect()[0]
+    assert q["q1"].day == 1 and q["q2"].day == 3
+
+
+def test_funnel_index_pruning_invariants(spark, tmp_path):
+    """Step-1 keeps exactly one time per step-1 user; no kept later-step
+    time exceeds its current q (when q exists); horizon-expired times
+    are gone; state never exceeds the raw (u, step, t) grain."""
+    rows = _random_rows(17, n=600, users=30)
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, within="7 DAYS"
+    )
+    state.apply_batch(_events_df(spark, rows[:300]), batch_id=0)
+    state.apply_batch(_events_df(spark, rows[300:]), batch_id=1)
+    times = state.times()
+    s1 = times.where(F.col("step") == 1).groupBy("u").count()
+    assert s1.where(F.col("count") != 1).count() == 0
+    q = state._user_steps(times)
+    joined = times.join(q, "u", "left")
+    qarr = F.array(*[F.col(f"q{i}") for i in range(1, 4)])
+    viol = joined.where(
+        (F.col("step") > 1)
+        & F.element_at(qarr, F.col("step")).isNotNull()
+        & (F.col("t") > F.element_at(qarr, F.col("step")))
+    )
+    assert viol.count() == 0
+    horizon_viol = joined.where(
+        F.col("q1").isNotNull() & (F.col("t") > F.expr("q1 + INTERVAL 7 DAYS"))
+    )
+    assert horizon_viol.count() == 0
+    raw = (
+        _events_df(spark, rows)
+        .where(F.col("event_type").isin(STEPS))
+        .select("user_id", "event_type", "ts")
+        .distinct()
+        .count()
+    )
+    assert times.count() <= raw
+
+
+def test_funnel_index_repeated_step_names(spark, tmp_path):
+    """Repeated step names route one event to several step slots, like
+    the batch operator: view->view needs a SECOND strictly-later view."""
+    state = FunnelIndexState(spark, str(tmp_path / "state"), ["view", "view"])
+    state.apply_batch(
+        _events_df(
+            spark,
+            [
+                ("a", "2024-01-01 10:00:00", "view"),
+                ("a", "2024-01-02 10:00:00", "view"),
+                ("b", "2024-01-01 10:00:00", "view"),
+            ],
+        ),
+        batch_id=0,
+    )
+    got = {r["step"]: r["n_users"] for r in state.counts().collect()}
+    scratch = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(
+            _events_df(
+                spark,
+                [
+                    ("a", "2024-01-01 10:00:00", "view"),
+                    ("a", "2024-01-02 10:00:00", "view"),
+                    ("b", "2024-01-01 10:00:00", "view"),
+                ],
+            ),
+            ["view", "view"],
+        ).collect()
+    }
+    assert got == scratch == {1: 2, 2: 1}
+
+
+def test_maintain_funnel_stream(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    rows = _random_rows(23, n=200, users=20)
+    random.Random(5).shuffle(rows)
+    batches = [rows[:100], rows[100:]]
+    for n, chunk in enumerate(batches):
+        with open(_os.path.join(src, f"b{n}.json"), "w") as fh:
+            for u, ts, et in chunk:
+                fh.write(
+                    _json.dumps({"user_id": u, "ts": ts, "event_type": et})
+                    + "\n"
+                )
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, within="7 DAYS"
+    )
+    stream = (
+        spark.readStream.schema("user_id string, ts string, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    stream = stream.withColumn("ts", F.to_timestamp("ts"))
+    q = maintain_funnel_stream(
+        stream, state, checkpoint_dir=str(tmp_path / "chk")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.version() == 1
+    scratch = funnel_steps(_events_df(spark, rows), STEPS, within="7 DAYS")
+    assert _counts(state.counts()) == _counts(scratch)
