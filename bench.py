@@ -320,6 +320,29 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             )
         return out.drop("_rep")
 
+    def replicate_disjoint_text(df, id_col, text_col):
+        # token-level replica tagging: every word carries its replica
+        # id, so shingle vocabularies are DISJOINT across replicas and
+        # a containment probe measures the operator on 10 independent
+        # corpora — verbatim text copies would give every doc 9 perfect
+        # containers and measure output explosion instead
+        from nomenklatura_spark.textops.analysis import words
+
+        out = df.crossJoin(F.broadcast(reps)).select(
+            F.concat_ws("-r", F.col(id_col), F.col("_rep")).alias(id_col),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    words(F.col(text_col)),
+                    lambda w: F.concat(
+                        F.lit("x"), F.col("_rep").cast("string"),
+                        F.lit("_"), w,
+                    ),
+                ),
+            ).alias(text_col),
+        )
+        return out
+
     docs = (
         load_table(spark, sf_dir, "documents").select("doc_id", "text").persist()
     )
@@ -442,6 +465,19 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     ev_n = replicate(ev, ["user_id"]).persist()
     ev.count(), ev_n.count()
 
+    # containment probe: disjoint shingle vocabularies per replica (see
+    # replicate_disjoint_text); the x1 side gets the same token tagging
+    # (single replica) so both sides pay the identical text transform
+    from nomenklatura_spark.dedup.ngram import containment_join
+
+    docs_c1 = (
+        replicate_disjoint_text(docs, "doc_id", "text")
+        .where(F.col("doc_id").endswith("-r0"))
+        .persist()
+    )
+    docs_cn = replicate_disjoint_text(docs, "doc_id", "text").persist()
+    docs_c1.count(), docs_cn.count()
+
     ops = {
         "doc_embed": lambda d: hashed_embeddings(d),
         "doc_dup_passages": lambda d: duplicated_passages(d),
@@ -466,6 +502,9 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "events_funnel": lambda d: funnel_steps(
             d, ["view", "click", "purchase"], within="7 DAYS"
         ),
+        "dedup_containment": lambda d: containment_join(
+            d, "doc_id", "text", k=3, mode="word", threshold=0.6
+        ),
     }
     inputs = {
         "doc_embed": (docs, docs_n),
@@ -478,6 +517,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "graph_kcore": (tri_edges, tri_edges_n),
         "graph_label_prop": ((lp_trade, lp_seeds), (lp_trade_n, lp_seeds_n)),
         "events_funnel": (ev, ev_n),
+        "dedup_containment": (docs_c1, docs_cn),
     }
     # operators whose rounds materialize at build time (localCheckpoint
     # inside the builder): time build+execute per pass, not just execute
@@ -532,7 +572,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
               file=sys.stderr)
         for df in (docs, emb, stmts, docs_n, emb_n, stmts_n,
                    tri_edges, tri_edges_n, lp_trade, lp_seeds,
-                   lp_trade_n, lp_seeds_n, ev, ev_n, *cb1, *cbn):
+                   lp_trade_n, lp_seeds_n, ev, ev_n,
+                   docs_c1, docs_cn, *cb1, *cbn):
             df.unpersist()
         return section
     edge_ddl = (
@@ -567,7 +608,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
 
     for df in (docs, emb, stmts, docs_n, emb_n, stmts_n,
                tri_edges, tri_edges_n, lp_trade, lp_seeds,
-               lp_trade_n, lp_seeds_n, ev, ev_n, *cb1, *cbn):
+               lp_trade_n, lp_seeds_n, ev, ev_n,
+               docs_c1, docs_cn, *cb1, *cbn):
         df.unpersist()
     return section
 
