@@ -5478,11 +5478,13 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "graph_kcore": q_graph_kcore,
-    "events_user_topk": q_events_user_topk,
-    "events_hourly": q_events_hourly,
+    "dedup_containment": q_dedup_containment,
+    "doc_cluster_keywords": q_doc_cluster_keywords,
     "events_hll_users": q_events_hll_users,
     "events_value_hist": q_events_value_hist,
     "events_funnel": q_events_funnel,
+    "events_funnel_served": q_events_funnel_served,
+    "events_hll_weekly_served": q_events_hll_weekly_served,
     "statements_unpivot": q_statements_unpivot,
     "entity_properties": q_entity_properties,
     "adjacency_orders": q_adjacency_orders,
@@ -5500,9 +5502,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_search_hybrid": q_doc_search_hybrid,
-    "doc_sample_mix": q_doc_sample_mix,
     "doc_pack": q_doc_pack,
-    "doc_chunks": q_doc_chunks,
     "doc_pii": q_doc_pii,
     "xref_suggestions": q_xref_suggestions,
     "ann_topk": q_ann_topk,
@@ -5549,10 +5549,10 @@ QUERIES = {
     "doc_dup_trim": q_doc_dup_trim,
     "events_user_overlap": q_events_user_overlap,
     "graph_label_prop": q_graph_label_prop,
-    "events_hll_weekly_served": q_events_hll_weekly_served,
-    "dedup_containment": q_dedup_containment,
-    "doc_cluster_keywords": q_doc_cluster_keywords,
-    "events_funnel_served": q_events_funnel_served,
+    "events_user_topk": q_events_user_topk,
+    "events_hourly": q_events_hourly,
+    "doc_sample_mix": q_doc_sample_mix,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLES = {
