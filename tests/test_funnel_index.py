@@ -213,3 +213,20 @@ def test_maintain_funnel_stream(spark, tmp_path):
     assert state.version() == 1
     scratch = funnel_steps(_events_df(spark, rows), STEPS, within="7 DAYS")
     assert _counts(state.counts()) == _counts(scratch)
+
+
+def test_funnel_index_time_travel(spark, tmp_path):
+    """Snapshot versioning: counts(version=v) answers the funnel as of
+    batch v — version 0 must equal the batch operator over batch 1's
+    events alone, while the head serves the full history."""
+    rows = _random_rows(31, n=300, users=25)
+    b1, b2 = rows[:150], rows[150:]
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, within="7 DAYS"
+    )
+    state.apply_batch(_events_df(spark, b1), batch_id=0)
+    state.apply_batch(_events_df(spark, b2), batch_id=1)
+    asof_b1 = funnel_steps(_events_df(spark, b1), STEPS, within="7 DAYS")
+    full = funnel_steps(_events_df(spark, rows), STEPS, within="7 DAYS")
+    assert _counts(state.counts(version=0)) == _counts(asof_b1)
+    assert _counts(state.counts()) == _counts(full)
