@@ -4582,6 +4582,53 @@ _DOC_SPLIT_SQL = """
 """
 
 
+def q_doc_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (``textops/analysis.leakage_safe_split``):
+    near-duplicate families (connected components of the memoized
+    n-gram dup graph) move between train/val/test as ATOMIC units, so
+    no eval document has a training near-copy — the contamination a
+    per-document split cannot prevent.  Split = md5 bucket of the
+    family representative (approximate 90/5/5; exact cuts are
+    impossible once docs move in groups); the oracle replays the
+    recursive component walk + the same bucket arithmetic."""
+    from nomenklatura_spark.textops.analysis import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _spark_ngram_pairs(spark, sf_dir)
+    return leakage_safe_split(docs, pairs).orderBy("doc_id")
+
+
+_DOC_SPLIT_SAFE_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
+    edges AS (
+        SELECT lid AS a, rid AS b FROM pairs
+        UNION SELECT rid, lid FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, reached) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
+    ),
+    comp AS (SELECT node, min(reached) AS component FROM walk GROUP BY node),
+    fam AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS family
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, family,
+            CAST(('0x' || substr(md5('famsplit:' || CAST(family AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 1000 AS bucket
+        FROM fam
+    )
+    SELECT doc_id, family,
+        CASE WHEN bucket < 900 THEN 'train'
+             WHEN bucket < 950 THEN 'val'
+             ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+"""
+
+
 def q_doc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift monitor (``textops.analysis.unigram_drift``): the 25
     words whose smoothed unigram probability moved most between the two
@@ -5553,6 +5600,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "doc_sample_mix": q_doc_sample_mix,
     "doc_chunks": q_doc_chunks,
+    "doc_split_safe": q_doc_split_safe,
 }
 
 ORACLES = {
@@ -5643,4 +5691,5 @@ ORACLES = {
     "dedup_containment": _DEDUP_CONTAINMENT_SQL,
     "doc_cluster_keywords": _doc_cluster_keywords_sql(),
     "events_funnel_served": _EVENTS_FUNNEL_SQL,
+    "doc_split_safe": _DOC_SPLIT_SAFE_SQL,
 }

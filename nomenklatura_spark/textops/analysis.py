@@ -581,3 +581,53 @@ def corpus_vocab(
     return agg.orderBy(
         F.col("count").desc(), F.col("word")
     ).limit(top_k)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    lid: str = "lid",
+    rid: str = "rid",
+    train_permille: int = 900,
+    val_permille: int = 950,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: an entire near-duplicate
+    FAMILY lands on one side, so no eval document has a training-set
+    near-copy (the leakage a per-document random or stratified split
+    cannot prevent — ``stratified_split`` keys on doc identity, and a
+    near-dup pair straddling the train/test boundary is contamination
+    by construction).
+
+    Family = connected component of the near-dup pair graph
+    (``resolver/components.py`` star contraction; singletons are their
+    own family); split = md5 bucket of the FAMILY representative, so
+    membership is reproducible under any partitioning and any corpus
+    growth that doesn't change the family.  Proportions are
+    approximate (hash-bucket, weighted by family size) — exact cuts
+    are impossible once documents must move in groups; at corpus scale
+    the deviation is the usual multinomial noise.
+
+    Returns (id, family, split).  Scale shape: the component step is
+    the dedup tier's own checkpointed star contraction; everything
+    after is one left join + a map-side hash projection.
+    """
+    from nomenklatura_spark.functions.hashing import md5_bucket
+    from nomenklatura_spark.resolver.components import connected_components
+
+    comps = connected_components(
+        dup_pairs.select(F.col(lid), F.col(rid)), src=lid, dst=rid
+    )
+    joined = docs.select(F.col(id_col)).join(
+        comps, docs[id_col] == comps["node"], "left"
+    )
+    family = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = md5_bucket("famsplit", family, 1000)
+    return joined.select(
+        F.col(id_col),
+        family.alias("family"),
+        F.when(bucket < train_permille, F.lit("train"))
+        .when(bucket < val_permille, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -62,3 +62,46 @@ def test_budget_select_greedy_exact(spark):
     assert set(got) == {1, 2, 4}
     assert got[1][0] == 8 and got[2][0] == 16
     assert got[1][1] == 0.75 and got[2][1] == 0.125 and got[4][1] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe (family-atomic) split
+
+
+def test_leakage_safe_split_no_near_dup_straddles(spark, sf_dir):
+    """The property the op exists for: ZERO near-dup pairs straddle a
+    split boundary (a plain per-doc split leaks them), families are
+    atomic, and every document is assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.dedup.ngram import ngram_jaccard_pairs
+    from nomenklatura_spark.session import load_table
+    from nomenklatura_spark.textops.analysis import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_df=100, mode="word"
+    ).select("lid", "rid")
+    out = leakage_safe_split(docs.select("doc_id"), pairs)
+    assert out.count() == docs.count()
+    sl = out.select(F.col("doc_id").alias("lid"), F.col("split").alias("s_l"))
+    sr = out.select(F.col("doc_id").alias("rid"), F.col("split").alias("s_r"))
+    straddling = (
+        pairs.join(sl, "lid").join(sr, "rid")
+        .where(F.col("s_l") != F.col("s_r"))
+    )
+    assert straddling.count() == 0
+    # families are atomic: one split per family
+    fam_splits = out.groupBy("family").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert fam_splits.where(F.col("k") > 1).count() == 0
+    # all three splits exist and train dominates
+    dist = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert dist.get("train", 0) > dist.get("val", 0)
+    assert dist.get("train", 0) > dist.get("test", 0)
+    # partition invariance
+    rep = leakage_safe_split(docs.select("doc_id").repartition(13), pairs)
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in rep.collect()
+    )
