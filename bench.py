@@ -519,9 +519,16 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "events_funnel": (ev, ev_n),
         "dedup_containment": (docs_c1, docs_cn),
     }
-    # operators whose rounds materialize at build time (localCheckpoint
-    # inside the builder): time build+execute per pass, not just execute
-    build_timed = {"graph_kcore", "graph_label_prop", "events_funnel"}
+    # operators that materialize work at DataFrame-build time
+    # (localCheckpoint inside the builder — the iterative rounds, and
+    # containment's shingle+df+rank relation): time build+execute per
+    # pass, not just execute
+    build_timed = {
+        "graph_kcore",
+        "graph_label_prop",
+        "events_funnel",
+        "dedup_containment",
+    }
 
     section: dict[str, dict] = {"n_repl": n_repl}
     for name, fn in ops.items():

@@ -421,7 +421,14 @@ def hll_pairwise_union(
     restrict the key set upstream, or band the keys and union within
     bands so each pair batch stays bounded.
     """
-    keys = registers.select(F.col(key_col).alias("_k")).distinct()
+    # the guard's count and BOTH crossJoin sides read the key set:
+    # checkpoint the (sketch-sized) distinct keys so the register
+    # lineage executes once, not three times
+    keys = (
+        registers.select(F.col(key_col).alias("_k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_keys = keys.count()
     if n_keys > _MAX_UNION_KEYS:
         raise ValueError(

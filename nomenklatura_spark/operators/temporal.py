@@ -225,10 +225,18 @@ def funnel_steps(
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
+    return finalize_funnel_counts(out)
+
+
+def finalize_funnel_counts(out: DataFrame) -> DataFrame:
+    """(step, event_type, n_users) union frame → the funnel answer with
+    the guarded conversion column.  Shared by ``funnel_steps`` and the
+    maintained-state index (``streaming/funnel_index.py``) so the
+    zero-step-1 contract lives in one place: an empty funnel must
+    report conversion 0.0, not raise — the sessions run ANSI mode,
+    where a bare division by the step-1 count would be a hard
+    DIVIDE_BY_ZERO error."""
     base = Window.partitionBy()
-    # An empty funnel (zero users reach step 1) must report conversion
-    # 0.0, not raise: the sessions run ANSI mode, where a bare division
-    # by the step-1 count would be a hard DIVIDE_BY_ZERO error.
     n_first = F.first("n_users").over(base.orderBy("step"))
     return out.select(
         "step",

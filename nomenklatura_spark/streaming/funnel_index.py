@@ -155,6 +155,10 @@ class FunnelIndexState(VersionedState):
         algebra to ``funnel_steps`` (step, event_type, n_users,
         conversion with the zero-step-1 guard), never touching the
         ingested history."""
+        from nomenklatura_spark.operators.temporal import (
+            finalize_funnel_counts,
+        )
+
         q = self._user_steps(self.times(version))
         rows = [
             q.agg(F.count(F.col(f"q{i}")).alias("n_users")).select(
@@ -167,22 +171,7 @@ class FunnelIndexState(VersionedState):
         out = rows[0]
         for c in rows[1:]:
             out = out.unionByName(c)
-        from pyspark.sql import Window
-
-        n_first = F.first("n_users").over(
-            Window.partitionBy().orderBy("step")
-        )
-        return out.select(
-            "step",
-            "event_type",
-            F.col("n_users").cast("long").alias("n_users"),
-            F.round(
-                F.when(n_first > 0, F.col("n_users") / n_first).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
-            ).alias("conversion"),
-        ).orderBy("step")
+        return finalize_funnel_counts(out)
 
 
 def maintain_funnel_stream(

@@ -109,6 +109,7 @@ def cluster_keywords(
     text_col: str = "text",
     cluster_col: str = "cluster",
     top_k: int = 10,
+    assign_id_col: str = "id",
 ) -> DataFrame:
     """Class-based TF-IDF keyword extraction per discovered cluster —
     the c-TF-IDF topic-labeling step (Grootendorst 2022, the BERTopic
@@ -145,7 +146,8 @@ def cluster_keywords(
     )
     assigned = tok.join(
         assignments.select(
-            F.col("id"), F.col(cluster_col).alias("_c")
+            F.col(assign_id_col).alias("id"),
+            F.col(cluster_col).alias("_c"),
         ),
         "id",
     )
