@@ -184,7 +184,13 @@ def main() -> None:
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        scaling = _scaling_section(spark, sf_dir, cpus)
+        # a probe failure (disk-full spill, OOM) must not take the
+        # headline record down with it — the JSON line prints regardless
+        try:
+            scaling = _scaling_section(spark, sf_dir, cpus)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# scaling section FAILED: {exc}", file=sys.stderr)
+            scaling = {"error": str(exc)[:500]}
 
     # The machine-readable line stays COMPACT — the r6 line carried the
     # per-query loadavg map plus the scaling section and outgrew the
@@ -467,15 +473,21 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
 
     # containment probe: disjoint shingle vocabularies per replica (see
     # replicate_disjoint_text); the x1 side gets the same token tagging
-    # (single replica) so both sides pay the identical text transform
+    # (single replica) so both sides pay the identical text transform.
+    # The base is a deterministic 20% corpus slice: the probe measures
+    # the 1x -> 10x RATIO, and the full-corpus x10 verify at sf0.1
+    # (~240M-row candidate join, build-timed over 4 passes) spills past
+    # the sandbox disk — the sliced probe keeps x10 at 2x corpus volume
+    # with the identical plan shape.
     from nomenklatura_spark.dedup.ngram import containment_join
 
+    docs_slice = docs.where(F.col("doc_id") % 5 == 0)
     docs_c1 = (
-        replicate_disjoint_text(docs, "doc_id", "text")
+        replicate_disjoint_text(docs_slice, "doc_id", "text")
         .where(F.col("doc_id").endswith("-r0"))
         .persist()
     )
-    docs_cn = replicate_disjoint_text(docs, "doc_id", "text").persist()
+    docs_cn = replicate_disjoint_text(docs_slice, "doc_id", "text").persist()
     docs_c1.count(), docs_cn.count()
 
     ops = {
