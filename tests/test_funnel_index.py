@@ -230,3 +230,23 @@ def test_funnel_index_time_travel(spark, tmp_path):
     full = funnel_steps(_events_df(spark, rows), STEPS, within="7 DAYS")
     assert _counts(state.counts(version=0)) == _counts(asof_b1)
     assert _counts(state.counts()) == _counts(full)
+
+
+def test_funnel_index_fuzz_many_arrival_orders(spark, tmp_path):
+    """Heavier randomized sweep over the monotonicity argument: several
+    seeds x uneven batch splits, arrival order shuffled independently of
+    event time — state counts must equal scratch every time."""
+    for seed in (41, 42, 43):
+        rows = _random_rows(seed, n=240, users=18)
+        rnd = random.Random(seed * 7)
+        rnd.shuffle(rows)
+        cuts = [rows[:30], rows[30:180], rows[180:]]  # uneven on purpose
+        state = FunnelIndexState(
+            spark, str(tmp_path / f"s{seed}"), STEPS, within="3 DAYS"
+        )
+        for b, chunk in enumerate(cuts):
+            state.apply_batch(_events_df(spark, chunk), batch_id=b)
+        scratch = funnel_steps(
+            _events_df(spark, rows), STEPS, within="3 DAYS"
+        )
+        assert _counts(state.counts()) == _counts(scratch), seed
