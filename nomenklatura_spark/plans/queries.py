@@ -4647,6 +4647,73 @@ def q_doc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(25)
 
 
+def q_doc_drift_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift answered from STORED vocabulary snapshots
+    (``streaming/vocab_index.py`` + ``unigram_drift_from_counts``):
+    even-id docs fold in as batch 0 (index version 0 = "yesterday"),
+    odd-id docs as batch 1 (version 1 = "today"), and the what-changed
+    table comes from reading the two versions — neither corpus
+    snapshot is rescanned at question time.  The monitoring twin of
+    the retrieval/ANN/sketch/funnel at-rest serving rows; the oracle
+    recomputes both vocabularies from raw text, so hash-green proves
+    the maintained counters reproduce the rescan exactly."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.vocab_index import VocabIndexState
+    from nomenklatura_spark.textops.analysis import unigram_drift_from_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="nk_vocab_drift_")
+    try:
+        state = VocabIndexState(spark, root)
+        state.apply_batch(docs.where(F.col("doc_id") % 2 == 0), batch_id=0)
+        state.apply_batch(docs.where(F.col("doc_id") % 2 == 1), batch_id=1)
+        drift = unigram_drift_from_counts(
+            state.vocab(version=0).select("word", "count"),
+            state.vocab(version=1).select("word", "count"),
+        )
+        out = drift.orderBy(
+            F.abs(F.col("delta")).desc(), F.col("word")
+        ).limit(25)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_DOC_DRIFT_SERVED_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+    old_c AS (
+        SELECT word, count(*) AS c_old FROM tok
+        WHERE doc_id % 2 = 0 GROUP BY word
+    ),
+    new_c AS (SELECT word, count(*) AS c_new FROM tok GROUP BY word),
+    co AS (
+        SELECT COALESCE(o.word, n.word) AS word,
+            COALESCE(o.c_old, 0) AS c_old,
+            COALESCE(n.c_new, 0) AS c_new
+        FROM old_c o FULL OUTER JOIN new_c n ON o.word = n.word
+    ),
+    tot AS (SELECT sum(c_old) AS t_old, sum(c_new) AS t_new,
+                   count(*) AS v FROM co),
+    p AS (
+        SELECT word, c_old, c_new,
+            (c_old + 1) * 1.0 / (t_old + v) AS po,
+            (c_new + 1) * 1.0 / (t_new + v) AS pn
+        FROM co, tot
+    )
+    SELECT word, CAST(c_old AS BIGINT) AS c_old,
+        CAST(c_new AS BIGINT) AS c_new,
+        round(po, 9) AS p_old, round(pn, 9) AS p_new,
+        round(pn - po, 9) AS delta,
+        round(pn * ln(pn / po), 9) AS kl_term
+    FROM p
+    ORDER BY abs(round(pn - po, 9)) DESC, word
+    LIMIT 25
+"""
+
+
 _DOC_DRIFT_SQL = f"""
     WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
     tok AS (SELECT doc_id % 2 AS side, unnest(w) AS word FROM ws),
@@ -5601,6 +5668,7 @@ QUERIES = {
     "doc_sample_mix": q_doc_sample_mix,
     "doc_chunks": q_doc_chunks,
     "doc_split_safe": q_doc_split_safe,
+    "doc_drift_served": q_doc_drift_served,
 }
 
 ORACLES = {
@@ -5692,4 +5760,5 @@ ORACLES = {
     "doc_cluster_keywords": _doc_cluster_keywords_sql(),
     "events_funnel_served": _EVENTS_FUNNEL_SQL,
     "doc_split_safe": _DOC_SPLIT_SAFE_SQL,
+    "doc_drift_served": _DOC_DRIFT_SERVED_SQL,
 }

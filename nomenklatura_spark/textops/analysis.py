@@ -504,7 +504,7 @@ def unigram_drift(
         widen_small_scan,
     )
 
-    def _counts(df: DataFrame, alias: str) -> DataFrame:
+    def _counts(df: DataFrame) -> DataFrame:
         ws = F.filter(
             F.split(normalize_for_shingles(F.col(text_col)), " "),
             lambda w: w != "",
@@ -513,12 +513,30 @@ def unigram_drift(
             widen_small_scan(df)
             .select(F.explode(ws).alias("word"))
             .groupBy("word")
-            .agg(F.count(F.lit(1)).alias(alias))
+            .agg(F.count(F.lit(1)).alias("count"))
         )
 
+    return unigram_drift_from_counts(_counts(old), _counts(new), decimals)
+
+
+def unigram_drift_from_counts(
+    old_counts: DataFrame,
+    new_counts: DataFrame,
+    decimals: int = 9,
+) -> DataFrame:
+    """The drift algebra over two (word, count) relations — the core of
+    ``unigram_drift``, exposed so STORED vocabulary snapshots answer
+    "what changed since version v" by reading two index versions
+    (``streaming/vocab_index.py``), never rescanning either corpus:
+    the monitoring twin of the retrieval/ANN/sketch/funnel at-rest
+    serving paths.  Everything here is vocabulary-sized."""
     co = (
-        _counts(old, "c_old")
-        .join(_counts(new, "c_new"), "word", "full_outer")
+        old_counts.select("word", F.col("count").alias("c_old"))
+        .join(
+            new_counts.select("word", F.col("count").alias("c_new")),
+            "word",
+            "full_outer",
+        )
         .select(
             "word",
             F.coalesce("c_old", F.lit(0)).alias("c_old"),

@@ -55,3 +55,31 @@ def test_drift_matches_reference(spark):
     assert got["apple"][4] < 0 and got["apple"][5] < 0
     # total probability shift sums to ~0 (both sides are distributions)
     assert abs(sum(t[4] for t in got.values())) < 1e-6
+
+
+def test_drift_from_stored_vocab_matches_rescan(spark, tmp_path):
+    """The at-rest monitoring path: drift computed from two stored
+    vocabulary-index versions must equal unigram_drift over the raw
+    snapshots — the maintained counters ARE the corpus statistics."""
+    from nomenklatura_spark.streaming.vocab_index import VocabIndexState
+    from nomenklatura_spark.textops.analysis import (
+        unigram_drift,
+        unigram_drift_from_counts,
+    )
+
+    rows_old = [(i, f"alpha beta gamma w{i % 7}") for i in range(0, 40, 2)]
+    rows_new = [(i, f"beta delta epsilon w{i % 5}") for i in range(1, 40, 2)]
+    old = spark.createDataFrame(rows_old, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    state = VocabIndexState(spark, str(tmp_path))
+    state.apply_batch(old, batch_id=0)
+    state.apply_batch(new, batch_id=1)
+    served = unigram_drift_from_counts(
+        state.vocab(version=0).select("word", "count"),
+        state.vocab(version=1).select("word", "count"),
+    )
+    # version 1 is cumulative: the rescan twin is old vs old+new
+    scratch = unigram_drift(old, old.unionByName(new))
+    assert sorted(tuple(r) for r in served.collect()) == sorted(
+        tuple(r) for r in scratch.collect()
+    )
