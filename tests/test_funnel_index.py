@@ -250,3 +250,23 @@ def test_funnel_index_fuzz_many_arrival_orders(spark, tmp_path):
             _events_df(spark, rows), STEPS, within="3 DAYS"
         )
         assert _counts(state.counts()) == _counts(scratch), seed
+
+
+def test_funnel_index_vacuum_keeps_head_serving(spark, tmp_path):
+    """Retention: vacuum(keep_last=1) removes old snapshot directories,
+    the head keeps serving the same counts, and time travel past the
+    vacuum horizon fails loudly instead of reading as an empty funnel."""
+    import pytest
+
+    rows = _random_rows(53, n=200, users=20)
+    state = FunnelIndexState(
+        spark, str(tmp_path), STEPS, within="7 DAYS"
+    )
+    state.apply_batch(_events_df(spark, rows[:100]), batch_id=0)
+    state.apply_batch(_events_df(spark, rows[100:]), batch_id=1)
+    head = _counts(state.counts())
+    removed = state.vacuum(keep_last=1)
+    assert removed, "vacuum removed nothing"
+    assert _counts(state.counts()) == head
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        state.counts(version=0).collect()
