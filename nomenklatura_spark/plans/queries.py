@@ -413,6 +413,22 @@ _NGRAM_PAIRS_SQL_BODY = f"""
     SELECT lid, rid, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
+# The recursive connected-component walk over the near-dup pair graph —
+# shared by the components / survivors / leakage-safe-split /
+# corpus-curate oracles so the walk's semantics (symmetric edges,
+# min-reachable representative) live in exactly one place.
+_COMPONENT_WALK_SQL_BODY = f"""pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
+    edges AS (
+        SELECT lid AS a, rid AS b FROM pairs
+        UNION SELECT rid, lid FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk(node, reached) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
+    )"""
+
 
 def _spark_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair relation, memoized+persisted per (session, sf_dir):
@@ -1212,17 +1228,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_COMPONENTS_SQL = f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
-    edges AS (
-        SELECT lid AS a, rid AS b FROM pairs
-        UNION SELECT rid, lid FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    walk(node, reached) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
-    )
+    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY}
     SELECT node, min(reached) AS component
     FROM walk GROUP BY node ORDER BY node
 """
@@ -2183,7 +2189,9 @@ def q_events_funnel_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.apply_batch(
                 events.where(F.col("day").between(lo, hi)), batch_id=b
             )
-        return state.counts().localCheckpoint(eager=True)
+        out = state.counts()
+        # driver-materialize (k rows) — see events_hll_weekly_served
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2257,9 +2265,13 @@ def q_events_hll_weekly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count_distinct("user_id").alias("n_exact"))
         )
         out = exact.join(est, "event_type").orderBy("event_type")
-        # materialize before dropping the on-disk state: the returned
-        # frame must stay collectable after the temp index is gone
-        return out.localCheckpoint(eager=True)
+        # driver-materialize (a handful of rows) before dropping the
+        # on-disk state: a localCheckpoint would truncate lineage onto
+        # executor blocks that cannot be recomputed once the temp index
+        # is deleted — an executor loss on a real cluster would then
+        # kill the frame; rows held by the driver have no such
+        # dependency
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4456,17 +4468,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_SURVIVORS_SQL = f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
-    edges AS (
-        SELECT lid AS a, rid AS b FROM pairs
-        UNION SELECT rid, lid FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    walk(node, reached) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
-    ),
+    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY},
     comps AS (SELECT node, min(reached) AS component FROM walk GROUP BY node)
     SELECT d.doc_id,
            coalesce(c.component, d.doc_id) AS canonical_doc,
@@ -4599,17 +4601,7 @@ def q_doc_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOC_SPLIT_SAFE_SQL = f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
-    edges AS (
-        SELECT lid AS a, rid AS b FROM pairs
-        UNION SELECT rid, lid FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    walk(node, reached) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
-    ),
+    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY},
     comp AS (SELECT node, min(reached) AS component FROM walk GROUP BY node),
     fam AS (
         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS family
@@ -4676,7 +4668,8 @@ def q_doc_drift_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = drift.orderBy(
             F.abs(F.col("delta")).desc(), F.col("word")
         ).limit(25)
-        return out.localCheckpoint(eager=True)
+        # driver-materialize (25 rows) — see events_hll_weekly_served
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -5494,17 +5487,7 @@ def _corpus_curate_sql() -> str:
         " x -> x != ''))), ' '))"
     )
     return f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL_BODY}),
-    edges AS (
-        SELECT lid AS a, rid AS b FROM pairs
-        UNION SELECT rid, lid FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    walk(node, reached) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reached
-    ),
+    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY},
     comps AS (SELECT node, min(reached) AS component FROM walk GROUP BY node),
     quality AS (SELECT doc_id, q_keep FROM ({_quality_sql()})),
     fp AS (SELECT doc_id, {fingerprint} AS f FROM documents),

@@ -626,24 +626,20 @@ def leakage_safe_split(
     are impossible once documents must move in groups; at corpus scale
     the deviation is the usual multinomial noise.
 
-    Returns (id, family, split).  Scale shape: the component step is
-    the dedup tier's own checkpointed star contraction; everything
-    after is one left join + a map-side hash projection.
+    Returns (id, family, split).  Scale shape: the family mapping is
+    ``dedup/survivors.select_survivors``'s own (doc, canonical) relation
+    — the dedup tier's checkpointed star contraction plus its
+    deliberately-unhinted verdict join (rationale documented there);
+    everything after is a map-side hash projection.
     """
+    from nomenklatura_spark.dedup.survivors import select_survivors
     from nomenklatura_spark.functions.hashing import md5_bucket
-    from nomenklatura_spark.resolver.components import connected_components
 
-    comps = connected_components(
-        dup_pairs.select(F.col(lid), F.col(rid)), src=lid, dst=rid
-    )
-    joined = docs.select(F.col(id_col)).join(
-        comps, docs[id_col] == comps["node"], "left"
-    )
-    family = F.coalesce(F.col("component"), F.col(id_col))
-    bucket = md5_bucket("famsplit", family, 1000)
-    return joined.select(
+    fam = select_survivors(docs, dup_pairs, id_col=id_col, lid=lid, rid=rid)
+    bucket = md5_bucket("famsplit", F.col("canonical_doc"), 1000)
+    return fam.select(
         F.col(id_col),
-        family.alias("family"),
+        F.col("canonical_doc").alias("family"),
         F.when(bucket < train_permille, F.lit("train"))
         .when(bucket < val_permille, F.lit("val"))
         .otherwise(F.lit("test"))

@@ -127,3 +127,26 @@ def test_cluster_keywords_partition_invariant(spark):
         for r in cluster_keywords(docs.repartition(7), assign).collect()
     )
     assert base == rep and len(base) > 0
+
+
+def test_cluster_keywords_custom_assignment_key(spark):
+    """assign_id_col: an assignments frame keyed by the docs' own id
+    column (the natural shape) works without pre-renaming to 'id'."""
+    from nomenklatura_spark.textops.domains import cluster_keywords
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x q r")], "doc_id string, text string"
+    )
+    assign = spark.createDataFrame(
+        [("a", 0), ("b", 1)], "doc_id string, cluster int"
+    )
+    out = cluster_keywords(
+        docs, assign, top_k=2, assign_id_col="doc_id"
+    ).collect()
+    assert {r["cluster"] for r in out} == {0, 1}
+    default = cluster_keywords(
+        docs,
+        assign.withColumnRenamed("doc_id", "id"),
+        top_k=2,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, default))
