@@ -227,3 +227,44 @@ def test_codec_roundtrip_property():
 
     check_img()
     check_wav()
+
+
+# ---------------------------------------------------------------------------
+# the overlap-prefix lemma behind dedup/ngram.containment_join
+
+
+_set_pairs = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+    st.floats(min_value=0.05, max_value=1.0),
+    st.randoms(use_true_random=False),
+)
+
+
+@given(_set_pairs)
+@settings(max_examples=500, deadline=None)
+def test_overlap_prefix_lemma(case):
+    """containment_join's candidate completeness rests on: for ANY
+    global total order, if |A∩B| >= O = ceil(t*|A|) then A's first
+    |A|-O+1 elements and B's first |B|-O+1 elements (in that order)
+    intersect — i.e. the join over A-prefix x B with the positional
+    filter o_rank <= |B|-O+1 can never miss a qualifying pair.  The
+    witness is the order-smallest common element; fuzz it over random
+    sets, thresholds, and random global orders."""
+    import math
+
+    a, b, t, rnd = case
+    order = sorted(a | b)
+    rnd.shuffle(order)
+    rank = {x: i for i, x in enumerate(order)}
+    o_req = math.ceil(t * len(a))
+    if len(a & b) < o_req:
+        return  # not a qualifying pair; nothing to guarantee
+    a_sorted = sorted(a, key=lambda x: rank[x])
+    b_sorted = sorted(b, key=lambda x: rank[x])
+    a_prefix = set(a_sorted[: len(a) - o_req + 1])
+    b_prefix = set(b_sorted[: len(b) - o_req + 1])
+    assert a_prefix & b_prefix, (
+        "qualifying pair with disjoint prefixes — candidate generation "
+        "would have missed it"
+    )
