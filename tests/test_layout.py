@@ -462,3 +462,39 @@ def test_trim_positions_travel_as_one_array(spark, sf_dir):
     plan = _plan(trim_duplicated_passages(docs))
     assert plan.count("Generate") == 1
     assert plan.count("Exchange") <= 4  # window, rollup, join both sides
+
+
+def test_containment_join_is_all_equi_joins(spark, sf_dir):
+    """containment_join must never degrade to a cartesian/nested-loop
+    form: the prefix candidate join, the positional filter, and the
+    exact verify are all hash equi-joins on shingle/doc keys (the
+    positional predicate rides the shingle equi-join as a post-filter,
+    it must not become the join condition)."""
+    from nomenklatura_spark.dedup.ngram import containment_join
+    from nomenklatura_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(
+        containment_join(docs, "doc_id", "text", k=3, mode="word",
+                         threshold=0.6)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_keywords_topk_is_window_group_limit(spark, sf_dir):
+    """cluster_keywords' per-cluster top-k must plan as a
+    WindowGroupLimit (rank pushed below the window sort), and the
+    scalar average-cluster-size relation must be the only
+    nested-loop-joined input (a 1-row broadcast)."""
+    from nomenklatura_spark.session import load_table
+    from nomenklatura_spark.textops.domains import cluster_keywords
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assign = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 8).cast("int").alias("cluster"),
+    )
+    plan = _plan(cluster_keywords(docs, assign))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
