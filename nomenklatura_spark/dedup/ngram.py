@@ -20,8 +20,18 @@ Plan shape (deliberate):
 - Shingle-set sizes ride through the explode as a carried column, so the
   Jaccard denominator needs no join back against a sizes relation — at
   scale that removes two joins against a |docs|-sized table.
-- The document-frequency cap is a window count over the exploded relation
-  (one shuffle) instead of a groupBy + anti-join (two shuffles + a join).
+- Shingle document frequency is ``groupBy("shingle").count()`` joined back
+  against the (checkpointed) exploded relation — NOT a window over
+  ``partitionBy("shingle")``.  A window puts ALL rows of a partition key
+  into one task after its exchange, and AQE skew-splitting applies to
+  joins, not windows: at 100x a Zipf-hot word-trigram ("of the and"-class)
+  would serialize 10^8+ rows into a single straggler/OOM task.  The
+  groupBy has map-side partial aggregation (skew-immune: hot keys are
+  pre-combined per input partition down to one row each) and the join back
+  is AQE-skew-splittable.  The exploded relation is localCheckpointed
+  BEFORE the frequency stage, so the two consumers (the aggregate and the
+  join probe side) read materialized blocks instead of re-evaluating the
+  shingle-generation expression.
 - The explode is ``explode_outer`` + a null filter on the *exploded*
   column: plain ``explode`` triggers InferFiltersFromGenerate, which adds
   a ``size(shingles) > 0`` pre-filter that predicate-pushdown inlines into
@@ -131,6 +141,41 @@ def shingle_rows(
     )
 
 
+def _df_capped(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop rows whose shingle's document frequency exceeds ``max_df``.
+
+    Shape: ``groupBy("shingle").count()`` (map-side partial aggregation —
+    a Zipf-hot shingle is pre-combined to one row per input partition
+    before the exchange) then an equi-join back with the cap predicate
+    (AQE splits any remaining hot probe partitions).  Exposed as a helper
+    so tests can plan-assert the partial-aggregate shape on the
+    pre-checkpoint lineage.
+    """
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(dfreq.where(F.col("_df") <= max_df), "shingle")
+        .drop("_df")
+    )
+
+
+def _with_df_rank(sh: DataFrame) -> DataFrame:
+    """Attach shingle document frequency (``sdf``) and the per-document
+    rarest-first rank (``rk``) to an exploded (id, n, shingle) relation.
+
+    Document frequency is ``groupBy("shingle").count()`` joined back —
+    partial-aggregated map-side, join back AQE-skew-splittable — NOT a
+    ``Window.partitionBy("shingle")`` count, which would serialize every
+    row of a Zipf-hot shingle into one task (see module docstring).  The
+    rank window partitions by ``id``, which is explode-bounded per key
+    (one document's shingle count), not corpus-skewed.
+    """
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    rk = F.row_number().over(
+        Window.partitionBy("id").orderBy("sdf", "shingle")
+    )
+    return sh.join(dfreq, "shingle").withColumn("rk", rk)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -156,20 +201,22 @@ def ngram_jaccard_pairs(
         F.size("shingles").alias("n_shingles"),
         F.explode_outer("shingles").alias("shingle"),
     ).where(F.col("shingle").isNotNull())
+    # Materialize the exploded relation BEFORE the frequency stage: the
+    # aggregate and the join probe side below both consume it, and a
+    # checkpoint makes that one evaluation of the shingle-generation
+    # expression instead of two.  localCheckpoint rather than persist:
+    # the blocks are released when the returned plan is garbage-collected
+    # (persist had no unpersist hook once the plan escaped, pinning one
+    # shingle relation per corpus for the session), and a checkpointed
+    # relation cannot be silently evicted into a recompute.
+    sh = sh.localCheckpoint(eager=True)
     # Document-frequency cap: shingles are distinct per doc, so a row
-    # count per shingle == document frequency.
-    dfw = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(dfw))
-        .where(F.col("_df") <= max_df)
-        .drop("_df")
-    )
-    # Self-joined below — materialize so both sides read the same
-    # blocks.  localCheckpoint rather than persist: the blocks are
-    # released when the returned plan is garbage-collected (persist had
-    # no unpersist hook once the plan escaped, pinning one shingle
-    # relation per corpus for the session), and a checkpointed relation
-    # cannot be silently evicted into a recompute.
+    # count per shingle == document frequency.  groupBy + join back, not
+    # a shingle-partitioned window — see module docstring (Zipf-hot
+    # shingles must hit map-side partial aggregation, and the join back
+    # is AQE-skew-splittable).
+    sh = _df_capped(sh, max_df)
+    # Self-joined below — two consumers again, same materialize rationale.
     sh = sh.localCheckpoint(eager=True)
 
     l = sh.select(
@@ -285,13 +332,17 @@ def containment_join(
     pairs cannot reach the threshold, which is also why the DuckDB
     oracle can state the simpler one-sided form and still hash-match).
 
-    Scale shape: one shuffle for shingle document frequencies, one
-    window rank per document (materialized once, reused by the prefix,
-    candidate and verify sides), one prefix-to-full equi-join on
-    shingle with the positional filter applied join-side, then the
-    exact verify joins the shingle relation through the candidate set
-    only.  The reference has no containment operator; nearest surface
-    is its xref candidate bounding (SURVEY.md §2.4 J1).
+    Scale shape: shingle document frequency is a map-side-partial
+    ``groupBy("shingle").count()`` equi-joined back onto the
+    checkpointed exploded relation (skew-immune; a shingle-partitioned
+    window would single-task Zipf-hot shingles — see module docstring),
+    one window rank per document (partitioned by ``id``, bounded per
+    key; materialized once, reused by the prefix, candidate and verify
+    sides), one prefix-to-full equi-join on shingle with the positional
+    filter applied join-side, then the exact verify joins the shingle
+    relation through the candidate set only.  The reference has no
+    containment operator; nearest surface is its xref candidate
+    bounding (SURVEY.md §2.4 J1).
     """
     arrays = shingle_arrays(widen_small_scan(df), id_col, text_col, k, mode)
     sh = (
@@ -302,22 +353,16 @@ def containment_join(
         )
         .where(F.col("shingle").isNotNull())
     )
-    # document frequency as a window count over the exploded relation
-    # (one shuffle), NOT groupBy + join back: the join form evaluates
-    # the whole shingle-generation expression twice — the
-    # ngram_jaccard_pairs device, same rationale
-    sdf = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    rk = F.row_number().over(
-        Window.partitionBy("id").orderBy("sdf", "shingle")
-    )
+    # Checkpoint the exploded relation FIRST (shingle generation runs
+    # once; the frequency aggregate and its join probe side both read
+    # materialized blocks), then attach document frequency + rank via
+    # _with_df_rank — groupBy+join, not a shingle-partitioned window
+    # (see module docstring / helper docstring for the skew argument).
+    sh = sh.localCheckpoint(eager=True)
     # read three times below (prefix + candidate full side + verify):
     # checkpoint so the shingle+frequency+rank relation is computed
     # once, and blocks release with the returned plan
-    sh = (
-        sh.withColumn("sdf", sdf)
-        .withColumn("rk", rk)
-        .localCheckpoint(eager=True)
-    )
+    sh = _with_df_rank(sh).localCheckpoint(eager=True)
     req = F.ceil(F.lit(threshold) * F.col("n"))  # O = ceil(t*|S_c|)
     prefix = sh.where(F.col("rk") <= F.col("n") - req + 1).select(
         F.col("id").alias("cid"),

@@ -482,6 +482,42 @@ def test_containment_join_is_all_equi_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shingle_df_stage_partial_aggregates_no_shingle_window(spark, sf_dir):
+    """The shingle document-frequency stage (containment_join rank +
+    ngram_jaccard_pairs max_df cap) must be a groupBy with map-side
+    partial aggregation joined back — never a Window partitioned by
+    shingle, which serializes every row of a Zipf-hot shingle into one
+    post-exchange task (AQE skew-splitting covers joins, not windows).
+    Asserted on the pre-checkpoint lineage via the helpers."""
+    import re
+
+    from nomenklatura_spark.dedup.ngram import (
+        _df_capped,
+        _with_df_rank,
+        shingle_arrays,
+        widen_small_scan,
+    )
+    from nomenklatura_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    arrays = shingle_arrays(widen_small_scan(docs), "doc_id", "text", 3, "word")
+    sh = arrays.select(
+        "id",
+        F.size("shingles").alias("n"),
+        F.explode_outer("shingles").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+
+    ranked = _plan(_with_df_rank(sh))
+    # df stage partially aggregates before its exchange (skew-immune)
+    assert "partial_count" in ranked
+    # the only window partitions by id (per-document rank), never shingle
+    assert re.findall(r"windowspecdefinition\((\w+)#", ranked) == ["id"]
+
+    capped = _plan(_df_capped(sh.withColumnRenamed("n", "n_shingles"), 100))
+    assert "partial_count" in capped
+    assert "windowspecdefinition" not in capped
+
+
 def test_cluster_keywords_topk_is_window_group_limit(spark, sf_dir):
     """cluster_keywords' per-cluster top-k must plan as a
     WindowGroupLimit (rank pushed below the window sort), and the
