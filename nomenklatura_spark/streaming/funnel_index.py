@@ -18,9 +18,36 @@ current q_i must be kept, because a later batch may lower q_{i-1} past
 it.  Step 1 needs only its minimum.  The horizon cut
 ``t <= q_1 + W`` is safe for the same reason: q_1 only decreases, so
 the horizon only tightens, and a time outside it now is outside it
-forever.  Users that have later-step events but no step-1 event yet
-keep those times un-pruned (no q_1, no bound exists) — the one
-documented unbounded corner, sized by that user's own event count.
+forever.
+
+ORPHAN rows — step-i times whose chain is still incomplete (q_{i-1}
+unresolved, e.g. a user with clicks but no view yet) — have no q_i to
+prune against: a future q_{i-1} could land anywhere, so exact state is
+genuinely that user's own event count.  A bot that fires "purchase"
+forever and never "view" would grow state without bound, so the index
+enforces an executable contract (``max_orphan_times``): per (user,
+step) it keeps only the K SMALLEST orphan times plus a MARKER row
+encoded as (u, -step, bound) where ``bound`` is the kept maximum at
+discard time.  The marker carries its own invariant — every kept time
+is <= bound and every discarded time is > bound — maintained across
+folds: arrivals above a marked key's bound are discarded too (joining
+the discarded set), and a re-cap only lowers the bound.  The bound
+lives IN the marker, so it survives later prunes that remove kept rows
+(e.g. the horizon cut).  Under it the index stays EXACT or fails
+LOUDLY, never silently wrong:
+
+- chain resolves inside the bound (q_i derived from kept times is
+  non-null): q_i <= bound < every discarded time, so it is the true
+  minimum, and since q_{i-1} only ever decreases the discarded times
+  can never be needed — the marker is dropped and the key is exact
+  forever after;
+- the horizon closes at or below the bound (q_1 + W <= bound): every
+  discarded time is outside the horizon now, and the horizon only
+  tightens — marker dropped, exact;
+- chain resolves BEYOND the bound (q_{i-1} non-null, q_i unresolved
+  from kept times, horizon still open above the bound): the true q_i
+  may be a discarded time — ``apply_batch`` raises ValueError naming
+  the keys; rescan the raw history for those users or raise the cap.
 
 Merging a batch = distinct-union + re-derive q + re-prune, which is
 IDEMPOTENT: re-folding a delivered batch re-adds rows the prune already
@@ -58,10 +85,14 @@ class FunnelIndexState(VersionedState):
         root: str,
         steps: list[str],
         within: str | None = None,
+        max_orphan_times: int = 1024,
     ) -> None:
         super().__init__(spark, root)
         self.steps = list(steps)
         self.within = within
+        if max_orphan_times < 1:
+            raise ValueError("max_orphan_times must be >= 1")
+        self.max_orphan_times = max_orphan_times
 
     def times(self, version: int | None = None) -> DataFrame:
         return self._read("times", _TIMES_SCHEMA, version)
@@ -73,7 +104,8 @@ class FunnelIndexState(VersionedState):
         """(u, q1..qk): each user's qualifying first-touch chain derived
         from the candidate-time relation — the same iterative
         min-strictly-after reduction as ``funnel_steps``, but over
-        state-sized input."""
+        state-sized input.  Marker rows (step < 0) are excluded."""
+        times = times.where(F.col("step") > 0)
         k = len(self.steps)
         frames = [
             times.where(F.col("step") == 1)
@@ -105,14 +137,16 @@ class FunnelIndexState(VersionedState):
         scope: str = "",
     ) -> DataFrame:
         """Fold one micro-batch of raw events into the candidate-time
-        state: distinct-union, re-derive the q chain, re-prune."""
+        state: distinct-union, re-derive the q chain, re-prune, then cap
+        orphan tails (see module docstring) — exact or a loud ValueError,
+        never silently wrong."""
         if batch_id is not None and batch_id <= self.last_batch(scope):
             return self.spark.createDataFrame([], _TIMES_SCHEMA)
         base = df.select(
             F.col(user_col).cast("string").alias("u"),
             F.col(ts_col).cast("timestamp").alias("t"),
             F.col(type_col).alias("et"),
-        ).where(F.col("et").isin(self.steps))
+        ).where(F.col("et").isin(self.steps) & F.col("t").isNotNull())
         # per-step union, not an et->step map: repeated step names
         # ("view", "view") route one event to several step slots, like
         # the batch operator
@@ -125,7 +159,24 @@ class FunnelIndexState(VersionedState):
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p)
-        merged = self.times().unionByName(batch).distinct()
+        prev = self.times()
+        prev_markers = prev.where(F.col("step") < 0).select(
+            "u", (-F.col("step")).alias("step"), F.col("t").alias("_b")
+        )
+        merged = (
+            prev.where(F.col("step") > 0).unionByName(batch).distinct()
+        )
+        # Cap invariant across folds: a MARKED key (some larger times
+        # already discarded) must never re-admit an arrival above its
+        # bound — otherwise a later chain could resolve to the arrival
+        # while a discarded smaller time was the true answer, and the
+        # decidability check below would pass silently.  Such arrivals
+        # join the discarded set, which the bound already accounts for.
+        merged = (
+            merged.join(prev_markers, ["u", "step"], "left")
+            .where(F.col("_b").isNull() | (F.col("t") <= F.col("_b")))
+            .drop("_b")
+        )
         # consumed by the q derivation AND the prune join
         merged = merged.localCheckpoint(eager=True)
         q = self._user_steps(merged)
@@ -141,7 +192,10 @@ class FunnelIndexState(VersionedState):
             keep_later = keep_later & (
                 F.col("q1").isNull() | (F.col("t") <= self._horizon())
             )
-        pruned = st.where(keep_first | keep_later).select("u", "step", "t")
+        pruned = st.where(keep_first | keep_later).select(
+            "u", "step", "t", *[f"q{i}" for i in range(1, k + 1)]
+        )
+        pruned = self._cap_orphans(pruned, q, prev_markers, k, qarr)
         nv = self.version() + 1
         pruned.write.mode("overwrite").parquet(self._path("times", nv))
         if batch_id is None:
@@ -149,6 +203,89 @@ class FunnelIndexState(VersionedState):
         else:
             self._bump(nv, batch_id, scope)
         return batch
+
+    def _cap_orphans(
+        self,
+        pruned: DataFrame,
+        q: DataFrame,
+        prev_markers: DataFrame,
+        k: int,
+        qarr,
+    ) -> DataFrame:
+        """Bound the orphan tail (module docstring): keep the
+        ``max_orphan_times`` smallest times per chain-incomplete
+        (u, step), write a (u, -step, bound) marker when anything was
+        discarded, drop markers whose keys became decidably exact, and
+        raise loudly on keys whose chain resolved beyond the bound.
+        ``pruned`` carries the q1..qk columns; ``prev_markers`` is
+        (u, step, _b) with step already re-positivized."""
+        from pyspark.sql import Window
+
+        cap = self.max_orphan_times
+        q_step = F.element_at(qarr, F.col("step"))
+        is_orphan = (F.col("step") > 1) & q_step.isNull()
+        orphans = pruned.where(is_orphan)
+        solid = pruned.where(~is_orphan).select("u", "step", "t")
+        # The rank window's partitions are bounded by cap + one
+        # micro-batch's own contribution per key (the state invariant
+        # caps what past folds left behind), never history-sized.
+        w = Window.partitionBy("u", "step").orderBy("t")
+        ranked = orphans.withColumn("_rk", F.row_number().over(w))
+        # read three times (kept prefix + overflow keys + their bounds)
+        ranked = ranked.localCheckpoint(eager=True)
+        kept_orphans = ranked.where(F.col("_rk") <= cap)
+        # a key re-capped this fold discards its ranks > cap; the new
+        # bound is the kept maximum (the rank-cap row's time)
+        new_markers = (
+            ranked.where(F.col("_rk") == cap + 1)
+            .select("u", "step")
+            .join(
+                ranked.where(F.col("_rk") == cap).select(
+                    "u", "step", F.col("t").alias("_nb")
+                ),
+                ["u", "step"],
+            )
+        )
+        markers = prev_markers.join(
+            new_markers, ["u", "step"], "full_outer"
+        ).select(
+            "u", "step", F.least(F.col("_b"), F.col("_nb")).alias("_b")
+        )
+        if markers.isEmpty():
+            return solid.unionByName(kept_orphans.select("u", "step", "t"))
+        # decidability per marked key, against the marker's own bound
+        marked = markers.join(q, "u", "left")
+        q_cur = F.element_at(qarr, F.col("step"))
+        q_prev = F.element_at(qarr, F.col("step") - 1)
+        if self.within is not None:
+            horizon_closed = F.coalesce(
+                F.col("q1").isNotNull() & (self._horizon() <= F.col("_b")),
+                F.lit(False),
+            )
+        else:
+            horizon_closed = F.lit(False)
+        resolved = F.coalesce(q_cur.isNotNull(), F.lit(False)) | horizon_closed
+        undecidable = (
+            F.coalesce(q_prev.isNotNull(), F.lit(False))
+            & q_cur.isNull()
+            & ~horizon_closed
+        )
+        bad = marked.where(undecidable).select("u", "step").limit(3).collect()
+        if bad:
+            keys = ", ".join(f"(u={r['u']}, step={r['step']})" for r in bad)
+            raise ValueError(
+                "funnel index: the step chain resolved beyond the capped "
+                f"orphan prefix for {keys} — times above the kept "
+                f"{cap} smallest were discarded and the true next-step "
+                "time may be among them. Rescan the raw history for "
+                "these users or raise max_orphan_times."
+            )
+        marker_rows = marked.where(~resolved & ~undecidable).select(
+            "u", (-F.col("step")).alias("step"), F.col("_b").alias("t")
+        )
+        return solid.unionByName(
+            kept_orphans.select("u", "step", "t")
+        ).unionByName(marker_rows)
 
     def counts(self, version: int | None = None) -> DataFrame:
         """The funnel answer from state alone — identical shape and

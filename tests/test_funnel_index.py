@@ -178,6 +178,102 @@ def test_funnel_index_repeated_step_names(spark, tmp_path):
     assert got == scratch == {1: 2, 2: 1}
 
 
+def test_funnel_orphan_tail_bounded_then_exact_on_resolve(spark, tmp_path):
+    """The no-step-1 corner is an executable contract: a bot firing
+    10^2+ clicks and never a view keeps only the max_orphan_times
+    smallest times plus one marker row; once the view arrives BELOW the
+    kept prefix the marker drops and counts equal the batch operator
+    over the full history — and the fold stays idempotent."""
+    clicks = [
+        ("bot", f"2024-01-01 00:{m // 60:02d}:{m % 60:02d}", "click")
+        for m in range(60, 260)  # 200 clicks, no view
+    ]
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, max_orphan_times=16
+    )
+    state.apply_batch(_events_df(spark, clicks), batch_id=0)
+    bot = state.times().where("u = 'bot'")
+    assert bot.where("step = 2").count() == 16  # capped, not 200
+    assert bot.where("step = -2").count() == 1  # the overflow marker
+    # late clicks below the bound force a re-cap (bound lowers); a
+    # click above the bound joins the discarded set, never the state
+    late = [
+        ("bot", f"2024-01-01 00:00:{s:02d}", "click") for s in range(40, 51)
+    ] + [("bot", "2024-01-01 00:05:00", "click")]
+    state.apply_batch(_events_df(spark, late), batch_id=1)
+    bot = state.times().where("u = 'bot'")
+    assert bot.where("step = 2").count() == 16  # still capped
+    assert bot.where("step = -2").count() == 1
+    assert bot.where("t >= '2024-01-01 00:05:00'").count() == 0
+    clicks += late
+    # view arrives below the kept prefix: chain resolves inside it
+    state.apply_batch(
+        _events_df(spark, [("bot", "2024-01-01 00:00:30", "view")]),
+        batch_id=2,
+    )
+    assert state.times().where("step < 0").count() == 0  # marker dropped
+    scratch = funnel_steps(
+        _events_df(
+            spark, clicks + [("bot", "2024-01-01 00:00:30", "view")]
+        ),
+        STEPS,
+    )
+    assert _counts(state.counts()) == _counts(scratch)
+    # redelivery of batch 1 without the guard: still idempotent
+    state.apply_batch(
+        _events_df(spark, [("bot", "2024-01-01 00:00:30", "view")]),
+        batch_id=None,
+    )
+    assert _counts(state.counts()) == _counts(scratch)
+
+
+def test_funnel_orphan_overflow_raises_beyond_prefix(spark, tmp_path):
+    """When the chain resolves BEYOND the capped prefix (q1 lands above
+    the kept maximum), the true q2 may be a discarded time — the fold
+    must raise loudly, never answer silently wrong."""
+    import pytest
+
+    clicks = [
+        ("bot", f"2024-01-01 00:{m // 60:02d}:{m % 60:02d}", "click")
+        for m in range(1, 201)
+    ]
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, max_orphan_times=16
+    )
+    state.apply_batch(_events_df(spark, clicks), batch_id=0)
+    with pytest.raises(ValueError, match="max_orphan_times"):
+        state.apply_batch(
+            _events_df(spark, [("bot", "2024-01-01 00:50:00", "view")]),
+            batch_id=1,
+        )
+
+
+def test_funnel_orphan_marker_dropped_when_horizon_closes(spark, tmp_path):
+    """With a horizon, a marked key becomes decidable once q1 + W falls
+    below the kept maximum: every discarded time is outside the horizon
+    forever, so the marker drops and counts stay exact vs scratch."""
+    clicks = [
+        (f"u", f"2024-01-{d:02d} 00:00:00", "click") for d in range(1, 21)
+    ]
+    view = [("u", "2024-01-02 01:00:00", "view")]
+    state = FunnelIndexState(
+        spark,
+        str(tmp_path / "state"),
+        STEPS,
+        within="1 HOURS",
+        max_orphan_times=4,
+    )
+    state.apply_batch(_events_df(spark, clicks), batch_id=0)
+    assert state.times().where("step < 0").count() == 1
+    state.apply_batch(_events_df(spark, view), batch_id=1)
+    # horizon (01-02 02:00) <= bound (01-04): decidable, marker gone
+    assert state.times().where("step < 0").count() == 0
+    scratch = funnel_steps(
+        _events_df(spark, clicks + view), STEPS, within="1 HOURS"
+    )
+    assert _counts(state.counts()) == _counts(scratch)
+
+
 def test_maintain_funnel_stream(spark, tmp_path):
     import json as _json
     import os as _os
