@@ -5559,9 +5559,9 @@ QUERIES = {
     # sketch, funnel, hybrid retrieval) sit inside the cap so every
     # tier's health is driver-visible.  Rows past the cap are
     # oracle-checked by tests/test_entry_contract.py at every SF —
-    # same contract, just not on the driver board.  (r7 rotation: the
-    # r6 graph/sketch/funnel/hybrid rows moved on-board, displacing
-    # low-information relational rows.)
+    # same contract, just not on the driver board.  (r8 rotation:
+    # doc_split_safe + doc_drift_served moved on-board, displacing the
+    # relational statements_unpivot + adjacency_orders rows.)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -5582,9 +5582,9 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_funnel_served": q_events_funnel_served,
     "events_hll_weekly_served": q_events_hll_weekly_served,
-    "statements_unpivot": q_statements_unpivot,
+    "doc_split_safe": q_doc_split_safe,
+    "doc_drift_served": q_doc_drift_served,
     "entity_properties": q_entity_properties,
-    "adjacency_orders": q_adjacency_orders,
     "blocker_token_stats": q_blocker_token_stats,
     "blocker_pairs": q_blocker_pairs,
     "blocker_match": q_blocker_match,
@@ -5614,6 +5614,8 @@ QUERIES = {
     "blocker_stopwords": q_blocker_stopwords,
     # entries past the driver's 50-row board cap: oracle-checked by the
     # pytest suite (tests/test_entry_contract.py), invisible to the board
+    "statements_unpivot": q_statements_unpivot,
+    "adjacency_orders": q_adjacency_orders,
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
     "events_json": q_events_json,
@@ -5650,8 +5652,6 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "doc_sample_mix": q_doc_sample_mix,
     "doc_chunks": q_doc_chunks,
-    "doc_split_safe": q_doc_split_safe,
-    "doc_drift_served": q_doc_drift_served,
 }
 
 ORACLES = {
