@@ -227,6 +227,20 @@ def personalized_pagerank(
     n_seeds = marked.where("is_seed").count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed appears in the graph")
+    # Same up-front overflow contract as pagerank, with the seeded
+    # dampening term's extra ds DIV n_seeds: a seed node can see up to
+    # damp_num * (total_mass + total_mass DIV n_seeds) in BIGINT —
+    # nearly twice the uniform bound with a single seed.
+    mass = n_nodes * scale
+    if damp_num * (mass + mass // n_seeds + 1) >= 2**63:
+        need = 2**63 * n_seeds // (damp_num * n_nodes * (n_seeds + 1))
+        raise ValueError(
+            f"personalized_pagerank: damp_num * n_nodes * scale * "
+            f"(1 + 1/n_seeds) = "
+            f"{damp_num * (mass + mass // n_seeds)} would overflow "
+            f"BIGINT in the seeded dampening step; pass a smaller "
+            f"scale= (need scale < {need})"
+        )
     base_total = (scale * n_nodes * (damp_den - damp_num)) // damp_den
     seed_base = base_total // n_seeds
 

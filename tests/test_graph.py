@@ -529,3 +529,27 @@ def test_pagerank_scale_overflow_contract(spark):
     df = spark.createDataFrame([Row(src="A", dst="B"), Row(src="B", dst="C")])
     with pytest.raises(ValueError, match="smaller scale"):
         pagerank(df, n_iter=1, scale=2**61)
+
+
+def test_personalized_pagerank_scale_overflow_contract(spark):
+    """The seeded dampening term adds ds DIV n_seeds on top of inflow —
+    up to ~2x the uniform bound with one seed; the same up-front
+    ValueError contract applies.  A scale that pagerank's uniform bound
+    would BARELY accept must still be rejected here when the seeded
+    term pushes it over, and a safe scale must pass."""
+    import pytest
+    from pyspark.sql import Row
+
+    from nomenklatura_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([Row(src="A", dst="B"), Row(src="B", dst="C")])
+    seeds = spark.createDataFrame([Row(node="A")])
+    with pytest.raises(ValueError, match="smaller scale"):
+        personalized_pagerank(df, seeds, n_iter=1, scale=2**61)
+    # single seed, 3 nodes: uniform bound allows scale < 2^63/(d*4) but
+    # the seeded bound needs scale*(3 + 3/1)*d < 2^63
+    uniform_ok = 2**63 // (17 * 4) - 1
+    with pytest.raises(ValueError, match="smaller scale"):
+        personalized_pagerank(df, seeds, n_iter=1, scale=uniform_ok)
+    out = personalized_pagerank(df, seeds, n_iter=1, scale=10**9)
+    assert out.count() == 3
