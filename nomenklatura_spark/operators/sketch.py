@@ -418,8 +418,8 @@ def hll_pairwise_union(
     The driver-small contract is EXECUTABLE: more than
     ``_MAX_UNION_KEYS`` distinct keys raises, because |keys|^2 / 2
     pairs x 2^p registers stops being "sketch-sized" — at that point
-    restrict the key set upstream, or band the keys and union within
-    bands so each pair batch stays bounded.
+    restrict the key set upstream, or use ``hll_pairwise_union_banded``
+    (identical output, no broadcast, no crossJoin).
     """
     # the guard's count and BOTH crossJoin sides read the key set:
     # checkpoint the (sketch-sized) distinct keys so the register
@@ -435,8 +435,8 @@ def hll_pairwise_union(
             f"hll_pairwise_union: {n_keys} distinct keys would generate "
             f"~{n_keys * (n_keys - 1) // 2} key pairs x registers — the "
             f"all-pairs form is for driver-small key sets "
-            f"(<= {_MAX_UNION_KEYS}); filter the keys first, or band "
-            f"them and union per band"
+            f"(<= {_MAX_UNION_KEYS}); filter the keys first, or use "
+            f"hll_pairwise_union_banded"
         )
     pairs = (
         keys.select(F.col("_k").alias("key_a"))
@@ -448,5 +448,90 @@ def hll_pairwise_union(
         (F.col(key_col) == F.col("key_a")) | (F.col(key_col) == F.col("key_b")),
     )
     return joined.groupBy("key_a", "key_b", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+
+
+def hll_pairwise_union_banded(
+    registers: DataFrame,
+    key_col: str = "key",
+    n_bands: int = 16,
+) -> DataFrame:
+    """``hll_pairwise_union`` beyond the driver-small key bound: band
+    the keys and generate pairs band-locally, so nothing is ever
+    broadcast or crossJoined.
+
+    Triangle block partitioning: each key hashes to one of ``n_bands``
+    groups; an unordered pair (a, b) is generated exactly once, in the
+    band (min(g_a, g_b), max(g_a, g_b)) — diagonal bands self-join
+    within a group (key_a < key_b dedups the triangle), off-diagonal
+    bands equi-join group i keys against group j keys via an exploded
+    (band_i, band_j) key.  Each key's row is replicated n_bands times
+    in the PAIR-GENERATION relation only (key-sized, not
+    register-sized); the registers then attach by plain per-side
+    equi-joins on the key, and every shuffle is AQE-splittable.  Output
+    is identical to ``hll_pairwise_union`` with key_a/key_b in
+    lexicographic order: (key_a, key_b, bucket, max reg).
+
+    Output size is inherently |pairs| x 2^p rows — banding removes the
+    all-pairs broadcast bottleneck, not the quadratic output; keep the
+    key set meaningful (segments, not user ids).
+    """
+    if n_bands < 1:
+        raise ValueError("n_bands must be >= 1")
+    g = F.pmod(F.xxhash64(F.col("_k")), F.lit(n_bands)).cast("int")
+    # pair generation reads the key set three times (diagonal self-join
+    # sides + the off-diagonal explodes): checkpoint it once
+    keys = (
+        registers.select(F.col(key_col).alias("_k"))
+        .distinct()
+        .withColumn("_g", g)
+        .localCheckpoint(eager=True)
+    )
+    diag = (
+        keys.select(F.col("_k").alias("key_a"), F.col("_g").alias("_ga"))
+        .join(
+            keys.select(F.col("_k").alias("key_b"), F.col("_g").alias("_gb")),
+            F.col("_ga") == F.col("_gb"),
+        )
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    # sequence(start, stop) runs DESCENDING when start > stop — edge
+    # groups (last for left, first for right) must get an empty array
+    up = F.when(
+        F.col("_g") + 1 <= F.lit(n_bands - 1),
+        F.sequence(F.col("_g") + 1, F.lit(n_bands - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    down = F.when(
+        F.col("_g") >= 1, F.sequence(F.lit(0), F.col("_g") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    left_off = keys.select(
+        F.col("_k").alias("_ka"),
+        F.col("_g").alias("_bi"),
+        F.explode(up).alias("_bj"),
+    )
+    right_off = keys.select(
+        F.col("_k").alias("_kb"),
+        F.explode(down).alias("_bi"),
+        F.col("_g").alias("_bj"),
+    )
+    off = left_off.join(right_off, ["_bi", "_bj"]).select(
+        F.least("_ka", "_kb").alias("key_a"),
+        F.greatest("_ka", "_kb").alias("key_b"),
+    )
+    pairs = diag.unionByName(off)
+    ra = registers.select(
+        F.col(key_col).alias("key_a"), "bucket", "reg"
+    )
+    rb = registers.select(
+        F.col(key_col).alias("key_b"), "bucket", "reg"
+    )
+    both = pairs.join(ra, "key_a").select(
+        "key_a", "key_b", "bucket", "reg"
+    ).unionByName(
+        pairs.join(rb, "key_b").select("key_a", "key_b", "bucket", "reg")
+    )
+    return both.groupBy("key_a", "key_b", "bucket").agg(
         F.max("reg").alias("reg")
     )

@@ -577,6 +577,48 @@ def test_hll_pairwise_union_key_set_bound(spark, monkeypatch):
     assert sk.hll_pairwise_union(regs, "key").count() > 0
 
 
+def test_hll_pairwise_union_banded_equals_unbanded(spark, monkeypatch):
+    """The banded formulation (the scale path the all-pairs error
+    points at) must produce the EXACT same (key_a, key_b, bucket, reg)
+    relation as the all-pairs form — at the boundary where the
+    all-pairs guard raises, and across band counts including the
+    degenerate n_bands=1 and n_bands > n_keys edges (where the
+    descending-sequence trap lives)."""
+    import pytest
+
+    import nomenklatura_spark.operators.sketch as sk
+
+    rows = [(f"k{i}", f"v{i % 7}_{i}") for i in range(13)]
+    regs = hll_registers(
+        spark.createDataFrame(rows, "key string, v string"), ["key"], "v"
+    ).localCheckpoint()
+    want = sorted(
+        tuple(r) for r in sk.hll_pairwise_union(regs, "key").collect()
+    )
+    assert len(want) > 0
+    for nb in (1, 3, 16, 64):
+        got = sorted(
+            tuple(r)
+            for r in sk.hll_pairwise_union_banded(
+                regs, "key", n_bands=nb
+            ).collect()
+        )
+        assert got == want, f"n_bands={nb}"
+    # beyond the all-pairs bound the banded form still runs
+    monkeypatch.setattr(sk, "_MAX_UNION_KEYS", 10)
+    with pytest.raises(ValueError):
+        sk.hll_pairwise_union(regs, "key")
+    assert (
+        sorted(
+            tuple(r)
+            for r in sk.hll_pairwise_union_banded(
+                regs, "key", n_bands=4
+            ).collect()
+        )
+        == want
+    )
+
+
 def test_weekly_serving_from_stored_registers_matches_scratch(spark, tmp_path):
     """The at-rest serving chain: per-(key, day) registers folded to
     disk by ingest batches that STRADDLE the query window must answer a
