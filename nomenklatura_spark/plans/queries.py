@@ -5550,6 +5550,89 @@ def _corpus_curate_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# BPE encode-to-ids (tokenizer-apply at corpus scale)
+
+#: Pinned merge table for the tokenizer-APPLY row: the operator under
+#: test is encoding (applying a learned merge table), so the table is a
+#: fixed constant the way the quality classifier's weights are.  Rank
+#: order matters, and every merge's constituents are produced by
+#: earlier merges — the property that makes the kernel's greedy
+#: lowest-rank-first equal to the oracle's rank-order replay.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "</w>"), ("s", "</w>"), ("i", "n"),
+    ("a", "n"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("the", "</w>"), ("d", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("an", "d"), ("and", "</w>"), ("o", "f"), ("of", "</w>"),
+    ("in", "</w>"), ("e", "n"), ("t", "o"), ("to", "</w>"),
+    ("a", "r"), ("i", "t"),
+]
+
+
+def q_doc_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode-to-ids: (doc_id, pos, token_id) for every 10th
+    document, first 80 token ids each — the tokenizer-apply projection
+    a packing pipeline feeds on (``textops/bpe.py``).  The id space is
+    deterministic (a-z0-9 = 0..35, '</w>' = 36, merge r -> 37+r), so
+    the DuckDB oracle can replay the merge ranks symbolically."""
+    from nomenklatura_spark.textops.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    ids = bpe_encode(docs, _BPE_MERGES)
+    return ids.select(
+        "doc_id",
+        F.posexplode(F.slice("token_ids", 1, 80)).alias("pos", "token_id"),
+    ).orderBy("doc_id", "pos")
+
+
+def _bpe_ids_sql() -> str:
+    """Rank-order replay of the pinned merges: each token rides the
+    state string as '|tok|', so replace('|a||b|' -> '|ab|') merges
+    exactly full-token adjacencies, exhaustively left-to-right, one
+    merge rank per nesting level."""
+    from nomenklatura_spark.textops.bpe import bpe_vocab
+
+    state = r"regexp_replace(w, '(.)', '|\1|', 'g') || '|</w>|'"
+    for a, b in _BPE_MERGES:
+        state = f"replace({state}, '|{a}||{b}|', '|{a}{b}|')"
+    case = "CASE tok " + " ".join(
+        f"WHEN '{t}' THEN {i}" for t, i in bpe_vocab(_BPE_MERGES).items()
+    ) + " END"
+    return f"""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    words AS (
+        SELECT doc_id, unnest(ws) AS w,
+               generate_subscripts(ws, 1) AS wi
+        FROM norm
+    ),
+    enc AS (SELECT doc_id, wi, {state} AS st FROM words),
+    toks AS (
+        SELECT doc_id, wi,
+               unnest(string_split(trim(st, '|'), '||')) AS tok,
+               generate_subscripts(string_split(trim(st, '|'), '||'), 1) AS ti
+        FROM enc
+    ),
+    seq AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1
+                   AS pos,
+               tok
+        FROM toks
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos, CAST({case} AS INT) AS token_id
+    FROM seq WHERE pos < 80 ORDER BY doc_id, pos
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -5652,6 +5735,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "doc_sample_mix": q_doc_sample_mix,
     "doc_chunks": q_doc_chunks,
+    "doc_bpe_ids": q_doc_bpe_ids,
 }
 
 ORACLES = {
@@ -5744,4 +5828,5 @@ ORACLES = {
     "events_funnel_served": _EVENTS_FUNNEL_SQL,
     "doc_split_safe": _DOC_SPLIT_SAFE_SQL,
     "doc_drift_served": _DOC_DRIFT_SERVED_SQL,
+    "doc_bpe_ids": _bpe_ids_sql(),
 }

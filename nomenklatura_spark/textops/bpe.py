@@ -78,8 +78,13 @@ def train_bpe(
     return merges
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
-    """Number of BPE tokens for one word under the learned merges."""
+def _merge_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """BPE token strings for one word under the learned merges: greedy
+    lowest-rank-first with leftmost tie-break — equivalent to applying
+    the merge list in rank order, each merge exhaustively left-to-right
+    (the two formulations coincide whenever every merge's constituents
+    are producible only by earlier merges, which training guarantees;
+    the DuckDB oracle replays the rank-order form)."""
     syms = list(word) + ["</w>"]
     while len(syms) > 1:
         best_rank = None
@@ -91,7 +96,12 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
         if best_rank is None:
             break
         syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-    return len(syms)
+    return syms
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE tokens for one word under the learned merges."""
+    return len(_merge_word(word, ranks))
 
 
 def bpe_token_counter(merges: list[tuple[str, str]]):
@@ -113,6 +123,63 @@ def bpe_token_counter(merges: list[tuple[str, str]]):
         return pd.Series(out, dtype="int32")
 
     return _count
+
+
+#: Deterministic token-id space shared with the SQL oracle replay: the
+#: normalization closes the alphabet over [a-z0-9], so base ids are
+#: fixed, '</w>' is 36, and merge r's output token gets 37 + r (first
+#: rank wins if two merges ever produce the same string).
+_BASE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+_EOW = "</w>"
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """token string -> id under the fixed id scheme above."""
+    vocab = {c: i for i, c in enumerate(_BASE_ALPHABET)}
+    vocab[_EOW] = len(_BASE_ALPHABET)
+    for r, (a, b) in enumerate(merges):
+        vocab.setdefault(a + b, len(_BASE_ALPHABET) + 1 + r)
+    return vocab
+
+
+def bpe_encoder(merges: list[tuple[str, str]]):
+    """Column function: token-id sequence per document (array<int>) —
+    the tokenizer-APPLY kernel, same Arrow-batched shape as the
+    counter; the merge table and vocab ride the closure (broadcast once
+    per executor, vocabulary-sized)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            words = [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+            ids: list[int] = []
+            for w in words:
+                ids.extend(vocab[s] for s in _merge_word(w, ranks))
+            out.append(ids)
+        return pd.Series(out)
+
+    return _enc
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token_ids array<int>) per document — the projection a
+    packing/training pipeline consumes (``doc_pack``'s unit switches
+    from estimated counts to real ids via ``size(token_ids)``)."""
+    enc = bpe_encoder(merges)
+    return docs.select(
+        id_col, enc(F.col(text_col)).alias("token_ids")
+    )
 
 
 def bpe_token_counts(

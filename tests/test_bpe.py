@@ -7,7 +7,9 @@ from __future__ import annotations
 
 from nomenklatura_spark.textops.bpe import (
     _encode_word,
+    bpe_encode,
     bpe_token_counts,
+    bpe_vocab,
     train_bpe,
 )
 
@@ -62,3 +64,32 @@ def test_determinism_across_runs(spark):
     m1 = train_bpe(docs, n_merges=5)
     m2 = train_bpe(docs, n_merges=5)
     assert m1 == m2
+
+
+def test_encode_ids_agree_with_counter_and_vocab(spark):
+    """encode-to-ids is the counter's sibling kernel: size(token_ids)
+    must equal n_bpe_tokens under TRAINED merges, ids must decode back
+    through the vocab to the greedy token strings, and empty/None text
+    encodes to an empty sequence."""
+    from pyspark.sql import functions as F
+
+    corpus = ["the cat sat on the mat", "the bat and the rat sat", ""] * 2
+    docs = _docs(spark, corpus)
+    merges = train_bpe(docs, n_merges=12)
+    joined = (
+        bpe_encode(docs, merges)
+        .join(bpe_token_counts(docs, merges), "doc_id")
+        .select("doc_id", F.size("token_ids").alias("n"), "n_bpe_tokens")
+        .collect()
+    )
+    assert all(r.n == r.n_bpe_tokens for r in joined)
+    # decode roundtrip on one document
+    vocab = bpe_vocab(merges)
+    rev = {}
+    for t, i in vocab.items():
+        rev.setdefault(i, t)
+    row = bpe_encode(docs, merges).where("doc_id = 0").collect()[0]
+    text = "".join(rev[i] for i in row.token_ids).replace("</w>", " ")
+    assert text.strip() == corpus[0]
+    empty = bpe_encode(docs, merges).where("doc_id = 2").collect()[0]
+    assert empty.token_ids == []
