@@ -213,8 +213,16 @@ def main() -> None:
     detail["loadavg_1m"] = loads
     if scaling is not None:
         detail["scaling"] = scaling
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    # The round driver re-runs this script after the final commit and
+    # overwrites BENCH_DETAIL.json — an idle record committed there gets
+    # clobbered by the driver's (possibly contended) run.  The builder
+    # records idle measurements via SPARK_GRAFT_DETAIL_OUT=BENCH_IDLE.json,
+    # a file this script only writes when explicitly asked to.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)

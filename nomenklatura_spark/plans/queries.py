@@ -2843,6 +2843,43 @@ def _doc_pack_sql() -> str:
     """
 
 
+def q_doc_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on REAL tokenizer counts: the same stratified
+    running-sum shard assignment as ``doc_pack``, but the budget unit
+    is the BPE token count under the pinned merge table
+    (``textops/bpe.bpe_token_counts`` — the tokenizer-apply kernel) —
+    the encode stage feeding the packing pipeline end-to-end, instead
+    of the whitespace estimate."""
+    from nomenklatura_spark.textops.analysis import words
+    from nomenklatura_spark.textops.bpe import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(docs, _BPE_MERGES)
+    base = (
+        docs.withColumn("_ws", words(F.col("text")))
+        .select(
+            "doc_id",
+            lang_id(F.col("text"), ws=F.col("_ws")).alias("lang_pred"),
+        )
+        .join(counts, "doc_id")
+    )
+    w = (
+        Window.partitionBy("lang_pred")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard = F.floor(
+        (F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens"))
+        / PACK_MAX_TOKENS
+    )
+    return base.select(
+        "doc_id",
+        "lang_pred",
+        "n_bpe_tokens",
+        shard.cast("int").alias("shard"),
+    ).orderBy("doc_id")
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + Gopher repetition signals per document.
 
@@ -5632,6 +5669,48 @@ def _bpe_ids_sql() -> str:
     """
 
 
+def _bpe_pack_sql() -> str:
+    """doc_pack's shard algebra with the budget unit replayed from the
+    pinned merges: per-word token count = length of the replayed state's
+    token list, summed per document."""
+    state = r"regexp_replace(w, '(.)', '|\1|', 'g') || '|</w>|'"
+    for a, b in _BPE_MERGES:
+        state = f"replace({state}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH {_langid_pred_ctes()},
+    norm AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    wtok AS (
+        SELECT doc_id,
+               len(string_split(trim({state}, '|'), '||')) AS wn
+        FROM (SELECT doc_id, unnest(ws) AS w FROM norm)
+    ),
+    counts AS (
+        SELECT n.doc_id, CAST(coalesce(sum(w.wn), 0) AS INT)
+                   AS n_bpe_tokens
+        FROM norm n LEFT JOIN wtok w USING (doc_id)
+        GROUP BY n.doc_id
+    ),
+    j AS (
+        SELECT p.doc_id, p.lang_pred, c.n_bpe_tokens
+        FROM pred p JOIN counts c USING (doc_id)
+    )
+    SELECT doc_id, lang_pred, n_bpe_tokens,
+        CAST(floor((sum(n_bpe_tokens) OVER (
+            PARTITION BY lang_pred ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - n_bpe_tokens) / {PACK_MAX_TOKENS}) AS INT) AS shard
+    FROM j
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5736,6 +5815,7 @@ QUERIES = {
     "doc_sample_mix": q_doc_sample_mix,
     "doc_chunks": q_doc_chunks,
     "doc_bpe_ids": q_doc_bpe_ids,
+    "doc_pack_bpe": q_doc_pack_bpe,
 }
 
 ORACLES = {
@@ -5829,4 +5909,5 @@ ORACLES = {
     "doc_split_safe": _DOC_SPLIT_SAFE_SQL,
     "doc_drift_served": _DOC_DRIFT_SERVED_SQL,
     "doc_bpe_ids": _bpe_ids_sql(),
+    "doc_pack_bpe": _bpe_pack_sql(),
 }

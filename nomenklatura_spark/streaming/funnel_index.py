@@ -219,32 +219,28 @@ class FunnelIndexState(VersionedState):
         raise loudly on keys whose chain resolved beyond the bound.
         ``pruned`` carries the q1..qk columns; ``prev_markers`` is
         (u, step, _b) with step already re-positivized."""
-        from pyspark.sql import Window
-
         cap = self.max_orphan_times
         q_step = F.element_at(qarr, F.col("step"))
         is_orphan = (F.col("step") > 1) & q_step.isNull()
         orphans = pruned.where(is_orphan)
         solid = pruned.where(~is_orphan).select("u", "step", "t")
-        # The rank window's partitions are bounded by cap + one
-        # micro-batch's own contribution per key (the state invariant
-        # caps what past folds left behind), never history-sized.
-        w = Window.partitionBy("u", "step").orderBy("t")
-        ranked = orphans.withColumn("_rk", F.row_number().over(w))
-        # read three times (kept prefix + overflow keys + their bounds)
-        ranked = ranked.localCheckpoint(eager=True)
-        kept_orphans = ranked.where(F.col("_rk") <= cap)
-        # a key re-capped this fold discards its ranks > cap; the new
-        # bound is the kept maximum (the rank-cap row's time)
-        new_markers = (
-            ranked.where(F.col("_rk") == cap + 1)
-            .select("u", "step")
-            .join(
-                ranked.where(F.col("_rk") == cap).select(
-                    "u", "step", F.col("t").alias("_nb")
-                ),
-                ["u", "step"],
-            )
+        # One partially-aggregated pass: each key's sorted time array is
+        # bounded by cap + one micro-batch's own contribution (the state
+        # invariant caps what past folds left behind), never
+        # history-sized; the kept prefix and the overflow markers both
+        # come off this key-grain relation.
+        agg = (
+            orphans.groupBy("u", "step")
+            .agg(F.array_sort(F.collect_list("t")).alias("_ts"))
+            .localCheckpoint(eager=True)
+        )
+        kept_orphans = agg.select(
+            "u", "step", F.explode(F.slice("_ts", 1, cap)).alias("t")
+        )
+        # a key re-capped this fold discards everything past the kept
+        # prefix; the new bound is the kept maximum (element cap)
+        new_markers = agg.where(F.size("_ts") > cap).select(
+            "u", "step", F.element_at("_ts", cap).alias("_nb")
         )
         markers = prev_markers.join(
             new_markers, ["u", "step"], "full_outer"
