@@ -2781,6 +2781,45 @@ def _doc_sample_mix_sql() -> str:
     """
 
 
+PSAMPLE_K = 200
+
+
+def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weight-proportional corpus sample
+    (``textops.analysis.priority_sample``): priority sampling with
+    token-count weights — longer documents proportionally likelier, but
+    nothing censored — under integer-exact md5 priorities that the
+    oracle replays bit-for-bit.  The winner cut is a
+    TakeOrderedAndProject (per-task top-k, no corpus shuffle)."""
+    from nomenklatura_spark.textops.analysis import (
+        priority_sample,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = priority_sample(docs, token_count(F.col("text")), PSAMPLE_K)
+    return out.select("doc_id", "weight", "priority_key").orderBy(
+        "priority_key", "doc_id"
+    )
+
+
+def _doc_sample_weighted_sql() -> str:
+    wc = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+    return f"""
+        WITH feat AS (
+            SELECT doc_id,
+                GREATEST(CAST({wc} AS BIGINT), 1) AS weight,
+                CAST(('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id, weight, (h + 1) // weight AS priority_key
+        FROM feat
+        ORDER BY priority_key, doc_id
+        LIMIT {PSAMPLE_K}
+    """
+
+
 # Sequence packing budget (tokens per shard).
 PACK_MAX_TOKENS = 2048
 
@@ -5816,6 +5855,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "doc_bpe_ids": q_doc_bpe_ids,
     "doc_pack_bpe": q_doc_pack_bpe,
+    "doc_sample_weighted": q_doc_sample_weighted,
 }
 
 ORACLES = {
@@ -5910,4 +5950,5 @@ ORACLES = {
     "doc_drift_served": _DOC_DRIFT_SERVED_SQL,
     "doc_bpe_ids": _bpe_ids_sql(),
     "doc_pack_bpe": _bpe_pack_sql(),
+    "doc_sample_weighted": _doc_sample_weighted_sql(),
 }

@@ -645,3 +645,53 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: Column,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "psample",
+) -> DataFrame:
+    """Exactly-k weight-proportional sample via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each item gets priority
+    ``q_i = w_i / u_i`` with ``u_i`` uniform on (0, 1]; the k largest
+    priorities are the sample.  Unlike the permille-bucket sampler
+    (``doc_sample_mix``) the output size is EXACT, and unlike a quality
+    cutoff (``budget_select``) low-weight items retain proportional
+    inclusion odds — the shape a training-mix stage wants when a corpus
+    must shrink to a fixed row budget without hard-censoring any slice.
+
+    Engine-stable determinism: ``u_i = (h_i + 1) / 16^15`` with ``h_i``
+    the 60-bit md5 integer of ``salt:id`` (functions/hashing.py), so
+    ranking by q descending equals ranking by the BIGINT floor quotient
+    ``(h_i + 1) DIV w_i`` ascending.  The floor quantizes u at 2^-60 —
+    ties broken by id, a distortion both engines replay identically —
+    so the DuckDB oracle reproduces the selection bit-for-bit; float
+    ``ln``/``pow`` keys (the usual Efraimidis-Spirakis formulation)
+    would hinge the k-th boundary on libm ulp agreement.
+
+    Scale shape: weights are map-side expressions and the winner cut is
+    ``orderBy(key).limit(k)``, which compiles to TakeOrderedAndProject —
+    every task keeps its local top-k and the driver merges tasks x k
+    rows; the corpus is never shuffled.  Weights clamp to >= 1 (a
+    zero-weight row would divide by zero; keeping it at the floor weight
+    matches the reference semantics of "never unsampleable").
+    """
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
+    w = F.greatest(weight_col.cast("bigint"), F.lit(1))
+    # md5_bucket with mod 16^15 is the raw 60-bit integer (pmod no-op).
+    h = md5_bucket(salt, F.col(id_col), 16**15)
+    key = F.expr("(_ps_h + 1) DIV _ps_w")
+    return (
+        df.withColumn("_ps_w", w)
+        .withColumn("_ps_h", h)
+        .withColumn("_ps_key", key)
+        .orderBy("_ps_key", id_col)
+        .limit(k)
+        .drop("_ps_h")
+        .withColumnRenamed("_ps_w", "weight")
+        .withColumnRenamed("_ps_key", "priority_key")
+    )
