@@ -2781,6 +2781,42 @@ def _doc_sample_mix_sql() -> str:
     """
 
 
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column table profile (``operators/profile.py``):
+    null counts, exact distinct cardinality, formatted min/max for every
+    ``orders`` column — the pre-flight a pipeline runs before training
+    on an unfamiliar table.  The exact form (count DISTINCT per column)
+    is the oracle-parity path; ``exact=False`` swaps in HLL++ and drops
+    the Expand for the 100 TB plan."""
+    from nomenklatura_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders).orderBy("col_name")
+
+
+def _orders_profile_sql() -> str:
+    specs = [
+        ("o_orderkey", "CAST({m} AS VARCHAR)"),
+        ("o_custkey", "CAST({m} AS VARCHAR)"),
+        ("o_orderstatus", "{m}"),
+        ("o_totalprice", "CAST(CAST(round({m}, 2) AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "strftime({m}, '%Y-%m-%d %H:%M:%S')"),
+        ("o_orderpriority", "{m}"),
+    ]
+    parts = []
+    for c, fmt in specs:
+        parts.append(
+            f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+                CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+                count(DISTINCT {c}) AS n_distinct,
+                {fmt.format(m=f'min({c})')} AS min_value,
+                {fmt.format(m=f'max({c})')} AS max_value
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 PSAMPLE_K = 200
 
 
@@ -5856,6 +5892,7 @@ QUERIES = {
     "doc_bpe_ids": q_doc_bpe_ids,
     "doc_pack_bpe": q_doc_pack_bpe,
     "doc_sample_weighted": q_doc_sample_weighted,
+    "orders_profile": q_orders_profile,
 }
 
 ORACLES = {
@@ -5951,4 +5988,5 @@ ORACLES = {
     "doc_bpe_ids": _bpe_ids_sql(),
     "doc_pack_bpe": _bpe_pack_sql(),
     "doc_sample_weighted": _doc_sample_weighted_sql(),
+    "orders_profile": _orders_profile_sql(),
 }
