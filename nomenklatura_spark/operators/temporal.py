@@ -249,3 +249,70 @@ def finalize_funnel_counts(out: DataFrame) -> DataFrame:
             6,
         ).alias("conversion"),
     ).orderBy("step")
+
+
+def robust_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "hour",
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust time-series anomaly detection over per-key activity
+    counts: median/MAD z-scores (Iglewicz & Hoaglin's modified z-score,
+    the outlier rule monitoring pipelines use because mean/stddev are
+    themselves corrupted by the outliers they're meant to find).
+
+    Pipeline: bucket events to (key, bucket) counts — the ONE shuffle
+    that touches the event stream; per-key median and MAD then aggregate
+    the counts relation, which is keys x buckets rows (bounded by the
+    calendar, never by event volume), and the per-key stats broadcast
+    back onto it.  Exact ``percentile`` is therefore safe here even
+    though it materializes each key's value list: the list holds one
+    entry per time bucket.
+
+    Counts sit on the integer grid and medians/MADs on the half-integer
+    grid (both exactly representable), so the anomaly inequality
+    ``|cnt - med| > z * 1.4826 * mad`` is a deterministic IEEE double
+    comparison every engine replays identically.  A zero MAD (constant
+    key) makes any deviation anomalous; for the SCORE the MAD floors at
+    0.5 — half the integer count grid, the smallest deviation the series
+    could express — so a constant key's outliers get a finite, ordered
+    z instead of infinity.
+
+    Returns only the anomalous rows: (key, bucket_ts, cnt, med, mad,
+    robust_z) — at serving scale the result is alert-sized.
+    """
+    counts = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.groupBy("key").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    dev = counts.join(F.broadcast(stats), "key").withColumn(
+        "abs_dev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mads = dev.groupBy("key").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad")
+    )
+    scale = 1.4826  # Gaussian consistency constant: MAD -> sigma
+    flagged = dev.join(F.broadcast(mads), "key").where(
+        (
+            (F.col("mad") > 0)
+            & (F.col("abs_dev") > F.lit(z) * F.lit(scale) * F.col("mad"))
+        )
+        | ((F.col("mad") == 0) & (F.col("abs_dev") > 0))
+    )
+    return flagged.select(
+        F.col("key").alias(key_col),
+        "bucket_ts",
+        "cnt",
+        "med",
+        "mad",
+        F.round(
+            (F.col("cnt") - F.col("med"))
+            / (F.lit(scale) * F.greatest(F.col("mad"), F.lit(0.5))),
+            4,
+        ).alias("robust_z"),
+    )

@@ -642,6 +642,60 @@ _EVENTS_HOURLY_SQL = """
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on per-type hourly activity
+    (``operators/temporal.robust_anomalies``): median/MAD modified
+    z-scores flag hours whose count deviates > 3 consistency-scaled
+    MADs — the monitoring primitive mean/stddev rules get wrong because
+    outliers corrupt their own baseline.  One event-stream shuffle; the
+    stats aggregate the calendar-bounded counts relation."""
+    from nomenklatura_spark.operators.temporal import robust_anomalies
+
+    events = load_table(spark, sf_dir, "events")
+    out = robust_anomalies(events, "event_type", "ts", bucket="hour", z=3.0)
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("med", 1).alias("med"),
+        F.round("mad", 1).alias("mad"),
+        "robust_z",
+    ).orderBy("event_type", "hour")
+
+
+_EVENTS_ANOMALY_SQL = """
+    WITH counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cnt, 0.5) AS med
+        FROM counts GROUP BY 1
+    ),
+    dev AS (
+        SELECT c.event_type, c.bucket_ts, c.cnt, m.med,
+               abs(c.cnt - m.med) AS abs_dev
+        FROM counts c JOIN med m USING (event_type)
+    ),
+    mads AS (
+        SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           strftime(d.bucket_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(d.cnt AS BIGINT) AS cnt,
+           round(d.med, 1) AS med,
+           round(a.mad, 1) AS mad,
+           round((d.cnt - d.med) / (1.4826 * GREATEST(a.mad, 0.5)), 4)
+               AS robust_z
+    FROM dev d JOIN mads a USING (event_type)
+    WHERE (a.mad > 0 AND d.abs_dev > 3.0 * 1.4826 * a.mad)
+       OR (a.mad = 0 AND d.abs_dev > 0)
+    ORDER BY event_type, hour
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: JSON props column."""
     events = load_table(spark, sf_dir, "events")
@@ -5893,6 +5947,7 @@ QUERIES = {
     "doc_pack_bpe": q_doc_pack_bpe,
     "doc_sample_weighted": q_doc_sample_weighted,
     "orders_profile": q_orders_profile,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLES = {
@@ -5989,4 +6044,5 @@ ORACLES = {
     "doc_pack_bpe": _bpe_pack_sql(),
     "doc_sample_weighted": _doc_sample_weighted_sql(),
     "orders_profile": _orders_profile_sql(),
+    "events_anomaly": _EVENTS_ANOMALY_SQL,
 }
