@@ -589,3 +589,220 @@ def label_propagation(
             is_seed.alias("is_seed"),
         )
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 30,
+    max_prop_rounds: int = 200,
+) -> DataFrame:
+    """Exact strongly connected components of a directed graph via the
+    distributed coloring algorithm (Orzan 2004; Slota/Rajamanickam/
+    Madduri IPDPS'14 adds the trim step) — the condensation pass a web/
+    link graph needs before centrality (crawler traps and link farms ARE
+    the big SCCs), and the cycle detector for ownership/control chains
+    in an ER relationship graph.
+
+    Rounds, all on DataFrame set algebra:
+
+    1. **Trim** (to fixed point): a node with no in-edges or no
+       out-edges in the live subgraph is its own SCC — strip, repeat.
+       DAG-shaped regions drain here in O(longest chain) cheap rounds,
+       leaving only cycle-carrying cores for the expensive steps.
+    2. **Color** (forward max propagation to fixed point):
+       ``color(v) = max id u with a path u ->* v``.  One join +
+       partial-agg max per round; rounds = live-subgraph diameter.
+    3. **Extract**: for each root (``color(r) == r``), the SCC of r is
+       exactly the color-r nodes that reach r along color-r edges
+       (backward mark to fixed point).  Proof the label is canonical:
+       marked v has ``r ->* v`` (coloring) and ``v ->* r`` (marking), so
+       v and r are mutually reachable; conversely every SCC member of r
+       shares its color and reaches r, so the extracted set IS the SCC —
+       and since all members reach each other, the max propagated onto
+       them is >= the SCC max, hence ``scc_id = r = max member id``.
+    4. Remove extracted nodes/edges, repeat from trim.
+
+    Every fixed-point loop truncates lineage per round (localCheckpoint,
+    the resolver/components.py discipline) and converges by an
+    ``isEmpty`` delta check — rounds after convergence never run.  The
+    bounds are loud contracts: exceeding ``max_outer``/``max_prop_rounds``
+    raises rather than returning a silently-partial labeling.
+
+    Deterministic and engine-exact (max ids + set reachability, no
+    floats, no tie rules), so a DuckDB recursive-CTE closure replays it:
+    ``scc_id(v) = max({v} ∪ {u : v ->* u AND u ->* v})``.
+
+    100 TB shape: the full edge relation is shuffled once per round at
+    worst, always by equi-join on a node key (AQE-skew-splittable); the
+    frames carried between rounds are node-sized.  Each extraction
+    removes its SCCs for good, so live-subgraph size is monotone
+    decreasing; on condensation-shallow graphs (web graphs: one giant
+    SCC + DAG fringe) the outer loop runs 2-3 times.
+
+    Returns ``(node, scc_id)`` covering every node incident to an edge.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live_nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    schema = "node " + dict(live_nodes.dtypes)["node"] + ", scc_id " + dict(
+        live_nodes.dtypes
+    )["node"]
+    assigned = spark.createDataFrame([], schema)
+    live_edges = e
+    for _ in range(max_outer):
+        if live_nodes.isEmpty():
+            break
+        # 1. trim to fixed point
+        for _ in range(max_prop_rounds):
+            has_in = live_edges.select(F.col("b").alias("node")).distinct()
+            has_out = live_edges.select(F.col("a").alias("node")).distinct()
+            trivial = (
+                live_nodes.join(has_in, "node", "left_anti")
+                .union(live_nodes.join(has_out, "node", "left_anti"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if trivial.isEmpty():
+                break
+            assigned = assigned.union(
+                trivial.select("node", F.col("node").alias("scc_id"))
+            ).localCheckpoint(eager=True)
+            live_nodes = live_nodes.join(
+                trivial, "node", "left_anti"
+            ).localCheckpoint(eager=True)
+            live_edges = (
+                live_edges.join(
+                    live_nodes.select(F.col("node").alias("a")),
+                    "a",
+                    "left_semi",
+                )
+                .join(
+                    live_nodes.select(F.col("node").alias("b")),
+                    "b",
+                    "left_semi",
+                )
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise ValueError(
+                f"scc: trim did not converge in {max_prop_rounds} rounds"
+            )
+        if live_nodes.isEmpty():
+            break
+        # 2. forward max-color propagation to fixed point
+        color = live_nodes.select(
+            "node", F.col("node").alias("color")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_prop_rounds):
+            inflow = (
+                live_edges.join(
+                    color.select(
+                        F.col("node").alias("a"), F.col("color").alias("ca")
+                    ),
+                    "a",
+                )
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.max("ca").alias("cin"))
+            )
+            new_color = (
+                color.join(inflow, "node", "left")
+                .select(
+                    "node",
+                    F.greatest(
+                        "color", F.coalesce("cin", "color")
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            delta = (
+                new_color.withColumnRenamed("color", "nc")
+                .join(color, "node")
+                .where(F.col("nc") != F.col("color"))
+            )
+            converged = delta.isEmpty()
+            color = new_color
+            if converged:
+                break
+        else:
+            raise ValueError(
+                f"scc: coloring did not converge in {max_prop_rounds} "
+                "rounds (graph diameter exceeds the bound; raise "
+                "max_prop_rounds)"
+            )
+        # 3. backward mark from roots along same-color edges
+        same_color_edges = (
+            live_edges.join(
+                color.select(
+                    F.col("node").alias("a"), F.col("color").alias("ca")
+                ),
+                "a",
+            )
+            .join(
+                color.select(
+                    F.col("node").alias("b"), F.col("color").alias("cb")
+                ),
+                "b",
+            )
+            .where(F.col("ca") == F.col("cb"))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        mark = color.where(F.col("color") == F.col("node")).select(
+            "node"
+        ).localCheckpoint(eager=True)
+        for _ in range(max_prop_rounds):
+            grown = (
+                same_color_edges.join(
+                    mark.select(F.col("node").alias("b")), "b", "left_semi"
+                )
+                .select(F.col("a").alias("node"))
+                .union(mark)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            done = grown.join(mark, "node", "left_anti").isEmpty()
+            mark = grown
+            if done:
+                break
+        else:
+            raise ValueError(
+                f"scc: marking did not converge in {max_prop_rounds} rounds"
+            )
+        assigned = assigned.union(
+            mark.join(color, "node").select(
+                "node", F.col("color").alias("scc_id")
+            )
+        ).localCheckpoint(eager=True)
+        live_nodes = live_nodes.join(mark, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        live_edges = (
+            live_edges.join(
+                live_nodes.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(
+                live_nodes.select(F.col("node").alias("b")), "b", "left_semi"
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError(
+            f"scc: {max_outer} extraction rounds did not exhaust the "
+            "graph; raise max_outer"
+        )
+    return assigned

@@ -1636,6 +1636,73 @@ def _tri_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact strongly connected components
+    (``operators/graph.strongly_connected_components``) over a directed
+    supplier hand-off graph: within each order, supplier of line n
+    points at supplier of line n+1; edges are md5-sparsified to 2% so
+    the condensation has real structure (sf0.01: ~99 nodes, ~37 SCCs).
+    The condensation pass a link graph needs before PageRank — crawler
+    traps and link farms ARE the big SCCs — and the ownership-cycle
+    detector for the ER relationship graph.  The DuckDB oracle computes
+    the recursive-CTE reachability closure and labels each node with
+    ``max({v} ∪ {u : v ->* u AND u ->* v})``, which the coloring
+    algorithm provably matches (max-member labeling invariant)."""
+    from nomenklatura_spark.operators.graph import (
+        strongly_connected_components,
+    )
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s"))
+    l2 = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_suppkey").alias("d"),
+    )
+    chain = l1.join(l2, ["l_orderkey", "l_linenumber"]).where(
+        F.col("s") != F.col("d")
+    )
+    key = F.concat(
+        F.col("s").cast("string"), F.lit(">"), F.col("d").cast("string")
+    )
+    edges = chain.where(md5_bucket("scc", key, 100) < 2).select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    )
+    return strongly_connected_components(edges).orderBy("node")
+
+
+_GRAPH_SCC_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT l1.l_suppkey AS s, l2.l_suppkey AS d
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l2.l_linenumber = l1.l_linenumber + 1
+        WHERE l1.l_suppkey <> l2.l_suppkey
+    ),
+    e AS (
+        SELECT DISTINCT s, d FROM chain
+        WHERE CAST(('0x' || substr(md5('scc:' || s || '>' || d), 1, 15))
+            AS BIGINT) % 100 < 2
+    ),
+    reach(a, b) AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.a, e2.d FROM reach r JOIN e e2 ON e2.s = r.b
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    mutual AS (
+        SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    )
+    SELECT n.node,
+           GREATEST(n.node, COALESCE(MAX(m.u), n.node)) AS scc_id
+    FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+    GROUP BY n.node
+    ORDER BY n.node
+"""
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling over the part co-occurrence graph — the
     density diagnostic after triangles: survivors of 5 peel rounds at
@@ -5948,6 +6015,7 @@ QUERIES = {
     "doc_sample_weighted": q_doc_sample_weighted,
     "orders_profile": q_orders_profile,
     "events_anomaly": q_events_anomaly,
+    "graph_scc": q_graph_scc,
 }
 
 ORACLES = {
@@ -6045,4 +6113,5 @@ ORACLES = {
     "doc_sample_weighted": _doc_sample_weighted_sql(),
     "orders_profile": _orders_profile_sql(),
     "events_anomaly": _EVENTS_ANOMALY_SQL,
+    "graph_scc": _GRAPH_SCC_SQL,
 }
