@@ -4758,6 +4758,50 @@ _DOC_LM_SCORE_SQL = f"""
 """
 
 
+def q_doc_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with Jelinek-Mercer interpolation
+    (``textops.analysis.bigram_logprob_scores``): mean surprisal of each
+    token given its predecessor under the corpus's own bigram model —
+    the context-aware rung above ``doc_lm_score`` (catches degenerate
+    repetition and boilerplate n-grams unigram frequency can't see).
+    Bigrams are built map-side by zipping the token array against its
+    shifted self; the oracle rebuilds them with a lag window."""
+    from nomenklatura_spark.textops.analysis import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob_scores(docs).orderBy("doc_id")
+
+
+_DOC_LM_BIGRAM_SQL = f"""
+    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+        FROM ws WHERE len(w) > 0
+    ),
+    pairs AS (
+        SELECT doc_id,
+               COALESCE(lag(word) OVER (PARTITION BY doc_id ORDER BY pos),
+                        '<s>') AS v,
+               word AS w
+        FROM tok
+    ),
+    bigrams AS (SELECT v, w, count(*) AS cb FROM pairs GROUP BY v, w),
+    ctx AS (SELECT v, count(*) AS cv FROM pairs GROUP BY v),
+    uni AS (SELECT w, count(*) AS cu FROM pairs GROUP BY w),
+    t AS (SELECT count(*) AS total FROM pairs)
+    SELECT p.doc_id, count(*) AS n_tokens,
+           round(avg(-ln(0.7 * b.cb / c.cv
+                         + (1.0 - 0.7) * u.cu / t.total)), 6)
+               AS avg_neg_logprob_bi
+    FROM pairs p
+    JOIN bigrams b USING (v, w)
+    JOIN ctx c USING (v)
+    JOIN uni u USING (w), t
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+"""
+
+
 def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (``textops.analysis.source_cap``):
     RefinedWeb-style domain capping — at most 10 docs per source by
@@ -6016,6 +6060,7 @@ QUERIES = {
     "orders_profile": q_orders_profile,
     "events_anomaly": q_events_anomaly,
     "graph_scc": q_graph_scc,
+    "doc_lm_bigram": q_doc_lm_bigram,
 }
 
 ORACLES = {
@@ -6114,4 +6159,5 @@ ORACLES = {
     "orders_profile": _orders_profile_sql(),
     "events_anomaly": _EVENTS_ANOMALY_SQL,
     "graph_scc": _GRAPH_SCC_SQL,
+    "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
 }

@@ -695,3 +695,80 @@ def priority_sample(
         .withColumnRenamed("_ps_w", "weight")
         .withColumnRenamed("_ps_key", "priority_key")
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Bigram LM quality score with Jelinek-Mercer interpolation: per
+    document, the mean surprisal of each token given its predecessor
+    under the corpus's own bigram model,
+
+        p(w | v) = lam * c(v,w)/c(v·) + (1-lam) * c(w)/total ,
+
+    the next rung of the CCNet ladder above ``unigram_logprob_scores``
+    (context catches "the the"-style degeneracy and boilerplate n-grams
+    that unigram frequency scores as perfectly normal).  A ``<s>``
+    sentinel prepends every doc, so position 1 scores p(w1 | <s>) and a
+    1-token doc still has one scored transition.
+
+    Bigrams are built MAP-SIDE by zipping the token array against its
+    shifted self (no lag window — a per-doc window would shuffle the
+    corpus before any aggregation).  The context normalizer c(v·) sums
+    bigram counts per context, so each conditional distribution sums to
+    exactly 1 and the interpolation stays a proper probability.
+
+    Plan shape (100 TB): two partial-agg shuffles build the bigram and
+    unigram tables (vocabulary- and bigram-vocabulary-sized), both
+    BROADCAST back onto the exploded transition stream; the per-doc mean
+    is the only corpus-sized shuffle — the same silhouette as the
+    unigram scorer, one broadcast wider.
+    """
+    from nomenklatura_spark.dedup.ngram import (
+        normalize_for_shingles,
+        widen_small_scan,
+    )
+
+    ws = F.filter(
+        F.split(normalize_for_shingles(F.col(text_col)), " "),
+        lambda w: w != "",
+    )
+    base = widen_small_scan(df).select(
+        F.col(id_col).alias("id"), ws.alias("_ws")
+    )
+    prev = F.concat(
+        F.array(F.lit("<s>")),
+        F.slice(
+            F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))
+        ),
+    )
+    pairs = base.where(F.size("_ws") > 0).select(
+        "id",
+        F.explode(
+            F.zip_with(prev, F.col("_ws"), lambda v, w: F.struct(v.alias("v"), w.alias("w")))
+        ).alias("bg"),
+    ).select("id", F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+    bigrams = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = pairs.groupBy("v").agg(F.count(F.lit(1)).alias("cv"))
+    uni = pairs.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total = pairs.select(F.count(F.lit(1)).alias("_total"))
+    p = F.lit(lam) * F.col("cb") / F.col("cv") + (
+        F.lit(1.0 - lam) * F.col("cu") / F.col("_total")
+    )
+    scored = (
+        pairs.join(F.broadcast(bigrams), ["v", "w"])
+        .join(F.broadcast(ctx), "v")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logprob_bi"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col), "n_tokens", "avg_neg_logprob_bi"
+    )
