@@ -2397,6 +2397,103 @@ def q_events_hll_weekly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_events_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter SERVING from maintained state
+    (``streaming/sketch_index.HeavyHittersIndexState``): CMS counters
+    plus the pigeonhole candidate set are folded by three
+    decade-of-month ingest batches fed OUT OF ORDER, then "top-20 users
+    by activity" is answered from the stored relations alone — point
+    estimates over stored candidates, history never rescanned (only the
+    ``n_true`` audit column touches it, to expose the one-sided CMS
+    overcount).  Any user with global count >= 3x the per-batch
+    threshold is provably in the candidate set; the oracle replays the
+    same batch slicing, candidate rule and exact-BIGINT sketch, so a
+    hash-green row proves the fold-across-arbitrary-slicing chain, not
+    just the final arithmetic."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.sketch_index import (
+        HeavyHittersIndexState,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="nk_hh_served_")
+    try:
+        state = HeavyHittersIndexState(spark, root, local_threshold=15)
+        slices = [(21, 31), (1, 10), (11, 20)]
+        # batch ids are monotone (the additive replay guard's contract);
+        # the DATA slices arrive out of time order
+        for b, (lo, hi) in enumerate(slices):
+            state.apply_batch(
+                events.where(F.dayofmonth("ts").between(lo, hi)),
+                "user_id",
+                batch_id=b,
+                scope="hh",
+            )
+        top = state.serve_topk(20)
+        exact = events.groupBy(
+            F.col("user_id").cast("string").alias("value")
+        ).agg(F.count(F.lit(1)).alias("n_true"))
+        out = (
+            top.join(exact, "value")
+            .select(
+                F.col("value").alias("user_id"),
+                "n_cms",
+                F.col("n_true").cast("long").alias("n_true"),
+            )
+            .orderBy(F.desc("n_cms"), "user_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_EVENTS_TOPK_SERVED_SQL = """
+    WITH vals AS (
+        SELECT CAST(user_id AS VARCHAR) AS value,
+               CASE WHEN day(ts) <= 10 THEN 0
+                    WHEN day(ts) <= 20 THEN 1
+                    ELSE 2 END AS b
+        FROM events
+    ),
+    cand AS (
+        SELECT DISTINCT value FROM (
+            SELECT value, b, count(*) AS c FROM vals GROUP BY value, b
+        ) WHERE c >= 15
+    ),
+    cnts AS (
+        SELECT dd.d,
+            CAST(('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR)
+                 || ':' || value), 1, 15)) AS BIGINT) % 1024 AS bucket,
+            count(*) AS cnt
+        FROM vals, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT c.value, dd.d,
+            CAST(('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR)
+                 || ':' || c.value), 1, 15)) AS BIGINT) % 1024 AS bucket
+        FROM cand c, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+    ),
+    est AS (
+        SELECT p.value, CAST(MIN(COALESCE(n.cnt, 0)) AS BIGINT) AS n_cms
+        FROM probes p LEFT JOIN cnts n ON n.d = p.d AND n.bucket = p.bucket
+        GROUP BY p.value
+    ),
+    top AS (
+        SELECT value, n_cms FROM est ORDER BY n_cms DESC, value LIMIT 20
+    )
+    SELECT t.value AS user_id, t.n_cms,
+           CAST(x.n_true AS BIGINT) AS n_true
+    FROM top t JOIN (
+        SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS n_true
+        FROM events GROUP BY 1
+    ) x USING (value)
+    ORDER BY t.n_cms DESC, t.value
+"""
+
+
 _EVENTS_HLL_WEEKLY_SQL = """
     WITH ev AS (
         SELECT event_type, user_id FROM events
@@ -6061,6 +6158,7 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "graph_scc": q_graph_scc,
     "doc_lm_bigram": q_doc_lm_bigram,
+    "events_topk_served": q_events_topk_served,
 }
 
 ORACLES = {
@@ -6160,4 +6258,5 @@ ORACLES = {
     "events_anomaly": _EVENTS_ANOMALY_SQL,
     "graph_scc": _GRAPH_SCC_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
+    "events_topk_served": _EVENTS_TOPK_SERVED_SQL,
 }

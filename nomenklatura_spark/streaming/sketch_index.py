@@ -189,3 +189,90 @@ def maintain_hist_stream(
         state.apply_batch(batch, key_col, value_col, batch_id=batch_id, scope=scope)
 
     return start_maintenance_stream(stream, _process, checkpoint_dir, trigger_once)
+
+
+_CAND_SCHEMA = "value string"
+
+
+class HeavyHittersIndexState(VersionedState):
+    """CMS counters plus a PROVABLY-capturing candidate set, maintained
+    together — the serving form of heavy hitters: "top-k right now"
+    answered from state, never by rescanning ingested history.
+
+    A count-min sketch alone cannot serve top-k (it answers point
+    queries; it has no key list).  The candidate rule here is the
+    distributed pigeonhole device: every batch contributes the keys
+    whose BATCH-LOCAL count reaches ``local_threshold`` T.  After B
+    batches, any key with global count >= B*T must have reached T in at
+    least one batch (counts can't all be below T and sum past B*T), so
+    the stored candidate set provably contains every key that heavy —
+    an executable epsilon like ``hll_pairwise_union``'s key cap, not a
+    heuristic.  Candidate state is bounded by sum_b(|batch_b| / T) keys;
+    keys lighter than B*T may be absent (the documented one-sided miss).
+
+    Serving = CMS point estimates over the stored candidates, ordered
+    by (estimate desc, value): estimates are exact-BIGINT one-sided
+    overcounts, so the true count of every served key is <= its
+    displayed estimate.  Both relations are written BEFORE the single
+    VERSION bump, so a crash mid-fold leaves the previous snapshot
+    consistent (counters and candidates never skew); additive CMS
+    counters get the batch-id replay guard, and the candidate union is
+    naturally idempotent (distinct set union).
+    """
+
+    def __init__(self, spark, root: str, depth: int = 4, width: int = 1024,
+                 prefix: str = "cms", local_threshold: int = 10):
+        super().__init__(spark, root)
+        self.depth, self.width, self.prefix = depth, width, prefix
+        self.local_threshold = local_threshold
+
+    def counters(self, version: int | None = None) -> DataFrame:
+        return self._read("counters", _CMS_SCHEMA, version)
+
+    def candidates(self, version: int | None = None) -> DataFrame:
+        return self._read("candidates", _CAND_SCHEMA, version)
+
+    def apply_batch(
+        self,
+        df: DataFrame,
+        value_col: str,
+        batch_id: int | None = None,
+        scope: str = "",
+    ) -> None:
+        if batch_id is not None and batch_id <= self.last_batch(scope):
+            return
+        vals = df.select(F.col(value_col).cast("string").alias("value"))
+        batch_sketch = cms_sketch(vals, "value", self.depth, self.width,
+                                  self.prefix).select(
+            "d", "bucket", F.col("cnt").cast("long").alias("cnt")
+        )
+        merged = (
+            self.counters()
+            .unionByName(batch_sketch)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        local_heavy = (
+            vals.groupBy("value")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= self.local_threshold)
+            .select("value")
+        )
+        cands = self.candidates().union(local_heavy).distinct()
+        nv = self.version() + 1
+        merged.write.mode("overwrite").parquet(self._path("counters", nv))
+        cands.write.mode("overwrite").parquet(self._path("candidates", nv))
+        if batch_id is None:
+            self._bump(nv)
+        else:
+            self._bump(nv, batch_id, scope)
+
+    def serve_topk(self, k: int) -> DataFrame:
+        """Top-k candidates by CMS estimate, from state alone."""
+        from nomenklatura_spark.operators.sketch import cms_lookup
+
+        est = cms_lookup(
+            self.counters(), self.candidates(), "value",
+            self.depth, self.width, self.prefix,
+        )
+        return est.orderBy(F.desc("n_cms"), "value").limit(k)

@@ -664,3 +664,69 @@ def test_weekly_serving_from_stored_registers_matches_scratch(spark, tmp_path):
         .count()
     )
     assert abs(est - n_true) / n_true < 0.15
+
+
+def test_heavy_hitters_index_capture_and_serve(spark, tmp_path):
+    from nomenklatura_spark.operators.sketch import cms_sketch
+    from nomenklatura_spark.streaming.sketch_index import (
+        HeavyHittersIndexState,
+    )
+
+    state = HeavyHittersIndexState(
+        spark, str(tmp_path / "hh"), local_threshold=10
+    )
+    schema = "v string"
+    # "spread" has global count 30 = 3*T spread at EXACTLY T per batch:
+    # the pigeonhole bound is tight, it must be captured.  "thin" has
+    # 27 = 9 per batch, under T everywhere: provably missable, and with
+    # this slicing actually missed.  "burst" is heavy in one batch only.
+    batches = [
+        [("spread",)] * 10 + [("thin",)] * 9 + [("burst",)] * 40,
+        [("spread",)] * 10 + [("thin",)] * 9,
+        [("spread",)] * 10 + [("thin",)] * 9 + [(f"noise{i}",) for i in range(20)],
+    ]
+    seen: list[tuple] = []
+    for n, batch in enumerate(batches):
+        seen.extend(batch)
+        state.apply_batch(
+            spark.createDataFrame(batch, schema), "v", batch_id=n, scope="t"
+        )
+    cands = {r["value"] for r in state.candidates().collect()}
+    assert "spread" in cands and "burst" in cands
+    assert "thin" not in cands
+    assert not any(c.startswith("noise") for c in cands)
+    # incremental counters == scratch sketch of everything
+    scratch = _sorted(cms_sketch(spark.createDataFrame(seen, schema), "v"))
+    assert _sorted(state.counters()) == scratch
+    # serving: one-sided estimates in served order
+    top = state.serve_topk(5).collect()
+    assert [r["value"] for r in top][:2] == ["burst", "spread"]
+    true_counts = {"burst": 40, "spread": 30}
+    for r in top:
+        assert r["n_cms"] >= true_counts.get(r["value"], 0)
+
+
+def test_heavy_hitters_index_replay_and_crash_consistency(spark, tmp_path):
+    from nomenklatura_spark.streaming.sketch_index import (
+        HeavyHittersIndexState,
+    )
+
+    state = HeavyHittersIndexState(
+        spark, str(tmp_path / "hh"), local_threshold=3
+    )
+    schema = "v string"
+    b0 = spark.createDataFrame([("a",)] * 5 + [("b",)], schema)
+    state.apply_batch(b0, "v", batch_id=0, scope="t")
+    counters0 = _sorted(state.counters())
+    cands0 = _sorted(state.candidates())
+    # at-least-once redelivery: same batch id is a no-op for BOTH
+    # relations (they bump under one VERSION pointer)
+    state.apply_batch(b0, "v", batch_id=0, scope="t")
+    assert _sorted(state.counters()) == counters0
+    assert _sorted(state.candidates()) == cands0
+    # time travel: version 0 still readable after a second batch
+    state.apply_batch(
+        spark.createDataFrame([("c",)] * 4, schema), "v", batch_id=1, scope="t"
+    )
+    assert _sorted(state.candidates(version=0)) == cands0
+    assert {r["value"] for r in state.candidates().collect()} == {"a", "c"}
