@@ -3074,6 +3074,52 @@ def _doc_sample_weighted_sql() -> str:
     """
 
 
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sample PER SOURCE (``priority_sample`` with
+    ``strata_col``): the per-domain variant a mixing stage runs so no
+    source exceeds its row budget while within-source selection stays
+    weight-proportional.  The rank rides the window, so WindowGroupLimit
+    bounds each map task to k rows per stratum (plan-asserted)."""
+    from nomenklatura_spark.textops.analysis import (
+        priority_sample,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = priority_sample(
+        docs, token_count(F.col("text")), 20, strata_col="source"
+    )
+    return out.select("doc_id", "source", "weight", "priority_key").orderBy(
+        "source", "priority_key", "doc_id"
+    )
+
+
+def _doc_sample_stratified_sql() -> str:
+    wc = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+    return f"""
+        WITH feat AS (
+            SELECT doc_id, source,
+                GREATEST(CAST({wc} AS BIGINT), 1) AS weight,
+                CAST(('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, weight, (h + 1) // weight AS priority_key,
+                row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY (h + 1) // weight, doc_id
+                ) AS rk
+            FROM feat
+        )
+        SELECT doc_id, source, weight, priority_key
+        FROM ranked WHERE rk <= 20
+        ORDER BY source, priority_key, doc_id
+    """
+
+
 # Sequence packing budget (tokens per shard).
 PACK_MAX_TOKENS = 2048
 
@@ -6159,6 +6205,7 @@ QUERIES = {
     "graph_scc": q_graph_scc,
     "doc_lm_bigram": q_doc_lm_bigram,
     "events_topk_served": q_events_topk_served,
+    "doc_sample_stratified": q_doc_sample_stratified,
 }
 
 ORACLES = {
@@ -6259,4 +6306,5 @@ ORACLES = {
     "graph_scc": _GRAPH_SCC_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,
+    "doc_sample_stratified": _doc_sample_stratified_sql(),
 }

@@ -653,6 +653,7 @@ def priority_sample(
     k: int,
     id_col: str = "doc_id",
     salt: str = "psample",
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Exactly-k weight-proportional sample via priority sampling
     (Duffield, Lund & Thorup, JACM 2007): each item gets priority
@@ -678,6 +679,12 @@ def priority_sample(
     rows; the corpus is never shuffled.  Weights clamp to >= 1 (a
     zero-weight row would divide by zero; keeping it at the floor weight
     matches the reference semantics of "never unsampleable").
+
+    With ``strata_col`` the cut is exactly-k PER STRATUM: the rank
+    predicate rides the window so WindowGroupLimit bounds what each map
+    task ships to k rows per stratum it sees (the ``source_cap``
+    discipline) — the single key shuffle carries O(strata x k x tasks)
+    rows, never the corpus.
     """
     from nomenklatura_spark.functions.hashing import md5_bucket
 
@@ -685,13 +692,22 @@ def priority_sample(
     # md5_bucket with mod 16^15 is the raw 60-bit integer (pmod no-op).
     h = md5_bucket(salt, F.col(id_col), 16**15)
     key = F.expr("(_ps_h + 1) DIV _ps_w")
-    return (
+    keyed = (
         df.withColumn("_ps_w", w)
         .withColumn("_ps_h", h)
         .withColumn("_ps_key", key)
-        .orderBy("_ps_key", id_col)
-        .limit(k)
-        .drop("_ps_h")
+    )
+    if strata_col is None:
+        cut = keyed.orderBy("_ps_key", id_col).limit(k)
+    else:
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy(strata_col).orderBy("_ps_key", id_col)
+        cut = keyed.withColumn("_ps_rk", F.row_number().over(win)).where(
+            F.col("_ps_rk") <= k
+        ).drop("_ps_rk")
+    return (
+        cut.drop("_ps_h")
         .withColumnRenamed("_ps_w", "weight")
         .withColumnRenamed("_ps_key", "priority_key")
     )

@@ -66,3 +66,41 @@ def test_cut_is_take_ordered_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_stratified_exact_k_per_stratum(spark):
+    from pyspark.sql import Row as _Row
+
+    rows = [
+        _Row(doc_id=i, w=(i % 7) + 1, src=f"s{i % 3}") for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    out = priority_sample(
+        df, F.col("w"), 10, id_col="doc_id", strata_col="src"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r["doc_id"])
+    assert {k: len(v) for k, v in by.items()} == {"s0": 10, "s1": 10, "s2": 10}
+    # within a stratum the winners are that stratum's global-key top-10
+    for s, ids in by.items():
+        stratum = [i for i in range(120) if f"s{i % 3}" == s]
+        keyed = sorted(
+            ((_h60("psample", i) + 1) // ((i % 7) + 1), i) for i in stratum
+        )
+        assert sorted(ids) == sorted(i for _, i in keyed[:10])
+
+
+def test_stratified_plan_uses_window_group_limit(spark):
+    from pyspark.sql import Row as _Row
+
+    df = spark.createDataFrame(
+        [_Row(doc_id=i, w=1, src=f"s{i % 3}") for i in range(60)]
+    )
+    plan = (
+        priority_sample(df, F.col("w"), 5, strata_col="src")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
