@@ -6104,9 +6104,13 @@ QUERIES = {
     # sketch, funnel, hybrid retrieval) sit inside the cap so every
     # tier's health is driver-visible.  Rows past the cap are
     # oracle-checked by tests/test_entry_contract.py at every SF —
-    # same contract, just not on the driver board.  (r8 rotation:
-    # doc_split_safe + doc_drift_served moved on-board, displacing the
-    # relational statements_unpivot + adjacency_orders rows.)
+    # same contract, just not on the driver board.  (r8 rotations:
+    # doc_split_safe + doc_drift_served displaced statements_unpivot +
+    # adjacency_orders; the new graph_scc / events_topk_served /
+    # events_anomaly / doc_sample_weighted rows displaced the middle ANN
+    # variants (brute, PQ and IVFPQ stay), dedup_exact and
+    # pair_scores_regression — every displaced row stays
+    # contract-checked.)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -6120,6 +6124,10 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "graph_kcore": q_graph_kcore,
+    "graph_scc": q_graph_scc,
+    "events_topk_served": q_events_topk_served,
+    "events_anomaly": q_events_anomaly,
+    "doc_sample_weighted": q_doc_sample_weighted,
     "dedup_containment": q_dedup_containment,
     "doc_cluster_keywords": q_doc_cluster_keywords,
     "events_hll_users": q_events_hll_users,
@@ -6134,9 +6142,7 @@ QUERIES = {
     "blocker_pairs": q_blocker_pairs,
     "blocker_match": q_blocker_match,
     "pair_scores": q_pair_scores,
-    "pair_scores_regression": q_pair_scores_regression,
     "pair_scores_ofac": q_pair_scores_ofac,
-    "dedup_exact": q_dedup_exact,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
     "events_sessionize": q_events_sessionize,
@@ -6148,8 +6154,6 @@ QUERIES = {
     "doc_pii": q_doc_pii,
     "xref_suggestions": q_xref_suggestions,
     "ann_topk": q_ann_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "doc_embed": q_doc_embed,
     "dedup_embedding": q_dedup_embedding,
@@ -6199,13 +6203,13 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "doc_bpe_ids": q_doc_bpe_ids,
     "doc_pack_bpe": q_doc_pack_bpe,
-    "doc_sample_weighted": q_doc_sample_weighted,
     "orders_profile": q_orders_profile,
-    "events_anomaly": q_events_anomaly,
-    "graph_scc": q_graph_scc,
     "doc_lm_bigram": q_doc_lm_bigram,
-    "events_topk_served": q_events_topk_served,
     "doc_sample_stratified": q_doc_sample_stratified,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "dedup_exact": q_dedup_exact,
+    "pair_scores_regression": q_pair_scores_regression,
 }
 
 ORACLES = {
