@@ -54,6 +54,14 @@ BENCH_QUERIES = [
     "events_hll_weekly_served",
     "doc_cluster_keywords",
     "events_funnel_served",
+    # r8 additions: anomaly monitoring, bigram LM scoring, weighted
+    # sampling, heavy-hitter serving (graph_scc is board-checked but
+    # not headline: its coloring loop is convergence-bound, the one
+    # deliberately-iterative row — see SCALE.md)
+    "events_anomaly",
+    "doc_lm_bigram",
+    "doc_sample_weighted",
+    "events_topk_served",
 ]
 
 

@@ -660,7 +660,12 @@ def strongly_connected_components(
     schema = "node " + dict(live_nodes.dtypes)["node"] + ", scc_id " + dict(
         live_nodes.dtypes
     )["node"]
-    assigned = spark.createDataFrame([], schema)
+    # extracted-SCC frames accumulate lazily: every input below is
+    # localCheckpointed before it lands here, so the final union is a
+    # wide-but-shallow plan over materialized blocks — no per-round
+    # re-checkpoint of the whole assigned relation (halves the trim
+    # loop's driver actions)
+    assigned_frames: list[DataFrame] = []
     live_edges = e
     for _ in range(max_outer):
         if live_nodes.isEmpty():
@@ -677,9 +682,9 @@ def strongly_connected_components(
             )
             if trivial.isEmpty():
                 break
-            assigned = assigned.union(
+            assigned_frames.append(
                 trivial.select("node", F.col("node").alias("scc_id"))
-            ).localCheckpoint(eager=True)
+            )
             live_nodes = live_nodes.join(
                 trivial, "node", "left_anti"
             ).localCheckpoint(eager=True)
@@ -782,11 +787,11 @@ def strongly_connected_components(
             raise ValueError(
                 f"scc: marking did not converge in {max_prop_rounds} rounds"
             )
-        assigned = assigned.union(
+        assigned_frames.append(
             mark.join(color, "node").select(
                 "node", F.col("color").alias("scc_id")
             )
-        ).localCheckpoint(eager=True)
+        )
         live_nodes = live_nodes.join(mark, "node", "left_anti").localCheckpoint(
             eager=True
         )
@@ -805,4 +810,7 @@ def strongly_connected_components(
             f"scc: {max_outer} extraction rounds did not exhaust the "
             "graph; raise max_outer"
         )
+    assigned = spark.createDataFrame([], schema)
+    for fr in assigned_frames:
+        assigned = assigned.union(fr)
     return assigned

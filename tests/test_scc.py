@@ -115,3 +115,19 @@ def test_random_digraphs_match_tarjan(spark):
         )
         edges = [(a, b) for a, b in edges if a != b]
         _check(spark, edges)
+
+
+def test_empty_graph_and_string_ids(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = strongly_connected_components(empty)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"node": "string", "scc_id": "string"}
+    # string ids: max-member labeling is lexicographic max
+    e = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {"a": "b", "b": "b", "c": "c"}
