@@ -2621,6 +2621,53 @@ _EVENTS_VALUE_HIST_SQL = """
 """
 
 
+def q_events_quantiles_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SERVING from maintained state — the third and last
+    sketch family gets its at-rest row (HLL: `events_hll_weekly_served`,
+    CMS: `events_topk_served`): per-(type) histogram bins are folded
+    into the ``streaming/sketch_index.HistIndexState`` snapshot by three
+    decade-of-month ingest batches arriving out of time order, then
+    p50/p95 per event type are answered by cumulative-bin interpolation
+    over the STORED bins — raw history never rescanned at question time.
+    Bounds are the index-creation contract (fixed before the first
+    batch; a deployment sets them from domain knowledge or a planning
+    pass).  The oracle computes the direct whole-history sketch, so
+    hash-green proves fold-to-disk across arbitrary slicing + read-back
+    + bin-wise-sum merge reproduces sketch-of-whole exactly (bin
+    counters are exact BIGINT)."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.operators.sketch import hist_bounds
+    from nomenklatura_spark.streaming.sketch_index import HistIndexState
+
+    events = load_table(spark, sf_dir, "events")
+    b = hist_bounds(events, "value").first()
+    root = tempfile.mkdtemp(prefix="nk_hist_served_")
+    try:
+        state = HistIndexState(spark, root, n_bins=32)
+        state.set_bounds(b["lo"], b["hi"])
+        slices = [(11, 20), (21, 31), (1, 10)]  # out of time order
+        for n, (lo, hi) in enumerate(slices):
+            state.apply_batch(
+                events.where(F.dayofmonth("ts").between(lo, hi)),
+                "event_type",
+                "value",
+                batch_id=n,
+                scope="hq",
+            )
+        p50 = state.quantile(0.5)
+        p95 = state.quantile(0.95)
+        out = (
+            p50.join(p95.drop("n"), "key")
+            .select(F.col("key").alias("event_type"), "n", "q50", "q95")
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-statistics rollup per event type: exact interpolated
     p50/p95 of ``value``, exact distinct users, stddev.  Covers the
@@ -6206,6 +6253,7 @@ QUERIES = {
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
+    "events_quantiles_served": q_events_quantiles_served,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_exact": q_dedup_exact,
@@ -6311,4 +6359,5 @@ ORACLES = {
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,
     "doc_sample_stratified": _doc_sample_stratified_sql(),
+    "events_quantiles_served": _EVENTS_VALUE_HIST_SQL,
 }
