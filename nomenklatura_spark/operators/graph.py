@@ -814,3 +814,34 @@ def strongly_connected_components(
     for fr in assigned_frames:
         assigned = assigned.union(fr)
     return assigned
+
+
+def condense_graph(
+    edges: DataFrame,
+    scc: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Condensation of a directed graph: contract every SCC (from
+    ``strongly_connected_components``) to one node and keep the distinct
+    inter-SCC edges.  The result is a DAG by construction (an edge
+    between two SCCs in both directions would have merged them), which
+    is the point: downstream passes that need acyclicity — topological
+    scheduling, longest-path dedup lineage, loop-free reachability —
+    run on the condensation, which for web-shaped graphs is orders of
+    magnitude smaller than the raw edge relation.
+
+    Plan shape: two equi-joins of the edge relation against the
+    node-sized SCC mapping (broadcast when it fits) + one distinct —
+    nothing exceeds the edge relation's own grain.
+    """
+    m_src = scc.select(F.col("node").alias(src), F.col("scc_id").alias("_sa"))
+    m_dst = scc.select(F.col("node").alias(dst), F.col("scc_id").alias("_sb"))
+    return (
+        edges.select(src, dst)
+        .join(m_src, src)
+        .join(m_dst, dst)
+        .where(F.col("_sa") != F.col("_sb"))
+        .select(F.col("_sa").alias("scc_src"), F.col("_sb").alias("scc_dst"))
+        .distinct()
+    )

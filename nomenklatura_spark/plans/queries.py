@@ -1672,6 +1672,77 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(edges).orderBy("node")
 
 
+def q_graph_condense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The condensation DAG over the same sparsified supplier hand-off
+    graph as ``graph_scc`` (``operators/graph.condense_graph``): every
+    SCC contracted to its max-member label, distinct inter-SCC edges
+    kept — acyclic by construction, the graph a topological pass
+    actually runs on.  The oracle contracts through the same
+    recursive-closure SCC labels."""
+    from nomenklatura_spark.operators.graph import (
+        condense_graph,
+        strongly_connected_components,
+    )
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s"))
+    l2 = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_suppkey").alias("d"),
+    )
+    chain = l1.join(l2, ["l_orderkey", "l_linenumber"]).where(
+        F.col("s") != F.col("d")
+    )
+    key = F.concat(
+        F.col("s").cast("string"), F.lit(">"), F.col("d").cast("string")
+    )
+    edges = chain.where(md5_bucket("scc", key, 100) < 2).select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    )
+    scc = strongly_connected_components(edges).localCheckpoint(eager=True)
+    return condense_graph(edges, scc).orderBy("scc_src", "scc_dst")
+
+
+_GRAPH_CONDENSE_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT l1.l_suppkey AS s, l2.l_suppkey AS d
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l2.l_linenumber = l1.l_linenumber + 1
+        WHERE l1.l_suppkey <> l2.l_suppkey
+    ),
+    e AS (
+        SELECT DISTINCT s, d FROM chain
+        WHERE CAST(('0x' || substr(md5('scc:' || s || '>' || d), 1, 15))
+            AS BIGINT) % 100 < 2
+    ),
+    reach(a, b) AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.a, e2.d FROM reach r JOIN e e2 ON e2.s = r.b
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    mutual AS (
+        SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    scc AS (
+        SELECT n.node,
+               GREATEST(n.node, COALESCE(MAX(m.u), n.node)) AS scc_id
+        FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+        GROUP BY n.node
+    )
+    SELECT DISTINCT sa.scc_id AS scc_src, sb.scc_id AS scc_dst
+    FROM e
+    JOIN scc sa ON sa.node = e.s
+    JOIN scc sb ON sb.node = e.d
+    WHERE sa.scc_id <> sb.scc_id
+    ORDER BY scc_src, scc_dst
+"""
+
+
 _GRAPH_SCC_SQL = """
     WITH RECURSIVE chain AS (
         SELECT l1.l_suppkey AS s, l2.l_suppkey AS d
@@ -6254,6 +6325,7 @@ QUERIES = {
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
     "events_quantiles_served": q_events_quantiles_served,
+    "graph_condense": q_graph_condense,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_exact": q_dedup_exact,
@@ -6360,4 +6432,5 @@ ORACLES = {
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,
     "doc_sample_stratified": _doc_sample_stratified_sql(),
     "events_quantiles_served": _EVENTS_VALUE_HIST_SQL,
+    "graph_condense": _GRAPH_CONDENSE_SQL,
 }

@@ -131,3 +131,24 @@ def test_empty_graph_and_string_ids(spark):
         for r in strongly_connected_components(e).collect()
     }
     assert got == {"a": "b", "b": "b", "c": "c"}
+
+
+def test_condensation_is_acyclic_and_correct(spark):
+    from pyspark.sql import Row
+
+    from nomenklatura_spark.operators.graph import condense_graph
+
+    # cycle {1,2,3} -> 5 -> cycle {7,8}; 9 -> 1
+    edges = [(1, 2), (2, 3), (3, 1), (3, 5), (5, 7), (7, 8), (8, 7), (9, 1)]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges], "src bigint, dst bigint"
+    )
+    scc = strongly_connected_components(df)
+    cond = {
+        (r["scc_src"], r["scc_dst"])
+        for r in condense_graph(df, scc).collect()
+    }
+    # SCC labels: {1,2,3}->3, {7,8}->8, singletons 5, 9
+    assert cond == {(3, 5), (5, 8), (9, 3)}
+    # acyclic: no pair appears in both directions and no self edges
+    assert all((b, a) not in cond and a != b for a, b in cond)
