@@ -1774,6 +1774,118 @@ _GRAPH_SCC_SQL = """
 """
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark shortest-path distances (``operators/graph.bfs_distances``)
+    over the same sparsified supplier hand-off digraph as ``graph_scc``:
+    every supplier whose key is a multiple of 10 is a seed, and the
+    output is the exact minimum hop count from each seed to every node
+    it reaches — the "hops from the seed list" column a crawl-frontier
+    curation pass attaches to every page, and the investigator's
+    "distance from a sanctioned entity" query over the ER relationship
+    graph.  The DuckDB oracle replays the closure as a depth-bounded
+    recursive CTE (paths with dist < 30, MIN per (seed, node)); the
+    bound is safe because the operator PROVES convergence below it
+    (sf0.01 diameter from the seeds: 15) and raises if not."""
+    from nomenklatura_spark.operators.graph import bfs_distances
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s"))
+    l2 = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_suppkey").alias("d"),
+    )
+    chain = l1.join(l2, ["l_orderkey", "l_linenumber"]).where(
+        F.col("s") != F.col("d")
+    )
+    key = F.concat(
+        F.col("s").cast("string"), F.lit(">"), F.col("d").cast("string")
+    )
+    edges = chain.where(md5_bucket("scc", key, 100) < 2).select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .where(F.col("seed") % 10 == 0)
+        .distinct()
+    )
+    return bfs_distances(edges, seeds).orderBy("seed", "node")
+
+
+_GRAPH_BFS_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT l1.l_suppkey AS s, l2.l_suppkey AS d
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l2.l_linenumber = l1.l_linenumber + 1
+        WHERE l1.l_suppkey <> l2.l_suppkey
+    ),
+    e AS (
+        SELECT DISTINCT s, d FROM chain
+        WHERE CAST(('0x' || substr(md5('scc:' || s || '>' || d), 1, 15))
+            AS BIGINT) % 100 < 2
+    ),
+    seeds AS (SELECT DISTINCT s AS seed FROM e WHERE s % 10 = 0),
+    walk(seed, node, dist) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT w.seed, e2.d, w.dist + 1 FROM walk w JOIN e e2 ON e2.s = w.node
+        WHERE w.dist + 1 < 30
+    )
+    SELECT seed, node, MIN(dist) AS dist FROM walk GROUP BY seed, node
+    ORDER BY seed, node
+"""
+
+
+def q_graph_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction
+    (``operators/graph.link_prediction``) over the part co-occurrence
+    graph shared with ``graph_triangles``: non-adjacent part pairs
+    sharing >= 3 co-occurrence partners, scored by common-neighbor
+    count and neighborhood Jaccard — the structural analog of the
+    reference's token-blocking xref suggestions (two entities sharing
+    many relationship partners but no direct edge are the pairs worth a
+    human look).  Exact on this graph (no hub cap); the
+    ``max_center_degree`` knob documented in the operator is the
+    100 TB hub bound."""
+    from nomenklatura_spark.operators.graph import link_prediction
+
+    return link_prediction(
+        _tri_part_pairs(spark, sf_dir), min_common=3
+    ).orderBy("a", "b")
+
+
+_GRAPH_LINKS_SQL = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 5 = 0),
+    und AS (
+        SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                        greatest(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+    ),
+    adj AS (SELECT a AS s, b AS d FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT d AS node, COUNT(*) AS degree FROM adj GROUP BY d),
+    wedges AS (
+        SELECT x.d AS a, y.d AS b FROM adj x JOIN adj y ON x.s = y.s
+        WHERE x.d < y.d
+    ),
+    counts AS (SELECT a, b, COUNT(*) AS common FROM wedges GROUP BY a, b),
+    missing AS (
+        SELECT c.* FROM counts c LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+        WHERE u.a IS NULL AND c.common >= 3
+    )
+    SELECT m.a, m.b, m.common, da.degree AS deg_a, db.degree AS deg_b,
+           round(m.common * 1.0 / (da.degree + db.degree - m.common), 4)
+               AS jaccard
+    FROM missing m
+    JOIN deg da ON da.node = m.a
+    JOIN deg db ON db.node = m.b
+    ORDER BY a, b
+"""
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling over the part co-occurrence graph — the
     density diagnostic after triangles: survivors of 5 peel rounds at
@@ -6330,6 +6442,8 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_exact": q_dedup_exact,
     "pair_scores_regression": q_pair_scores_regression,
+    "graph_bfs": q_graph_bfs,
+    "graph_links": q_graph_links,
 }
 
 ORACLES = {
@@ -6428,6 +6542,8 @@ ORACLES = {
     "orders_profile": _orders_profile_sql(),
     "events_anomaly": _EVENTS_ANOMALY_SQL,
     "graph_scc": _GRAPH_SCC_SQL,
+    "graph_bfs": _GRAPH_BFS_SQL,
+    "graph_links": _GRAPH_LINKS_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,
     "doc_sample_stratified": _doc_sample_stratified_sql(),
