@@ -2500,6 +2500,90 @@ def q_events_funnel_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_events_sessions_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session table answered from maintained interval state
+    (``streaming/session_index.py``): raw events are folded into
+    per-user session intervals by three decade-of-month ingest batches
+    ARRIVING OUT OF TIME ORDER (decades 3, 1, then 2 — the middle
+    decade lands last, so late events bridge established intervals,
+    fall inside them, and open new ones), and the sessions are served
+    from state alone.  The oracle is the classic gaps-and-islands SQL
+    over the full history, so a hash-green row proves the
+    interior-irrelevance lemma end-to-end: per-session (start, end,
+    count, value) from O(sessions) state == rescan-everything.  Values
+    ride as exact integer cents (house integer-arithmetic rule) and are
+    divided back only at the serving edge."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.session_index import SessionIndexState
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.dayofmonth(F.to_date("ts")))
+        .withColumn(
+            "value_int", F.round(F.col("value") * 100).cast("bigint")
+        )
+    )
+    root = tempfile.mkdtemp(prefix="nk_sess_idx_")
+    try:
+        state = SessionIndexState(spark, root, gap_seconds=1800)
+        for b, (lo, hi) in enumerate([(21, 31), (1, 10), (11, 20)]):
+            state.apply_batch(
+                events.where(F.col("day").between(lo, hi)), batch_id=b
+            )
+        out = (
+            state.sessions()
+            .select(
+                F.col("u").cast("bigint").alias("user_id"),
+                F.date_format("s", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("e", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                F.col("n").alias("n_events"),
+                F.round(F.col("sv") / 100.0, 2).alias("sum_value"),
+            )
+            .orderBy("user_id", "session_start")
+        )
+        # driver-materialize (session-grain rows) before dropping the
+        # on-disk state — see events_hll_weekly_served
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SESSIONS_SERVED_SQL = """
+    WITH o AS (
+        SELECT user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL '30 minutes' THEN 1
+                       ELSE 0 END AS new_sess
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM m
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(cents) / 100.0, 2) AS sum_value
+    FROM s
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+"""
+
+
 def q_events_hll_weekly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed-sketch SERVING, end to end at rest: per-(type, day) HLL
     registers are folded into the ``streaming/hll_index.py`` snapshot
@@ -6444,6 +6528,7 @@ QUERIES = {
     "pair_scores_regression": q_pair_scores_regression,
     "graph_bfs": q_graph_bfs,
     "graph_links": q_graph_links,
+    "events_sessions_served": q_events_sessions_served,
 }
 
 ORACLES = {
@@ -6544,6 +6629,7 @@ ORACLES = {
     "graph_scc": _GRAPH_SCC_SQL,
     "graph_bfs": _GRAPH_BFS_SQL,
     "graph_links": _GRAPH_LINKS_SQL,
+    "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,
     "doc_sample_stratified": _doc_sample_stratified_sql(),
