@@ -66,6 +66,36 @@ from nomenklatura_spark.streaming.state import (
 _SESS_SCHEMA = "u string, s timestamp, e timestamp, n bigint, sv bigint"
 
 
+def fold_session_intervals(merged: DataFrame, gap_seconds: int) -> DataFrame:
+    """One windowed pass of interval gaps-and-islands over (u, s, e, n,
+    sv) rows: merge intervals whose start is within ``gap_seconds`` of
+    the running maximum end (containment and overlap collapse with the
+    same predicate), summing the additive counters.  The window
+    partitions by the USER key — its per-key row count is that user's
+    session count plus the batch's own events, never the raw history —
+    and the final groupBy partially aggregates map-side."""
+    w = Window.partitionBy("u").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    gap_us = gap_seconds * 1_000_000
+    starts_new = F.when(
+        prev_end.isNull()
+        | (F.unix_micros("s") - F.unix_micros(prev_end) >= gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        merged.withColumn("_new", starts_new)
+        .withColumn("_island", F.sum("_new").over(w))
+        .groupBy("u", "_island")
+        .agg(
+            F.min("s").alias("s"),
+            F.max("e").alias("e"),
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+        )
+        .select("u", "s", "e", "n", "sv")
+    )
+
+
 class SessionIndexState(VersionedState):
     """Versioned on-disk state: the per-user session-interval relation
     (u, s, e, n, sv) for one gap definition."""
@@ -113,28 +143,7 @@ class SessionIndexState(VersionedState):
             val.alias("sv"),
         ).where(F.col("s").isNotNull())
         merged = self.sessions().unionByName(batch)
-        w = Window.partitionBy("u").orderBy("s", "e")
-        prev_end = F.max("e").over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
-        )
-        gap_us = self.gap_seconds * 1_000_000
-        starts_new = F.when(
-            prev_end.isNull()
-            | (F.unix_micros("s") - F.unix_micros(prev_end) >= gap_us),
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        folded = (
-            merged.withColumn("_new", starts_new)
-            .withColumn("_island", F.sum("_new").over(w))
-            .groupBy("u", "_island")
-            .agg(
-                F.min("s").alias("s"),
-                F.max("e").alias("e"),
-                F.sum("n").alias("n"),
-                F.sum("sv").alias("sv"),
-            )
-            .select("u", "s", "e", "n", "sv")
-        )
+        folded = fold_session_intervals(merged, self.gap_seconds)
         nv = self.version() + 1
         folded.write.mode("overwrite").parquet(self._path("sessions", nv))
         if batch_id is None:

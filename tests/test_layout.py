@@ -534,3 +534,62 @@ def test_cluster_keywords_topk_is_window_group_limit(spark, sf_dir):
     plan = _plan(cluster_keywords(docs, assign))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_all_equi_joins_partial_agg(spark, sf_dir):
+    """link_prediction must stay on hash equi-joins end to end (wedge
+    self-join on the center key, degree joins, edge anti-join) — never
+    a cartesian/nested-loop — and both the degree and the wedge counts
+    must partially aggregate map-side before their exchanges."""
+    import re
+
+    from nomenklatura_spark.operators.graph import link_prediction
+    from nomenklatura_spark.session import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pp = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    plan = _plan(link_prediction(pp, min_common=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    # no window anywhere: counts come from partial-agg groupBys
+    assert "windowspecdefinition" not in plan
+
+
+def test_session_fold_windows_on_user_only(spark):
+    """The session-interval fold's window must partition by the USER
+    key alone (per-key rows = that user's sessions + the batch's own
+    events, never the raw history) and the island rollup must partially
+    aggregate map-side."""
+    import re
+
+    from nomenklatura_spark.streaming.session_index import (
+        fold_session_intervals,
+    )
+
+    merged = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2, 30)],
+        "u string, s string, e string, n bigint, sv bigint",
+    ).select(
+        "u",
+        F.to_timestamp("s").alias("s"),
+        F.to_timestamp("e").alias("e"),
+        "n",
+        "sv",
+    )
+    plan = _plan(fold_session_intervals(merged, 1800))
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {"u"}
+    assert "partial_min" in plan or "partial_sum" in plan
