@@ -1016,3 +1016,82 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def dag_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Longest-path layering of a DAG: ``layer(v) = 0`` for sources (no
+    in-edges) and ``layer(v) = 1 + max(layer(u) for u -> v)`` otherwise
+    — the topological level assignment that turns the SCC condensation
+    (``condense_graph``) into an executable schedule: everything in
+    layer L depends only on layers < L, so a dependency-ordered rebuild
+    (dataset refresh DAGs, dedup-lineage replay, ownership-chain depth)
+    runs the layers in sequence and each layer in parallel.
+
+    Exact fixed-point relaxation on integers: start every node at 0;
+    each round recomputes ``1 + max`` over in-neighbors (one equi-join
+    + partial-agg max) and keeps the elementwise maximum.  On a DAG the
+    longest path into any node has at most ``depth`` edges, so values
+    stabilize in ``depth`` rounds; the delta check (any node whose
+    layer still grew) is the convergence proof.  A CYCLE keeps growing
+    forever — exceeding ``max_rounds`` therefore raises, which doubles
+    as the not-actually-a-DAG detector (run
+    ``strongly_connected_components`` + ``condense_graph`` first).
+
+    Deterministic and engine-exact (max + integers, no tie rules): a
+    DuckDB recursive CTE replays it as MAX(path length) per node over
+    depth-bounded path enumeration.
+
+    100 TB shape: the edge relation is hash-partitioned on ``dst`` once
+    and localCheckpointed; each round is one equi-join against the
+    node-sized layer frame + a partial-agg max, lineage truncated per
+    round.  Rounds = condensation depth — small for web-shaped graphs
+    whose condensation is shallow.
+
+    Returns ``(node, layer)`` for every node incident to an edge.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .repartition("_d")
+        .localCheckpoint(eager=True)
+    )
+    layer = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("layer"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        cand = (
+            layer.join(e, layer["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg((F.max("layer") + F.lit(1)).alias("_cand"))
+        )
+        nxt = (
+            layer.join(cand, "node", "left")
+            .select(
+                "node",
+                F.greatest(F.col("layer"), F.coalesce("_cand", "layer"))
+                .cast("int")
+                .alias("layer"),
+                (F.coalesce("_cand", F.lit(0)) > F.col("layer")).alias(
+                    "_grew"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.where(F.col("_grew")).isEmpty():
+            return nxt.select("node", "layer")
+        layer = nxt.select("node", "layer")
+    raise ValueError(
+        f"dag_layers: layers still growing after {max_rounds} rounds — "
+        "the graph has a cycle (condense SCCs first) or needs a larger "
+        "max_rounds"
+    )

@@ -1288,6 +1288,68 @@ _DEDUP_COMPONENTS_SQL = f"""
 """
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise clustering evaluation (``dedup/eval.py``): the near-dup
+    components (predicted clustering, singletons = own doc) scored
+    against the bag-of-words fingerprint groups (gold labeling) by
+    pairwise precision / recall / F1 — the number a pipeline team
+    actually reads when re-tuning an LSH threshold.  Counts come from
+    cluster-size aggregates alone (sum of C(n,2) over gold / pred /
+    contingency cells), so the quadratic pair space is never
+    materialized; the oracle replays the identical identity in SQL."""
+    from nomenklatura_spark.dedup.eval import pairwise_cluster_metrics
+    from nomenklatura_spark.resolver.components import connected_components
+    from nomenklatura_spark.textops.analysis import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = connected_components(
+        _spark_ngram_pairs(spark, sf_dir), src="lid", dst="rid"
+    ).withColumnRenamed("node", "doc_id")
+    labels = (
+        docs.select("doc_id", doc_fingerprint(F.col("text")).alias("gold"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gold",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("pred"),
+        )
+    )
+    return pairwise_cluster_metrics(labels)
+
+
+_DEDUP_EVAL_SQL = f"""
+    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY},
+    comp AS (SELECT node, min(reached) AS component FROM walk GROUP BY node),
+    lab AS (
+        SELECT d.doc_id,
+               md5(array_to_string(list_sort(list_distinct({_DOC_WORDS})),
+                   ' ')) AS g,
+               coalesce(c.component, d.doc_id) AS p
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    gs AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+               AS gold_pairs
+           FROM (SELECT count(*) AS n FROM lab GROUP BY g)),
+    ps AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+               AS pred_pairs
+           FROM (SELECT count(*) AS n FROM lab GROUP BY p)),
+    ts AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+               AS tp_pairs
+           FROM (SELECT count(*) AS n FROM lab GROUP BY g, p))
+    SELECT tp_pairs, gold_pairs, pred_pairs,
+           CASE WHEN pred_pairs > 0
+                THEN round(tp_pairs * 1.0 / pred_pairs, 6)
+                ELSE 0.0 END AS pair_precision,
+           CASE WHEN gold_pairs > 0
+                THEN round(tp_pairs * 1.0 / gold_pairs, 6)
+                ELSE 0.0 END AS pair_recall,
+           CASE WHEN gold_pairs + pred_pairs > 0
+                THEN round(2.0 * tp_pairs / (gold_pairs + pred_pairs), 6)
+                ELSE 0.0 END AS pair_f1
+    FROM ts, gs, ps
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank over the customer↔supplier trade
     graph (distinct (customer, supplier) pairs from orders ⋈ lineitem,
@@ -1883,6 +1945,91 @@ _GRAPH_LINKS_SQL = """
     JOIN deg da ON da.node = m.a
     JOIN deg db ON db.node = m.b
     ORDER BY a, b
+"""
+
+
+def q_graph_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path layering (``operators/graph.dag_layers``) of the
+    condensation DAG from ``graph_condense``: every SCC gets its
+    topological level (layer L depends only on layers < L), turning the
+    SCC pipeline into an executable schedule — the layered rebuild
+    order for dataset-dependency DAGs and the depth column for
+    ownership-chain analysis.  The oracle replays the exact same
+    relaxation as MAX(path length) per node over depth-bounded path
+    enumeration on the contracted edges."""
+    from nomenklatura_spark.operators.graph import (
+        condense_graph,
+        dag_layers,
+        strongly_connected_components,
+    )
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s"))
+    l2 = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_suppkey").alias("d"),
+    )
+    chain = l1.join(l2, ["l_orderkey", "l_linenumber"]).where(
+        F.col("s") != F.col("d")
+    )
+    key = F.concat(
+        F.col("s").cast("string"), F.lit(">"), F.col("d").cast("string")
+    )
+    edges = chain.where(md5_bucket("scc", key, 100) < 2).select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    )
+    scc = strongly_connected_components(edges).localCheckpoint(eager=True)
+    dag = condense_graph(edges, scc)
+    return dag_layers(dag, src="scc_src", dst="scc_dst").orderBy("node")
+
+
+_GRAPH_LAYERS_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT l1.l_suppkey AS s, l2.l_suppkey AS d
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l2.l_linenumber = l1.l_linenumber + 1
+        WHERE l1.l_suppkey <> l2.l_suppkey
+    ),
+    e AS (
+        SELECT DISTINCT s, d FROM chain
+        WHERE CAST(('0x' || substr(md5('scc:' || s || '>' || d), 1, 15))
+            AS BIGINT) % 100 < 2
+    ),
+    reach(a, b) AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.a, e2.d FROM reach r JOIN e e2 ON e2.s = r.b
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    mutual AS (
+        SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    scc AS (
+        SELECT n.node,
+               GREATEST(n.node, COALESCE(MAX(m.u), n.node)) AS scc_id
+        FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+        GROUP BY n.node
+    ),
+    ce AS (
+        SELECT DISTINCT sa.scc_id AS s, sb.scc_id AS d
+        FROM e
+        JOIN scc sa ON sa.node = e.s
+        JOIN scc sb ON sb.node = e.d
+        WHERE sa.scc_id <> sb.scc_id
+    ),
+    cnodes AS (SELECT s AS node FROM ce UNION SELECT d FROM ce),
+    walk(node, len) AS (
+        SELECT node, 0 FROM cnodes
+        UNION
+        SELECT c.d, w.len + 1 FROM walk w JOIN ce c ON c.s = w.node
+        WHERE w.len + 1 < 30
+    )
+    SELECT node, CAST(MAX(len) AS INT) AS layer
+    FROM walk GROUP BY node ORDER BY node
 """
 
 
@@ -6423,8 +6570,9 @@ QUERIES = {
     # adjacency_orders; the new graph_scc / events_topk_served /
     # events_anomaly / doc_sample_weighted rows displaced the middle ANN
     # variants (brute, PQ and IVFPQ stay), dedup_exact and
-    # pair_scores_regression — every displaced row stays
-    # contract-checked.)
+    # pair_scores_regression; late-r8: events_sessions_served +
+    # graph_bfs + graph_links displaced ann_topk, doc_stats and
+    # doc_embed — every displaced row stays contract-checked.)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -6449,6 +6597,9 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_funnel_served": q_events_funnel_served,
     "events_hll_weekly_served": q_events_hll_weekly_served,
+    "events_sessions_served": q_events_sessions_served,
+    "graph_bfs": q_graph_bfs,
+    "graph_links": q_graph_links,
     "doc_split_safe": q_doc_split_safe,
     "doc_drift_served": q_doc_drift_served,
     "entity_properties": q_entity_properties,
@@ -6461,15 +6612,12 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "events_sessionize": q_events_sessionize,
     "linker_apply": q_linker_apply,
-    "doc_stats": q_doc_stats,
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_search_hybrid": q_doc_search_hybrid,
     "doc_pack": q_doc_pack,
     "doc_pii": q_doc_pii,
     "xref_suggestions": q_xref_suggestions,
-    "ann_topk": q_ann_topk,
     "ann_pq_topk": q_ann_pq_topk,
-    "doc_embed": q_doc_embed,
     "dedup_embedding": q_dedup_embedding,
     "doc_dup_passages": q_doc_dup_passages,
     "conflicting_matches": q_conflicting_matches,
@@ -6477,6 +6625,9 @@ QUERIES = {
     "blocker_stopwords": q_blocker_stopwords,
     # entries past the driver's 50-row board cap: oracle-checked by the
     # pytest suite (tests/test_entry_contract.py), invisible to the board
+    "ann_topk": q_ann_topk,
+    "doc_stats": q_doc_stats,
+    "doc_embed": q_doc_embed,
     "statements_unpivot": q_statements_unpivot,
     "adjacency_orders": q_adjacency_orders,
     "pricing_summary": q_pricing_summary,
@@ -6526,9 +6677,8 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_exact": q_dedup_exact,
     "pair_scores_regression": q_pair_scores_regression,
-    "graph_bfs": q_graph_bfs,
-    "graph_links": q_graph_links,
-    "events_sessions_served": q_events_sessions_served,
+    "graph_layers": q_graph_layers,
+    "dedup_eval": q_dedup_eval,
 }
 
 ORACLES = {
@@ -6629,6 +6779,8 @@ ORACLES = {
     "graph_scc": _GRAPH_SCC_SQL,
     "graph_bfs": _GRAPH_BFS_SQL,
     "graph_links": _GRAPH_LINKS_SQL,
+    "graph_layers": _GRAPH_LAYERS_SQL,
+    "dedup_eval": _DEDUP_EVAL_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

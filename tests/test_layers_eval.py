@@ -1,0 +1,134 @@
+"""DAG longest-path layering (operators/graph.dag_layers) and pairwise
+clustering evaluation (dedup/eval.py): exact parity with driver-side
+references, the cycle detector, and the zero-denominator edges."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from nomenklatura_spark.dedup.eval import pairwise_cluster_metrics
+from nomenklatura_spark.operators.graph import dag_layers
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges], "src string, dst string"
+    )
+
+
+def _py_layers(edges):
+    """layer(v) = longest path (in edges) ending at v."""
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    inn: dict[str, set[str]] = {v: set() for v in nodes}
+    for a, b in edges:
+        inn[b].add(a)
+    layer = {v: 0 for v in nodes}
+    for _ in range(len(nodes) + 1):
+        nxt = {
+            v: max([0] + [layer[u] + 1 for u in inn[v]]) for v in nodes
+        }
+        if nxt == layer:
+            return layer
+        layer = nxt
+    raise AssertionError("cycle in reference input")
+
+
+# diamond feeding a chain: a->b, a->c, b->d, c->d, d->e
+DAG = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+
+
+def test_layers_crafted_diamond_chain(spark):
+    got = {
+        r["node"]: r["layer"]
+        for r in dag_layers(_edges_df(spark, DAG)).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    assert got == _py_layers(DAG)
+
+
+def test_layers_longest_path_wins(spark):
+    # two routes to z: direct (len 1) and through a 3-chain (len 3) —
+    # the layering must take the MAX, not the BFS min
+    edges = [("s", "z"), ("s", "m1"), ("m1", "m2"), ("m2", "z")]
+    got = {
+        r["node"]: r["layer"]
+        for r in dag_layers(_edges_df(spark, edges)).collect()
+    }
+    assert got["z"] == 3
+    assert got == _py_layers(edges)
+
+
+def test_layers_cycle_raises(spark):
+    cyc = [("x", "y"), ("y", "z"), ("z", "x")]
+    with pytest.raises(ValueError, match="cycle"):
+        dag_layers(_edges_df(spark, cyc), max_rounds=10)
+
+
+def test_layers_random_dag_parity(spark):
+    rng = random.Random(4209)
+    n = 30
+    edges = []
+    for _ in range(90):
+        i, j = sorted(rng.sample(range(n), 2))
+        edges.append((f"v{i:02d}", f"v{j:02d}"))  # i<j: acyclic
+    got = {
+        r["node"]: r["layer"]
+        for r in dag_layers(_edges_df(spark, edges)).collect()
+    }
+    assert got == _py_layers(edges)
+
+
+def _labels_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, gold=g, pred=p) for i, g, p in rows],
+        "id long, gold string, pred string",
+    )
+
+
+def _py_metrics(rows):
+    from collections import Counter
+
+    c2 = lambda n: n * (n - 1) // 2  # noqa: E731
+    g = sum(c2(n) for n in Counter(r[1] for r in rows).values())
+    p = sum(c2(n) for n in Counter(r[2] for r in rows).values())
+    t = sum(c2(n) for n in Counter((r[1], r[2]) for r in rows).values())
+    prec = round(t / p, 6) if p else 0.0
+    rec = round(t / g, 6) if g else 0.0
+    f1 = round(2 * t / (g + p), 6) if (g + p) else 0.0
+    return (t, g, p, prec, rec, f1)
+
+
+def test_eval_crafted_split_cluster(spark):
+    # gold cluster {1,2,3} predicted split into {1,2} + {3}: TP=1 of
+    # G=3 gold pairs, P=1 predicted pair -> precision 1, recall 1/3
+    rows = [(1, "A", "x"), (2, "A", "x"), (3, "A", "y"), (4, "B", "z")]
+    (got,) = pairwise_cluster_metrics(_labels_df(spark, rows)).collect()
+    assert tuple(got) == (1, 3, 1, 1.0, 0.333333, 0.5)
+    assert tuple(got) == _py_metrics(rows)
+
+
+def test_eval_perfect_and_empty_prediction(spark):
+    perfect = [(1, "A", "x"), (2, "A", "x"), (3, "B", "y")]
+    (got,) = pairwise_cluster_metrics(_labels_df(spark, perfect)).collect()
+    assert (got["pair_precision"], got["pair_recall"], got["pair_f1"]) == (
+        1.0,
+        1.0,
+        1.0,
+    )
+    # all-singleton prediction: no predicted pairs, precision defined 0
+    single = [(1, "A", "x"), (2, "A", "y"), (3, "A", "z")]
+    (got,) = pairwise_cluster_metrics(_labels_df(spark, single)).collect()
+    assert tuple(got) == (0, 3, 0, 0.0, 0.0, 0.0)
+
+
+def test_eval_random_parity(spark):
+    rng = random.Random(4210)
+    rows = [
+        (i, f"g{rng.randrange(8)}", f"p{rng.randrange(10)}")
+        for i in range(300)
+    ]
+    (got,) = pairwise_cluster_metrics(_labels_df(spark, rows)).collect()
+    assert tuple(got) == _py_metrics(rows)
