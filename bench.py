@@ -62,6 +62,17 @@ BENCH_QUERIES = [
     "doc_lm_bigram",
     "doc_sample_weighted",
     "events_topk_served",
+    # late-r8 additions: the session-table serving row (wall = three
+    # out-of-order ingest folds + the serve, like events_funnel_served),
+    # common-neighbor link prediction, and the pairwise dedup evaluation
+    # (reuses the memoized near-dup pair graph that dedup_components
+    # already materialized).  graph_bfs and graph_layers are
+    # board-checked but not headline: like graph_scc they are
+    # convergence-bound iterative loops whose local wall is driver
+    # round-trips, not data (see SCALE.md)
+    "events_sessions_served",
+    "graph_links",
+    "dedup_eval",
 ]
 
 
