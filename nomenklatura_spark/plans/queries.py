@@ -2352,6 +2352,43 @@ _EVENTS_RETENTION_SQL = """
 """
 
 
+def q_events_retention_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention answered from maintained state
+    (``streaming/retention_index.py``): raw events are folded into the
+    distinct (user, day) presence relation by three decade-of-month
+    ingest batches ARRIVING OUT OF TIME ORDER (decades 2, 3, then 1 —
+    the cohort-shifting late-data path executes for every early-decade
+    user), and the cohort table is served from state alone.  The oracle
+    is the batch retention SQL over the full history, so a hash-green
+    row proves presence is the sufficient statistic: fold-in-any-order
+    == rescan-everything.  At 100 TB the serving cost is
+    O(users x active-days) however many events accumulate."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.retention_index import (
+        RetentionIndexState,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day_of_month", F.dayofmonth(F.to_date("ts"))
+    )
+    root = tempfile.mkdtemp(prefix="nk_ret_idx_")
+    try:
+        state = RetentionIndexState(spark, root)
+        for b, (lo, hi) in enumerate([(11, 20), (21, 31), (1, 10)]):
+            state.apply_batch(
+                events.where(F.col("day_of_month").between(lo, hi)),
+                batch_id=b,
+            )
+        out = state.retention().orderBy("cohort_day", "day_offset")
+        # driver-materialize (cohort-grain rows) before dropping the
+        # on-disk state — see events_hll_weekly_served
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch ordered funnel view → click → purchase within 7
     days (``operators/temporal.funnel_steps``): per user, each step's
@@ -6679,6 +6716,7 @@ QUERIES = {
     "pair_scores_regression": q_pair_scores_regression,
     "graph_layers": q_graph_layers,
     "dedup_eval": q_dedup_eval,
+    "events_retention_served": q_events_retention_served,
 }
 
 ORACLES = {
@@ -6781,6 +6819,7 @@ ORACLES = {
     "graph_links": _GRAPH_LINKS_SQL,
     "graph_layers": _GRAPH_LAYERS_SQL,
     "dedup_eval": _DEDUP_EVAL_SQL,
+    "events_retention_served": _EVENTS_RETENTION_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,
