@@ -507,6 +507,10 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     # the sandbox disk — the sliced probe keeps x10 at 2x corpus volume
     # with the identical plan shape.
     from nomenklatura_spark.dedup.ngram import containment_join
+    from nomenklatura_spark.operators.graph import link_prediction
+    from nomenklatura_spark.streaming.session_index import (
+        fold_session_intervals,
+    )
 
     docs_slice = docs.where(F.col("doc_id") % 5 == 0)
     docs_c1 = (
@@ -544,6 +548,22 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "dedup_containment": lambda d: containment_join(
             d, "doc_id", "text", k=3, mode="word", threshold=0.6
         ),
+        # late-r8: link prediction on disjoint graph copies (same
+        # discipline as triangles — wedge volume is the operator's own
+        # bound, so the fair probe multiplies components); the session
+        # fold on 10x disjoint users (per-user window state is the
+        # claim: ratio tracks the event volume, never the history)
+        "graph_links": lambda e: link_prediction(e, min_common=3),
+        "events_sessions_fold": lambda d: fold_session_intervals(
+            d.select(
+                F.col("user_id").cast("string").alias("u"),
+                F.col("ts").cast("timestamp").alias("s"),
+                F.col("ts").cast("timestamp").alias("e"),
+                F.lit(1).cast("bigint").alias("n"),
+                F.lit(0).cast("bigint").alias("sv"),
+            ),
+            1800,
+        ),
     }
     inputs = {
         "doc_embed": (docs, docs_n),
@@ -557,6 +577,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "graph_label_prop": ((lp_trade, lp_seeds), (lp_trade_n, lp_seeds_n)),
         "events_funnel": (ev, ev_n),
         "dedup_containment": (docs_c1, docs_cn),
+        "graph_links": (tri_edges, tri_edges_n),
+        "events_sessions_fold": (ev, ev_n),
     }
     # operators that materialize work at DataFrame-build time
     # (localCheckpoint inside the builder — the iterative rounds, and

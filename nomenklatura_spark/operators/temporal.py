@@ -316,3 +316,69 @@ def robust_anomalies(
             4,
         ).alias("robust_z"),
     )
+
+
+def event_paths(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """Top event-type PATHS: the ``top_n`` most frequent length-``k``
+    consecutive event-type sequences across users — the "what do users
+    actually do" Sankey/path-analysis reduction that sits beside the
+    funnel (the funnel counts a DECLARED sequence; this discovers the
+    frequent ones).
+
+    Shape — one user-keyed shuffle, no self-joins: per user the events
+    are gathered into one sorted array (``collect_list`` of
+    (ts, tiebreak, type) structs + ``array_sort`` — struct ordering is
+    field-lexicographic, so the ``tiebreak_col`` makes simultaneous
+    events deterministic), the k-grams are sliced out map-side with
+    ``transform(sequence(...))``, and a partial-agg count + ordered
+    limit finishes.  The classic alternative — (k-1) self-joins of the
+    event stream on consecutive row_numbers — shuffles the stream k
+    times; this shuffles it once.
+
+    Per-user array size is that user's own event count — the same
+    per-key bound every sessionize/funnel operator in this repo carries;
+    a user above memory bounds is upstream-capped, not silently
+    truncated here.  Ties at the ``top_n`` boundary are broken by path
+    string ascending (round-before-rank determinism rule).
+
+    Returns ``(path, n)`` ordered by n desc, path asc.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(type_col).alias("et"),
+        ).alias("rec"),
+    ).where(F.col("rec.t").isNotNull())
+    seqs = ev.groupBy("u").agg(
+        F.array_sort(F.collect_list("rec")).alias("recs")
+    )
+    types = F.transform(F.col("recs"), lambda r: r["et"])
+    grams = seqs.select(
+        F.explode(
+            F.when(
+                F.size("recs") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("recs") - F.lit(k)),
+                    lambda i: F.concat_ws(
+                        ">", *[F.element_at(types, i + j + 1) for j in range(k)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(top_n)
+    )

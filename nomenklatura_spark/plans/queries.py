@@ -2389,6 +2389,37 @@ def q_events_retention_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths (``operators/temporal.event_paths``): the 20
+    most frequent length-3 consecutive event sequences — the
+    path-discovery reduction beside the funnel (the funnel counts a
+    DECLARED sequence; this finds the frequent ones).  One user-keyed
+    shuffle (sorted per-user array, k-grams sliced map-side) versus the
+    oracle's (k-1)-fold row_number self-join — same answer, one shuffle
+    instead of k."""
+    from nomenklatura_spark.operators.temporal import event_paths
+
+    return event_paths(load_table(spark, sf_dir, "events"), k=3, top_n=20)
+
+
+_EVENTS_PATHS_SQL = """
+    WITH o AS (
+        SELECT user_id, event_type AS et,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    tri AS (
+        SELECT a.et || '>' || b.et || '>' || c.et AS path
+        FROM o a
+        JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+    )
+    SELECT path, count(*) AS n FROM tri GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch ordered funnel view → click → purchase within 7
     days (``operators/temporal.funnel_steps``): per user, each step's
@@ -6607,9 +6638,12 @@ QUERIES = {
     # adjacency_orders; the new graph_scc / events_topk_served /
     # events_anomaly / doc_sample_weighted rows displaced the middle ANN
     # variants (brute, PQ and IVFPQ stay), dedup_exact and
-    # pair_scores_regression; late-r8: events_sessions_served +
-    # graph_bfs + graph_links displaced ann_topk, doc_stats and
-    # doc_embed — every displaced row stays contract-checked.)
+    # pair_scores_regression; late-r8: the six new rows
+    # (events_sessions_served, events_retention_served, graph_bfs,
+    # graph_links, graph_layers, dedup_eval) displaced ann_topk,
+    # doc_stats, doc_embed, dedup_simhash, events_sessionize (its
+    # served variant subsumes it on-board) and entity_delta — every
+    # displaced row stays contract-checked.)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -6635,8 +6669,11 @@ QUERIES = {
     "events_funnel_served": q_events_funnel_served,
     "events_hll_weekly_served": q_events_hll_weekly_served,
     "events_sessions_served": q_events_sessions_served,
+    "events_retention_served": q_events_retention_served,
     "graph_bfs": q_graph_bfs,
     "graph_links": q_graph_links,
+    "graph_layers": q_graph_layers,
+    "dedup_eval": q_dedup_eval,
     "doc_split_safe": q_doc_split_safe,
     "doc_drift_served": q_doc_drift_served,
     "entity_properties": q_entity_properties,
@@ -6645,9 +6682,7 @@ QUERIES = {
     "blocker_match": q_blocker_match,
     "pair_scores": q_pair_scores,
     "pair_scores_ofac": q_pair_scores_ofac,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
-    "events_sessionize": q_events_sessionize,
     "linker_apply": q_linker_apply,
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_search_hybrid": q_doc_search_hybrid,
@@ -6658,13 +6693,15 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "doc_dup_passages": q_doc_dup_passages,
     "conflicting_matches": q_conflicting_matches,
-    "entity_delta": q_entity_delta,
     "blocker_stopwords": q_blocker_stopwords,
     # entries past the driver's 50-row board cap: oracle-checked by the
     # pytest suite (tests/test_entry_contract.py), invisible to the board
     "ann_topk": q_ann_topk,
     "doc_stats": q_doc_stats,
     "doc_embed": q_doc_embed,
+    "dedup_simhash": q_dedup_simhash,
+    "events_sessionize": q_events_sessionize,
+    "entity_delta": q_entity_delta,
     "statements_unpivot": q_statements_unpivot,
     "adjacency_orders": q_adjacency_orders,
     "pricing_summary": q_pricing_summary,
@@ -6714,9 +6751,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_exact": q_dedup_exact,
     "pair_scores_regression": q_pair_scores_regression,
-    "graph_layers": q_graph_layers,
-    "dedup_eval": q_dedup_eval,
-    "events_retention_served": q_events_retention_served,
+    "events_paths": q_events_paths,
 }
 
 ORACLES = {
@@ -6820,6 +6855,7 @@ ORACLES = {
     "graph_layers": _GRAPH_LAYERS_SQL,
     "dedup_eval": _DEDUP_EVAL_SQL,
     "events_retention_served": _EVENTS_RETENTION_SQL,
+    "events_paths": _EVENTS_PATHS_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

@@ -406,3 +406,54 @@ def test_funnel_empty_first_step_reports_zero_conversion(spark):
         for r in funnel_steps(empty, ["view", "click"]).collect()
     }
     assert got2 == {1: (0, 0.0), 2: (0, 0.0)}
+
+
+def test_event_paths_crafted_and_short_users(spark):
+    """k-gram extraction per user: ties broken by the tiebreak column,
+    users with fewer than k events contribute nothing, counts add
+    across users."""
+    from nomenklatura_spark.operators.temporal import event_paths
+
+    rows = [
+        # u1: a b c d -> a>b>c, b>c>d
+        ("u1", "2024-01-01 10:00:00", 1, "a"),
+        ("u1", "2024-01-01 10:01:00", 2, "b"),
+        ("u1", "2024-01-01 10:02:00", 3, "c"),
+        ("u1", "2024-01-01 10:03:00", 4, "d"),
+        # u2: same ts, order fixed by event_id -> a>b>c
+        ("u2", "2024-01-01 11:00:00", 10, "a"),
+        ("u2", "2024-01-01 11:00:00", 11, "b"),
+        ("u2", "2024-01-01 11:00:00", 12, "c"),
+        # u3: too short for k=3
+        ("u3", "2024-01-01 12:00:00", 20, "a"),
+        ("u3", "2024-01-01 12:01:00", 21, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["path"]: r["n"] for r in event_paths(df, k=3).collect()
+    }
+    assert got == {"a>b>c": 2, "b>c>d": 1}
+    # k=2 sees u3 too
+    got2 = {r["path"]: r["n"] for r in event_paths(df, k=2).collect()}
+    assert got2 == {"a>b": 3, "b>c": 2, "c>d": 1}
+
+
+def test_event_paths_topn_tiebreak_deterministic(spark):
+    from nomenklatura_spark.operators.temporal import event_paths
+
+    # two paths with equal counts: limit 1 must take the lexicographic
+    # smaller one, every run
+    rows = [
+        ("u1", "2024-01-01 10:00:00", 1, "z"),
+        ("u1", "2024-01-01 10:01:00", 2, "z"),
+        ("u2", "2024-01-01 10:00:00", 3, "a"),
+        ("u2", "2024-01-01 10:01:00", 4, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for _ in range(3):
+        (row,) = event_paths(df, k=2, top_n=1).collect()
+        assert (row["path"], row["n"]) == ("a>a", 1)
