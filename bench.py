@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "events_sessions_served",
     "graph_links",
     "dedup_eval",
+    "events_retention_served",
+    "events_paths",
 ]
 
 
