@@ -4099,6 +4099,39 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against brute-force ground truth
+    (``ann/eval.recall_at_k``) — the measured-not-guessed tuning loop
+    for the ANN tier's n_probe knob, pairing with ``dedup_eval`` on the
+    dedup side.  Both operands are the engine's own rows (`ann_topk`,
+    `ann_ivf_topk`); the oracle composes their existing SQL bodies and
+    replays the identical intersection."""
+    from nomenklatura_spark.ann.eval import recall_at_k
+
+    return recall_at_k(
+        q_ann_topk(spark, sf_dir), q_ann_ivf_topk(spark, sf_dir), k=5
+    ).orderBy("query_id")
+
+
+def _ann_eval_sql() -> str:
+    return f"""
+        WITH exact AS (
+            SELECT query_id, neighbor_id FROM ({_ANN_SQL})
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM ({_ann_ivf_sql()})
+        )
+        SELECT e.query_id,
+               CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+               round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+        FROM exact e
+        LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """
+
+
 def _ivf_assign_sql(vec_rel: str, cent_rel: str) -> str:
     return f"""
             SELECT id, vec, centroid FROM (
@@ -6752,6 +6785,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "pair_scores_regression": q_pair_scores_regression,
     "events_paths": q_events_paths,
+    "ann_eval": q_ann_eval,
 }
 
 ORACLES = {
@@ -6856,6 +6890,7 @@ ORACLES = {
     "dedup_eval": _DEDUP_EVAL_SQL,
     "events_retention_served": _EVENTS_RETENTION_SQL,
     "events_paths": _EVENTS_PATHS_SQL,
+    "ann_eval": _ann_eval_sql(),
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

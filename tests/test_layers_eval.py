@@ -132,3 +132,26 @@ def test_eval_random_parity(spark):
     ]
     (got,) = pairwise_cluster_metrics(_labels_df(spark, rows)).collect()
     assert tuple(got) == _py_metrics(rows)
+
+
+def test_ann_recall_at_k_crafted(spark):
+    """recall@k: full overlap scores 1, partial counts hits, a query
+    the approximate side missed entirely scores 0 (present, not
+    absent)."""
+    from nomenklatura_spark.ann.eval import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, n) for n in (10, 11)]
+        + [(2, n) for n in (20, 21)]
+        + [(3, n) for n in (30, 31)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["hits"], r["recall_at_2"])
+        for r in recall_at_k(exact, approx, k=2).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (1, 0.5), 3: (0, 0.0)}
