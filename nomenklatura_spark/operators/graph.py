@@ -906,14 +906,22 @@ def bfs_distances(
         .repartition("_s")
         .localCheckpoint(eager=True)
     )
-    visited = (
+    frontier = (
         seeds.select(F.col(seed_col).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
+    # levels accumulate LAZILY: every frame below is localCheckpointed
+    # before it lands here, so the running union is a wide-but-shallow
+    # plan over materialized blocks — re-checkpointing the whole visited
+    # relation per round would copy O(rounds x visited) (the SCC
+    # extractor's lesson)
+    frames: list[DataFrame] = [frontier]
     for r in range(1, max_rounds + 1):
+        visited = frames[0]
+        for fr in frames[1:]:
+            visited = visited.unionByName(fr)
         nxt = (
             frontier.join(e, frontier["node"] == e["_s"])
             .select("seed", F.col("_d").alias("node"))
@@ -924,7 +932,7 @@ def bfs_distances(
         )
         if nxt.isEmpty():
             return visited
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frames.append(nxt)
         frontier = nxt
     raise ValueError(
         f"bfs_distances: frontier still non-empty after {max_rounds} "
