@@ -194,3 +194,20 @@ def test_maintain_session_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _state_rows(state) == _py_sessions(rows)
+
+
+def test_session_index_counts_only_without_value_column(spark, tmp_path):
+    """value_col=None maintains boundaries and event counts with sv
+    pinned to 0 — the counts-only deployment shape."""
+    rows = [
+        ("u1", "2024-01-01 10:00:00", 1),
+        ("u1", "2024-01-01 10:10:00", 2),
+    ]
+    state = SessionIndexState(spark, str(tmp_path / "s"), gap_seconds=GAP)
+    state.apply_batch(
+        _events_df(spark, rows).drop("value_int"),
+        value_col=None,
+        batch_id=0,
+    )
+    (row,) = _state_rows(state)
+    assert row[3] == 2 and row[4] == 0
