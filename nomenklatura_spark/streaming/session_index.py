@@ -124,9 +124,15 @@ class SessionIndexState(VersionedState):
         union with the state intervals is re-merged per user in one
         windowed pass (gaps-and-islands over intervals with a running
         max of the interval ends, so containment and overlap collapse
-        too).  ``value_col`` must be an additive INTEGER column (the
-        caller fixes the unit, e.g. cents) — the house exact-arithmetic
-        rule; pass None to maintain event counts only.
+        too).  Only the users TOUCHED by the batch enter the fold —
+        everyone else's state rows pass through untouched (sessions of
+        different users never interact), so the windowed work is
+        O(batch users' state + batch), not O(all users), the same
+        O(delta) discipline as the other maintained indexes (on a
+        cluster the pass-through union becomes the unmodified side of a
+        Delta MERGE).  ``value_col`` must be an additive INTEGER column
+        (the caller fixes the unit, e.g. cents) — the house
+        exact-arithmetic rule; pass None to maintain event counts only.
         """
         if batch_id is not None and batch_id <= self.last_batch(scope):
             return self.spark.createDataFrame([], _SESS_SCHEMA)
@@ -142,8 +148,12 @@ class SessionIndexState(VersionedState):
             F.lit(1).cast("bigint").alias("n"),
             val.alias("sv"),
         ).where(F.col("s").isNotNull())
-        merged = self.sessions().unionByName(batch)
-        folded = fold_session_intervals(merged, self.gap_seconds)
+        touched = batch.select("u").distinct()
+        prev = self.sessions()
+        folded = fold_session_intervals(
+            prev.join(touched, "u", "left_semi").unionByName(batch),
+            self.gap_seconds,
+        ).unionByName(prev.join(touched, "u", "left_anti"))
         nv = self.version() + 1
         folded.write.mode("overwrite").parquet(self._path("sessions", nv))
         if batch_id is None:
