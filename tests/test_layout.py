@@ -593,3 +593,18 @@ def test_session_fold_windows_on_user_only(spark):
     plan = _plan(fold_session_intervals(merged, 1800))
     assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {"u"}
     assert "partial_min" in plan or "partial_sum" in plan
+
+
+def test_event_paths_single_shuffle_no_self_join(spark, sf_dir):
+    """event_paths must keep the one-user-keyed-shuffle shape: k-grams
+    are sliced map-side from the per-user sorted array, so the plan has
+    NO join at all (the oracle's row_number self-join formulation would
+    shuffle the stream k times)."""
+    from nomenklatura_spark.operators.temporal import event_paths
+    from nomenklatura_spark.session import load_table
+
+    plan = _plan(event_paths(load_table(spark, sf_dir, "events"), k=3))
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan
+    assert "partial_count" in plan
