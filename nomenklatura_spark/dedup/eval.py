@@ -54,20 +54,58 @@ def pairwise_cluster_metrics(
     pred_col: str = "pred",
 ) -> DataFrame:
     """One-row (tp_pairs, gold_pairs, pred_pairs, pair_precision,
-    pair_recall, pair_f1) over an (id, gold, pred) labeling.  Zero
-    denominators yield 0.0 (an empty prediction has no precision to
-    claim), ratios rounded to 6dp."""
-    g = labels.groupBy(gold_col).agg(F.count(F.lit(1)).alias("n"))
-    p = labels.groupBy(pred_col).agg(F.count(F.lit(1)).alias("n"))
+    pair_recall, pair_f1, bcubed_precision, bcubed_recall, bcubed_f1)
+    over an (id, gold, pred) labeling.  Zero denominators yield 0.0 (an
+    empty prediction has no precision to claim), ratios rounded to 6dp.
+
+    BCubed (Amigó et al. 2009 — the clustering metric the ER
+    literature prefers, because unlike pairwise it doesn't let one
+    giant cluster dominate): per-item precision is
+    ``n_ij / |pred_j|``, per-item recall ``n_ij / |gold_i|``, averaged
+    over items — which collapses onto the SAME contingency aggregates:
+    ``BP = sum_ij n_ij^2 / |p_j| / N`` and
+    ``BR = sum_ij n_ij^2 / |g_i| / N``.  No extra shuffle: the cell
+    relation joins the two size relations on their label keys.
+
+    Determinism: the per-cell term ``n^2 / size`` is a repeating
+    decimal, and a float SUM of those is partition-order-dependent —
+    so the sums run on the exact integer grid (house device: each term
+    is ``n^2 * 10^12 DIV size`` in DECIMAL(38,0), truncating division;
+    the decimal sum is exact and associative, the total truncation
+    error is <= cells * 1e-12 / N, far below the 6dp emitted, and any
+    engine replays it bit-identically)."""
+    g = labels.groupBy(gold_col).agg(F.count(F.lit(1)).alias("gn"))
+    p = labels.groupBy(pred_col).agg(F.count(F.lit(1)).alias("pn"))
     c = labels.groupBy(gold_col, pred_col).agg(F.count(F.lit(1)).alias("n"))
+    grid = "CAST(n AS DECIMAL(38,0)) * n * 1000000000000"
+    bc = (
+        c.join(g, gold_col)
+        .join(p, pred_col)
+        .agg(
+            F.sum(F.expr(f"({grid}) DIV pn")).alias("_bpq"),
+            F.sum(F.expr(f"({grid}) DIV gn")).alias("_brq"),
+            F.sum("n").alias("_N"),
+        )
+    )
     out = (
         _pair_count(c, "n", "tp_pairs")
-        .crossJoin(_pair_count(g, "n", "gold_pairs"))
-        .crossJoin(_pair_count(p, "n", "pred_pairs"))
+        .crossJoin(_pair_count(g, "gn", "gold_pairs"))
+        .crossJoin(_pair_count(p, "pn", "pred_pairs"))
+        .crossJoin(bc)
     )
     safe = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num / den, 6)
     ).otherwise(F.lit(0.0))
+    # the sums above are exact integers; everything below is one-row
+    # scalar double arithmetic (deterministic IEEE on fixed inputs —
+    # no ordering anywhere), which also avoids DECIMAL(38,0) product
+    # overflow for 10^9-item corpora
+    bp = F.col("_bpq").cast("double") / (
+        F.col("_N").cast("double") * F.lit(1e12)
+    )
+    br = F.col("_brq").cast("double") / (
+        F.col("_N").cast("double") * F.lit(1e12)
+    )
     return out.select(
         "tp_pairs",
         "gold_pairs",
@@ -78,4 +116,12 @@ def pairwise_cluster_metrics(
             F.lit(2) * F.col("tp_pairs"),
             F.col("gold_pairs") + F.col("pred_pairs"),
         ).alias("pair_f1"),
+        F.round(bp, 6).alias("bcubed_precision"),
+        F.round(br, 6).alias("bcubed_recall"),
+        F.when(
+            (bp + br) > 0,
+            F.round(F.lit(2) * bp * br / (bp + br), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bcubed_f1"),
     )

@@ -1335,7 +1335,17 @@ _DEDUP_EVAL_SQL = f"""
            FROM (SELECT count(*) AS n FROM lab GROUP BY p)),
     ts AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
                AS tp_pairs
-           FROM (SELECT count(*) AS n FROM lab GROUP BY g, p))
+           FROM (SELECT count(*) AS n FROM lab GROUP BY g, p)),
+    bq AS (
+        SELECT sum((CAST(cell.n AS HUGEINT) * cell.n * 1000000000000)
+                   // pp.pn) AS bpq,
+               sum((CAST(cell.n AS HUGEINT) * cell.n * 1000000000000)
+                   // gg.gn) AS brq,
+               sum(cell.n) AS nn
+        FROM (SELECT g, p, count(*) AS n FROM lab GROUP BY g, p) cell
+        JOIN (SELECT g, count(*) AS gn FROM lab GROUP BY g) gg USING (g)
+        JOIN (SELECT p, count(*) AS pn FROM lab GROUP BY p) pp USING (p)
+    )
     SELECT tp_pairs, gold_pairs, pred_pairs,
            CASE WHEN pred_pairs > 0
                 THEN round(tp_pairs * 1.0 / pred_pairs, 6)
@@ -1345,8 +1355,17 @@ _DEDUP_EVAL_SQL = f"""
                 ELSE 0.0 END AS pair_recall,
            CASE WHEN gold_pairs + pred_pairs > 0
                 THEN round(2.0 * tp_pairs / (gold_pairs + pred_pairs), 6)
-                ELSE 0.0 END AS pair_f1
-    FROM ts, gs, ps
+                ELSE 0.0 END AS pair_f1,
+           round(CAST(bpq AS DOUBLE) / (nn * 1e12), 6)
+               AS bcubed_precision,
+           round(CAST(brq AS DOUBLE) / (nn * 1e12), 6) AS bcubed_recall,
+           CASE WHEN CAST(bpq AS DOUBLE) + CAST(brq AS DOUBLE) > 0
+                THEN round(2 * (CAST(bpq AS DOUBLE) / (nn * 1e12))
+                             * (CAST(brq AS DOUBLE) / (nn * 1e12))
+                           / (CAST(bpq AS DOUBLE) / (nn * 1e12)
+                              + CAST(brq AS DOUBLE) / (nn * 1e12)), 6)
+                ELSE 0.0 END AS bcubed_f1
+    FROM ts, gs, ps, bq
 """
 
 

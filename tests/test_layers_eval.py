@@ -92,13 +92,23 @@ def _py_metrics(rows):
     from collections import Counter
 
     c2 = lambda n: n * (n - 1) // 2  # noqa: E731
-    g = sum(c2(n) for n in Counter(r[1] for r in rows).values())
-    p = sum(c2(n) for n in Counter(r[2] for r in rows).values())
-    t = sum(c2(n) for n in Counter((r[1], r[2]) for r in rows).values())
+    gc = Counter(r[1] for r in rows)
+    pc = Counter(r[2] for r in rows)
+    cc = Counter((r[1], r[2]) for r in rows)
+    g = sum(c2(n) for n in gc.values())
+    p = sum(c2(n) for n in pc.values())
+    t = sum(c2(n) for n in cc.values())
     prec = round(t / p, 6) if p else 0.0
     rec = round(t / g, 6) if g else 0.0
     f1 = round(2 * t / (g + p), 6) if (g + p) else 0.0
-    return (t, g, p, prec, rec, f1)
+    # BCubed on the same exact integer grid as the operator
+    n_items = len(rows)
+    bpq = sum(n * n * 10**12 // pc[pl] for (_, pl), n in cc.items())
+    brq = sum(n * n * 10**12 // gc[gl] for (gl, _), n in cc.items())
+    bp = bpq / (n_items * 1e12)
+    br = brq / (n_items * 1e12)
+    bf1 = round(2 * bp * br / (bp + br), 6) if (bp + br) > 0 else 0.0
+    return (t, g, p, prec, rec, f1, round(bp, 6), round(br, 6), bf1)
 
 
 def test_eval_crafted_split_cluster(spark):
@@ -106,7 +116,13 @@ def test_eval_crafted_split_cluster(spark):
     # G=3 gold pairs, P=1 predicted pair -> precision 1, recall 1/3
     rows = [(1, "A", "x"), (2, "A", "x"), (3, "A", "y"), (4, "B", "z")]
     (got,) = pairwise_cluster_metrics(_labels_df(spark, rows)).collect()
-    assert tuple(got) == (1, 3, 1, 1.0, 0.333333, 0.5)
+    assert tuple(got)[:6] == (1, 3, 1, 1.0, 0.333333, 0.5)
+    # BCubed by hand: items 1,2 -> P=1, R=2/3; item 3 -> P=1, R=1/3;
+    # item 4 -> P=1, R=1.  BP=1, BR=(2/3+2/3+1/3+1)/4=2/3
+    assert (got["bcubed_precision"], got["bcubed_recall"]) == (
+        1.0,
+        0.666667,
+    )
     assert tuple(got) == _py_metrics(rows)
 
 
@@ -121,7 +137,9 @@ def test_eval_perfect_and_empty_prediction(spark):
     # all-singleton prediction: no predicted pairs, precision defined 0
     single = [(1, "A", "x"), (2, "A", "y"), (3, "A", "z")]
     (got,) = pairwise_cluster_metrics(_labels_df(spark, single)).collect()
-    assert tuple(got) == (0, 3, 0, 0.0, 0.0, 0.0)
+    assert tuple(got)[:6] == (0, 3, 0, 0.0, 0.0, 0.0)
+    # BCubed still defined: per-item P=1 (own singleton), R=1/3
+    assert tuple(got)[6:] == _py_metrics(single)[6:]
 
 
 def test_eval_random_parity(spark):
