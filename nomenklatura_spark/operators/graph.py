@@ -1103,3 +1103,65 @@ def dag_layers(
         "the graph has a cycle (condense SCCs first) or needs a larger "
         "max_rounds"
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "seed",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Harmonic centrality of the seed (landmark) nodes:
+    ``H(s) = sum over reachable v != s of 1/dist(s, v)`` — the
+    closeness variant that stays defined on disconnected graphs
+    (Boldi & Vigna 2014), computed exactly from ``bfs_distances``.
+    PageRank ranks by INCOMING endorsement; harmonic centrality ranks
+    by OUTGOING reach — the "how quickly can this entity touch the
+    rest of the graph" column an investigator sorts by, and the
+    landmark-quality score a navigation/routing layer uses to pick its
+    pivots.
+
+    Determinism: ``1/dist`` is a repeating decimal and a float sum of
+    them is partition-order-dependent, so the sum runs on the exact
+    integer grid (house device): each term is ``10^12 DIV dist``,
+    summed in DECIMAL(38,0) (exact, associative, no overflow below
+    10^26 reachable nodes), divided back only at the emitting edge
+    (6dp).  Truncation error is <= reachable x 1e-12 — far below the
+    emitted precision — and any engine replays it bit-identically.
+
+    Cost: exactly ``bfs_distances`` (the BFS dominates; this adds one
+    partial-agg per seed).  Returns ``(seed, n_reached, harmonic)``
+    including seeds that reach nothing (0, 0.0).
+    """
+    d = bfs_distances(
+        edges, seeds, src=src, dst=dst, seed_col=seed_col,
+        max_rounds=max_rounds,
+    )
+    agg = (
+        d.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(
+                F.expr("CAST(1000000000000 DIV dist AS DECIMAL(38,0))")
+            ).alias("_hq"),
+        )
+    )
+    return (
+        d.select("seed")
+        .distinct()
+        .join(agg, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce("n_reached", F.lit(0)).cast("bigint").alias(
+                "n_reached"
+            ),
+            F.round(
+                F.coalesce(F.col("_hq").cast("double"), F.lit(0.0))
+                / F.lit(1e12),
+                6,
+            ).alias("harmonic"),
+        )
+    )

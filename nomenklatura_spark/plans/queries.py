@@ -1919,6 +1919,77 @@ _GRAPH_BFS_SQL = """
 """
 
 
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of the landmark seeds
+    (``operators/graph.harmonic_centrality``) over the same sparsified
+    supplier hand-off digraph as ``graph_bfs``: sum of 1/dist to every
+    reachable node, on the exact 1e12 integer grid so the float sum
+    can't depend on partition order.  The outgoing-reach ranking beside
+    PageRank's incoming-endorsement ranking."""
+    from nomenklatura_spark.operators.graph import harmonic_centrality
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s"))
+    l2 = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        F.col("l_suppkey").alias("d"),
+    )
+    chain = l1.join(l2, ["l_orderkey", "l_linenumber"]).where(
+        F.col("s") != F.col("d")
+    )
+    key = F.concat(
+        F.col("s").cast("string"), F.lit(">"), F.col("d").cast("string")
+    )
+    edges = chain.where(md5_bucket("scc", key, 100) < 2).select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .where(F.col("seed") % 10 == 0)
+        .distinct()
+    )
+    return harmonic_centrality(edges, seeds).orderBy("seed")
+
+
+_GRAPH_CLOSENESS_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT l1.l_suppkey AS s, l2.l_suppkey AS d
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l2.l_linenumber = l1.l_linenumber + 1
+        WHERE l1.l_suppkey <> l2.l_suppkey
+    ),
+    e AS (
+        SELECT DISTINCT s, d FROM chain
+        WHERE CAST(('0x' || substr(md5('scc:' || s || '>' || d), 1, 15))
+            AS BIGINT) % 100 < 2
+    ),
+    seeds AS (SELECT DISTINCT s AS seed FROM e WHERE s % 10 = 0),
+    walk(seed, node, dist) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT w.seed, e2.d, w.dist + 1 FROM walk w JOIN e e2 ON e2.s = w.node
+        WHERE w.dist + 1 < 30
+    ),
+    dists AS (
+        SELECT seed, node, MIN(dist) AS dist FROM walk GROUP BY seed, node
+    ),
+    agg AS (
+        SELECT seed, count(*) AS n_reached,
+               sum(1000000000000 // dist) AS hq
+        FROM dists WHERE dist > 0 GROUP BY seed
+    )
+    SELECT s.seed,
+           CAST(coalesce(a.n_reached, 0) AS BIGINT) AS n_reached,
+           round(coalesce(CAST(a.hq AS DOUBLE), 0.0) / 1e12, 6)
+               AS harmonic
+    FROM seeds s LEFT JOIN agg a USING (seed)
+    ORDER BY s.seed
+"""
+
+
 def q_graph_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction
     (``operators/graph.link_prediction``) over the part co-occurrence
@@ -6805,6 +6876,7 @@ QUERIES = {
     "pair_scores_regression": q_pair_scores_regression,
     "events_paths": q_events_paths,
     "ann_eval": q_ann_eval,
+    "graph_closeness": q_graph_closeness,
 }
 
 ORACLES = {
@@ -6910,6 +6982,7 @@ ORACLES = {
     "events_retention_served": _EVENTS_RETENTION_SQL,
     "events_paths": _EVENTS_PATHS_SQL,
     "ann_eval": _ann_eval_sql(),
+    "graph_closeness": _GRAPH_CLOSENESS_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

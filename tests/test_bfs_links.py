@@ -230,3 +230,21 @@ def test_links_random_parity(spark):
         ).collect()
     }
     assert got == _py_links(edges, min_common=2)
+
+
+def test_harmonic_centrality_crafted(spark):
+    """H(seed) = sum 1/dist on the exact grid; isolated seeds emit
+    (0, 0.0); the cycle contributes each node once at min dist."""
+    from nomenklatura_spark.operators.graph import harmonic_centrality
+
+    got = {
+        r["seed"]: (r["n_reached"], r["harmonic"])
+        for r in harmonic_centrality(
+            _edges_df(spark, CRAFTED), _seeds_df(spark, ["A", "F", "E"])
+        ).collect()
+    }
+    # A reaches B(1), C(2), D(3): H = 1 + 1/2 + 1/3 (grid-truncated)
+    want_a = (10**12 + 10**12 // 2 + 10**12 // 3) / 1e12
+    assert got["A"] == (3, round(want_a, 6))
+    assert got["E"] == (1, 1.0)  # E -> F only
+    assert got["F"] == (0, 0.0)  # F has no out-edges
