@@ -6761,12 +6761,14 @@ QUERIES = {
     # adjacency_orders; the new graph_scc / events_topk_served /
     # events_anomaly / doc_sample_weighted rows displaced the middle ANN
     # variants (brute, PQ and IVFPQ stay), dedup_exact and
-    # pair_scores_regression; late-r8: the six new rows
+    # pair_scores_regression; late-r8: the eight new rows
     # (events_sessions_served, events_retention_served, graph_bfs,
-    # graph_links, graph_layers, dedup_eval) displaced ann_topk,
-    # doc_stats, doc_embed, dedup_simhash, events_sessionize (its
-    # served variant subsumes it on-board) and entity_delta — every
-    # displaced row stays contract-checked.)
+    # graph_links, graph_layers, dedup_eval, ann_eval, events_paths)
+    # displaced ann_topk, doc_stats, doc_embed, dedup_simhash,
+    # events_sessionize (its served variant subsumes it on-board),
+    # entity_delta, doc_pii and doc_heavy_hitters (the CMS tier keeps
+    # events_topk_served) — every displaced row stays
+    # contract-checked.)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -6797,6 +6799,8 @@ QUERIES = {
     "graph_links": q_graph_links,
     "graph_layers": q_graph_layers,
     "dedup_eval": q_dedup_eval,
+    "ann_eval": q_ann_eval,
+    "events_paths": q_events_paths,
     "doc_split_safe": q_doc_split_safe,
     "doc_drift_served": q_doc_drift_served,
     "entity_properties": q_entity_properties,
@@ -6807,10 +6811,8 @@ QUERIES = {
     "pair_scores_ofac": q_pair_scores_ofac,
     "dedup_components": q_dedup_components,
     "linker_apply": q_linker_apply,
-    "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_search_hybrid": q_doc_search_hybrid,
     "doc_pack": q_doc_pack,
-    "doc_pii": q_doc_pii,
     "xref_suggestions": q_xref_suggestions,
     "ann_pq_topk": q_ann_pq_topk,
     "dedup_embedding": q_dedup_embedding,
@@ -6822,6 +6824,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "doc_stats": q_doc_stats,
     "doc_embed": q_doc_embed,
+    "doc_pii": q_doc_pii,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
     "dedup_simhash": q_dedup_simhash,
     "events_sessionize": q_events_sessionize,
     "entity_delta": q_entity_delta,
@@ -6874,8 +6878,6 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_exact": q_dedup_exact,
     "pair_scores_regression": q_pair_scores_regression,
-    "events_paths": q_events_paths,
-    "ann_eval": q_ann_eval,
     "graph_closeness": q_graph_closeness,
 }
 
