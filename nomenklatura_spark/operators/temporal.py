@@ -287,6 +287,17 @@ def robust_anomalies(
         F.col(key_col).alias("key"),
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return anomalies_from_counts(counts, key_col=key_col, z=z)
+
+
+def anomalies_from_counts(
+    counts: DataFrame, key_col: str = "key", z: float = 3.0
+) -> DataFrame:
+    """The median/MAD tail of ``robust_anomalies`` over an
+    already-bucketed (key, bucket_ts, cnt) relation — the entry point a
+    MAINTAINED counter view serves from (``streaming/counts_index.py``):
+    the stats aggregate a keys x buckets relation, so serving never
+    rescans the event history the counts were folded from."""
     stats = counts.groupBy("key").agg(
         F.expr("percentile(cnt, 0.5)").alias("med")
     )

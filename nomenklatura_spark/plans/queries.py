@@ -642,6 +642,114 @@ _EVENTS_HOURLY_SQL = """
 """
 
 
+def q_events_hourly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window hourly rollup answered from the maintained
+    grouped-counter view (``streaming/counts_index.py``): three
+    decade-of-month ingest batches ARRIVE OUT OF TIME ORDER and fold
+    into (type, hour) counters (values as exact integer cents); the
+    dashboard relation is then READ from state — the textbook
+    materialized view, proven against a rescan-everything oracle.  At
+    100 TB the serve costs keys x calendar buckets rows, however many
+    events the history holds."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.counts_index import CountsIndexState
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.dayofmonth(F.to_date("ts")))
+        .withColumn(
+            "value_int", F.round(F.col("value") * 100).cast("bigint")
+        )
+    )
+    root = tempfile.mkdtemp(prefix="nk_counts_idx_")
+    try:
+        state = CountsIndexState(spark, root, bucket="hour")
+        for b, (lo, hi) in enumerate([(21, 31), (1, 10), (11, 20)]):
+            state.apply_batch(
+                events.where(F.col("day").between(lo, hi)),
+                value_col="value_int",
+                batch_id=b,
+            )
+        out = (
+            state.counts()
+            .select(
+                F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                F.col("k").alias("event_type"),
+                F.col("cnt").alias("n_events"),
+                F.round(F.col("sv") / 100.0, 2).alias("sum_value"),
+            )
+            .orderBy("hour", "event_type")
+        )
+        # driver-materialize (view-grain rows) before dropping the
+        # on-disk state — see events_hll_weekly_served
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_EVENTS_HOURLY_SERVED_SQL = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+"""
+
+
+def q_events_anomaly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust-anomaly monitoring query answered from the SAME
+    maintained counter view as ``events_hourly_served``
+    (``operators/temporal.anomalies_from_counts``): median/MAD stats
+    aggregate the state relation (keys x calendar buckets), the raw
+    event history is never rescanned, and the oracle is the identical
+    batch anomaly SQL over everything — one maintained view, two
+    serving queries."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.operators.temporal import anomalies_from_counts
+    from nomenklatura_spark.streaming.counts_index import CountsIndexState
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth(F.to_date("ts"))
+    )
+    root = tempfile.mkdtemp(prefix="nk_counts_idx_")
+    try:
+        state = CountsIndexState(spark, root, bucket="hour")
+        for b, (lo, hi) in enumerate([(11, 20), (21, 31), (1, 10)]):
+            state.apply_batch(
+                events.where(F.col("day").between(lo, hi)), batch_id=b
+            )
+        served = anomalies_from_counts(
+            state.counts().select(
+                F.col("k").alias("key"),
+                F.col("b").alias("bucket_ts"),
+                "cnt",
+            ),
+            key_col="event_type",
+            z=3.0,
+        )
+        out = served.select(
+            "event_type",
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("med", 1).alias("med"),
+            F.round("mad", 1).alias("mad"),
+            "robust_z",
+        ).orderBy("event_type", "hour")
+        # driver-materialize (alert-sized) before dropping the state
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly detection on per-type hourly activity
     (``operators/temporal.robust_anomalies``): median/MAD modified
@@ -6879,6 +6987,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "pair_scores_regression": q_pair_scores_regression,
     "graph_closeness": q_graph_closeness,
+    "events_hourly_served": q_events_hourly_served,
+    "events_anomaly_served": q_events_anomaly_served,
 }
 
 ORACLES = {
@@ -6985,6 +7095,8 @@ ORACLES = {
     "events_paths": _EVENTS_PATHS_SQL,
     "ann_eval": _ann_eval_sql(),
     "graph_closeness": _GRAPH_CLOSENESS_SQL,
+    "events_hourly_served": _EVENTS_HOURLY_SERVED_SQL,
+    "events_anomaly_served": _EVENTS_ANOMALY_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,
