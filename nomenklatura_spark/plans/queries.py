@@ -6875,7 +6875,9 @@ QUERIES = {
     # displaced ann_topk, doc_stats, doc_embed, dedup_simhash,
     # events_sessionize (its served variant subsumes it on-board),
     # entity_delta, doc_pii and doc_heavy_hitters (the CMS tier keeps
-    # events_topk_served) — every displaced row stays
+    # events_topk_served); events_anomaly_served then took
+    # events_anomaly's seat (same oracle, but the served path also
+    # proves the maintained counter view) — every displaced row stays
     # contract-checked.)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
@@ -6892,7 +6894,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "graph_scc": q_graph_scc,
     "events_topk_served": q_events_topk_served,
-    "events_anomaly": q_events_anomaly,
+    "events_anomaly_served": q_events_anomaly_served,
     "doc_sample_weighted": q_doc_sample_weighted,
     "dedup_containment": q_dedup_containment,
     "doc_cluster_keywords": q_doc_cluster_keywords,
@@ -6988,7 +6990,7 @@ QUERIES = {
     "pair_scores_regression": q_pair_scores_regression,
     "graph_closeness": q_graph_closeness,
     "events_hourly_served": q_events_hourly_served,
-    "events_anomaly_served": q_events_anomaly_served,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLES = {
