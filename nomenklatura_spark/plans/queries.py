@@ -1396,6 +1396,42 @@ _DEDUP_COMPONENTS_SQL = f"""
 """
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords
+    (``textops/analysis.doc_keywords``): each document's top-3 terms by
+    ``tf * ln(1 + N/df)``, 6dp-rounded before the rank — the per-doc
+    sibling of the c-TF-IDF cluster labels, i.e. the searchable topic
+    tags a curated corpus ships per document."""
+    from nomenklatura_spark.textops.analysis import doc_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_keywords(docs, "doc_id", "text", top_k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+_DOC_KEYWORDS_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DOC_WORDS}) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+        SELECT t.doc_id, t.w, t.tf,
+               round(t.tf * ln(1 + n.n * 1.0 / d.df), 6) AS score
+        FROM tf t JOIN dfreq d USING (w), n
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, w AS word, tf, score
+    FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise clustering evaluation (``dedup/eval.py``): the near-dup
     components (predicted clustering, singletons = own doc) scored
@@ -6991,6 +7027,7 @@ QUERIES = {
     "graph_closeness": q_graph_closeness,
     "events_hourly_served": q_events_hourly_served,
     "events_anomaly": q_events_anomaly,
+    "doc_keywords": q_doc_keywords,
 }
 
 ORACLES = {
@@ -7099,6 +7136,7 @@ ORACLES = {
     "graph_closeness": _GRAPH_CLOSENESS_SQL,
     "events_hourly_served": _EVENTS_HOURLY_SERVED_SQL,
     "events_anomaly_served": _EVENTS_ANOMALY_SQL,
+    "doc_keywords": _DOC_KEYWORDS_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

@@ -788,3 +788,74 @@ def bigram_logprob_scores(
     return scored.select(
         F.col("id").alias(id_col), "n_tokens", "avg_neg_logprob_bi"
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keywords: each document's ``top_k`` terms by
+    ``tf * ln(1 + N / df)`` — the per-DOCUMENT sibling of
+    ``textops/domains.cluster_keywords`` (that one labels discovered
+    clusters; this one tags every document), the metadata column a
+    curated corpus ships for search facets, routing rules, and cheap
+    topical filters.
+
+    Determinism follows the c-TF-IDF device: the score is rounded to
+    6dp BEFORE the rank so the top-k cut cannot flip on float noise,
+    ties break by word ascending.
+
+    Scale shape: one token explode + (doc, word) partial-agg shuffle
+    (checkpointed — both the document-frequency aggregate and the score
+    join consume it), one word-keyed partial agg for df, the corpus
+    size N as a broadcast one-row relation, and a
+    WindowGroupLimit-bounded top-k per document.  Nothing exceeds the
+    (doc x distinct-words) grain.
+
+    Returns (doc_id, rank, word, tf, score).
+    """
+    from pyspark.sql.window import Window
+
+    tok = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(words(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+    )
+    tf = (
+        tok.groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = F.broadcast(tf.agg(F.count_distinct("id").alias("_n")))
+    scored = (
+        tf.join(df_, "w")
+        .crossJoin(n_docs)
+        .select(
+            "id",
+            "w",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(1.0) + F.col("_n") / F.col("_df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("score").desc(), "w")
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+        )
+    )

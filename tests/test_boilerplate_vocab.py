@@ -119,3 +119,29 @@ def test_lm_score_ranks_rare_words_as_surprising(spark):
     # exact value: p(common) = 6/9 -> -ln(2/3)
     assert isclose(rows[0].avg_neg_logprob, round(-log(6 / 9), 6), abs_tol=1e-6)
     assert isclose(rows[1].avg_neg_logprob, round(-log(1 / 9), 6), abs_tol=1e-6)
+
+
+def test_doc_keywords_crafted(spark):
+    """Per-doc TF-IDF: a term unique to one doc outranks a ubiquitous
+    one; round-before-rank breaks ties by word; top_k bounds rows."""
+    from nomenklatura_spark.textops.analysis import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra common common common"),
+            (2, "common common apple"),
+            (3, "common banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["word"], r["tf"])
+        for r in doc_keywords(docs, top_k=2).collect()
+    }
+    # 'common' appears in all 3 docs (idf ln(2)); rare words win
+    assert got[(1, 1)] == ("zebra", 2)
+    assert got[(2, 1)] == ("apple", 1)
+    assert got[(3, 1)] == ("banana", 2)
+    # rank 2 falls to the ubiquitous term; exactly top_k rows per doc
+    assert got[(1, 2)][0] == "common"
+    assert len(got) == 6
