@@ -7,9 +7,9 @@ ultimately emits a clustering, and the operational question is always
 near-dup components against exact-duplicate gold, or a re-tuned LSH
 against last month's accepted merges.  The reference evaluates its
 matchers the same pairwise way in its training replay (
-/root/reference/nomenklatura/matching/train.py — precision/recall over
-judged pairs); this applies that metric to whole clusterings at corpus
-scale.
+/root/reference/nomenklatura/matching/regression_v1/train.py —
+precision/recall over judged pairs); this applies that metric to whole
+clusterings at corpus scale.
 
 The trick that makes it 100 TB-safe: pairwise counts need only
 CLUSTER-SIZE aggregates, never the pairs themselves —
@@ -73,7 +73,17 @@ def pairwise_cluster_metrics(
     is ``n^2 * 10^12 DIV size`` in DECIMAL(38,0), truncating division;
     the decimal sum is exact and associative, the total truncation
     error is <= cells * 1e-12 / N, far below the 6dp emitted, and any
-    engine replays it bit-identically)."""
+    engine replays it bit-identically).  Spark's DIV yields BIGINT even
+    on DECIMAL operands (verified empirically: the division itself runs
+    in decimal, only the RESULT is cast, wrapping silently past int64),
+    so each quotient is cast back to DECIMAL(38,0) BEFORE the sum — the
+    terms are ~n*1e12 and an int64 accumulation would overflow past
+    ~9.2e6 items, while the decimal sum matches DuckDB's HUGEINT
+    accumulation exactly.  Remaining bound, per-TERM not per-corpus: a
+    quotient is <= n_ij*1e12 (pn >= n_ij), so it fits int64 whenever
+    every contingency CELL has n_ij <= 9.2e6 — cells are capped by the
+    smaller of the two cluster sizes, so the advertised
+    million-document clusters sit an order of magnitude inside it."""
     g = labels.groupBy(gold_col).agg(F.count(F.lit(1)).alias("gn"))
     p = labels.groupBy(pred_col).agg(F.count(F.lit(1)).alias("pn"))
     c = labels.groupBy(gold_col, pred_col).agg(F.count(F.lit(1)).alias("n"))
@@ -82,8 +92,12 @@ def pairwise_cluster_metrics(
         c.join(g, gold_col)
         .join(p, pred_col)
         .agg(
-            F.sum(F.expr(f"({grid}) DIV pn")).alias("_bpq"),
-            F.sum(F.expr(f"({grid}) DIV gn")).alias("_brq"),
+            F.sum(
+                F.expr(f"CAST(({grid}) DIV pn AS DECIMAL(38,0))")
+            ).alias("_bpq"),
+            F.sum(
+                F.expr(f"CAST(({grid}) DIV gn AS DECIMAL(38,0))")
+            ).alias("_brq"),
             F.sum("n").alias("_N"),
         )
     )

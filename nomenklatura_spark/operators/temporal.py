@@ -337,6 +337,7 @@ def event_paths(
     type_col: str = "event_type",
     tiebreak_col: str = "event_id",
     top_n: int = 20,
+    max_user_events: int = 1_000_000,
 ) -> DataFrame:
     """Top event-type PATHS: the ``top_n`` most frequent length-``k``
     consecutive event-type sequences across users — the "what do users
@@ -354,11 +355,22 @@ def event_paths(
     event stream on consecutive row_numbers — shuffles the stream k
     times; this shuffles it once.
 
-    Per-user array size is that user's own event count — the same
-    per-key bound every sessionize/funnel operator in this repo carries;
-    a user above memory bounds is upstream-capped, not silently
-    truncated here.  Ties at the ``top_n`` boundary are broken by path
-    string ascending (round-before-rank determinism rule).
+    Per-user array size is that user's own event count — and that bound
+    is EXECUTABLE: a partial-agg count pass runs first, and any user
+    above ``max_user_events`` raises a loud ValueError naming the
+    offenders BEFORE any per-user array is built (same contract shape
+    as the funnel index's orphan cap) — a single 10^8-event bot user is
+    one straggler task otherwise, and silent truncation would bias the
+    path counts.  The pre-check is map-side-combined over events, so it
+    costs far less than the array shuffle it protects.
+
+    NULL event types are kept, rendered as the ``(null)`` sentinel —
+    ``concat_ws`` would otherwise silently DROP the null element,
+    collapsing ``a>NULL>c`` into the 2-gram-looking ``a>c`` while a SQL
+    ``||`` replay nulls the whole path; the sentinel pins one
+    convention on both sides.  Ties at the ``top_n`` boundary are
+    broken by path string ascending (round-before-rank determinism
+    rule).
 
     Returns ``(path, n)`` ordered by n desc, path asc.
     """
@@ -367,9 +379,27 @@ def event_paths(
         F.struct(
             F.col(ts_col).alias("t"),
             F.col(tiebreak_col).alias("tb"),
-            F.col(type_col).alias("et"),
+            F.coalesce(
+                F.col(type_col).cast("string"), F.lit("(null)")
+            ).alias("et"),
         ).alias("rec"),
     ).where(F.col("rec.t").isNotNull())
+    offenders = (
+        ev.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .where(F.col("n_ev") > max_user_events)
+        .orderBy(F.col("n_ev").desc(), "u")
+        .limit(10)
+        .collect()
+    )
+    if offenders:
+        names = ", ".join(f"{r['u']}({r['n_ev']})" for r in offenders)
+        raise ValueError(
+            f"event_paths: user(s) above the max_user_events="
+            f"{max_user_events} per-user array bound: {names} (top 10 "
+            f"shown); filter or cap those users upstream, or raise the "
+            f"bound if the executors have the memory for it"
+        )
     seqs = ev.groupBy("u").agg(
         F.array_sort(F.collect_list("rec")).alias("recs")
     )

@@ -2638,10 +2638,11 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_PATHS_SQL = """
     WITH o AS (
-        SELECT user_id, event_type AS et,
+        SELECT user_id, coalesce(event_type, '(null)') AS et,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
         FROM events
+        WHERE ts IS NOT NULL
     ),
     tri AS (
         SELECT a.et || '>' || b.et || '>' || c.et AS path

@@ -11,6 +11,19 @@ raw corpus (Sennrich et al. 2016): every merge decision needs only
   bounded table, like fitted model coefficients elsewhere in this
   engine (``matching/train.py``); nothing corpus-sized is collected.
 
+"Vocabulary-bounded" is an EXECUTABLE contract, not an assumption: a
+web-scale corpus at ``min_count=1`` has a noise vocabulary (typos,
+hashes, boilerplate tokens) in the 1e8–1e9 range, which would OOM the
+driver and make the pure-Python merge loop (O(n_merges × vocab) per
+merge) the pipeline bottleneck.  ``train_bpe`` therefore counts the
+post-filter vocabulary BEFORE collecting and raises a loud ValueError
+above ``max_vocab`` (default 1e6 — ~100 MB of driver state and a
+merge loop in seconds), telling the caller to raise ``min_count`` or
+pass ``top_k``; ``top_k`` trains on the k most frequent words via a
+TakeOrdered, so its collect is bounded by construction (same pattern
+as ``operators/sketch.hll_pairwise_union``'s 4096-key guard and the
+funnel index's orphan cap).
+
 Applying a learned merge table is a per-document kernel
 (``bpe_token_counts`` — Arrow-batched pandas UDF over the documents),
 used for token budgeting with the learned vocabulary instead of the
@@ -31,18 +44,45 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 100,
     min_count: int = 1,
+    top_k: int | None = None,
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ranked merge list.  Ties on pair frequency break lexicographically
-    so training is deterministic across partitionings."""
+    so training is deterministic across partitionings.
+
+    Driver-side scale contract: the collected word table is the
+    post-``min_count`` vocabulary.  With ``top_k`` set, only the k most
+    frequent words are collected (count-desc, word-asc tie-break — a
+    deterministic TakeOrdered, bounded by construction).  With
+    ``top_k=None`` the vocabulary is counted first and a vocabulary
+    above ``max_vocab`` raises instead of collecting — raise
+    ``min_count`` (noise vocabularies are count-1-heavy) or pass
+    ``top_k``.  Merges learned from a top-k table are identical to the
+    unbounded ones whenever k covers the true vocabulary (pytest-pinned
+    in tests/test_bpe.py)."""
     from nomenklatura_spark.textops.analysis import corpus_vocab
 
-    rows = (
+    vocab_df = (
         corpus_vocab(docs, text_col, id_col, top_k=None)
         .where(F.col("count") >= min_count)
         .select("word", "count")
-        .collect()
     )
+    if top_k is not None:
+        vocab_df = vocab_df.orderBy(
+            F.col("count").desc(), F.col("word")
+        ).limit(int(top_k))
+    else:
+        n_words = vocab_df.count()
+        if n_words > max_vocab:
+            raise ValueError(
+                f"train_bpe: post-min_count vocabulary has {n_words} words, "
+                f"above the max_vocab={max_vocab} driver-side bound "
+                f"(the merge loop is O(n_merges x vocab) on the driver); "
+                f"raise min_count (currently {min_count}) or pass top_k "
+                f"to train on the most frequent words only"
+            )
+    rows = vocab_df.collect()
     # symbol sequences with an explicit end-of-word marker
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["word"]) + ("</w>",): int(r["count"]) for r in rows

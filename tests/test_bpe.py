@@ -59,6 +59,36 @@ def test_token_counts_shrink_with_more_merges(spark):
     assert none[0].n_bpe_tokens == n_chars
 
 
+def test_vocab_above_max_vocab_raises(spark):
+    """The driver-side scale contract: a post-min_count vocabulary
+    larger than max_vocab must raise loudly BEFORE collecting, naming
+    both escape hatches (raise min_count / pass top_k)."""
+    import pytest
+
+    docs = _docs(spark, ["alpha beta gamma delta epsilon zeta"])
+    with pytest.raises(ValueError, match="min_count|top_k"):
+        train_bpe(docs, n_merges=2, max_vocab=3)
+    # raising min_count past every word's count shrinks the vocab
+    # under the bound — the contract's first escape hatch works
+    assert train_bpe(docs, n_merges=2, max_vocab=3, min_count=2) == []
+
+
+def test_top_k_covering_vocab_matches_unbounded(spark):
+    """Bounded training (top_k >= true vocabulary) must yield the exact
+    merge list of the unbounded form, and top_k skips the vocab-count
+    job so it never trips max_vocab."""
+    docs = _docs(
+        spark,
+        [" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)],
+    )
+    unbounded = train_bpe(docs, n_merges=4)
+    bounded = train_bpe(docs, n_merges=4, top_k=10, max_vocab=1)
+    assert bounded == unbounded
+    # top_k below the vocabulary still trains, on the frequent head only
+    head_only = train_bpe(docs, n_merges=4, top_k=1)
+    assert head_only[0] == ("e", "s")
+
+
 def test_determinism_across_runs(spark):
     docs = _docs(spark, ["aa ab ba bb ab aa", "ba aa bb ab"])
     m1 = train_bpe(docs, n_merges=5)

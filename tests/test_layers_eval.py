@@ -152,6 +152,25 @@ def test_eval_random_parity(spark):
     assert tuple(got) == _py_metrics(rows)
 
 
+def test_eval_bcubed_sum_survives_int64(spark):
+    """Regression for the DIV-returns-BIGINT trap: 10 perfect clusters
+    of 1e6 items each put every per-cell term at 1e18 (fits int64) but
+    the SUM at 1e19 (would wrap int64 to a negative) — the quotients
+    must accumulate on the DECIMAL(38,0) grid, so a perfect clustering
+    still scores exactly 1.0 across the board."""
+    from pyspark.sql import functions as F
+
+    labels = spark.range(10_000_000).select(
+        F.col("id"),
+        (F.col("id") % 10).cast("string").alias("gold"),
+        (F.col("id") % 10).cast("string").alias("pred"),
+    )
+    (got,) = pairwise_cluster_metrics(labels).collect()
+    assert (got["bcubed_precision"], got["bcubed_recall"]) == (1.0, 1.0)
+    assert got["bcubed_f1"] == 1.0
+    assert got["pair_f1"] == 1.0
+
+
 def test_ann_recall_at_k_crafted(spark):
     """recall@k: full overlap scores 1, partial counts hits, a query
     the approximate side missed entirely scores 0 (present, not

@@ -440,6 +440,55 @@ def test_event_paths_crafted_and_short_users(spark):
     assert got2 == {"a>b": 3, "b>c": 2, "c>d": 1}
 
 
+def test_event_paths_null_type_sentinel(spark):
+    """A NULL event_type must ride the path as the '(null)' sentinel —
+    NOT be silently dropped by concat_ws (which would collapse
+    a>NULL>c into a fake 'a>c') and NOT null the whole path (the SQL
+    || convention); both sides pin the sentinel."""
+    from nomenklatura_spark.operators.temporal import event_paths
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00", 1, "a"),
+        ("u1", "2024-01-01 10:01:00", 2, None),
+        ("u1", "2024-01-01 10:02:00", 3, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["path"]: r["n"] for r in event_paths(df, k=3).collect()}
+    assert got == {"a>(null)>c": 1}
+    got2 = {r["path"]: r["n"] for r in event_paths(df, k=2).collect()}
+    assert got2 == {"a>(null)": 1, "(null)>c": 1}
+
+
+def test_event_paths_bot_user_cap_raises(spark):
+    """The executable per-user bound: a user past max_user_events must
+    raise loudly (naming the user and count) BEFORE any per-user array
+    is built; capped-but-legal users still work."""
+    import pytest
+
+    from nomenklatura_spark.operators.temporal import event_paths
+
+    rows = [
+        ("bot", f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}", i, "x")
+        for i in range(40)
+    ] + [
+        ("ok", "2024-01-01 10:00:00", 100, "a"),
+        ("ok", "2024-01-01 10:01:00", 101, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match=r"bot\(40\).*max_user_events|max_user_events.*bot\(40\)"):
+        event_paths(df, k=2, max_user_events=30)
+    # at the bound exactly: allowed
+    got = {
+        r["path"]: r["n"]
+        for r in event_paths(df, k=2, max_user_events=40).collect()
+    }
+    assert got["a>b"] == 1 and got["x>x"] == 39
+
+
 def test_event_paths_topn_tiebreak_deterministic(spark):
     from nomenklatura_spark.operators.temporal import event_paths
 
