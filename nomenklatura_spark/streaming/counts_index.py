@@ -108,9 +108,20 @@ class CountsIndexState(VersionedState):
                 (
                     F.coalesce("_sc", F.lit(0)) + F.coalesce("_bc", F.lit(0))
                 ).alias("cnt"),
-                (
+                # NULL-ness is part of the monoid: SQL's sum() is NULL
+                # iff NO non-null value contributed, so a side that is
+                # NULL (absent row, or a group whose values were all
+                # NULL) is the identity — only coalesce when at least
+                # one side is non-null, else an all-NULL (k, b) group
+                # would serve 0 while a rescan oracle's sum() says NULL
+                F.when(
+                    F.col("_ss").isNull() & F.col("_bs").isNull(),
+                    F.lit(None).cast("bigint"),
+                )
+                .otherwise(
                     F.coalesce("_ss", F.lit(0)) + F.coalesce("_bs", F.lit(0))
-                ).alias("sv"),
+                )
+                .alias("sv"),
             )
         )
         nv = self.version() + 1

@@ -27,14 +27,17 @@ genuinely that user's own event count.  A bot that fires "purchase"
 forever and never "view" would grow state without bound, so the index
 enforces an executable contract (``max_orphan_times``): per (user,
 step) it keeps only the K SMALLEST orphan times plus a MARKER row
-encoded as (u, -step, bound) where ``bound`` is the kept maximum at
-discard time.  The marker carries its own invariant — every kept time
-is <= bound and every discarded time is > bound — maintained across
-folds: arrivals above a marked key's bound are discarded too (joining
-the discarded set), and a re-cap only lowers the bound.  The bound
-lives IN the marker, so it survives later prunes that remove kept rows
-(e.g. the horizon cut).  Under it the index stays EXACT or fails
-LOUDLY, never silently wrong:
+encoded as (u, -step, bound, discard_max) where ``bound`` is the kept
+maximum at discard time and ``discard_max`` the largest time ever
+discarded that could still matter.  The marker carries its own
+invariant — every kept time is <= bound and every discarded time lies
+in (bound, discard_max] — maintained across folds: arrivals above a
+marked key's bound are discarded too (raising the ceiling, unless they
+are already beyond the horizon and thus forever irrelevant), a re-cap
+only lowers the bound, and the ceiling only rises.  Both live IN the
+marker, so they survive later prunes that remove kept rows (e.g. the
+horizon cut).  Under it the index stays EXACT or fails LOUDLY, never
+silently wrong:
 
 - chain resolves inside the bound (q_i derived from kept times is
   non-null): q_i <= bound < every discarded time, so it is the true
@@ -44,10 +47,23 @@ LOUDLY, never silently wrong:
 - the horizon closes at or below the bound (q_1 + W <= bound): every
   discarded time is outside the horizon now, and the horizon only
   tightens — marker dropped, exact;
-- chain resolves BEYOND the bound (q_{i-1} non-null, q_i unresolved
-  from kept times, horizon still open above the bound): the true q_i
-  may be a discarded time — ``apply_batch`` raises ValueError naming
-  the keys; rescan the raw history for those users or raise the cap.
+- chain resolves beyond the bound but the whole discarded range sits
+  at or below q_{i-1} (discard_max <= q_{i-1}): no discarded time can
+  qualify (qualifying needs t > q_{i-1}), so q_i from kept times —
+  including "no conversion" — is EXACT; the marker stays, because a
+  future drop of q_{i-1} below the ceiling reopens the question;
+- chain resolves BEYOND the bound with discard_max > q_{i-1} (q_i
+  unresolved from kept times, horizon still open above the bound): the
+  true q_i may be a discarded time — ``apply_batch`` raises ValueError
+  naming the keys, and ``repair_users`` is the executable recovery: a
+  rescan of the raw history for EXACTLY those users (pushed-down
+  ``isin`` filter), rebuilding their rows from complete information
+  with fresh markers while every other user's state is untouched; then
+  re-apply the batch that raised (its fold never committed, and
+  re-folding is idempotent by the distinct-union algebra).  A repaired
+  key cannot re-raise: on complete information a ceiling above
+  q_{i-1} implies a qualifying time existed, which would have resolved
+  q_i (see ``repair_users``).
 
 Merging a batch = distinct-union + re-derive q + re-prune, which is
 IDEMPOTENT: re-folding a delivered batch re-adds rows the prune already
@@ -71,7 +87,7 @@ from nomenklatura_spark.streaming.state import (
     start_maintenance_stream,
 )
 
-_TIMES_SCHEMA = "u string, step int, t timestamp"
+_TIMES_SCHEMA = "u string, step int, t timestamp, d timestamp"
 
 
 class FunnelIndexState(VersionedState):
@@ -142,47 +158,93 @@ class FunnelIndexState(VersionedState):
         never silently wrong."""
         if batch_id is not None and batch_id <= self.last_batch(scope):
             return self.spark.createDataFrame([], _TIMES_SCHEMA)
-        base = df.select(
-            F.col(user_col).cast("string").alias("u"),
-            F.col(ts_col).cast("timestamp").alias("t"),
-            F.col(type_col).alias("et"),
-        ).where(F.col("et").isin(self.steps) & F.col("t").isNotNull())
-        # per-step union, not an et->step map: repeated step names
-        # ("view", "view") route one event to several step slots, like
-        # the batch operator
-        parts = [
-            base.where(F.col("et") == s).select(
-                "u", F.lit(i).cast("int").alias("step"), "t"
-            )
-            for i, s in enumerate(self.steps, start=1)
-        ]
-        batch = parts[0]
-        for p in parts[1:]:
-            batch = batch.unionByName(p)
+        batch = self._route(df, user_col, ts_col, type_col)
         prev = self.times()
         prev_markers = prev.where(F.col("step") < 0).select(
-            "u", (-F.col("step")).alias("step"), F.col("t").alias("_b")
+            "u",
+            (-F.col("step")).alias("step"),
+            F.col("t").alias("_b"),
+            F.col("d").alias("_d"),
         )
-        merged = (
-            prev.where(F.col("step") > 0).unionByName(batch).distinct()
+        unioned = (
+            prev.where(F.col("step") > 0)
+            .select("u", "step", "t")
+            .unionByName(batch)
+            .distinct()
         )
         # Cap invariant across folds: a MARKED key (some larger times
         # already discarded) must never re-admit an arrival above its
         # bound — otherwise a later chain could resolve to the arrival
         # while a discarded smaller time was the true answer, and the
         # decidability check below would pass silently.  Such arrivals
-        # join the discarded set, which the bound already accounts for.
-        merged = (
-            merged.join(prev_markers, ["u", "step"], "left")
-            .where(F.col("_b").isNull() | (F.col("t") <= F.col("_b")))
-            .drop("_b")
+        # join the discarded set; the REJECTED side is kept so its
+        # maximum can extend the marker's discard ceiling below.
+        joined = unioned.join(
+            prev_markers.select("u", "step", "_b"), ["u", "step"], "left"
         )
+        merged = joined.where(
+            F.col("_b").isNull() | (F.col("t") <= F.col("_b"))
+        ).drop("_b")
+        rejected = joined.where(
+            F.col("_b").isNotNull() & (F.col("t") > F.col("_b"))
+        ).select("u", "step", "t")
         # consumed by the q derivation AND the prune join
         merged = merged.localCheckpoint(eager=True)
         q = self._user_steps(merged)
         k = len(self.steps)
         qarr = F.array(*[F.col(f"q{i}") for i in range(1, k + 1)])
-        st = merged.join(q, "u", "left")
+        pruned = self._pruned(merged, q, k, qarr)
+        # rejected arrivals beyond the current horizon can never
+        # qualify (the horizon only tightens) — they are forever
+        # irrelevant and must NOT raise the discard ceiling; with q1
+        # still unknown the horizon is unknown, so include them
+        # conservatively
+        rej = rejected.join(q.select("u", "q1"), "u", "left")
+        if self.within is not None:
+            rej = rej.where(
+                F.col("q1").isNull() | (F.col("t") <= self._horizon())
+            )
+        disc_upd = rej.groupBy("u", "step").agg(F.max("t").alias("_ad"))
+        pruned = self._cap_orphans(pruned, q, prev_markers, disc_upd, k, qarr)
+        nv = self.version() + 1
+        pruned.write.mode("overwrite").parquet(self._path("times", nv))
+        if batch_id is None:
+            self._bump(nv)
+        else:
+            self._bump(nv, batch_id, scope)
+        return batch
+
+    def _route(
+        self, df: DataFrame, user_col: str, ts_col: str, type_col: str
+    ) -> DataFrame:
+        """Raw events -> the (u, step, t) candidate grain.  Per-step
+        union, not an et->step map: repeated step names ("view",
+        "view") route one event to several step slots, like the batch
+        operator."""
+        base = df.select(
+            F.col(user_col).cast("string").alias("u"),
+            F.col(ts_col).cast("timestamp").alias("t"),
+            F.col(type_col).alias("et"),
+        ).where(F.col("et").isin(self.steps) & F.col("t").isNotNull())
+        parts = [
+            base.where(F.col("et") == s).select(
+                "u", F.lit(i).cast("int").alias("step"), "t"
+            )
+            for i, s in enumerate(self.steps, start=1)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _pruned(
+        self, times: DataFrame, q: DataFrame, k: int, qarr
+    ) -> DataFrame:
+        """The monotonicity prune (module docstring): step 1 keeps its
+        minimum; later steps keep times at or below the current q_i (or
+        everything while q_i is unresolved), inside the horizon once q1
+        exists.  Returns rows still carrying the q1..qk columns."""
+        st = times.join(q, "u", "left")
         q_step = F.element_at(qarr, F.col("step"))
         keep_first = (F.col("step") == 1) & (F.col("t") == F.col("q1"))
         keep_later = (F.col("step") > 1) & (
@@ -192,38 +254,113 @@ class FunnelIndexState(VersionedState):
             keep_later = keep_later & (
                 F.col("q1").isNull() | (F.col("t") <= self._horizon())
             )
-        pruned = st.where(keep_first | keep_later).select(
+        return st.where(keep_first | keep_later).select(
             "u", "step", "t", *[f"q{i}" for i in range(1, k + 1)]
         )
-        pruned = self._cap_orphans(pruned, q, prev_markers, k, qarr)
+
+    def repair_users(
+        self,
+        raw_events: DataFrame,
+        users: list[str] | None = None,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> list[str]:
+        """Targeted rescan-repair — the executable recovery path the
+        orphan-cap ValueError points at.  Given the raw event HISTORY
+        (everything folded so far, plus the batch whose fold raised)
+        and the offending users, this rescans history for EXACTLY those
+        users, rebuilds their candidate rows from complete information,
+        re-caps their orphan tails with fresh markers, and leaves every
+        other user's state untouched.  ``users=None`` repairs every
+        currently-marked user (the only keys where information was ever
+        discarded).
+
+        Because the rebuild sees the COMPLETE history, a rebuilt q is
+        the truth, and the rebuild provably never re-raises: a fresh
+        marker's discard ceiling is the maximum of times that were all
+        seen by the q derivation (and horizon-pruned first whenever q1
+        is known), so if the ceiling exceeded q_{i-1} that time would
+        have qualified and q_i would be non-null — the undecidable
+        predicate (``discard_max > q_prev`` with q_cur null) is
+        unsatisfiable on complete information.  Keys whose tail still
+        overflows the cap get a fresh marker (bound = kept maximum,
+        ceiling = discarded maximum, the invariant restored from
+        scratch) so FUTURE folds keep the exact-or-loud contract.
+        After a repair, re-apply the batch that raised: its fold was
+        never committed (the version pointer did not advance), and
+        re-folding rows the rescan already included is absorbed by the
+        distinct-union algebra.
+
+        The per-user filter is an ``isin`` over the repair list —
+        driver-bounded by the marked-key set (itself state-sized, one
+        row per capped (u, step)), and pushed down to the raw scan so
+        the rescan reads only those users' partitions/row groups.
+
+        Returns the list of users repaired."""
+        prev = self.times()
+        if users is None:
+            users = sorted(
+                r["u"]
+                for r in prev.where(F.col("step") < 0)
+                .select("u")
+                .distinct()
+                .collect()
+            )
+        users = [str(u) for u in users]
+        if not users:
+            return []
+        full = (
+            self._route(raw_events, user_col, ts_col, type_col)
+            .where(F.col("u").isin(users))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        q = self._user_steps(full)
+        k = len(self.steps)
+        qarr = F.array(*[F.col(f"q{i}") for i in range(1, k + 1)])
+        pruned = self._pruned(full, q, k, qarr)
+        no_markers = self.spark.createDataFrame(
+            [], "u string, step int, _b timestamp, _d timestamp"
+        )
+        no_disc = self.spark.createDataFrame(
+            [], "u string, step int, _ad timestamp"
+        )
+        rebuilt = self._cap_orphans(pruned, q, no_markers, no_disc, k, qarr)
+        untouched = prev.where(~F.col("u").isin(users))
+        out = untouched.unionByName(rebuilt)
         nv = self.version() + 1
-        pruned.write.mode("overwrite").parquet(self._path("times", nv))
-        if batch_id is None:
-            self._bump(nv)
-        else:
-            self._bump(nv, batch_id, scope)
-        return batch
+        out.write.mode("overwrite").parquet(self._path("times", nv))
+        self._bump(nv)
+        return users
 
     def _cap_orphans(
         self,
         pruned: DataFrame,
         q: DataFrame,
         prev_markers: DataFrame,
+        disc_upd: DataFrame,
         k: int,
         qarr,
     ) -> DataFrame:
         """Bound the orphan tail (module docstring): keep the
         ``max_orphan_times`` smallest times per chain-incomplete
-        (u, step), write a (u, -step, bound) marker when anything was
-        discarded, drop markers whose keys became decidably exact, and
-        raise loudly on keys whose chain resolved beyond the bound.
-        ``pruned`` carries the q1..qk columns; ``prev_markers`` is
-        (u, step, _b) with step already re-positivized."""
+        (u, step), write a (u, -step, bound, discard_max) marker when
+        anything was discarded, drop markers whose keys became decidably
+        exact, and raise loudly ONLY on keys whose discard ceiling
+        proves a discarded time could be the true answer
+        (``discard_max > q_{i-1}``).  ``pruned`` carries the q1..qk
+        columns; ``prev_markers`` is (u, step, _b, _d) with step
+        re-positivized; ``disc_upd`` is (u, step, _ad), the per-key max
+        of this fold's still-horizon-relevant rejected arrivals."""
         cap = self.max_orphan_times
+        null_ts = F.lit(None).cast("timestamp")
         q_step = F.element_at(qarr, F.col("step"))
         is_orphan = (F.col("step") > 1) & q_step.isNull()
         orphans = pruned.where(is_orphan)
-        solid = pruned.where(~is_orphan).select("u", "step", "t")
+        solid = pruned.where(~is_orphan).select(
+            "u", "step", "t", null_ts.alias("d")
+        )
         # One partially-aggregated pass: each key's sorted time array is
         # bounded by cap + one micro-batch's own contribution (the state
         # invariant caps what past folds left behind), never
@@ -235,21 +372,39 @@ class FunnelIndexState(VersionedState):
             .localCheckpoint(eager=True)
         )
         kept_orphans = agg.select(
-            "u", "step", F.explode(F.slice("_ts", 1, cap)).alias("t")
+            "u",
+            "step",
+            F.explode(F.slice("_ts", 1, cap)).alias("t"),
+            null_ts.alias("d"),
         )
         # a key re-capped this fold discards everything past the kept
-        # prefix; the new bound is the kept maximum (element cap)
+        # prefix: the new bound is the kept maximum (element cap), the
+        # new discard ceiling the array maximum (these rows are already
+        # horizon-pruned whenever q1 is known, so the ceiling never
+        # counts a forever-irrelevant time)
         new_markers = agg.where(F.size("_ts") > cap).select(
-            "u", "step", F.element_at("_ts", cap).alias("_nb")
+            "u",
+            "step",
+            F.element_at("_ts", cap).alias("_nb"),
+            F.element_at("_ts", -1).alias("_nd"),
         )
-        markers = prev_markers.join(
-            new_markers, ["u", "step"], "full_outer"
-        ).select(
-            "u", "step", F.least(F.col("_b"), F.col("_nb")).alias("_b")
+        markers = (
+            prev_markers.join(new_markers, ["u", "step"], "full_outer")
+            .join(disc_upd, ["u", "step"], "left")
+            .select(
+                "u",
+                "step",
+                # the bound only ever lowers; the ceiling only rises
+                F.least(F.col("_b"), F.col("_nb")).alias("_b"),
+                F.greatest(
+                    F.col("_d"), F.col("_nd"), F.col("_ad")
+                ).alias("_d"),
+            )
         )
         if markers.isEmpty():
-            return solid.unionByName(kept_orphans.select("u", "step", "t"))
+            return solid.unionByName(kept_orphans)
         # decidability per marked key, against the marker's own bound
+        # and discard ceiling
         marked = markers.join(q, "u", "left")
         q_cur = F.element_at(qarr, F.col("step"))
         q_prev = F.element_at(qarr, F.col("step") - 1)
@@ -261,27 +416,35 @@ class FunnelIndexState(VersionedState):
         else:
             horizon_closed = F.lit(False)
         resolved = F.coalesce(q_cur.isNotNull(), F.lit(False)) | horizon_closed
+        # a discarded time lies in (bound, discard_max]; it can be the
+        # true q_i only if it exceeds q_{i-1} — when the whole discarded
+        # range sits at or below q_{i-1}, q_i derived from kept times is
+        # EXACT even though the chain resolved beyond the bound
         undecidable = (
             F.coalesce(q_prev.isNotNull(), F.lit(False))
             & q_cur.isNull()
             & ~horizon_closed
+            & F.coalesce(F.col("_d") > q_prev, F.lit(False))
         )
         bad = marked.where(undecidable).select("u", "step").limit(3).collect()
         if bad:
             keys = ", ".join(f"(u={r['u']}, step={r['step']})" for r in bad)
             raise ValueError(
-                "funnel index: the step chain resolved beyond the capped "
-                f"orphan prefix for {keys} — times above the kept "
-                f"{cap} smallest were discarded and the true next-step "
-                "time may be among them. Rescan the raw history for "
-                "these users or raise max_orphan_times."
+                "funnel index: the step chain resolved beyond the "
+                f"capped orphan prefix for {keys} — times above the "
+                f"kept {cap} smallest were discarded and the true "
+                "next-step time may be among them. Repair with "
+                "repair_users(raw_history, [users...]) — a targeted "
+                "rescan of exactly those users — or raise "
+                "max_orphan_times."
             )
-        marker_rows = marked.where(~resolved & ~undecidable).select(
-            "u", (-F.col("step")).alias("step"), F.col("_b").alias("t")
+        marker_rows = marked.where(~resolved).select(
+            "u",
+            (-F.col("step")).alias("step"),
+            F.col("_b").alias("t"),
+            F.col("_d").alias("d"),
         )
-        return solid.unionByName(
-            kept_orphans.select("u", "step", "t")
-        ).unionByName(marker_rows)
+        return solid.unionByName(kept_orphans).unionByName(marker_rows)
 
     def counts(self, version: int | None = None) -> DataFrame:
         """The funnel answer from state alone — identical shape and

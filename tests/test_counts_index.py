@@ -72,6 +72,41 @@ def test_counts_index_maintained_equals_scratch(spark, tmp_path):
     assert _state_rows(state) == _py_counts(rows)
 
 
+def test_counts_index_all_null_values_serve_null_sum(spark, tmp_path):
+    """NULL-ness is part of the monoid: a (key, bucket) whose values
+    are ALL NULL must serve sum NULL (SQL sum semantics, what any
+    rescan oracle computes) — not a coalesced 0; once a non-null value
+    arrives the NULL side acts as the identity."""
+    state = CountsIndexState(spark, str(tmp_path / "s"), bucket="hour")
+    state.apply_batch(
+        _events_df(
+            spark,
+            [("a", "2024-01-01 10:00:00", None),
+             ("b", "2024-01-01 10:00:00", 7)],
+        ),
+        value_col="value_int",
+        batch_id=0,
+    )
+    got = {r["k"]: (r["cnt"], r["sv"]) for r in state.counts().collect()}
+    assert got == {"a": (1, None), "b": (1, 7)}
+    # second batch: another all-NULL row for a (still NULL), and a's
+    # first real value in a later batch flips it to that value exactly
+    state.apply_batch(
+        _events_df(spark, [("a", "2024-01-01 10:30:00", None)]),
+        value_col="value_int",
+        batch_id=1,
+    )
+    got = {r["k"]: (r["cnt"], r["sv"]) for r in state.counts().collect()}
+    assert got == {"a": (2, None), "b": (1, 7)}
+    state.apply_batch(
+        _events_df(spark, [("a", "2024-01-01 10:45:00", 5)]),
+        value_col="value_int",
+        batch_id=2,
+    )
+    got = {r["k"]: (r["cnt"], r["sv"]) for r in state.counts().collect()}
+    assert got == {"a": (3, 5), "b": (1, 7)}
+
+
 def test_counts_index_replay_guard(spark, tmp_path):
     rows = _random_rows(43, n=80)
     state = CountsIndexState(spark, str(tmp_path / "s"))

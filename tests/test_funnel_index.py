@@ -228,9 +228,10 @@ def test_funnel_orphan_tail_bounded_then_exact_on_resolve(spark, tmp_path):
 
 
 def test_funnel_orphan_overflow_raises_beyond_prefix(spark, tmp_path):
-    """When the chain resolves BEYOND the capped prefix (q1 lands above
-    the kept maximum), the true q2 may be a discarded time — the fold
-    must raise loudly, never answer silently wrong."""
+    """When the chain resolves INSIDE the discarded range (q1 above the
+    kept maximum but below the discard ceiling), the true q2 may be a
+    discarded time — the fold must raise loudly, never answer silently
+    wrong."""
     import pytest
 
     clicks = [
@@ -241,11 +242,127 @@ def test_funnel_orphan_overflow_raises_beyond_prefix(spark, tmp_path):
         spark, str(tmp_path / "state"), STEPS, max_orphan_times=16
     )
     state.apply_batch(_events_df(spark, clicks), batch_id=0)
+    # bound = 00:00:16, discard ceiling = 00:03:20; q1 = 00:01:00 lands
+    # between them, so the true q2 (00:01:01) was discarded
     with pytest.raises(ValueError, match="max_orphan_times"):
         state.apply_batch(
-            _events_df(spark, [("bot", "2024-01-01 00:50:00", "view")]),
+            _events_df(spark, [("bot", "2024-01-01 00:01:00", "view")]),
             batch_id=1,
         )
+
+
+def test_funnel_orphan_exact_when_discards_below_q1(spark, tmp_path):
+    """The discard-ceiling refinement: when q1 lands ABOVE everything
+    ever discarded (discard_max <= q1), no discarded click can qualify,
+    so 'no conversion' derived from kept times is EXACT — no raise, the
+    marker persists for the day q1 drops, and counts match scratch."""
+    clicks = [
+        ("bot", f"2024-01-01 00:{m // 60:02d}:{m % 60:02d}", "click")
+        for m in range(1, 201)  # 00:00:01 .. 00:03:20
+    ]
+    view = [("bot", "2024-01-01 00:50:00", "view")]  # above the ceiling
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, max_orphan_times=16
+    )
+    state.apply_batch(_events_df(spark, clicks), batch_id=0)
+    state.apply_batch(_events_df(spark, view), batch_id=1)  # no raise
+    assert state.times().where("step = -2").count() == 1  # marker stays
+    scratch = funnel_steps(_events_df(spark, clicks + view), STEPS)
+    assert _counts(state.counts()) == _counts(scratch)
+    got = {r["step"]: r["n_users"] for r in state.counts().collect()}
+    assert got == {1: 1, 2: 0, 3: 0}
+    # a later view BELOW the ceiling reopens the question -> loud
+    import pytest
+
+    with pytest.raises(ValueError, match="repair_users"):
+        state.apply_batch(
+            _events_df(spark, [("bot", "2024-01-01 00:02:00", "view")]),
+            batch_id=2,
+        )
+
+
+def test_funnel_orphan_repair_users_restores_exactness(spark, tmp_path):
+    """The executable recovery path: force the undecidable case (chain
+    resolves beyond the capped prefix), repair with a targeted rescan
+    of the raw history for exactly the named users, re-apply the failed
+    batch, and assert incremental-equals-scratch end-to-end — with an
+    innocent user's state verifiably untouched by the repair."""
+    import pytest
+
+    clicks = [
+        ("bot", f"2024-01-01 00:{m // 60:02d}:{m % 60:02d}", "click")
+        for m in range(1, 201)
+    ]
+    innocent = [
+        ("ok", "2024-01-01 00:00:00", "view"),
+        ("ok", "2024-01-01 00:01:00", "click"),
+    ]
+    late_view = [("bot", "2024-01-01 00:01:00", "view")]
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, max_orphan_times=16
+    )
+    state.apply_batch(_events_df(spark, clicks + innocent), batch_id=0)
+    ok_before = sorted(
+        tuple(r) for r in state.times().where("u = 'ok'").collect()
+    )
+    # q1 lands inside the discarded range (above the kept prefix,
+    # below the ceiling): the fold must raise and must NOT commit
+    # (version pointer unchanged)
+    v_before = state.version()
+    with pytest.raises(ValueError, match="repair_users"):
+        state.apply_batch(_events_df(spark, late_view), batch_id=1)
+    assert state.version() == v_before
+    # repair: full raw history (folded batches + the batch that raised)
+    history = _events_df(spark, clicks + innocent + late_view)
+    assert state.repair_users(history, ["bot"]) == ["bot"]
+    assert (
+        sorted(tuple(r) for r in state.times().where("u = 'ok'").collect())
+        == ok_before
+    )
+    # re-apply the failed batch: idempotent for the rescanned rows
+    state.apply_batch(_events_df(spark, late_view), batch_id=1)
+    scratch = funnel_steps(history, STEPS)
+    assert _counts(state.counts()) == _counts(scratch)
+    # the rebuilt bot rows are exact: q2 = first click after 00:01:00,
+    # and the chain resolved, so no marker remains for bot
+    qrow = (
+        state._user_steps(state.times()).where("u = 'bot'").collect()[0]
+    )
+    assert qrow["q1"].strftime("%H:%M:%S") == "00:01:00"
+    assert qrow["q2"].strftime("%H:%M:%S") == "00:01:01"
+    assert state.times().where("u = 'bot' and step < 0").count() == 0
+
+
+def test_funnel_orphan_repair_users_default_and_noop(spark, tmp_path):
+    """users=None repairs every marked user; an unmarked state is a
+    no-op (returns [] and does not bump the version)."""
+    clicks = [
+        ("bot", f"2024-01-01 00:{m // 60:02d}:{m % 60:02d}", "click")
+        for m in range(1, 101)
+    ]
+    state = FunnelIndexState(
+        spark, str(tmp_path / "state"), STEPS, max_orphan_times=8
+    )
+    state.apply_batch(_events_df(spark, clicks), batch_id=0)
+    assert state.times().where("step < 0").count() == 1
+    got = state.repair_users(_events_df(spark, clicks))
+    assert got == ["bot"]
+    # complete-history rebuild: still capped + marked (tail overflows),
+    # and counts keep matching scratch
+    assert state.times().where("u = 'bot' and step = 2").count() == 8
+    assert state.times().where("step < 0").count() == 1
+    scratch = funnel_steps(_events_df(spark, clicks), STEPS)
+    assert _counts(state.counts()) == _counts(scratch)
+    # nothing marked after the view resolves inside the kept prefix
+    # (q1 = 00:00:05 <= bound, so q2 = 00:00:06 comes off kept rows)
+    state.apply_batch(
+        _events_df(spark, [("bot", "2024-01-01 00:00:05", "view")]),
+        batch_id=1,
+    )
+    assert state.times().where("step < 0").count() == 0
+    v = state.version()
+    assert state.repair_users(_events_df(spark, clicks)) == []
+    assert state.version() == v
 
 
 def test_funnel_orphan_marker_dropped_when_horizon_closes(spark, tmp_path):
