@@ -6915,7 +6915,12 @@ QUERIES = {
     # events_topk_served); events_anomaly_served then took
     # events_anomaly's seat (same oracle, but the served path also
     # proves the maintained counter view) — every displaced row stays
-    # contract-checked.)
+    # contract-checked.  r9 rotation: events_hourly_served (the counter
+    # view's direct dashboard row) and graph_condense on-board,
+    # displacing events_hll_users and events_funnel — each subsumed by
+    # its on-board served sibling (events_hll_weekly_served serves from
+    # the same merged registers; events_funnel_served derives the same
+    # chain from maintained state).)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -6930,14 +6935,14 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_kcore": q_graph_kcore,
     "graph_scc": q_graph_scc,
+    "graph_condense": q_graph_condense,
     "events_topk_served": q_events_topk_served,
     "events_anomaly_served": q_events_anomaly_served,
+    "events_hourly_served": q_events_hourly_served,
     "doc_sample_weighted": q_doc_sample_weighted,
     "dedup_containment": q_dedup_containment,
     "doc_cluster_keywords": q_doc_cluster_keywords,
-    "events_hll_users": q_events_hll_users,
     "events_value_hist": q_events_value_hist,
-    "events_funnel": q_events_funnel,
     "events_funnel_served": q_events_funnel_served,
     "events_hll_weekly_served": q_events_hll_weekly_served,
     "events_sessions_served": q_events_sessions_served,
@@ -6968,6 +6973,8 @@ QUERIES = {
     "blocker_stopwords": q_blocker_stopwords,
     # entries past the driver's 50-row board cap: oracle-checked by the
     # pytest suite (tests/test_entry_contract.py), invisible to the board
+    "events_hll_users": q_events_hll_users,
+    "events_funnel": q_events_funnel,
     "ann_topk": q_ann_topk,
     "doc_stats": q_doc_stats,
     "doc_embed": q_doc_embed,
@@ -7020,13 +7027,11 @@ QUERIES = {
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
     "events_quantiles_served": q_events_quantiles_served,
-    "graph_condense": q_graph_condense,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_exact": q_dedup_exact,
     "pair_scores_regression": q_pair_scores_regression,
     "graph_closeness": q_graph_closeness,
-    "events_hourly_served": q_events_hourly_served,
     "events_anomaly": q_events_anomaly,
     "doc_keywords": q_doc_keywords,
 }

@@ -192,6 +192,7 @@ def maintain_hist_stream(
 
 
 _CAND_SCHEMA = "value string"
+_META_SCHEMA = "floor0 long, folds long"
 
 
 class HeavyHittersIndexState(VersionedState):
@@ -213,11 +214,26 @@ class HeavyHittersIndexState(VersionedState):
     Serving = CMS point estimates over the stored candidates, ordered
     by (estimate desc, value): estimates are exact-BIGINT one-sided
     overcounts, so the true count of every served key is <= its
-    displayed estimate.  Both relations are written BEFORE the single
+    displayed estimate.  All relations are written BEFORE the single
     VERSION bump, so a crash mid-fold leaves the previous snapshot
     consistent (counters and candidates never skew); additive CMS
     counters get the batch-id replay guard, and the candidate union is
     naturally idempotent (distinct set union).
+
+    The completeness guarantee is carried IN the state as an executable
+    FLOOR: a (floor0, folds) meta row maintains
+    ``provable_floor() = floor0 + folds * T``.  At creation floor0 = 0
+    with zero folds (an empty history is complete down to 0); each fold
+    adds T (a key can evade capture by at most T-1 per batch), which
+    reproduces the pigeonhole bound B*T; ``repair_candidates`` — the
+    targeted-rescan verb, symmetric to the funnel index's
+    ``repair_users`` — resets it to the rescan's exact threshold.
+    ``serve_topk(k, strict=True)`` enforces the boundary: when the
+    requested k reaches candidates whose ESTIMATE falls below the floor
+    (the estimate is an upper bound, so their true count is certainly
+    below it), keys missing from the candidate set could outrank the
+    tail of the served list — it raises loudly, naming the floor and
+    the repair verb, instead of serving a silently incomplete list.
     """
 
     def __init__(self, spark, root: str, depth: int = 4, width: int = 1024,
@@ -231,6 +247,36 @@ class HeavyHittersIndexState(VersionedState):
 
     def candidates(self, version: int | None = None) -> DataFrame:
         return self._read("candidates", _CAND_SCHEMA, version)
+
+    def _floor_meta(self) -> tuple[int, int]:
+        if self.version() < 0:
+            return 0, 0
+        (r,) = self._read("meta", _META_SCHEMA).collect()
+        return int(r["floor0"]), int(r["folds"])
+
+    def provable_floor(self) -> int:
+        """Every key with true global count >= this floor is PROVABLY
+        in the candidate set: floor0 (0 at creation — complete over an
+        empty history; the rescan threshold after a repair) plus T per
+        fold since (a key can evade batch-local capture by at most T-1
+        per batch) — the running form of the pigeonhole B*T bound."""
+        floor0, folds = self._floor_meta()
+        return floor0 + folds * self.local_threshold
+
+    def _write_all(
+        self,
+        counters: DataFrame,
+        cands: DataFrame,
+        floor0: int,
+        folds: int,
+    ) -> int:
+        nv = self.version() + 1
+        counters.write.mode("overwrite").parquet(self._path("counters", nv))
+        cands.write.mode("overwrite").parquet(self._path("candidates", nv))
+        self.spark.createDataFrame(
+            [(int(floor0), int(folds))], _META_SCHEMA
+        ).write.mode("overwrite").parquet(self._path("meta", nv))
+        return nv
 
     def apply_batch(
         self,
@@ -259,20 +305,78 @@ class HeavyHittersIndexState(VersionedState):
             .select("value")
         )
         cands = self.candidates().union(local_heavy).distinct()
-        nv = self.version() + 1
-        merged.write.mode("overwrite").parquet(self._path("counters", nv))
-        cands.write.mode("overwrite").parquet(self._path("candidates", nv))
+        floor0, folds = self._floor_meta()
+        nv = self._write_all(merged, cands, floor0, folds + 1)
         if batch_id is None:
             self._bump(nv)
         else:
             self._bump(nv, batch_id, scope)
 
-    def serve_topk(self, k: int) -> DataFrame:
-        """Top-k candidates by CMS estimate, from state alone."""
+    def repair_candidates(
+        self,
+        raw_history: DataFrame,
+        value_col: str,
+        floor: int | None = None,
+    ) -> int:
+        """Targeted-rescan repair — the recovery path the strict
+        serving boundary points at (symmetric to the funnel index's
+        ``repair_users``).  One exact partial-agg count over the raw
+        history admits every key with true count >= ``floor`` (default:
+        ``local_threshold``, the finest grain the candidate rule aims
+        at) into the candidate set, and the completeness floor resets
+        to exactly ``floor`` with zero folds-since — no pigeonhole
+        slack, because the rescan saw everything.  Counters are
+        untouched (estimates stay one-sided overcounts); subsequent
+        folds resume raising the floor by T each.  Returns the new
+        provable floor."""
+        f = int(floor if floor is not None else self.local_threshold)
+        if f < 1:
+            raise ValueError("repair_candidates: floor must be >= 1")
+        heavy = (
+            raw_history.select(
+                F.col(value_col).cast("string").alias("value")
+            )
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= f)
+            .select("value")
+        )
+        cands = self.candidates().union(heavy).distinct()
+        nv = self._write_all(self.counters(), cands, f, 0)
+        self._bump(nv)
+        return f
+
+    def serve_topk(self, k: int, strict: bool = False) -> DataFrame:
+        """Top-k candidates by CMS estimate, from state alone.  With
+        ``strict=True``, raise loudly when the request reaches past the
+        provable-completeness region — fewer than k candidates exist,
+        or a served ESTIMATE (an upper bound on the true count) falls
+        below ``provable_floor()``, meaning a key absent from the
+        candidate set could out-count the served tail."""
         from nomenklatura_spark.operators.sketch import cms_lookup
 
         est = cms_lookup(
             self.counters(), self.candidates(), "value",
             self.depth, self.width, self.prefix,
         )
-        return est.orderBy(F.desc("n_cms"), "value").limit(k)
+        out = est.orderBy(F.desc("n_cms"), "value").limit(k)
+        if not strict:
+            return out
+        floor = self.provable_floor()
+        rows = out.collect()  # k-row serving materialization
+        light = [r for r in rows if r["n_cms"] < floor]
+        if len(rows) < k or light:
+            tail = (
+                f"the k-th estimate {min(r['n_cms'] for r in rows)} is "
+                f"below it"
+                if rows and light
+                else f"only {len(rows)} candidates exist"
+            )
+            raise ValueError(
+                f"heavy-hitters index: top-{k} is not provably "
+                f"candidate-complete — keys with true count below the "
+                f"floor {floor} may be missing from the candidate set, "
+                f"and {tail}. Rescan with repair_candidates(raw_history, "
+                f"value_col, floor=...) or request a smaller k."
+            )
+        return self.spark.createDataFrame(rows, out.schema)

@@ -706,6 +706,66 @@ def test_heavy_hitters_index_capture_and_serve(spark, tmp_path):
         assert r["n_cms"] >= true_counts.get(r["value"], 0)
 
 
+def test_heavy_hitters_strict_floor_and_repair(spark, tmp_path):
+    """The completeness boundary is executable: the floor runs at
+    folds*T, strict serving raises once the requested k reaches
+    estimates below it (a missed key could outrank the tail), and
+    repair_candidates — the targeted exact rescan — resets the floor
+    and admits the sub-pigeonhole keys so the same request passes."""
+    import pytest
+
+    from nomenklatura_spark.streaming.sketch_index import (
+        HeavyHittersIndexState,
+    )
+
+    state = HeavyHittersIndexState(
+        spark, str(tmp_path / "hh"), local_threshold=10
+    )
+    schema = "v string"
+    # big: 12/batch (always captured); mid: 8/batch (never local-heavy,
+    # true 24 < floor 30 — the provably-missable zone); burst: one
+    # batch of 11 (captured, but its estimate ~11 sits below the floor)
+    batches = [
+        [("big",)] * 12 + [("mid",)] * 8 + [("burst",)] * 11,
+        [("big",)] * 12 + [("mid",)] * 8,
+        [("big",)] * 12 + [("mid",)] * 8,
+    ]
+    seen: list[tuple] = []
+    for n, b in enumerate(batches):
+        seen.extend(b)
+        state.apply_batch(
+            spark.createDataFrame(b, schema), "v", batch_id=n, scope="t"
+        )
+    assert state.provable_floor() == 30  # 3 folds x T, pigeonhole B*T
+    # k=1 stays inside the provable region (big's estimate >= 36)
+    (r1,) = state.serve_topk(1, strict=True).collect()
+    assert r1["value"] == "big"
+    # k=2 reaches burst (estimate ~11 < 30): not provably complete —
+    # and indeed "mid" (true 24) is missing from the candidate set
+    with pytest.raises(ValueError, match="repair_candidates"):
+        state.serve_topk(2, strict=True)
+    # k beyond the candidate count raises too
+    with pytest.raises(ValueError, match="not provably candidate-complete"):
+        state.serve_topk(99, strict=True)
+    # repair: exact rescan down to floor 8 admits mid; floor resets
+    history = spark.createDataFrame(seen, schema)
+    assert state.repair_candidates(history, "v", floor=8) == 8
+    assert state.provable_floor() == 8
+    cands = {r["value"] for r in state.candidates().collect()}
+    assert "mid" in cands
+    top2 = state.serve_topk(2, strict=True).collect()
+    assert [r["value"] for r in top2] == ["big", "mid"]
+    assert top2[1]["n_cms"] >= 24  # one-sided overcount holds
+    # the floor resumes climbing with subsequent folds
+    state.apply_batch(
+        spark.createDataFrame([("big",)] * 12, schema),
+        "v",
+        batch_id=3,
+        scope="t",
+    )
+    assert state.provable_floor() == 18
+
+
 def test_heavy_hitters_index_replay_and_crash_consistency(spark, tmp_path):
     from nomenklatura_spark.streaming.sketch_index import (
         HeavyHittersIndexState,
