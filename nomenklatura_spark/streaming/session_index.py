@@ -100,11 +100,20 @@ class SessionIndexState(VersionedState):
     """Versioned on-disk state: the per-user session-interval relation
     (u, s, e, n, sv) for one gap definition."""
 
-    def __init__(self, spark, root: str, gap_seconds: int = 1800) -> None:
+    def __init__(
+        self,
+        spark,
+        root: str,
+        gap_seconds: int = 1800,
+        max_user_rows: int = 1_000_000,
+    ) -> None:
         super().__init__(spark, root)
         if gap_seconds < 1:
             raise ValueError("gap_seconds must be >= 1")
         self.gap_seconds = gap_seconds
+        if max_user_rows < 1:
+            raise ValueError("max_user_rows must be >= 1")
+        self.max_user_rows = max_user_rows
 
     def sessions(self, version: int | None = None) -> DataFrame:
         return self._read("sessions", _SESS_SCHEMA, version)
@@ -133,6 +142,15 @@ class SessionIndexState(VersionedState):
         Delta MERGE).  ``value_col`` must be an additive INTEGER column
         (the caller fixes the unit, e.g. cents) — the house
         exact-arithmetic rule; pass None to maintain event counts only.
+
+        The per-user window frame (that user's sessions + their batch
+        events) carries an EXECUTABLE bound, same contract shape as
+        ``event_paths`` and the funnel orphan cap: a map-side-combined
+        count pass runs first, and any user above the index's
+        ``max_user_rows`` raises a loud ValueError naming the offenders
+        before the windowed fold runs — a 10^8-event bot in one batch
+        is one straggler task otherwise, and silently truncating it
+        would corrupt that user's intervals.
         """
         if batch_id is not None and batch_id <= self.last_batch(scope):
             return self.spark.createDataFrame([], _SESS_SCHEMA)
@@ -150,9 +168,27 @@ class SessionIndexState(VersionedState):
         ).where(F.col("s").isNotNull())
         touched = batch.select("u").distinct()
         prev = self.sessions()
+        fold_input = prev.join(touched, "u", "left_semi").unionByName(batch)
+        offenders = (
+            fold_input.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .where(F.col("n_rows") > self.max_user_rows)
+            .orderBy(F.col("n_rows").desc(), "u")
+            .limit(10)
+            .collect()
+        )
+        if offenders:
+            names = ", ".join(
+                f"{r['u']}({r['n_rows']})" for r in offenders
+            )
+            raise ValueError(
+                f"session index: user(s) above the max_user_rows="
+                f"{self.max_user_rows} per-user fold bound: {names} "
+                f"(top 10 shown); filter or cap those users upstream, "
+                f"or raise the bound if the executors have the memory"
+            )
         folded = fold_session_intervals(
-            prev.join(touched, "u", "left_semi").unionByName(batch),
-            self.gap_seconds,
+            fold_input, self.gap_seconds
         ).unionByName(prev.join(touched, "u", "left_anti"))
         nv = self.version() + 1
         folded.write.mode("overwrite").parquet(self._path("sessions", nv))

@@ -93,6 +93,34 @@ def test_session_index_incremental_matches_scratch(spark, tmp_path):
     assert _state_rows(state) == _py_sessions(rows)
 
 
+def test_session_index_bot_user_cap_raises(spark, tmp_path):
+    """The executable per-user fold bound: a user whose state + batch
+    rows exceed max_user_rows raises loudly (naming user and count)
+    BEFORE the windowed fold, without committing; legal batches then
+    still fold, and the bound counts the user's STATE rows too."""
+    import pytest
+
+    state = SessionIndexState(
+        spark, str(tmp_path / "s"), gap_seconds=GAP, max_user_rows=20
+    )
+    bot = [
+        ("bot", f"2024-01-01 {h:02d}:00:00", 1) for h in range(21)
+    ]  # 21 rows > 20
+    with pytest.raises(ValueError, match=r"bot\(21\)"):
+        state.apply_batch(_events_df(spark, bot), batch_id=0)
+    assert state.version() == -1  # nothing committed
+    # exactly at the bound: fine; 21 isolated sessions of 1h gaps...
+    state.apply_batch(_events_df(spark, bot[:20]), batch_id=0)
+    assert state.sessions().where("u = 'bot'").count() == 20
+    # next batch: 20 state rows + 1 event = 21 > 20 -> the state side
+    # counts against the bound too
+    with pytest.raises(ValueError, match="max_user_rows"):
+        state.apply_batch(
+            _events_df(spark, [("bot", "2024-01-02 05:00:00", 1)]),
+            batch_id=1,
+        )
+
+
 def test_session_index_bridge_merges_two_intervals(spark, tmp_path):
     """The specific late-data path the lemma covers: two established
     sessions merge when a bridging event lands in the gap between
