@@ -75,6 +75,13 @@ BENCH_QUERIES = [
     "dedup_eval",
     "events_retention_served",
     "events_paths",
+    # r9 addition: the counter view's dashboard serving row, newly
+    # board-rotated (wall = 3 out-of-order counter folds + the serve
+    # from state, like the other *_served rows).  graph_condense also
+    # joined the board but stays out of the headline set: it rides the
+    # SCC coloring loop, convergence-bound like graph_scc/bfs/layers
+    # (see SCALE.md).
+    "events_hourly_served",
 ]
 
 

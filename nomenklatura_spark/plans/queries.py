@@ -1382,6 +1382,54 @@ _DECONTAM_BLOOM_SQL = f"""
 """
 
 
+def q_doc_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling
+    (``textops/contrastive.sample_negative_pairs``): 5 deterministic
+    uniform negatives per anchor document from a 64-document broadcast
+    candidate pool, excluding the anchor itself and same-``source``
+    candidates (the false-negative guard) — the (anchor, negative)
+    pair feed a bi-encoder trainer consumes.  Pool selection and
+    per-(anchor, candidate) ranking both ride the engine-stable md5
+    device, so the oracle replays the exact pair set; the broadcast
+    join keeps each anchor's candidates in one task, WindowGroupLimit
+    ships k rows per anchor, and the corpus is never shuffled."""
+    from nomenklatura_spark.textops.contrastive import (
+        sample_negative_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_negative_pairs(
+        docs, k=5, pool_size=64, group_col="source"
+    ).orderBy("anchor_id", "neg_rank")
+
+
+_DOC_NEGATIVES_SQL = """
+    WITH pool AS (
+        SELECT doc_id AS neg_id, source AS neg_src
+        FROM documents
+        ORDER BY CAST(('0x' || substr(md5('negpair:pool:'
+                   || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 doc_id
+        LIMIT 64
+    ),
+    ranked AS (
+        SELECT d.doc_id AS anchor_id, p.neg_id AS negative_id,
+               row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY CAST(('0x' || substr(md5('negpair:'
+                       || CAST(d.doc_id AS VARCHAR) || '|'
+                       || CAST(p.neg_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                       p.neg_id
+               ) AS neg_rank
+        FROM documents d
+        JOIN pool p ON p.neg_id <> d.doc_id AND p.neg_src <> d.source
+    )
+    SELECT anchor_id, negative_id, neg_rank
+    FROM ranked WHERE neg_rank <= 5
+    ORDER BY anchor_id, neg_rank
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — connected components over the near-dup pair graph."""
     pairs = _spark_ngram_pairs(spark, sf_dir)
@@ -7034,6 +7082,7 @@ QUERIES = {
     "graph_closeness": q_graph_closeness,
     "events_anomaly": q_events_anomaly,
     "doc_keywords": q_doc_keywords,
+    "doc_negatives": q_doc_negatives,
 }
 
 ORACLES = {
@@ -7143,6 +7192,7 @@ ORACLES = {
     "events_hourly_served": _EVENTS_HOURLY_SERVED_SQL,
     "events_anomaly_served": _EVENTS_ANOMALY_SQL,
     "doc_keywords": _DOC_KEYWORDS_SQL,
+    "doc_negatives": _DOC_NEGATIVES_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

@@ -190,7 +190,12 @@ class FunnelIndexState(VersionedState):
         ).select("u", "step", "t")
         # consumed by the q derivation AND the prune join
         merged = merged.localCheckpoint(eager=True)
-        q = self._user_steps(merged)
+        # q is consumed by THREE actions per fold (the decidability
+        # collect, the horizon filter on rejected arrivals, the state
+        # write) — checkpoint it once instead of re-running the k-1
+        # join+agg derivation in each; the frame is one row per step-1
+        # user, far smaller than state
+        q = self._user_steps(merged).localCheckpoint(eager=True)
         k = len(self.steps)
         qarr = F.array(*[F.col(f"q{i}") for i in range(1, k + 1)])
         pruned = self._pruned(merged, q, k, qarr)
@@ -401,10 +406,10 @@ class FunnelIndexState(VersionedState):
                 ).alias("_d"),
             )
         )
-        if markers.isEmpty():
-            return solid.unionByName(kept_orphans)
         # decidability per marked key, against the marker's own bound
-        # and discard ceiling
+        # and discard ceiling.  No isEmpty() pre-check: the collect
+        # below is the same one driver action, and an empty marker
+        # relation short-circuits it for free.
         marked = markers.join(q, "u", "left")
         q_cur = F.element_at(qarr, F.col("step"))
         q_prev = F.element_at(qarr, F.col("step") - 1)

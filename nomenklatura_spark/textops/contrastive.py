@@ -1,0 +1,115 @@
+"""Deterministic negative-pair sampling for contrastive training.
+
+Bi-encoder / embedding training (DPR — Karpukhin et al. 2020; SimCSE —
+Gao et al. 2021) consumes (anchor, negative) pairs: for every anchor
+document, k documents that are NOT related to it, drawn uniformly so
+the negative distribution matches the corpus.  At corpus scale the
+naive formulation — "k random other documents per anchor" — is an
+all-pairs sample; the standard scalable shape (and the one here) is a
+shared CANDIDATE POOL: one global uniform sample of ``pool_size``
+documents is broadcast, every anchor ranks the pool by a per-(anchor,
+candidate) hash, and the k smallest survive.  Each anchor still sees
+an i.i.d.-uniform-without-replacement draw from the pool, the pool is
+one TakeOrdered pass over the corpus, and the per-anchor work is
+pool-sized, never corpus-sized.
+
+Determinism is the house md5 device (``functions/hashing.md5_bucket``,
+replayable as ANSI SQL): the pool is the ``pool_size`` smallest
+``md5(salt:pool:id)`` keys (ties by id), and each anchor's ranking key
+is ``md5(salt:anchor|candidate)`` — so retries, repartitionings and
+the DuckDB oracle reproduce the exact pair set bit-for-bit.  No seeded
+RNG anywhere.
+
+Exclusions: a negative must not be the anchor itself, and with
+``group_col`` set must not share the anchor's group (source, dedup
+cluster, domain — the standard guard against false negatives).
+Anchors whose surviving candidate set is smaller than k emit fewer
+rows (documented; raise ``pool_size`` if exclusion pressure is high).
+
+Scale contract, executable: the pool is broadcast to every executor,
+so ``pool_size`` above ``max_pool`` (default 1e6 ids — tens of MB)
+raises a loud ValueError instead of silently planning a broadcast that
+evicts the executors.  The per-anchor rank rides a window whose rank
+predicate enables WindowGroupLimit: the broadcast join keeps all of an
+anchor's candidates in one task, so each map task ships k rows per
+anchor and the single shuffle carries anchors x k rows, never
+anchors x pool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nomenklatura_spark.functions.hashing import md5_bucket
+
+_MOD = 16**15
+
+
+def sample_negative_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    pool_size: int = 256,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "negpair",
+    max_pool: int = 1_000_000,
+) -> DataFrame:
+    """(anchor_id, negative_id, neg_rank) — k deterministic uniform
+    negatives per anchor from a broadcast candidate pool (module
+    docstring).  ``neg_rank`` is 1..k in hash order, so a caller can
+    take a prefix for curriculum-style schedules."""
+    if k < 1:
+        raise ValueError("sample_negative_pairs: k must be >= 1")
+    if pool_size < k:
+        raise ValueError(
+            f"sample_negative_pairs: pool_size={pool_size} < k={k} — "
+            "every anchor would come up short by construction"
+        )
+    if pool_size > max_pool:
+        raise ValueError(
+            f"sample_negative_pairs: pool_size={pool_size} is above the "
+            f"max_pool={max_pool} broadcast bound; a pool that size "
+            "should be a partitioned join, not a broadcast — lower "
+            "pool_size or raise max_pool if the executors have the "
+            "memory for it"
+        )
+    pool_cols = [F.col(id_col).alias("_neg_id")]
+    if group_col is not None:
+        pool_cols.append(F.col(group_col).alias("_neg_grp"))
+    pool = (
+        docs.select(
+            *pool_cols,
+            md5_bucket(f"{salt}:pool", F.col(id_col), _MOD).alias("_pk"),
+        )
+        .orderBy("_pk", "_neg_id")
+        .limit(pool_size)
+        .drop("_pk")
+    )
+    anchor_cols = [F.col(id_col).alias("anchor_id")]
+    if group_col is not None:
+        anchor_cols.append(F.col(group_col).alias("_a_grp"))
+    anchors = docs.select(*anchor_cols)
+    cond = F.col("anchor_id") != F.col("_neg_id")
+    if group_col is not None:
+        cond = cond & (F.col("_a_grp") != F.col("_neg_grp"))
+    pair_key = md5_bucket(
+        salt,
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("_neg_id").cast("string"),
+        ),
+        _MOD,
+    )
+    win = Window.partitionBy("anchor_id").orderBy("_ph", "_neg_id")
+    return (
+        anchors.join(F.broadcast(pool), cond)
+        .withColumn("_ph", pair_key)
+        .withColumn("neg_rank", F.row_number().over(win))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            "anchor_id",
+            F.col("_neg_id").alias("negative_id"),
+            "neg_rank",
+        )
+    )

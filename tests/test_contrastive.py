@@ -1,0 +1,89 @@
+"""Deterministic negative-pair sampling (textops/contrastive.py):
+exclusion rules, determinism across runs, the broadcast-pool scale
+contract, and the map-side group-limit plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from nomenklatura_spark.textops.contrastive import sample_negative_pairs
+
+
+def _docs(spark, n=40, sources=4):
+    return spark.createDataFrame(
+        [(i, f"text {i}", f"s{i % sources}") for i in range(n)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_negatives_shape_and_exclusions(spark):
+    docs = _docs(spark)
+    out = sample_negative_pairs(
+        docs, k=3, pool_size=16, group_col="source"
+    ).collect()
+    by_anchor: dict[int, list] = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == set(range(40))  # every anchor served
+    src = {i: f"s{i % 4}" for i in range(40)}
+    for a, rows in by_anchor.items():
+        assert [r["neg_rank"] for r in sorted(rows, key=lambda r: r["neg_rank"])] == [1, 2, 3]
+        for r in rows:
+            assert r["negative_id"] != a  # never self
+            assert src[r["negative_id"]] != src[a]  # never same group
+        # no duplicate negatives within an anchor
+        assert len({r["negative_id"] for r in rows}) == 3
+
+
+def test_negatives_deterministic_and_pool_shared(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, sample_negative_pairs(docs, k=2, pool_size=8).collect()))
+    b = sorted(map(tuple, sample_negative_pairs(docs, k=2, pool_size=8).collect()))
+    assert a == b
+    # negatives come from one shared pool of at most pool_size ids
+    negs = {t[1] for t in a}
+    assert len(negs) <= 8
+    # a different salt yields a different (but still valid) pairing
+    c = sorted(
+        map(tuple, sample_negative_pairs(docs, k=2, pool_size=8, salt="x").collect())
+    )
+    assert c != a
+
+
+def test_negatives_contract_raises(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="max_pool"):
+        sample_negative_pairs(docs, k=2, pool_size=100, max_pool=50)
+    with pytest.raises(ValueError, match="pool_size"):
+        sample_negative_pairs(docs, k=10, pool_size=5)
+    with pytest.raises(ValueError, match="k must be"):
+        sample_negative_pairs(docs, k=0)
+
+
+def test_negatives_short_anchors_emit_fewer(spark):
+    # one dominant source: anchors from it can only draw the few
+    # other-source pool members — they emit fewer than k, never pad
+    docs = spark.createDataFrame(
+        [(i, "t", "big" if i < 19 else "rare") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    out = sample_negative_pairs(
+        docs, k=5, pool_size=20, group_col="source"
+    ).collect()
+    by_anchor: dict[int, int] = {}
+    for r in out:
+        by_anchor[r["anchor_id"]] = max(
+            by_anchor.get(r["anchor_id"], 0), r["neg_rank"]
+        )
+    # big-source anchors see only the single rare doc in the pool
+    assert all(v == 1 for a, v in by_anchor.items() if a < 19)
+    assert by_anchor[19] == 5  # the rare anchor has 19 candidates
+
+
+def test_negatives_plan_group_limits_map_side(spark):
+    docs = _docs(spark, n=200)
+    plan = sample_negative_pairs(
+        docs, k=3, pool_size=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # k rows per anchor leave the map side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
