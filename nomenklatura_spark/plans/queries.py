@@ -4522,6 +4522,72 @@ def _ann_ivf_sql() -> str:
     """
 
 
+def q_doc_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (``textops/contrastive.mine_hard_negatives``): each anchor's IVF
+    neighbors at ranks 3..7 — near the anchor in embedding space (the
+    fine distinctions a bi-encoder must learn; the complement of
+    ``doc_negatives``' uniform pool draw) but past the head ranks where
+    true positives concentrate.  Pure composition: candidate generation
+    IS the ``ann_ivf_topk`` machinery at k=7 with the same cached
+    codebook, so scale shape and determinism are inherited and the
+    oracle replays the identical selection with the rank slice."""
+    from nomenklatura_spark.textops.contrastive import mine_hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    centroids, _, _ = _ann_codebooks_cached(spark, sf_dir)
+    return mine_hard_negatives(
+        emb,
+        queries,
+        k=5,
+        skip_top=2,
+        n_probe=6,
+        centroids=centroids,
+        dim=64,
+    ).orderBy("anchor_id", "neg_rank")
+
+
+def _doc_hard_negatives_sql() -> str:
+    """The IVF replay (`_ann_ivf_sql`) with the rank slice 3..7
+    re-ranked to neg_rank 1..5."""
+    return f"""
+        WITH {_ivf_inv_ctes()},
+        probes AS (
+            SELECT query_id, centroid FROM (
+                SELECT q.id AS query_id, s.centroid,
+                    row_number() OVER (
+                        PARTITION BY q.id
+                        ORDER BY round(list_dot_product(q.vec, s.c_vec), 9)
+                                 DESC, s.centroid
+                    ) AS pr
+                FROM vecs q, c2 s WHERE q.id % 50 = 0
+            ) WHERE pr <= 6
+        ),
+        scored AS (
+            SELECT p.query_id, i.id AS neighbor_id,
+                round(list_dot_product(qv.vec, i.vec), 6) AS cosine_sim
+            FROM probes p
+            JOIN inv i USING (centroid)
+            JOIN vecs qv ON qv.id = p.query_id
+            WHERE i.id != p.query_id
+        ),
+        ranked AS (
+            SELECT query_id AS anchor_id, neighbor_id AS negative_id,
+                   cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT anchor_id, negative_id,
+               CAST(rank - 2 AS INT) AS neg_rank, cosine_sim
+        FROM ranked WHERE rank > 2 AND rank <= 7
+        ORDER BY anchor_id, neg_rank
+    """
+
+
 def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed bag-of-words document embeddings (``textops/embed.py``),
     exploded to (doc_id, pos, val) rows for the value-hash compare.
@@ -7083,6 +7149,7 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "doc_keywords": q_doc_keywords,
     "doc_negatives": q_doc_negatives,
+    "doc_hard_negatives": q_doc_hard_negatives,
 }
 
 ORACLES = {
@@ -7193,6 +7260,7 @@ ORACLES = {
     "events_anomaly_served": _EVENTS_ANOMALY_SQL,
     "doc_keywords": _DOC_KEYWORDS_SQL,
     "doc_negatives": _DOC_NEGATIVES_SQL,
+    "doc_hard_negatives": _doc_hard_negatives_sql(),
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

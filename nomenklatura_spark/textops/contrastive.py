@@ -113,3 +113,37 @@ def sample_negative_pairs(
             "neg_rank",
         )
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    skip_top: int = 2,
+    **ivf_kwargs,
+) -> DataFrame:
+    """HARD negatives: the anchor's approximate nearest neighbors with
+    the top ``skip_top`` ranks skipped — near the anchor in embedding
+    space (so the trainer learns fine distinctions, the complement of
+    ``sample_negative_pairs``' uniform draw) but past the head where
+    true duplicates/positives concentrate (the standard guard; raise
+    ``skip_top`` when the corpus is duplicate-heavy, or anti-join a
+    dedup keep-list upstream).  A composition row: the candidate
+    generation IS ``ann/ivf.ivf_topk`` at ``k + skip_top``, inheriting
+    its scale shape (broadcast probes against the inverted lists, one
+    rank window) and its codebook determinism — so the oracle replays
+    the identical selection.  Returns (anchor_id, negative_id,
+    neg_rank 1..k, cosine_sim)."""
+    from nomenklatura_spark.ann.ivf import ivf_topk
+
+    if k < 1 or skip_top < 0:
+        raise ValueError(
+            "mine_hard_negatives: need k >= 1 and skip_top >= 0"
+        )
+    nn = ivf_topk(corpus, queries, k=k + skip_top, **ivf_kwargs)
+    return nn.where(F.col("rank") > skip_top).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        (F.col("rank") - skip_top).cast("int").alias("neg_rank"),
+        "cosine_sim",
+    )

@@ -80,6 +80,40 @@ def test_negatives_short_anchors_emit_fewer(spark):
     assert by_anchor[19] == 5  # the rare anchor has 19 candidates
 
 
+def test_hard_negatives_skip_top_slices_ann_ranks(spark):
+    """Hard negatives are the IVF neighbor list with the head skipped:
+    ranks skip_top+1..skip_top+k re-ranked to 1..k, scores carried —
+    and skip_top=0 degenerates to the plain neighbor list."""
+    import random
+
+    from nomenklatura_spark.ann.ivf import ivf_topk
+    from nomenklatura_spark.textops.contrastive import mine_hard_negatives
+
+    rnd = random.Random(7)
+    vecs = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id % 20 = 0")
+    full = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in ivf_topk(
+            emb, queries, k=6, n_centroids=4, n_probe=2, dim=8
+        ).collect()
+    }
+    hard = mine_hard_negatives(
+        emb, queries, k=4, skip_top=2, n_centroids=4, n_probe=2, dim=8
+    ).collect()
+    assert len(hard) == 3 * 4
+    for r in hard:
+        nid, sim = full[(r["anchor_id"], r["neg_rank"] + 2)]
+        assert (r["negative_id"], r["cosine_sim"]) == (nid, sim)
+    import pytest
+
+    with pytest.raises(ValueError, match="skip_top"):
+        mine_hard_negatives(emb, queries, k=2, skip_top=-1)
+
+
 def test_negatives_plan_group_limits_map_side(spark):
     docs = _docs(spark, n=200)
     plan = sample_negative_pairs(
