@@ -600,9 +600,25 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "dedup_containment",
     }
 
+    # SPARK_GRAFT_PROBE_SETTLE=<loadavg>: before each probe, wait (up
+    # to 6 min) for the 1-minute loadavg to decay below the threshold,
+    # so every probe STARTS as idle as the headline walls — without
+    # this, sequential probes inherit each other's load and the
+    # recorded per-probe loadavg is the bench's own threads, an upper
+    # bound on the ratio rather than a clean curve.
+    settle = float(os.environ.get("SPARK_GRAFT_PROBE_SETTLE", "0"))
+
+    def _settled() -> None:
+        if settle <= 0:
+            return
+        deadline = time.time() + 360
+        while _load1() > settle and time.time() < deadline:
+            time.sleep(10)
+
     section: dict[str, dict] = {"n_repl": n_repl}
     for name, fn in ops.items():
         base, big = inputs[name]
+        _settled()
         load = _load1()
         if name in build_timed:
             w1 = _noop_wall_build(fn, base)

@@ -179,17 +179,19 @@ class FunnelIndexState(VersionedState):
         # decidability check below would pass silently.  Such arrivals
         # join the discarded set; the REJECTED side is kept so its
         # maximum can extend the marker's discard ceiling below.
+        # Checkpointed ONCE, bound column included: the admitted side,
+        # the rejected side, the q derivation and the prune are all
+        # filters/joins over this materialization — without it the
+        # distinct shuffle re-runs in every action of the fold.
         joined = unioned.join(
             prev_markers.select("u", "step", "_b"), ["u", "step"], "left"
-        )
+        ).localCheckpoint(eager=True)
         merged = joined.where(
             F.col("_b").isNull() | (F.col("t") <= F.col("_b"))
         ).drop("_b")
         rejected = joined.where(
             F.col("_b").isNotNull() & (F.col("t") > F.col("_b"))
         ).select("u", "step", "t")
-        # consumed by the q derivation AND the prune join
-        merged = merged.localCheckpoint(eager=True)
         # q is consumed by THREE actions per fold (the decidability
         # collect, the horizon filter on rejected arrivals, the state
         # write) — checkpoint it once instead of re-running the k-1

@@ -168,7 +168,14 @@ class SessionIndexState(VersionedState):
         ).where(F.col("s").isNotNull())
         touched = batch.select("u").distinct()
         prev = self.sessions()
-        fold_input = prev.join(touched, "u", "left_semi").unionByName(batch)
+        # checkpointed ONCE: the offender pre-count and the windowed
+        # fold both read this materialization — otherwise the semi-join
+        # union is computed twice per fold (once per action)
+        fold_input = (
+            prev.join(touched, "u", "left_semi")
+            .unionByName(batch)
+            .localCheckpoint(eager=True)
+        )
         offenders = (
             fold_input.groupBy("u")
             .agg(F.count(F.lit(1)).alias("n_rows"))

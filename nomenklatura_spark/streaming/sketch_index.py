@@ -249,9 +249,18 @@ class HeavyHittersIndexState(VersionedState):
         return self._read("candidates", _CAND_SCHEMA, version)
 
     def _floor_meta(self) -> tuple[int, int]:
-        if self.version() < 0:
+        v = self.version()
+        if v < 0:
             return 0, 0
+        # single-writer discipline (foreachBatch): this instance's own
+        # writes keep the cache current, so successive folds skip the
+        # 1-row parquet read job; any other reader/instance still reads
+        # the versioned relation
+        cached = getattr(self, "_meta_cache", None)
+        if cached is not None and cached[0] == v:
+            return cached[1], cached[2]
         (r,) = self._read("meta", _META_SCHEMA).collect()
+        self._meta_cache = (v, int(r["floor0"]), int(r["folds"]))
         return int(r["floor0"]), int(r["folds"])
 
     def provable_floor(self) -> int:
@@ -276,6 +285,7 @@ class HeavyHittersIndexState(VersionedState):
         self.spark.createDataFrame(
             [(int(floor0), int(folds))], _META_SCHEMA
         ).write.mode("overwrite").parquet(self._path("meta", nv))
+        self._meta_cache = (nv, int(floor0), int(folds))
         return nv
 
     def apply_batch(
