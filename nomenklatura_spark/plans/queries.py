@@ -1444,6 +1444,56 @@ _DEDUP_COMPONENTS_SQL = f"""
 """
 
 
+def q_doc_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive POSITIVE pairs
+    (``textops/contrastive.build_positive_pairs``): up to 2 positives
+    per anchor from its near-dup component — the transitive closure of
+    the memoized pair graph, so quote-chains yield pairs no direct
+    edge scored — ranked by the engine-stable md5 device.  Completes
+    the contrastive feed beside ``doc_negatives`` (uniform pool) and
+    ``doc_hard_negatives`` (ANN neighbors); the giant-component
+    self-join bound is an executable ValueError contract.  The oracle
+    replays the recursive-CTE closure, the same md5 ranking and the
+    same cut."""
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+    from nomenklatura_spark.textops.contrastive import (
+        build_positive_pairs,
+    )
+
+    pairs = _spark_ngram_pairs(spark, sf_dir)
+    comps = connected_components(pairs, src="lid", dst="rid")
+    return build_positive_pairs(comps, k=2).orderBy(
+        "anchor_id", "pos_rank"
+    )
+
+
+_DOC_POSITIVES_SQL = f"""
+    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY},
+    comp AS (
+        SELECT node, min(reached) AS component
+        FROM walk GROUP BY node
+    ),
+    cand AS (
+        SELECT a.node AS anchor_id, b.node AS positive_id,
+               row_number() OVER (
+                   PARTITION BY a.node
+                   ORDER BY CAST(('0x' || substr(md5('pospair:'
+                       || CAST(a.node AS VARCHAR) || '|'
+                       || CAST(b.node AS VARCHAR)), 1, 15)) AS BIGINT),
+                       b.node
+               ) AS pos_rank
+        FROM comp a
+        JOIN comp b ON b.component = a.component
+                   AND b.node <> a.node
+    )
+    SELECT anchor_id, positive_id, pos_rank
+    FROM cand WHERE pos_rank <= 2
+    ORDER BY anchor_id, pos_rank
+"""
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keywords
     (``textops/analysis.doc_keywords``): each document's top-3 terms by
@@ -7150,6 +7200,7 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "doc_negatives": q_doc_negatives,
     "doc_hard_negatives": q_doc_hard_negatives,
+    "doc_positives": q_doc_positives,
 }
 
 ORACLES = {
@@ -7261,6 +7312,7 @@ ORACLES = {
     "doc_keywords": _DOC_KEYWORDS_SQL,
     "doc_negatives": _DOC_NEGATIVES_SQL,
     "doc_hard_negatives": _doc_hard_negatives_sql(),
+    "doc_positives": _DOC_POSITIVES_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

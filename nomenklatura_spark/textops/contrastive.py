@@ -115,6 +115,79 @@ def sample_negative_pairs(
     )
 
 
+def build_positive_pairs(
+    components: DataFrame,
+    k: int = 3,
+    id_col: str = "node",
+    comp_col: str = "component",
+    salt: str = "pospair",
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """(anchor_id, positive_id, pos_rank) — up to k positives per
+    anchor from its near-dup COMPONENT (the transitive closure of the
+    pair graph, so quote-chains a>b>c yield (a, c) even when no direct
+    edge was scored).  Together with ``sample_negative_pairs`` /
+    ``mine_hard_negatives`` this completes the contrastive feed:
+    positives are corpus-derived (near-duplicates ARE the natural
+    positive pairs a self-supervised bi-encoder trains on), ranked by
+    the same engine-stable md5 device so any engine replays the exact
+    selection.
+
+    Scale contract, executable: the within-component self-join is
+    quadratic in component size, and web-scale near-dup graphs grow a
+    giant component (boilerplate chains).  A partial-agg count runs
+    first and any component above ``max_cluster`` raises a loud
+    ValueError naming the offenders — split it upstream (raise the
+    dedup threshold, or cap with ``dedup/survivors``) or raise the
+    bound; silently sampling a mega-cluster would bias positives
+    toward boilerplate.  Within the bound the join is
+    component-keyed and the per-anchor cut rides a WindowGroupLimit
+    (k rows per anchor leave each map task)."""
+    if k < 1:
+        raise ValueError("build_positive_pairs: k must be >= 1")
+    comp = components.select(
+        F.col(comp_col).alias("_c"), F.col(id_col).alias("anchor_id")
+    )
+    offenders = (
+        comp.groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_cluster)
+        .orderBy(F.col("n").desc(), "_c")
+        .limit(10)
+        .collect()
+    )
+    if offenders:
+        names = ", ".join(f"{r['_c']}({r['n']})" for r in offenders)
+        raise ValueError(
+            f"build_positive_pairs: component(s) above the "
+            f"max_cluster={max_cluster} self-join bound: {names} "
+            f"(top 10 shown); split the cluster upstream (raise the "
+            f"dedup threshold or cap with dedup/survivors) or raise "
+            f"the bound if the pair volume is acceptable"
+        )
+    other = comp.select(
+        "_c", F.col("anchor_id").alias("positive_id")
+    )
+    pair_key = md5_bucket(
+        salt,
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("positive_id").cast("string"),
+        ),
+        _MOD,
+    )
+    win = Window.partitionBy("anchor_id").orderBy("_ph", "positive_id")
+    return (
+        comp.join(other, "_c")
+        .where(F.col("anchor_id") != F.col("positive_id"))
+        .withColumn("_ph", pair_key)
+        .withColumn("pos_rank", F.row_number().over(win))
+        .where(F.col("pos_rank") <= k)
+        .select("anchor_id", "positive_id", "pos_rank")
+    )
+
+
 def mine_hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -80,6 +80,50 @@ def test_negatives_short_anchors_emit_fewer(spark):
     assert by_anchor[19] == 5  # the rare anchor has 19 candidates
 
 
+def test_positive_pairs_from_components(spark):
+    """Positives come from the component (transitive closure): a chain
+    a-b, b-c yields (a, c) pairs; singletons emit nothing; ranks are
+    1..min(k, |component|-1); determinism across runs."""
+    from nomenklatura_spark.textops.contrastive import build_positive_pairs
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "node long, component long",
+    )
+    out = build_positive_pairs(comps, k=5).collect()
+    by_anchor: dict[int, set] = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], set()).add(r["positive_id"])
+    assert by_anchor[1] == {2, 3} and by_anchor[3] == {1, 2}
+    assert 4 not in by_anchor  # singleton: no positive exists
+    assert by_anchor[5] == {6} and by_anchor[6] == {5}
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, build_positive_pairs(comps, k=5).collect()))
+    assert a == b
+    # k caps the per-anchor cut
+    capped = build_positive_pairs(comps, k=1).collect()
+    assert all(r["pos_rank"] == 1 for r in capped)
+    assert len([r for r in capped if r["anchor_id"] == 1]) == 1
+
+
+def test_positive_pairs_giant_component_raises(spark):
+    """The executable self-join bound: a component above max_cluster
+    raises loudly naming it before any quadratic join runs."""
+    import pytest
+
+    from nomenklatura_spark.textops.contrastive import build_positive_pairs
+
+    comps = spark.createDataFrame(
+        [(i, 99) for i in range(12)] + [(100, 100), (101, 100)],
+        "node long, component long",
+    )
+    with pytest.raises(ValueError, match=r"99\(12\)"):
+        build_positive_pairs(comps, k=2, max_cluster=10)
+    # at the bound: fine
+    out = build_positive_pairs(comps, k=2, max_cluster=12).collect()
+    assert len(out) > 0
+
+
 def test_hard_negatives_skip_top_slices_ann_ranks(spark):
     """Hard negatives are the IVF neighbor list with the head skipped:
     ranks skip_top+1..skip_top+k re-ranked to 1..k, scores carried —
