@@ -1165,3 +1165,77 @@ def harmonic_centrality(
             ).alias("harmonic"),
         )
     )
+
+
+def neighbor_mean_features(
+    edges: DataFrame,
+    features: DataFrame,
+    n_rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    value_col: str = "value",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """GNN-style feature smoothing on an exact integer grid: per round,
+    every node's feature becomes the integer mean of itself and its
+    in-neighbors, ``h' = (h + sum_in h_u) DIV (1 + indeg)`` — the
+    label/feature-propagation prior a graph-feature pipeline attaches
+    to training rows (one round = a mean-aggregator GNN layer without
+    weights; LightGCN-style smoothing, He et al. SIGIR'20).
+
+    Exactness: features are caller-quantized BIGINTs (the house rule —
+    cents, micro-units), sums and the truncating integer division stay
+    on that grid, so any engine replays every round bit-identically
+    (DuckDB's ``//`` and Spark's ``DIV`` both truncate toward zero,
+    verified on negatives).  Nodes without in-edges keep their value
+    (the mean of {self}); neighbors missing from ``features`` simply
+    don't appear in the edge join (and their absence is visible in the
+    denominator, which counts joined neighbors only).
+
+    Scale contract, executable: one up-front pass computes
+    ``max(abs(value))`` and the maximum in-degree and raises a loud
+    ValueError when ``max_abs * (max_indeg + 1)`` cannot fit int64 —
+    the per-node numerator bound — instead of letting a hub node wrap
+    silently (the ``pagerank`` overflow-contract shape).  Per round:
+    one src-keyed equi-join + partial-agg sum and one node-keyed left
+    join; lineage is truncated per round.
+    """
+    if n_rounds < 1:
+        raise ValueError("neighbor_mean_features: n_rounds must be >= 1")
+    h = features.select(
+        F.col(node_col).alias("node"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    (mx,) = h.agg(F.max(F.abs(F.col("v"))).alias("m")).collect()
+    (dg,) = e.groupBy("_d").count().agg(F.max("count").alias("d")).collect()
+    max_abs = int(mx["m"] or 0)
+    max_deg = int(dg["d"] or 0)
+    if max_abs and max_abs > (2**63 - 1) // (max_deg + 1):
+        raise ValueError(
+            f"neighbor_mean_features: max |value| {max_abs} times the "
+            f"maximum in-degree + 1 ({max_deg + 1}) overflows int64 — "
+            f"rescale the feature grid (fewer decimal places) or cap "
+            f"hub degrees upstream"
+        )
+    for _ in range(n_rounds):
+        agg = (
+            e.join(h, e["_s"] == h["node"])
+            .groupBy("_d")
+            .agg(F.sum("v").alias("_sum"), F.count(F.lit(1)).alias("_c"))
+        )
+        h = (
+            h.join(agg, h["node"] == agg["_d"], "left")
+            .select(
+                "node",
+                F.when(F.col("_sum").isNull(), F.col("v"))
+                .otherwise(
+                    F.expr("(v + _sum) DIV (1 + _c)").cast("bigint")
+                )
+                .alias("v"),
+            )
+        )
+        if checkpoint:
+            h = h.localCheckpoint(eager=True)
+    return h.select("node", F.col("v").alias("feat"))

@@ -1611,6 +1611,94 @@ _DEDUP_EVAL_SQL = f"""
 """
 
 
+def q_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-mean feature smoothing
+    (``operators/graph.neighbor_mean_features``): two rounds of
+    integer-exact mean aggregation of account balances (cents) over
+    the symmetrized customer↔supplier trade graph — the
+    feature-propagation layer a graph-feature training pipeline runs
+    before sampling rows (one round = a weightless mean-aggregator GNN
+    layer).  Per round one src-keyed join + partial-agg sum; the
+    up-front overflow contract bounds hub numerators; the oracle
+    unrolls both rounds as CTEs on the same grid."""
+    from nomenklatura_spark.operators.graph import neighbor_mean_features
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    trade = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = trade.union(
+        trade.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    feats = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("value"),
+    ).unionByName(
+        supplier.select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+            F.round(F.col("s_acctbal") * 100)
+            .cast("bigint")
+            .alias("value"),
+        )
+    )
+    return neighbor_mean_features(edges, feats, n_rounds=2).orderBy(
+        "node"
+    )
+
+
+_GRAPH_FEATURES_SQL = """
+    WITH trade AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM trade
+        UNION ALL
+        SELECT dst, src FROM trade
+    ),
+    f0 AS (
+        SELECT 'c' || c_custkey AS node,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+        UNION ALL
+        SELECT 's' || s_suppkey,
+               CAST(round(s_acctbal * 100) AS BIGINT)
+        FROM supplier
+    ),
+    a1 AS (
+        SELECT e.dst AS node, sum(f.v) AS s, count(*) AS c
+        FROM edges e JOIN f0 f ON f.node = e.src GROUP BY e.dst
+    ),
+    f1 AS (
+        SELECT f.node,
+               CAST(CASE WHEN a.s IS NULL THEN f.v
+                    ELSE (f.v + a.s) // (1 + a.c) END AS BIGINT) AS v
+        FROM f0 f LEFT JOIN a1 a USING (node)
+    ),
+    a2 AS (
+        SELECT e.dst AS node, sum(f.v) AS s, count(*) AS c
+        FROM edges e JOIN f1 f ON f.node = e.src GROUP BY e.dst
+    ),
+    f2 AS (
+        SELECT f.node,
+               CAST(CASE WHEN a.s IS NULL THEN f.v
+                    ELSE (f.v + a.s) // (1 + a.c) END AS BIGINT) AS v
+        FROM f1 f LEFT JOIN a2 a USING (node)
+    )
+    SELECT node, CAST(v AS BIGINT) AS feat FROM f2 ORDER BY node
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank over the customer↔supplier trade
     graph (distinct (customer, supplier) pairs from orders ⋈ lineitem,
@@ -7201,6 +7289,7 @@ QUERIES = {
     "doc_negatives": q_doc_negatives,
     "doc_hard_negatives": q_doc_hard_negatives,
     "doc_positives": q_doc_positives,
+    "graph_features": q_graph_features,
 }
 
 ORACLES = {
@@ -7313,6 +7402,7 @@ ORACLES = {
     "doc_negatives": _DOC_NEGATIVES_SQL,
     "doc_hard_negatives": _doc_hard_negatives_sql(),
     "doc_positives": _DOC_POSITIVES_SQL,
+    "graph_features": _GRAPH_FEATURES_SQL,
     "events_sessions_served": _SESSIONS_SERVED_SQL,
     "doc_lm_bigram": _DOC_LM_BIGRAM_SQL,
     "events_topk_served": _EVENTS_TOPK_SERVED_SQL,

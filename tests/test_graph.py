@@ -553,3 +553,64 @@ def test_personalized_pagerank_scale_overflow_contract(spark):
         personalized_pagerank(df, seeds, n_iter=1, scale=uniform_ok)
     out = personalized_pagerank(df, seeds, n_iter=1, scale=10**9)
     assert out.count() == 3
+
+
+def test_neighbor_mean_features_crafted(spark):
+    """Hand-derivable two-node smoothing on the exact integer grid:
+    round 1 means check by hand (truncating division, negatives
+    included), isolated nodes keep their value, and a second round
+    composes on the round-1 grid."""
+    from nomenklatura_spark.operators.graph import neighbor_mean_features
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], "src string, dst string"
+    )
+    feats = spark.createDataFrame(
+        [("a", 10), ("b", -7), ("c", 100), ("z", 5)],
+        "node string, value long",
+    )
+    r1 = {
+        r["node"]: r["feat"]
+        for r in neighbor_mean_features(edges, feats, n_rounds=1).collect()
+    }
+    # a: (10 + (-7) + 100) DIV 3 = 34; b: (-7 + 10) DIV 2 = 1;
+    # c has no in-edges -> 100; z isolated -> 5
+    assert r1 == {"a": 34, "b": 1, "c": 100, "z": 5}
+    r2 = {
+        r["node"]: r["feat"]
+        for r in neighbor_mean_features(edges, feats, n_rounds=2).collect()
+    }
+    # round 2 on the round-1 grid: a: (34 + 1 + 100) DIV 3 = 45;
+    # b: (1 + 34) DIV 2 = 17
+    assert r2 == {"a": 45, "b": 17, "c": 100, "z": 5}
+    # truncation toward zero on a negative mean (engine-agreement case)
+    neg = spark.createDataFrame(
+        [("a", -10), ("b", 3)], "node string, value long"
+    )
+    e2 = spark.createDataFrame([("a", "b")], "src string, dst string")
+    (got,) = (
+        neighbor_mean_features(e2, neg, n_rounds=1)
+        .where("node = 'b'")
+        .collect()
+    )
+    assert got["feat"] == -3  # (3 + -10) DIV 2 = -7 DIV 2 = -3, not -4
+
+
+def test_neighbor_mean_features_overflow_contract(spark):
+    """The up-front executable bound: max|value| * (max_indeg + 1)
+    past int64 raises loudly before any round runs."""
+    import pytest
+
+    from nomenklatura_spark.operators.graph import neighbor_mean_features
+
+    big = 2**62
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub")],
+        "src string, dst string",
+    )
+    feats = spark.createDataFrame(
+        [("a", big), ("b", big), ("c", big), ("hub", 0)],
+        "node string, value long",
+    )
+    with pytest.raises(ValueError, match="overflows int64"):
+        neighbor_mean_features(edges, feats, n_rounds=1)
