@@ -7172,7 +7172,15 @@ QUERIES = {
     # displacing events_hll_users and events_funnel — each subsumed by
     # its on-board served sibling (events_hll_weekly_served serves from
     # the same merged registers; events_funnel_served derives the same
-    # chain from maintained state).)
+    # chain from maintained state).  r10 rotation: the r9 contrastive
+    # tier (doc_negatives, doc_hard_negatives, doc_positives) and
+    # graph_features on-board, displacing dedup_semantic (both halves
+    # covered on-board by dedup_embedding_lsh + ann_ivfpq_topk),
+    # events_value_hist (same histogram oracle as the maintained
+    # events_quantiles_served row), ann_pq_topk (subsumed by on-board
+    # ann_ivfpq_topk, which exercises the same PQ codebooks behind the
+    # IVF route) and graph_bfs (graph_layers is its multi-source
+    # generalization over the same adjacency).)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -7182,7 +7190,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_decode": q_media_decode,
     "pair_scores_v2": q_pair_scores_v2,
-    "dedup_semantic": q_dedup_semantic,
+    "doc_negatives": q_doc_negatives,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "graph_kcore": q_graph_kcore,
@@ -7194,12 +7202,12 @@ QUERIES = {
     "doc_sample_weighted": q_doc_sample_weighted,
     "dedup_containment": q_dedup_containment,
     "doc_cluster_keywords": q_doc_cluster_keywords,
-    "events_value_hist": q_events_value_hist,
+    "doc_positives": q_doc_positives,
     "events_funnel_served": q_events_funnel_served,
     "events_hll_weekly_served": q_events_hll_weekly_served,
     "events_sessions_served": q_events_sessions_served,
     "events_retention_served": q_events_retention_served,
-    "graph_bfs": q_graph_bfs,
+    "graph_features": q_graph_features,
     "graph_links": q_graph_links,
     "graph_layers": q_graph_layers,
     "dedup_eval": q_dedup_eval,
@@ -7218,7 +7226,7 @@ QUERIES = {
     "doc_search_hybrid": q_doc_search_hybrid,
     "doc_pack": q_doc_pack,
     "xref_suggestions": q_xref_suggestions,
-    "ann_pq_topk": q_ann_pq_topk,
+    "doc_hard_negatives": q_doc_hard_negatives,
     "dedup_embedding": q_dedup_embedding,
     "doc_dup_passages": q_doc_dup_passages,
     "conflicting_matches": q_conflicting_matches,
@@ -7286,10 +7294,10 @@ QUERIES = {
     "graph_closeness": q_graph_closeness,
     "events_anomaly": q_events_anomaly,
     "doc_keywords": q_doc_keywords,
-    "doc_negatives": q_doc_negatives,
-    "doc_hard_negatives": q_doc_hard_negatives,
-    "doc_positives": q_doc_positives,
-    "graph_features": q_graph_features,
+    "dedup_semantic": q_dedup_semantic,
+    "events_value_hist": q_events_value_hist,
+    "ann_pq_topk": q_ann_pq_topk,
+    "graph_bfs": q_graph_bfs,
 }
 
 ORACLES = {
