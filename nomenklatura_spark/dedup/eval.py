@@ -52,6 +52,7 @@ def pairwise_cluster_metrics(
     labels: DataFrame,
     gold_col: str = "gold",
     pred_col: str = "pred",
+    grid_scale: int = 12,
 ) -> DataFrame:
     """One-row (tp_pairs, gold_pairs, pred_pairs, pair_precision,
     pair_recall, pair_f1, bcubed_precision, bcubed_recall, bcubed_f1)
@@ -77,17 +78,40 @@ def pairwise_cluster_metrics(
     on DECIMAL operands (verified empirically: the division itself runs
     in decimal, only the RESULT is cast, wrapping silently past int64),
     so each quotient is cast back to DECIMAL(38,0) BEFORE the sum — the
-    terms are ~n*1e12 and an int64 accumulation would overflow past
-    ~9.2e6 items, while the decimal sum matches DuckDB's HUGEINT
+    terms are ~n*10^grid_scale and an int64 accumulation would overflow
+    past ~9.2e6 items, while the decimal sum matches DuckDB's HUGEINT
     accumulation exactly.  Remaining bound, per-TERM not per-corpus: a
-    quotient is <= n_ij*1e12 (pn >= n_ij), so it fits int64 whenever
-    every contingency CELL has n_ij <= 9.2e6 — cells are capped by the
-    smaller of the two cluster sizes, so the advertised
-    million-document clusters sit an order of magnitude inside it."""
+    quotient is <= n_ij*10^grid_scale (pn >= n_ij), so it fits int64
+    whenever every contingency CELL has
+    n_ij <= (2^63-1) / 10^grid_scale (~9.2e6 at the default
+    grid_scale=12) — and that bound is EXECUTABLE, not advisory: the
+    largest cell is counted up front and a ValueError names it before
+    any quotient can wrap.  Escape hatch for larger cells:
+    ``grid_scale=6`` raises the cap to ~9.2e12 items per cell at
+    truncation error <= cells*1e-6/N — still orders of magnitude below
+    the 6dp emitted for any corpus big enough to hit the default cap.
+    The contract costs one extra pass over ``labels`` (the same
+    groupBy the metric itself runs), the house price for exact-or-loud
+    (cf. neighbor_mean_features' up-front overflow contract)."""
+    if not 0 <= grid_scale <= 18:
+        raise ValueError(f"grid_scale must be in [0, 18], got {grid_scale}")
     g = labels.groupBy(gold_col).agg(F.count(F.lit(1)).alias("gn"))
     p = labels.groupBy(pred_col).agg(F.count(F.lit(1)).alias("pn"))
     c = labels.groupBy(gold_col, pred_col).agg(F.count(F.lit(1)).alias("n"))
-    grid = "CAST(n AS DECIMAL(38,0)) * n * 1000000000000"
+    cell_cap = (2**63 - 1) // (10**grid_scale)
+    top = c.orderBy(F.col("n").desc()).limit(1).collect()
+    if top and top[0]["n"] > cell_cap:
+        raise ValueError(
+            "pairwise_cluster_metrics: contingency cell "
+            f"({gold_col}={top[0][gold_col]!r}, "
+            f"{pred_col}={top[0][pred_col]!r}) holds {top[0]['n']} items, "
+            f"above the int64 quotient cap {cell_cap} at "
+            f"grid_scale={grid_scale} — the BCubed term n^2*10^"
+            f"{grid_scale} DIV size would wrap silently.  Pass a smaller "
+            "grid_scale (6 keeps the sums exact to <= cells*1e-6/N, far "
+            "below the 6dp emitted) or split the corpus."
+        )
+    grid = f"CAST(n AS DECIMAL(38,0)) * n * {10**grid_scale}"
     bc = (
         c.join(g, gold_col)
         .join(p, pred_col)
@@ -115,10 +139,10 @@ def pairwise_cluster_metrics(
     # no ordering anywhere), which also avoids DECIMAL(38,0) product
     # overflow for 10^9-item corpora
     bp = F.col("_bpq").cast("double") / (
-        F.col("_N").cast("double") * F.lit(1e12)
+        F.col("_N").cast("double") * F.lit(float(10**grid_scale))
     )
     br = F.col("_brq").cast("double") / (
-        F.col("_N").cast("double") * F.lit(1e12)
+        F.col("_N").cast("double") * F.lit(float(10**grid_scale))
     )
     return out.select(
         "tp_pairs",

@@ -1422,7 +1422,8 @@ _DOC_NEGATIVES_SQL = """
                        p.neg_id
                ) AS neg_rank
         FROM documents d
-        JOIN pool p ON p.neg_id <> d.doc_id AND p.neg_src <> d.source
+        JOIN pool p ON p.neg_id <> d.doc_id
+                   AND p.neg_src IS DISTINCT FROM d.source
     )
     SELECT anchor_id, negative_id, neg_rank
     FROM ranked WHERE neg_rank <= 5

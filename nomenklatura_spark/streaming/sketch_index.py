@@ -228,12 +228,20 @@ class HeavyHittersIndexState(VersionedState):
     reproduces the pigeonhole bound B*T; ``repair_candidates`` — the
     targeted-rescan verb, symmetric to the funnel index's
     ``repair_users`` — resets it to the rescan's exact threshold.
-    ``serve_topk(k, strict=True)`` enforces the boundary: when the
-    requested k reaches candidates whose ESTIMATE falls below the floor
-    (the estimate is an upper bound, so their true count is certainly
-    below it), keys missing from the candidate set could outrank the
-    tail of the served list — it raises loudly, naming the floor and
-    the repair verb, instead of serving a silently incomplete list.
+    ``serve_topk(k, strict=True)`` enforces the boundary.  The provable
+    property is CANDIDATE-SET completeness: every key with true count
+    >= the floor is in the candidate set, and estimates are one-sided
+    overcounts, so such a key is estimate-ranked at or above its true
+    count.  When every served estimate sits at or above the floor, any
+    absent key has true count < floor and its estimate-rank is not
+    needed for the guarantee; when the k-th ESTIMATE falls below the
+    floor, the guarantee no longer covers the tail — strict mode raises
+    loudly, naming the floor and the repair verb, instead of serving a
+    silently unprotected list.  (The guarantee is about candidate
+    membership, not true-count ordering of the served tail: collisions
+    can inflate a served estimate past an absent key whose true count
+    sits just below the floor — ordering among sub-floor keys is
+    exactly what a sketch gives up.)
     """
 
     def __init__(self, spark, root: str, depth: int = 4, width: int = 1024,
@@ -360,9 +368,14 @@ class HeavyHittersIndexState(VersionedState):
         """Top-k candidates by CMS estimate, from state alone.  With
         ``strict=True``, raise loudly when the request reaches past the
         provable-completeness region — fewer than k candidates exist,
-        or a served ESTIMATE (an upper bound on the true count) falls
-        below ``provable_floor()``, meaning a key absent from the
-        candidate set could out-count the served tail."""
+        or a served ESTIMATE falls below ``provable_floor()``.  What
+        passing proves: every key with true count >= the floor is IN
+        the candidate set (and, estimates being one-sided overcounts,
+        estimate-ranked at or above the k-th estimate).  What it does
+        NOT prove: true-count ordering of the served tail — a key
+        absent because its true count sits just below the floor can
+        still out-true-count a served item whose estimate is inflated
+        by collisions; sketches give up exactly that distinction."""
         from nomenklatura_spark.operators.sketch import cms_lookup
 
         est = cms_lookup(

@@ -22,9 +22,16 @@ RNG anywhere.
 
 Exclusions: a negative must not be the anchor itself, and with
 ``group_col`` set must not share the anchor's group (source, dedup
-cluster, domain — the standard guard against false negatives).
-Anchors whose surviving candidate set is smaller than k emit fewer
-rows (documented; raise ``pool_size`` if exclusion pressure is high).
+cluster, domain — the standard guard against false negatives).  NULL
+groups are NULL-SAFE: the exclusion compares with IS DISTINCT FROM
+semantics, so all NULL-group documents form one shared group — two
+unknown-source docs are never paired as negatives (they might be from
+the same source), while a NULL-group anchor still draws freely from
+every known-group candidate.  (Plain ``!=`` would three-valued-NULL
+both cases away, silently emitting zero negatives for NULL-group
+anchors.)  Anchors whose surviving candidate set is smaller than k
+emit fewer rows (documented; raise ``pool_size`` if exclusion
+pressure is high).
 
 Scale contract, executable: the pool is broadcast to every executor,
 so ``pool_size`` above ``max_pool`` (default 1e6 ids — tens of MB)
@@ -91,7 +98,8 @@ def sample_negative_pairs(
     anchors = docs.select(*anchor_cols)
     cond = F.col("anchor_id") != F.col("_neg_id")
     if group_col is not None:
-        cond = cond & (F.col("_a_grp") != F.col("_neg_grp"))
+        # null-safe: NULL groups are one shared group (module docstring)
+        cond = cond & ~F.col("_a_grp").eqNullSafe(F.col("_neg_grp"))
     pair_key = md5_bucket(
         salt,
         F.concat(

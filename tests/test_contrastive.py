@@ -35,6 +35,34 @@ def test_negatives_shape_and_exclusions(spark):
         assert len({r["negative_id"] for r in rows}) == 3
 
 
+def test_negatives_null_group_is_one_shared_group(spark):
+    """NULL groups are null-safe (IS DISTINCT FROM semantics): a
+    NULL-source anchor still draws negatives from every known-source
+    candidate, and two NULL-source docs never pair as negatives —
+    plain != would silently emit zero rows for NULL-group anchors."""
+    docs = spark.createDataFrame(
+        [(0, "a", None), (1, "b", None)]
+        + [(i, f"t{i}", f"s{i % 3}") for i in range(2, 20)],
+        "doc_id long, text string, source string",
+    )
+    out = sample_negative_pairs(
+        docs, k=20, pool_size=20, group_col="source"
+    ).collect()
+    by_anchor: dict[int, set] = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], set()).add(r["negative_id"])
+    # NULL-group anchors are served, not silently dropped — the whole
+    # pool minus self minus the other NULL doc (k=pool_size keeps all)
+    assert by_anchor[0] == set(range(2, 20))
+    assert by_anchor[1] == set(range(2, 20))
+    # a known-group anchor draws NULL-group docs freely (distinct
+    # groups under IS DISTINCT FROM) plus every other-source doc
+    src = {i: i % 3 for i in range(2, 20)}
+    assert by_anchor[2] == {0, 1} | {
+        i for i in range(2, 20) if src[i] != src[2]
+    }
+
+
 def test_negatives_deterministic_and_pool_shared(spark):
     docs = _docs(spark)
     a = sorted(map(tuple, sample_negative_pairs(docs, k=2, pool_size=8).collect()))

@@ -171,6 +171,31 @@ def test_eval_bcubed_sum_survives_int64(spark):
     assert got["pair_f1"] == 1.0
 
 
+def test_eval_cell_cap_is_executable(spark):
+    """The per-cell int64 quotient bound is exact-or-loud: a cell above
+    (2^63-1)/10^grid_scale raises a ValueError naming the cell before
+    any BCubed quotient can wrap.  grid_scale=18 shrinks the cap to 9
+    so a 10-item cell trips it without building a 9.2e6-row fixture."""
+    rows = [(i, "A", "x") for i in range(10)] + [(99, "B", "y")]
+    labels = _labels_df(spark, rows)
+    with pytest.raises(ValueError) as exc:
+        pairwise_cluster_metrics(labels, grid_scale=18)
+    msg = str(exc.value)
+    assert "'A'" in msg and "'x'" in msg and "10 items" in msg
+    assert "grid_scale" in msg  # the escape hatch is named
+    # the escape hatch works and agrees with the default grid to the
+    # emitted 6dp (coarser grid only moves digits past 1e-6/N)
+    (coarse,) = pairwise_cluster_metrics(labels, grid_scale=6).collect()
+    (fine,) = pairwise_cluster_metrics(labels).collect()
+    assert tuple(coarse) == tuple(fine)
+
+
+def test_eval_grid_scale_validation(spark):
+    labels = _labels_df(spark, [(1, "A", "x")])
+    with pytest.raises(ValueError, match=r"grid_scale must be"):
+        pairwise_cluster_metrics(labels, grid_scale=19)
+
+
 def test_ann_recall_at_k_crafted(spark):
     """recall@k: full overlap scores 1, partial counts hits, a query
     the approximate side missed entirely scores 0 (present, not
