@@ -327,7 +327,10 @@ def image_stats(assets: DataFrame) -> DataFrame:
                 codec = sniff_codec(b)
                 try:
                     px = decode_image(bytes(b)) if codec in ("bmp", "ppm") else None
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    # truncated headers raise struct/index errors — same
+                    # poison-pill contract as the codec errors
                     px = None
                 if isinstance(px, np.ndarray):
                     means = px.reshape(-1, 3).mean(axis=0)
@@ -371,7 +374,8 @@ def audio_stats(assets: DataFrame) -> DataFrame:
             for b in pdf["payload"]:
                 try:
                     rate, samples = decode_wav(bytes(b))
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
                     rate, samples = None, None
                 if samples is None or rate is None or not len(samples):
                     for k in ("sample_rate", "n_samples", "duration_ms",
@@ -428,6 +432,60 @@ def synthetic_bmp_assets(
                 {
                     "asset_id": pdf["doc_id"],
                     "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    out_schema = "asset_id long, media_type string, payload binary"
+    return docs.select("doc_id").mapInPandas(_batches, out_schema)
+
+
+def synthetic_media_pair_assets(
+    docs: DataFrame,
+    width: int = 18,
+    height: int = 6,
+    perturb_every: int = 5,
+) -> DataFrame:
+    """Deterministic near-duplicate asset PAIRS for the media dedup
+    tier: per document, the md5 pixel stream of ``synthetic_bmp_assets``
+    encoded twice — asset ``2*doc_id`` as BMP and asset ``2*doc_id + 1``
+    as PPM (cross-FORMAT duplicates: same pixels, different container
+    bytes, so only a decoder can match them).  Every
+    ``perturb_every``-th document's PPM copy additionally flips pixel
+    byte 0 by +128 mod 256 (a visible single-channel edit → a
+    near-duplicate at small Hamming distance instead of an exact pixel
+    copy).  Both the stream and the perturbation are pure hex
+    arithmetic, so a SQL oracle replays the pixels without parsing
+    BMP or PPM."""
+    import hashlib
+
+    n = width * height * 3
+    n_chunks = -(-n // 16)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, kinds, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                stream = b"".join(
+                    hashlib.md5(f"{doc_id}:px:{i}".encode()).digest()
+                    for i in range(n_chunks)
+                )
+                px = np.frombuffer(stream[:n], dtype=np.uint8).reshape(
+                    height, width, 3
+                )
+                ids.append(2 * doc_id)
+                kinds.append("image")
+                payloads.append(encode_bmp(px))
+                px2 = px.copy()
+                if doc_id % perturb_every == 0:
+                    px2[0, 0, 0] = (int(px2[0, 0, 0]) + 128) % 256
+                ids.append(2 * doc_id + 1)
+                kinds.append("image")
+                payloads.append(encode_ppm(px2))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": kinds,
                     "payload": payloads,
                 }
             )

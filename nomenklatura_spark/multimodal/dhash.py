@@ -1,0 +1,258 @@
+"""Media near-duplicate detection: difference-hash (dHash) signatures
+over decoded pixels + a banded Hamming join.
+
+A training-data pipeline dedups images before captions: re-encodes,
+resizes and tiny edits of the same picture must collapse to one asset.
+dHash (the classic perceptual hash family popularised by Krawetz's
+"Kind of Like That", 2013; same banding theory as SimHash — Charikar
+2002 / Manku et al. 2007) is integer-exact, which makes it replayable
+by a SQL oracle:
+
+- decode the payload to H×W×3 uint8 pixels (the REAL pure-numpy
+  BMP/PPM codecs in ``multimodal/decode.py`` — no imaging library),
+- nearest-neighbor resample to a ``(grid_w+1) × grid_h`` grid (the
+  same integer ``(i*src)//dst`` index map as ``resize_image``),
+- integer luma ``299*R + 587*G + 114*B`` (the ITU-R 601 weights scaled
+  by 1000 — comparisons are scale-invariant, so the division never
+  happens and the math stays exact),
+- bit (r, c) = ``luma[r, c] > luma[r, c+1]`` — ``grid_w`` bits per
+  row, one row-byte per grid row, ``grid_w * grid_h`` bits total
+  (64 at the 8×8 default).
+
+The signature is carried as ``grid_h`` row-bytes (``blocks``
+array<int>) plus a hex rendering — never as one 64-bit integer, so
+bit 63 sign traps can't bite either engine.
+
+Candidate pairs at scale are the SimHash banding shape
+(``dedup/simhash.py``): band the row-bytes into ``n_bands`` exact-match
+blocks; by pigeonhole, any pair within Hamming distance
+``n_bands - 1`` shares at least one band → bounded equi-join, then the
+exact popcount-of-XOR filter.  ``band_bytes`` widens the bands for
+bigger corpora (2-byte bands → 4 bands, catches distance <= 3 with
+65536-value buckets instead of 256).
+
+Scale contract, executable: perceptual-hash buckets are SKEWED on real
+corpora (solid-color images all hash to a handful of signatures), and
+a degenerate bucket turns the band join quadratic.  A partial-agg
+count runs first and any (band_no, band_val) bucket above
+``max_bucket`` raises a loud ValueError naming the offenders — widen
+``band_bytes``, pre-drop degenerate signatures (all-0x00/all-0xff =
+flat images), or raise the bound if the pair volume is priced in.
+100 TB shape: the signature pass is map-only Arrow-batched decode
+(repartition payloads by size upstream — they are skewed); the band
+join shuffles signature rows (tens of bytes each), never pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from nomenklatura_spark.multimodal.decode import (
+    _resample_nearest,
+    decode_image,
+    sniff_codec,
+)
+
+_LUMA = (299, 587, 114)  # ITU-R 601, scaled x1000 (integer-exact)
+
+
+def dhash_signatures(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    grid_w: int = 8,
+    grid_h: int = 8,
+) -> DataFrame:
+    """(id, blocks array<int>, dhash hex string) — one signature row per
+    asset via Arrow-batched mapInPandas over the real decoders.
+    Non-decodable payloads (compressed codecs, raw fakes, truncated
+    bytes) yield NULL blocks instead of failing the batch — the same
+    poison-pill contract as ``image_stats``; ``dhash_pairs`` skips them
+    (an undecodable image has no pixels to near-match).  Bit c of row
+    r is ``luma[r, c] > luma[r, c+1]`` weighted ``2^c``."""
+    if grid_w < 1 or grid_h < 1:
+        raise ValueError("dhash_signatures: grid must be >= 1x1")
+    if grid_w > 8:
+        raise ValueError(
+            "dhash_signatures: grid_w > 8 would overflow the row-byte "
+            "block encoding; widen grid_h instead"
+        )
+    n_cols = grid_w + 1
+    weights = (1 << np.arange(grid_w)).astype(np.int64)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blocks, hexes = [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                try:
+                    px = (
+                        decode_image(b)
+                        if sniff_codec(b) in ("bmp", "ppm")
+                        else None
+                    )
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    # truncated headers raise struct/index errors —
+                    # poison pills, same contract as the codec errors
+                    px = None
+                if not isinstance(px, np.ndarray):
+                    ids.append(aid)
+                    blocks.append(None)
+                    hexes.append(None)
+                    continue
+                g = _resample_nearest(px, n_cols, grid_h).astype(np.int64)
+                luma = (
+                    _LUMA[0] * g[:, :, 0]
+                    + _LUMA[1] * g[:, :, 1]
+                    + _LUMA[2] * g[:, :, 2]
+                )
+                bits = luma[:, :-1] > luma[:, 1:]
+                vals = (bits * weights).sum(axis=1)
+                ids.append(aid)
+                blocks.append([int(v) for v in vals])
+                hexes.append("".join(f"{int(v):02x}" for v in vals))
+            yield pd.DataFrame(
+                {"id": ids, "blocks": blocks, "dhash": hexes}
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        _batches, "id long, blocks array<int>, dhash string"
+    )
+
+
+def dhash_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 6,
+    band_bytes: int = 1,
+    max_bucket: int = 100_000,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """(lid, rid, hamming) — candidate pairs within ``max_hamming``
+    bits, complete by pigeonhole: the ``n_blocks`` row-bytes band into
+    ``n_bands = n_blocks / band_bytes`` exact-match blocks and any pair
+    within distance ``n_bands - 1`` shares >= 1 band.  Asking for a
+    ``max_hamming`` past that guarantee raises (widen the grid or
+    shrink ``band_bytes``) — silently incomplete candidate sets are
+    how perceptual dedup quietly under-merges.  ``n_blocks`` must match
+    the producing ``dhash_signatures``' ``grid_h`` (a static parameter,
+    not inferred — inferring it would cost a full extra decode pass).
+    The bucket-skew bound is executable (module docstring)."""
+    if band_bytes < 1:
+        raise ValueError("dhash_pairs: band_bytes must be >= 1")
+    if n_blocks % band_bytes != 0:
+        raise ValueError(
+            f"dhash_pairs: band_bytes={band_bytes} does not divide the "
+            f"{n_blocks}-byte signature"
+        )
+    n_bands = n_blocks // band_bytes
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"dhash_pairs: max_hamming={max_hamming} exceeds the "
+            f"pigeonhole guarantee of {n_bands - 1} at {n_bands} bands "
+            f"({band_bytes}-byte); shrink band_bytes or max_hamming"
+        )
+    band_val = [
+        sum(
+            (
+                F.element_at("blocks", i * band_bytes + j + 1)
+                .cast("long")
+                * F.lit(1 << (8 * j)).cast("long")
+                for j in range(band_bytes)
+            ),
+            start=F.lit(0).cast("long"),
+        ).alias(f"_band{i}")
+        for i in range(n_bands)
+    ]
+    banded = (
+        signatures.where(F.col("blocks").isNotNull())
+        .select(
+            "id",
+            "blocks",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_no"),
+                            band_val[i].alias("band_val"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("id", "blocks", F.col("b.band_no"), F.col("b.band_val"))
+    )
+    offenders = (
+        banded.groupBy("band_no", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .orderBy(F.col("n").desc(), "band_no", "band_val")
+        .limit(10)
+        .collect()
+    )
+    if offenders:
+        names = ", ".join(
+            f"band{r['band_no']}=0x{r['band_val']:0{2 * band_bytes}x}"
+            f"({r['n']})"
+            for r in offenders
+        )
+        raise ValueError(
+            f"dhash_pairs: signature bucket(s) above the "
+            f"max_bucket={max_bucket} band-join bound: {names} (top 10 "
+            f"shown) — flat/degenerate images collapse onto few "
+            f"signatures and turn the band join quadratic; widen "
+            f"band_bytes, pre-drop degenerate signatures, or raise the "
+            f"bound if the pair volume is priced in"
+        )
+    left = banded.select(
+        F.col("id").alias("lid"),
+        F.col("blocks").alias("_lb"),
+        "band_no",
+        "band_val",
+    )
+    right = banded.select(
+        F.col("id").alias("rid"),
+        F.col("blocks").alias("_rb"),
+        "band_no",
+        "band_val",
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "_lb", "_rb", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    return (
+        left.join(right, ["band_no", "band_val"])
+        .where(F.col("lid") < F.col("rid"))
+        .select("lid", "rid", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def media_dedup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    **pair_kwargs,
+) -> DataFrame:
+    """End-to-end media near-dup: decode → dHash → banded Hamming
+    pairs.  One map-only signature pass, one signature-sized band
+    join — pixels never shuffle.  Signatures are localCheckpointed so
+    the skew scan and the band join read the one decoded pass instead
+    of re-decoding payloads (signatures are tens of bytes per asset;
+    the decode is the expensive leg)."""
+    sigs = dhash_signatures(
+        assets, id_col=id_col, payload_col=payload_col
+    ).localCheckpoint(eager=False)
+    return dhash_pairs(sigs, max_hamming=max_hamming, **pair_kwargs)

@@ -5438,6 +5438,97 @@ _MEDIA_AUDIO_SQL = """
 """
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup dedup (``multimodal/dhash.py``): per document a
+    BMP and a PPM re-encode of the SAME md5-stream pixels (every 5th
+    doc's PPM copy carries a one-channel +128 edit), pushed through the
+    real pure-numpy decoders → integer-luma dHash (8×8 row-byte
+    signature) → SimHash-style banded Hamming join (8 one-byte bands
+    catch every pair within distance 7 by pigeonhole) → exact
+    popcount-of-XOR filter at <= 6.  Cross-FORMAT duplicates: the BMP
+    and PPM container bytes share nothing, so only a pipeline that
+    actually decodes pixels can pair them — the DuckDB oracle replays
+    the pixels, the perturbation, the nearest-neighbor resample, the
+    luma comparisons and the banding from hex arithmetic alone, never
+    parsing either container.  Signatures are one Arrow-batched
+    map-only pass; the band join shuffles 10-byte signature rows,
+    never pixels."""
+    from nomenklatura_spark.multimodal.decode import (
+        synthetic_media_pair_assets,
+    )
+    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthetic_media_pair_assets(docs)
+    return media_dedup_pairs(assets, max_hamming=6).orderBy("lid", "rid")
+
+
+# Pixel bytes replay _MEDIA_PIXELS_SQL's device: byte k of doc d is hex
+# pair (k%16) of md5('<d>:px:<k//16>'); the 18x6 source resamples to the
+# 8-row x 9-col dHash grid via the integer (i*src)//dst map, luma is the
+# exact 299/587/114 integer grid, and asset 2d+1 (the PPM re-encode)
+# flips byte 0 by +128 mod 256 when d%5=0.
+_MEDIA_DEDUP_SQL = """
+    WITH px AS (
+        SELECT d.doc_id, a.a, r.r, c.c, ch.ch,
+               ((((r.r * 6) // 8) * 18 + ((c.c * 18) // 9)) * 3 + ch.ch)
+                   AS k
+        FROM documents d,
+             (VALUES (0), (1)) a(a),
+             range(0, 8) AS r(r),
+             range(0, 9) AS c(c),
+             range(0, 3) AS ch(ch)
+    ),
+    pv AS (
+        SELECT doc_id, a, r, c, ch,
+            CASE WHEN a = 1 AND doc_id % 5 = 0 AND k = 0
+                 THEN (v + 128) % 256 ELSE v END AS v
+        FROM (
+            SELECT *,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':px:'
+                        || CAST(k // 16 AS VARCHAR)),
+                      (k % 16) * 2 + 1, 2)) AS INT) AS v
+            FROM px
+        )
+    ),
+    luma AS (
+        SELECT doc_id, a, r, c,
+            sum(CASE ch WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END * v)
+                AS l
+        FROM pv GROUP BY doc_id, a, r, c
+    ),
+    blocks AS (
+        SELECT l.doc_id * 2 + l.a AS id, l.r AS block_no,
+            sum(CASE WHEN l.l > l2.l THEN (1 << l.c) ELSE 0 END)
+                AS block_val
+        FROM luma l
+        JOIN luma l2 ON l2.doc_id = l.doc_id AND l2.a = l.a
+                    AND l2.r = l.r AND l2.c = l.c + 1
+        WHERE l.c < 8
+        GROUP BY l.doc_id, l.a, l.r
+    ),
+    cand AS (
+        SELECT DISTINCT lb.id AS lid, rb.id AS rid
+        FROM blocks lb
+        JOIN blocks rb ON lb.block_no = rb.block_no
+                      AND lb.block_val = rb.block_val
+                      AND lb.id < rb.id
+    ),
+    ham AS (
+        SELECT c.lid, c.rid,
+            CAST(sum(bit_count(xor(lb.block_val, rb.block_val))) AS INT)
+                AS hamming
+        FROM cand c
+        JOIN blocks lb ON lb.id = c.lid
+        JOIN blocks rb ON rb.id = c.rid AND rb.block_no = lb.block_no
+        GROUP BY c.lid, c.rid
+    )
+    SELECT lid, rid, hamming FROM ham
+    WHERE hamming <= 6
+    ORDER BY lid, rid
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: synthetic assets → mapInPandas features.
 
@@ -7181,7 +7272,10 @@ QUERIES = {
     # events_quantiles_served row), ann_pq_topk (subsumed by on-board
     # ann_ivfpq_topk, which exercises the same PQ codebooks behind the
     # IVF route) and graph_bfs (graph_layers is its multi-source
-    # generalization over the same adjacency).)
+    # generalization over the same adjacency); the new media_dedup row
+    # (dHash + banded Hamming — the first multimodal x dedup operator)
+    # took dedup_embedding's seat (dedup_embedding_lsh computes the
+    # same embedding near-dup relation on-board via the scale path).)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -7190,6 +7284,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
+    "media_dedup": q_media_dedup,
     "pair_scores_v2": q_pair_scores_v2,
     "doc_negatives": q_doc_negatives,
     "graph_pagerank": q_graph_pagerank,
@@ -7228,7 +7323,6 @@ QUERIES = {
     "doc_pack": q_doc_pack,
     "xref_suggestions": q_xref_suggestions,
     "doc_hard_negatives": q_doc_hard_negatives,
-    "dedup_embedding": q_dedup_embedding,
     "doc_dup_passages": q_doc_dup_passages,
     "conflicting_matches": q_conflicting_matches,
     "blocker_stopwords": q_blocker_stopwords,
@@ -7299,6 +7393,7 @@ QUERIES = {
     "events_value_hist": q_events_value_hist,
     "ann_pq_topk": q_ann_pq_topk,
     "graph_bfs": q_graph_bfs,
+    "dedup_embedding": q_dedup_embedding,
 }
 
 ORACLES = {
@@ -7310,6 +7405,7 @@ ORACLES = {
     "blocker_entries": _ENTRIES_TF_SQL,
     "doc_quality": _quality_repetition_sql(),
     "media_features": _MEDIA_FEATURES_SQL,
+    "media_dedup": _MEDIA_DEDUP_SQL,
     "media_decode": _MEDIA_DECODE_SQL.format(
         pixels=_MEDIA_PIXELS_SQL, audio=_MEDIA_AUDIO_SQL
     ),
