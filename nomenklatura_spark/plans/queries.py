@@ -1495,6 +1495,48 @@ _DOC_POSITIVES_SQL = f"""
 """
 
 
+def q_doc_positives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contrastive positive feed served from MAINTAINED near-dup
+    components (``streaming/dedup_index.py``): documents fold into the
+    incremental MinHash-LSH index in three id-sliced ingest batches,
+    each fold merging the new pairs into the component mapping by
+    star-compression (append-only pairs merge, never split — G10
+    without the rebuild case, O(state + batch) per fold), and the
+    (anchor, positive, rank) feed is answered from state alone.  The
+    oracle replays the WHOLE chain from scratch — MinHash signatures,
+    LSH bands, the est-jaccard threshold, the recursive-CTE transitive
+    closure and the md5 positive ranking — so a hash-green row proves
+    incremental == rescan-everything end-to-end.  Ids ride as strings
+    in state (index contract) and cast back at the serving edge."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.dedup_index import DedupIndexState
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="nk_dedup_idx_")
+    try:
+        state = DedupIndexState(spark, root)
+        for b in range(3):
+            state.apply_batch(
+                docs.where(F.col("doc_id") % 3 == b), "doc_id", "text"
+            )
+        out = (
+            state.serve_positive_pairs(k=2)
+            .select(
+                F.col("anchor_id").cast("bigint").alias("anchor_id"),
+                F.col("positive_id").cast("bigint").alias("positive_id"),
+                "pos_rank",
+            )
+            .orderBy("anchor_id", "pos_rank")
+        )
+        # driver-materialize (feed-grain rows) before dropping the
+        # on-disk state — see events_hll_weekly_served
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keywords
     (``textops/analysis.doc_keywords``): each document's top-3 terms by
@@ -3623,8 +3665,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lid", "rid")
 
 
-_MINHASH_SQL = f"""
-    WITH ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+_MINHASH_SQL_BODY = f"""ws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
     tri AS (
         SELECT DISTINCT doc_id, unnest(list_transform(
             generate_series(1, greatest(len(w) - 2, 0)),
@@ -3656,10 +3697,49 @@ _MINHASH_SQL = f"""
         JOIN sigs ls ON ls.doc_id = lid
         JOIN sigs rs ON rs.doc_id = rid AND rs.seed = ls.seed
         GROUP BY lid, rid
-    )
+    )"""
+
+_MINHASH_SQL = f"""
+    WITH {_MINHASH_SQL_BODY}
     SELECT lid, rid, round(est_jaccard, 6) AS est_jaccard
     FROM sim WHERE est_jaccard >= 0.5
     ORDER BY lid, rid
+"""
+
+# doc_positives_served oracle: the from-scratch replay of the whole
+# maintained chain — minhash pairs → recursive-CTE closure → md5-ranked
+# positives (engine: streaming/dedup_index.serve_positive_pairs).
+_DOC_POSITIVES_SERVED_SQL = f"""
+    WITH RECURSIVE {_MINHASH_SQL_BODY},
+    mpairs AS (SELECT lid, rid FROM sim WHERE est_jaccard >= 0.5),
+    medges AS (
+        SELECT lid AS a, rid AS b FROM mpairs
+        UNION SELECT rid, lid FROM mpairs
+    ),
+    mnodes AS (SELECT DISTINCT a AS node FROM medges),
+    mwalk(node, reached) AS (
+        SELECT node, node FROM mnodes
+        UNION
+        SELECT w.node, e.b FROM mwalk w JOIN medges e ON e.a = w.reached
+    ),
+    mcomp AS (
+        SELECT node, min(reached) AS component FROM mwalk GROUP BY node
+    ),
+    mcand AS (
+        SELECT a.node AS anchor_id, b.node AS positive_id,
+               row_number() OVER (
+                   PARTITION BY a.node
+                   ORDER BY CAST(('0x' || substr(md5('pospair:'
+                       || CAST(a.node AS VARCHAR) || '|'
+                       || CAST(b.node AS VARCHAR)), 1, 15)) AS BIGINT),
+                       CAST(b.node AS VARCHAR)
+               ) AS pos_rank
+        FROM mcomp a
+        JOIN mcomp b ON b.component = a.component AND b.node <> a.node
+    )
+    SELECT anchor_id, positive_id, pos_rank
+    FROM mcand WHERE pos_rank <= 2
+    ORDER BY anchor_id, pos_rank
 """
 
 
@@ -7275,7 +7355,11 @@ QUERIES = {
     # generalization over the same adjacency); the new media_dedup row
     # (dHash + banded Hamming — the first multimodal x dedup operator)
     # took dedup_embedding's seat (dedup_embedding_lsh computes the
-    # same embedding near-dup relation on-board via the scale path).)
+    # same embedding near-dup relation on-board via the scale path);
+    # doc_positives_served then took doc_positives' seat — the served
+    # row exercises the same build_positive_pairs operator PLUS the
+    # maintained incremental-component fold, the
+    # events_funnel_served-over-events_funnel precedent.)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -7298,7 +7382,7 @@ QUERIES = {
     "doc_sample_weighted": q_doc_sample_weighted,
     "dedup_containment": q_dedup_containment,
     "doc_cluster_keywords": q_doc_cluster_keywords,
-    "doc_positives": q_doc_positives,
+    "doc_positives_served": q_doc_positives_served,
     "events_funnel_served": q_events_funnel_served,
     "events_hll_weekly_served": q_events_hll_weekly_served,
     "events_sessions_served": q_events_sessions_served,
@@ -7394,6 +7478,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "graph_bfs": q_graph_bfs,
     "dedup_embedding": q_dedup_embedding,
+    "doc_positives": q_doc_positives,
 }
 
 ORACLES = {
@@ -7427,6 +7512,7 @@ ORACLES = {
     "dedup_ngram_pairs": f"SELECT * FROM ({_NGRAM_PAIRS_SQL_BODY}) ORDER BY lid, rid",
     "doc_decontaminate": _DECONTAM_SQL,
     "dedup_minhash": _MINHASH_SQL,
+    "doc_positives_served": _DOC_POSITIVES_SERVED_SQL,
     "dedup_simhash": _simhash_sql(),
     "dedup_components": _DEDUP_COMPONENTS_SQL,
     "events_sessionize": _SESSIONIZE_SQL,

@@ -20,6 +20,24 @@ the index is a materialised view maintained by key:
   ``minhash_dedup_pairs`` over the union of documents (pytest-pinned),
   because candidates(A∪B) = cand(A×A) ∪ cand(A×B) ∪ cand(B×B) and each
   term is produced by some batch.
+- ``components`` is maintained INCREMENTALLY: because the pair log is
+  append-only, new pairs can only MERGE components, never split them —
+  the G10 rebuild-on-split rule (``resolver/incremental.py``) without
+  the split case.  Each fold runs connected components over the
+  previous mapping compressed to stars (node → component edges) plus
+  only the batch's new pairs — O(state mapping + batch), the corpus is
+  never rescanned.  Exactness: the star graph has the same connected
+  partition as the full log (each component label is a member node),
+  so star ∪ new connects exactly what log ∪ new connects; and since a
+  component label is the MIN node id of its members, the min over a
+  merged star set equals the min over the merged log set — the
+  maintained labels are bit-identical to a from-scratch run
+  (pytest-pinned).  Replay-idempotent: refolding the same batch adds
+  edges already implied by the stars.
+- ``serve_positive_pairs`` answers the contrastive positive feed
+  (``textops/contrastive.build_positive_pairs``) from the maintained
+  components alone — the training-data serving verb, like the funnel
+  and retention tiers serve their dashboards from state.
 
 State is versioned parquet snapshots with a VERSION pointer (crash-safe
 swap, time travel) exactly like ``BlockingIndexState``; on a cluster the
@@ -45,6 +63,7 @@ from nomenklatura_spark.dedup.minhash import (
 _SIG_SCHEMA = "id string, seed int, minhash long"
 _BAND_SCHEMA = "id string, band int, band_key string"
 _PAIR_SCHEMA = "lid string, rid string, est_jaccard double"
+_COMP_SCHEMA = "node string, component string"
 
 
 def _bands_of(signatures: DataFrame, band_size: int) -> DataFrame:
@@ -90,6 +109,25 @@ class DedupIndexState(VersionedState):
 
     def pairs(self, version: int | None = None) -> DataFrame:
         return self._read("pairs", _PAIR_SCHEMA, version)
+
+    def components(self, version: int | None = None) -> DataFrame:
+        """(node, component) over the accumulated pair log, maintained
+        incrementally (module docstring) — component = min node id."""
+        return self._read("components", _COMP_SCHEMA, version)
+
+    def serve_positive_pairs(self, k: int = 3, **kwargs) -> DataFrame:
+        """Contrastive positives from the maintained components alone
+        (no rescan): up to ``k`` md5-ranked positives per anchor from
+        its near-dup component — ``build_positive_pairs`` semantics
+        including its executable giant-component bound."""
+        from nomenklatura_spark.textops.contrastive import (
+            build_positive_pairs,
+        )
+
+        return build_positive_pairs(
+            self.components(), k=k, id_col="node", comp_col="component",
+            **kwargs,
+        )
 
     def apply_batch(self, docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
@@ -148,9 +186,28 @@ class DedupIndexState(VersionedState):
             .groupBy("lid", "rid")
             .agg(F.max("est_jaccard").alias("est_jaccard"))
         )
+        # incremental component fold: previous mapping compressed to
+        # stars + only the new pairs — append-only edges merge, never
+        # split, so this equals a from-scratch run over the whole log
+        # (module docstring has the exactness argument)
+        from nomenklatura_spark.resolver.components import (
+            connected_components,
+        )
+
+        star = self.components().select(
+            F.col("component").alias("lid"), F.col("node").alias("rid")
+        )
+        merged_comps = connected_components(
+            star.unionByName(new_pairs.select("lid", "rid")),
+            src="lid",
+            dst="rid",
+        )
         merged_sigs.write.mode("overwrite").parquet(self._path("signatures", nv))
         merged_bands.write.mode("overwrite").parquet(self._path("bands", nv))
         merged_pairs.write.mode("overwrite").parquet(self._path("pairs", nv))
+        merged_comps.write.mode("overwrite").parquet(
+            self._path("components", nv)
+        )
         self._bump(nv)
         return new_pairs
 

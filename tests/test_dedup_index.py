@@ -74,6 +74,61 @@ def test_incremental_matches_scratch(spark, tmp_path):
     assert n_sig_rows == 32  # one row per hash, not two generations
 
 
+def test_incremental_components_match_scratch(spark, tmp_path):
+    """Maintained components (star-compression fold per batch) must be
+    bit-identical to a from-scratch connected-components run over the
+    full accumulated pair log — the append-only merge-only argument."""
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+
+    state = DedupIndexState(spark, str(tmp_path / "state"), threshold=0.3)
+    state.apply_batch(spark.createDataFrame(BATCH1, DOC_SCHEMA))
+    state.apply_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA))
+    scratch = connected_components(state.pairs(), src="lid", dst="rid")
+    got = sorted(map(tuple, state.components().collect()))
+    want = sorted(map(tuple, scratch.collect()))
+    assert got == want
+    # the cross-batch chain a1~a2 (batch 1) + a1~b1 (cross) must have
+    # merged into ONE component spanning both batches
+    comp_of = dict(got)
+    assert comp_of["a1"] == comp_of["a2"] == comp_of["b1"]
+    # refolding a batch is a no-op for components (replay-idempotent)
+    state.apply_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA))
+    again = sorted(map(tuple, state.components().collect()))
+    assert again == want
+
+
+def test_serve_positive_pairs_from_state(spark, tmp_path):
+    """The contrastive positive feed served from maintained components
+    equals build_positive_pairs over the from-scratch components, and
+    time travel serves the feed as of an earlier version."""
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+    from nomenklatura_spark.textops.contrastive import (
+        build_positive_pairs,
+    )
+
+    state = DedupIndexState(spark, str(tmp_path / "state"), threshold=0.3)
+    state.apply_batch(spark.createDataFrame(BATCH1, DOC_SCHEMA))
+    v1 = state.version()
+    state.apply_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA))
+
+    served = sorted(map(tuple, state.serve_positive_pairs(k=2).collect()))
+    scratch = build_positive_pairs(
+        connected_components(state.pairs(), src="lid", dst="rid"),
+        k=2,
+        id_col="node",
+        comp_col="component",
+    )
+    assert served == sorted(map(tuple, scratch.collect()))
+    assert served  # the merged a1/a2/b1 component feeds real positives
+    # time travel: the v1 components know only batch-1 pairs
+    old = {r["node"] for r in state.components(v1).collect()}
+    assert "b1" not in old and "a1" in old
+
+
 def test_streaming_dedup_maintenance(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
