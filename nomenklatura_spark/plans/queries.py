@@ -7315,6 +7315,117 @@ def _bpe_pack_sql() -> str:
     """
 
 
+def q_doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression report by language — the
+    standard quality check before committing a vocabulary: per
+    predicted language, tokens-per-word (fertility; high = the merges
+    under-fit that language) and bytes-per-token (compression; low =
+    the vocab wastes ids) under the pinned merge table.  A cheap
+    composition of two proven kernels — the lang-ID heuristic and the
+    Arrow-batched BPE token counter — aggregated on exact integer sums
+    with one scalar division per language at the serving edge (house
+    round-before-compare rule).  Word/byte counts use the tokenizer's
+    own [a-z0-9] normalization, so the ratios measure the tokenizer,
+    not the normalizer."""
+    from nomenklatura_spark.textops.analysis import words
+    from nomenklatura_spark.textops.bpe import bpe_token_counter
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    counter = bpe_token_counter(_BPE_MERGES)
+    per_doc = (
+        docs.withColumn("_ws", words(F.col("text")))
+        .withColumn("_nw", norm)
+        .select(
+            lang_id(F.col("text"), ws=F.col("_ws")).alias("lang_pred"),
+            F.size("_nw").alias("_wrds"),
+            F.aggregate(
+                F.transform("_nw", F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("_byts"),
+            counter(F.col("text")).alias("_toks"),
+        )
+    )
+    agg = per_doc.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_wrds").cast("bigint").alias("n_words"),
+        F.sum("_toks").cast("bigint").alias("n_tokens"),
+        F.sum("_byts").cast("bigint").alias("n_text_bytes"),
+    )
+    return agg.select(
+        "lang_pred",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_text_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_text_bytes") / F.col("n_tokens"), 6),
+        ).alias("bytes_per_token"),
+    ).orderBy("lang_pred")
+
+
+def _bpe_fertility_sql() -> str:
+    state = r"regexp_replace(w, '(.)', '|\1|', 'g') || '|</w>|'"
+    for a, b in _BPE_MERGES:
+        state = f"replace({state}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH {_langid_pred_ctes()},
+    norm AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' '),
+                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    wtok AS (
+        SELECT doc_id,
+               len(string_split(trim({state}, '|'), '||')) AS wn,
+               len(w) AS wb
+        FROM (SELECT doc_id, unnest(ws) AS w FROM norm)
+    ),
+    counts AS (
+        SELECT n.doc_id,
+               CAST(coalesce(count(w.wn), 0) AS BIGINT) AS wrds,
+               CAST(coalesce(sum(w.wn), 0) AS BIGINT) AS toks,
+               CAST(coalesce(sum(w.wb), 0) AS BIGINT) AS byts
+        FROM norm n LEFT JOIN wtok w USING (doc_id)
+        GROUP BY n.doc_id
+    ),
+    j AS (
+        SELECT p.lang_pred, c.wrds, c.toks, c.byts
+        FROM pred p JOIN counts c USING (doc_id)
+    )
+    SELECT lang_pred,
+        count(*) AS n_docs,
+        CAST(sum(wrds) AS BIGINT) AS n_words,
+        CAST(sum(toks) AS BIGINT) AS n_tokens,
+        CAST(sum(byts) AS BIGINT) AS n_text_bytes,
+        CASE WHEN sum(wrds) > 0
+             THEN round(sum(toks) * 1.0 / sum(wrds), 6) END AS fertility,
+        CASE WHEN sum(toks) > 0
+             THEN round(sum(byts) * 1.0 / sum(toks), 6) END
+            AS bytes_per_token
+    FROM j
+    GROUP BY lang_pred
+    ORDER BY lang_pred
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7462,6 +7573,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "doc_bpe_ids": q_doc_bpe_ids,
     "doc_pack_bpe": q_doc_pack_bpe,
+    "doc_bpe_fertility": q_doc_bpe_fertility,
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
@@ -7575,6 +7687,7 @@ ORACLES = {
     "doc_drift_served": _DOC_DRIFT_SERVED_SQL,
     "doc_bpe_ids": _bpe_ids_sql(),
     "doc_pack_bpe": _bpe_pack_sql(),
+    "doc_bpe_fertility": _bpe_fertility_sql(),
     "doc_sample_weighted": _doc_sample_weighted_sql(),
     "orders_profile": _orders_profile_sql(),
     "events_anomaly": _EVENTS_ANOMALY_SQL,
