@@ -149,20 +149,28 @@ def main() -> None:
     # JSON instead of looking like a code regression.
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
+    passes_detail: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         loads[name] = _load1()
-        best = float("inf")
+        walls: list[float] = []
         for _ in range(3):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        elapsed = round(best, 3)
+            walls.append(time.perf_counter() - start)
+        elapsed = round(min(walls), 3)
         timings[name] = elapsed
+        # all three passes go to the detail record: a transient spike
+        # shows as one slow pass (min is the truth), a machine-window
+        # shift shows as ALL passes slow (min can't hide it) — the
+        # distinction the r9 regression triage had to reconstruct from
+        # zero-code-change witness rows
+        passes_detail[name] = [round(w, 3) for w in walls]
         total += elapsed
-        print(f"# {name}: {elapsed:.3f}s (load {loads[name]})", file=sys.stderr)
+        print(f"# {name}: {elapsed:.3f}s (load {loads[name]}, "
+              f"passes {passes_detail[name]})", file=sys.stderr)
 
     # Matcher throughput — BASELINE.md's headline ER metric (reference
     # harness: contrib/entity_bench/perf.py avg ns/comparison).  Score the
@@ -232,6 +240,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "method": "best_of_3_per_query",
         "loadavg_start": load_start,
         "loadavg_final": _load1(),
         "compares_per_sec": compare,
@@ -239,6 +248,7 @@ def main() -> None:
     }
     detail = dict(out)
     detail["loadavg_1m"] = loads
+    detail["passes"] = passes_detail
     if scaling is not None:
         detail["scaling"] = scaling
     # The round driver re-runs this script after the final commit and

@@ -494,6 +494,57 @@ def synthetic_media_pair_assets(
     return docs.select("doc_id").mapInPandas(_batches, out_schema)
 
 
+def synthetic_wav_pair_assets(
+    docs: DataFrame,
+    n_samples: int = 200,
+    sample_rate: int = 8000,
+    perturb_every: int = 5,
+) -> DataFrame:
+    """Near-duplicate WAV pairs for the audio dedup tier: per document,
+    the md5 sample stream of ``synthetic_wav_assets`` encoded twice —
+    asset ``2*doc_id`` verbatim and asset ``2*doc_id + 1`` re-encoded
+    at DOUBLE the sample rate header (same samples, different container
+    metadata — only a decoder sees they match), with every
+    ``perturb_every``-th document's copy additionally bumping sample 0
+    by +1 with exact int16 wraparound.  Pure hex arithmetic, so a SQL
+    oracle replays the samples without parsing RIFF."""
+    import hashlib
+
+    n_bytes = n_samples * 2
+    n_chunks = -(-n_bytes // 16)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, kinds, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                stream = b"".join(
+                    hashlib.md5(f"{doc_id}:au:{i}".encode()).digest()
+                    for i in range(n_chunks)
+                )
+                samples = np.frombuffer(stream[:n_bytes], dtype="<i2")
+                ids.append(2 * doc_id)
+                kinds.append("audio")
+                payloads.append(encode_wav(samples, sample_rate))
+                s2 = samples.copy()
+                if doc_id % perturb_every == 0:
+                    # exact int16 wraparound, replayable relationally
+                    s2[0] = np.int16((int(s2[0]) + 1 + 32768) % 65536
+                                     - 32768)
+                ids.append(2 * doc_id + 1)
+                kinds.append("audio")
+                payloads.append(encode_wav(s2, sample_rate * 2))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    out_schema = "asset_id long, media_type string, payload binary"
+    return docs.select("doc_id").mapInPandas(_batches, out_schema)
+
+
 def synthetic_wav_assets(
     docs: DataFrame, n_samples: int = 200, sample_rate: int = 8000
 ) -> DataFrame:

@@ -31,6 +31,10 @@ exact popcount-of-XOR filter.  ``band_bytes`` widens the bands for
 bigger corpora (2-byte bands → 4 bands, catches distance <= 3 with
 65536-value buckets instead of 256).
 
+``audio_dhash_signatures`` is the same construction over decoded WAV
+samples (sign-of-delta bits over a nearest-neighbor frame resample) —
+one signature shape, one banding/pairing path for both modalities.
+
 Scale contract, executable: perceptual-hash buckets are SKEWED on real
 corpora (solid-color images all hash to a handful of signatures), and
 a degenerate bucket turns the band join quadratic.  A partial-agg
@@ -114,6 +118,63 @@ def dhash_signatures(
                     + _LUMA[2] * g[:, :, 2]
                 )
                 bits = luma[:, :-1] > luma[:, 1:]
+                vals = (bits * weights).sum(axis=1)
+                ids.append(aid)
+                blocks.append([int(v) for v in vals])
+                hexes.append("".join(f"{int(v):02x}" for v in vals))
+            yield pd.DataFrame(
+                {"id": ids, "blocks": blocks, "dhash": hexes}
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        _batches, "id long, blocks array<int>, dhash string"
+    )
+
+
+def audio_dhash_signatures(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    n_frames: int = 65,
+) -> DataFrame:
+    """The dHash construction for AUDIO: decode WAV PCM16 (the real
+    RIFF chunk walker), nearest-neighbor resample to ``n_frames``
+    samples via the integer ``(i*n)//n_frames`` index map, then bit i =
+    ``frame[i] > frame[i+1]`` — ``n_frames - 1`` sign-of-delta bits
+    packed 8 per row-byte (64 bits at the default), the same signature
+    shape ``dhash_pairs`` bands.  Integer-exact end to end, so a SQL
+    oracle replays it from the sample bytes.  Single-sample picks keep
+    the math exact; a production fingerprinter would low-pass first —
+    the banding/scale shape is identical either way.  Non-decodable
+    payloads yield NULL blocks (poison-pill contract)."""
+    from nomenklatura_spark.multimodal.decode import decode_wav
+
+    if (n_frames - 1) % 8 != 0 or n_frames < 9:
+        raise ValueError(
+            "audio_dhash_signatures: n_frames - 1 must be a positive "
+            "multiple of 8 (whole row-bytes)"
+        )
+    n_blocks = (n_frames - 1) // 8
+    weights = (1 << np.arange(8)).astype(np.int64)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blocks, hexes = [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, samples = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    samples = None
+                if samples is None or len(samples) < 2:
+                    ids.append(aid)
+                    blocks.append(None)
+                    hexes.append(None)
+                    continue
+                n = len(samples)
+                idx = (np.arange(n_frames) * n) // n_frames
+                frames = samples[idx].astype(np.int64)
+                bits = (frames[:-1] > frames[1:]).reshape(n_blocks, 8)
                 vals = (bits * weights).sum(axis=1)
                 ids.append(aid)
                 blocks.append([int(v) for v in vals])

@@ -5609,6 +5609,92 @@ _MEDIA_DEDUP_SQL = """
 """
 
 
+def q_media_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup — the ``media_dedup`` construction over the
+    WAV tier (``multimodal/dhash.audio_dhash_signatures``): per
+    document the md5 sample stream encoded twice (verbatim, and at a
+    doubled sample-rate header — same samples, different container
+    metadata, so only the RIFF chunk walker can pair them; every 5th
+    copy also bumps sample 0 by +1 with exact int16 wraparound),
+    decoded for real, resampled to 65 frames by the integer index map,
+    sign-of-delta bits packed to 8 row-bytes, then the SAME banded
+    Hamming join as the image tier.  The oracle replays samples,
+    wraparound, frames and banding from hex arithmetic alone."""
+    from nomenklatura_spark.multimodal.decode import (
+        synthetic_wav_pair_assets,
+    )
+    from nomenklatura_spark.multimodal.dhash import (
+        audio_dhash_signatures,
+        dhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthetic_wav_pair_assets(docs)
+    sigs = audio_dhash_signatures(assets).localCheckpoint(eager=False)
+    return dhash_pairs(sigs, max_hamming=6).orderBy("lid", "rid")
+
+
+# Sample k of doc d replays _MEDIA_AUDIO_SQL's device (little-endian
+# int16 from the md5 byte stream); asset 2d+1 bumps sample 0 by +1 with
+# exact int16 wraparound when d%5=0; frame i picks sample (i*200)//65.
+_MEDIA_DEDUP_AUDIO_SQL = """
+    WITH fr AS (
+        SELECT d.doc_id, a.a, i.i, ((i.i * 200) // 65) AS k
+        FROM documents d,
+             (VALUES (0), (1)) a(a),
+             range(0, 65) AS i(i)
+    ),
+    raw AS (
+        SELECT doc_id, a, i, k,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':au:'
+                    || CAST((2 * k) // 16 AS VARCHAR)),
+                  ((2 * k) % 16) * 2 + 1, 2)) AS INT)
+            + 256 * CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || ':au:' || CAST((2 * k + 1) // 16 AS VARCHAR)),
+                  ((2 * k + 1) % 16) * 2 + 1, 2)) AS INT) AS r
+        FROM fr
+    ),
+    vals AS (
+        SELECT doc_id, a, i,
+            CASE WHEN a = 1 AND doc_id % 5 = 0 AND k = 0
+                 THEN ((CASE WHEN r >= 32768 THEN r - 65536 ELSE r END
+                        + 1 + 32768) % 65536) - 32768
+                 ELSE CASE WHEN r >= 32768 THEN r - 65536 ELSE r END
+            END AS v
+        FROM raw
+    ),
+    blocks AS (
+        SELECT v1.doc_id * 2 + v1.a AS id, (v1.i // 8) AS block_no,
+            sum(CASE WHEN v1.v > v2.v THEN (1 << (v1.i % 8)) ELSE 0 END)
+                AS block_val
+        FROM vals v1
+        JOIN vals v2 ON v2.doc_id = v1.doc_id AND v2.a = v1.a
+                    AND v2.i = v1.i + 1
+        WHERE v1.i < 64
+        GROUP BY v1.doc_id, v1.a, (v1.i // 8)
+    ),
+    cand AS (
+        SELECT DISTINCT lb.id AS lid, rb.id AS rid
+        FROM blocks lb
+        JOIN blocks rb ON lb.block_no = rb.block_no
+                      AND lb.block_val = rb.block_val
+                      AND lb.id < rb.id
+    ),
+    ham AS (
+        SELECT c.lid, c.rid,
+            CAST(sum(bit_count(xor(lb.block_val, rb.block_val))) AS INT)
+                AS hamming
+        FROM cand c
+        JOIN blocks lb ON lb.id = c.lid
+        JOIN blocks rb ON rb.id = c.rid AND rb.block_no = lb.block_no
+        GROUP BY c.lid, c.rid
+    )
+    SELECT lid, rid, hamming FROM ham
+    WHERE hamming <= 6
+    ORDER BY lid, rid
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: synthetic assets → mapInPandas features.
 
@@ -7574,6 +7660,7 @@ QUERIES = {
     "doc_bpe_ids": q_doc_bpe_ids,
     "doc_pack_bpe": q_doc_pack_bpe,
     "doc_bpe_fertility": q_doc_bpe_fertility,
+    "media_dedup_audio": q_media_dedup_audio,
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
@@ -7603,6 +7690,7 @@ ORACLES = {
     "doc_quality": _quality_repetition_sql(),
     "media_features": _MEDIA_FEATURES_SQL,
     "media_dedup": _MEDIA_DEDUP_SQL,
+    "media_dedup_audio": _MEDIA_DEDUP_AUDIO_SQL,
     "media_decode": _MEDIA_DECODE_SQL.format(
         pixels=_MEDIA_PIXELS_SQL, audio=_MEDIA_AUDIO_SQL
     ),

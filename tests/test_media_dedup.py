@@ -142,6 +142,49 @@ def test_pigeonhole_guard_and_param_validation(spark):
         dhash_signatures(_assets_df(spark, []), grid_w=9)
 
 
+def test_audio_cross_rate_duplicates_pair_at_zero(spark):
+    """The same samples under different sample-rate headers share no
+    container bytes that matter — only the RIFF walker pairs them; a
+    one-sample +1 edit stays within small Hamming distance; unrelated
+    audio does not pair."""
+    from nomenklatura_spark.multimodal.decode import encode_wav
+    from nomenklatura_spark.multimodal.dhash import (
+        audio_dhash_signatures,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(-30000, 30000, size=300).astype(np.int16)
+    edited = base.copy()
+    edited[0] = np.int16((int(edited[0]) + 1 + 32768) % 65536 - 32768)
+    other = rng.randint(-30000, 30000, size=300).astype(np.int16)
+    rows = [
+        (0, encode_wav(base, 8000)),
+        (1, encode_wav(base, 16000)),
+        (2, encode_wav(edited, 8000)),
+        (10, encode_wav(other, 8000)),
+    ]
+    sigs = audio_dhash_signatures(_assets_df(spark, rows)).localCheckpoint()
+    pairs = {
+        (r["lid"], r["rid"]): r["hamming"]
+        for r in dhash_pairs(sigs, max_hamming=6).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 2
+    assert not any(10 in p for p in pairs)
+
+
+def test_audio_poison_pill_and_validation(spark):
+    from nomenklatura_spark.multimodal.dhash import (
+        audio_dhash_signatures,
+    )
+
+    rows = [(0, b"not RIFF at all"), (1, b"RIFF\x00\x00\x00\x00WAVE")]
+    sigs = audio_dhash_signatures(_assets_df(spark, rows)).collect()
+    assert all(r["blocks"] is None for r in sigs)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        audio_dhash_signatures(_assets_df(spark, []), n_frames=10)
+
+
 def test_signature_matches_reference_construction(spark):
     """Pin the exact bit layout: bit c of row r is
     luma[r, c] > luma[r, c+1] weighted 2^c, rows resampled by the
