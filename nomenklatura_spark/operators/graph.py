@@ -1193,13 +1193,16 @@ def neighbor_mean_features(
     don't appear in the edge join (and their absence is visible in the
     denominator, which counts joined neighbors only).
 
-    Scale contract, executable: one up-front pass computes
+    Scale contract, executable: ONE up-front driver action (the two
+    1-row aggregates ride a single crossJoin job) computes
     ``max(abs(value))`` and the maximum in-degree and raises a loud
     ValueError when ``max_abs * (max_indeg + 1)`` cannot fit int64 —
     the per-node numerator bound — instead of letting a hub node wrap
-    silently (the ``pagerank`` overflow-contract shape).  Per round:
-    one src-keyed equi-join + partial-agg sum and one node-keyed left
-    join; lineage is truncated per round.
+    silently (the ``pagerank`` overflow-contract shape).  One check
+    covers every round: the truncating mean of values within
+    ``[-max_abs, max_abs]`` stays within it, so ``max_abs`` never
+    grows.  Per round: one src-keyed equi-join + partial-agg sum and
+    one node-keyed left join; lineage is truncated per round.
     """
     if n_rounds < 1:
         raise ValueError("neighbor_mean_features: n_rounds must be >= 1")
@@ -1208,10 +1211,13 @@ def neighbor_mean_features(
         F.col(value_col).cast("bigint").alias("v"),
     )
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    (mx,) = h.agg(F.max(F.abs(F.col("v"))).alias("m")).collect()
-    (dg,) = e.groupBy("_d").count().agg(F.max("count").alias("d")).collect()
-    max_abs = int(mx["m"] or 0)
-    max_deg = int(dg["d"] or 0)
+    (stats,) = (
+        h.agg(F.max(F.abs(F.col("v"))).alias("m"))
+        .crossJoin(e.groupBy("_d").count().agg(F.max("count").alias("d")))
+        .collect()
+    )
+    max_abs = int(stats["m"] or 0)
+    max_deg = int(stats["d"] or 0)
     if max_abs and max_abs > (2**63 - 1) // (max_deg + 1):
         raise ValueError(
             f"neighbor_mean_features: max |value| {max_abs} times the "
