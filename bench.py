@@ -82,6 +82,17 @@ BENCH_QUERIES = [
     # SCC coloring loop, convergence-bound like graph_scc/bfs/layers
     # (see SCALE.md).
     "events_hourly_served",
+    # r10 additions: the multimodal dedup pair (dHash image + audio —
+    # wall is the Arrow-batched decode pass + the signature-sized band
+    # join), the tokenizer fertility report, and the contrastive feed
+    # served from maintained components (wall = three full ingest folds
+    # — minhash + LSH + incremental-components + state writes each —
+    # plus the state-only serve; the steady-state fold is dominated by
+    # the per-batch minhash leg, see SCALE.md).
+    "media_dedup",
+    "media_dedup_audio",
+    "doc_bpe_fertility",
+    "doc_positives_served",
 ]
 
 
@@ -408,6 +419,17 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     ).persist()
     docs_n.count(), emb_n.count(), stmts_n.count()
 
+    from nomenklatura_spark.multimodal.decode import (
+        synthetic_media_pair_assets,
+    )
+    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
+
+    # payloads are generated from doc_id, so the replicated ids key
+    # disjoint md5 pixel streams — 10 independent imagery corpora
+    media_assets = synthetic_media_pair_assets(docs).persist()
+    media_assets_n = synthetic_media_pair_assets(docs_n).persist()
+    media_assets.count(), media_assets_n.count()
+
     # SemDeDup steady state = the production serving layout: two-level
     # codebook (ann/ivf.py:train_centroids_hier) trained once and reused
     # per batch, cells ∝ N (fixed ~64-vector target cell size) so the
@@ -583,6 +605,16 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             ),
             1800,
         ),
+        # r10: media near-dup at the SCALE-PATH config (16-bit bands —
+        # the knob the module docstring tells a 10x-larger corpus to
+        # turn: 8-bit buckets hold n/256 signatures so their candidate
+        # volume grows quadratically with corpus size, 16-bit buckets
+        # defer that 256x).  Replicated doc_ids key DISJOINT md5 pixel
+        # streams, so the probe runs 10 independent imagery corpora;
+        # expected curve tracks the map-only decode pass.
+        "media_dedup_b2": lambda a: media_dedup_pairs(
+            a, max_hamming=3, band_bytes=2
+        ),
     }
     inputs = {
         "doc_embed": (docs, docs_n),
@@ -598,6 +630,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "dedup_containment": (docs_c1, docs_cn),
         "graph_links": (tri_edges, tri_edges_n),
         "events_sessions_fold": (ev, ev_n),
+        "media_dedup_b2": (media_assets, media_assets_n),
     }
     # operators that materialize work at DataFrame-build time
     # (localCheckpoint inside the builder — the iterative rounds, and
@@ -608,6 +641,9 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         "graph_label_prop",
         "events_funnel",
         "dedup_containment",
+        # the bucket-skew contract collects during build, materializing
+        # the checkpointed signature pass — time build+execute
+        "media_dedup_b2",
     }
 
     # SPARK_GRAFT_PROBE_SETTLE=<loadavg>: before each probe, wait (up
@@ -676,7 +712,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         for df in (docs, emb, stmts, docs_n, emb_n, stmts_n,
                    tri_edges, tri_edges_n, lp_trade, lp_seeds,
                    lp_trade_n, lp_seeds_n, ev, ev_n,
-                   docs_c1, docs_cn, *cb1, *cbn):
+                   docs_c1, docs_cn, media_assets, media_assets_n,
+                   *cb1, *cbn):
             df.unpersist()
         return section
     edge_ddl = (
@@ -712,7 +749,8 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
     for df in (docs, emb, stmts, docs_n, emb_n, stmts_n,
                tri_edges, tri_edges_n, lp_trade, lp_seeds,
                lp_trade_n, lp_seeds_n, ev, ev_n,
-               docs_c1, docs_cn, *cb1, *cbn):
+               docs_c1, docs_cn, media_assets, media_assets_n,
+               *cb1, *cbn):
         df.unpersist()
     return section
 
