@@ -188,37 +188,9 @@ def audio_dhash_signatures(
     )
 
 
-def dhash_pairs(
-    signatures: DataFrame,
-    max_hamming: int = 6,
-    band_bytes: int = 1,
-    max_bucket: int = 100_000,
-    n_blocks: int = 8,
-) -> DataFrame:
-    """(lid, rid, hamming) — candidate pairs within ``max_hamming``
-    bits, complete by pigeonhole: the ``n_blocks`` row-bytes band into
-    ``n_bands = n_blocks / band_bytes`` exact-match blocks and any pair
-    within distance ``n_bands - 1`` shares >= 1 band.  Asking for a
-    ``max_hamming`` past that guarantee raises (widen the grid or
-    shrink ``band_bytes``) — silently incomplete candidate sets are
-    how perceptual dedup quietly under-merges.  ``n_blocks`` must match
-    the producing ``dhash_signatures``' ``grid_h`` (a static parameter,
-    not inferred — inferring it would cost a full extra decode pass).
-    The bucket-skew bound is executable (module docstring)."""
-    if band_bytes < 1:
-        raise ValueError("dhash_pairs: band_bytes must be >= 1")
-    if n_blocks % band_bytes != 0:
-        raise ValueError(
-            f"dhash_pairs: band_bytes={band_bytes} does not divide the "
-            f"{n_blocks}-byte signature"
-        )
-    n_bands = n_blocks // band_bytes
-    if max_hamming > n_bands - 1:
-        raise ValueError(
-            f"dhash_pairs: max_hamming={max_hamming} exceeds the "
-            f"pigeonhole guarantee of {n_bands - 1} at {n_bands} bands "
-            f"({band_bytes}-byte); shrink band_bytes or max_hamming"
-        )
+def _banded(signatures: DataFrame, band_bytes: int,
+            n_bands: int) -> DataFrame:
+    """(id, blocks, band_no, band_val) — the exploded band relation."""
     band_val = [
         sum(
             (
@@ -231,7 +203,7 @@ def dhash_pairs(
         ).alias(f"_band{i}")
         for i in range(n_bands)
     ]
-    banded = (
+    return (
         signatures.where(F.col("blocks").isNotNull())
         .select(
             "id",
@@ -250,6 +222,49 @@ def dhash_pairs(
         )
         .select("id", "blocks", F.col("b.band_no"), F.col("b.band_val"))
     )
+
+
+def dhash_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 6,
+    band_bytes: int = 1,
+    max_bucket: int = 100_000,
+    n_blocks: int = 8,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """(lid, rid, hamming) — candidate pairs within ``max_hamming``
+    bits, complete by pigeonhole: the ``n_blocks`` row-bytes band into
+    ``n_bands = n_blocks / band_bytes`` exact-match blocks and any pair
+    within distance ``n_bands - 1`` shares >= 1 band.  Asking for a
+    ``max_hamming`` past that guarantee raises (widen the grid or
+    shrink ``band_bytes``) — silently incomplete candidate sets are
+    how perceptual dedup quietly under-merges.  ``n_blocks`` must match
+    the producing ``dhash_signatures``' ``grid_h`` (a static parameter,
+    not inferred — inferring it would cost a full extra decode pass).
+    The bucket-skew bound is executable (module docstring).
+
+    With ``probe`` set (a subset of ``signatures``), only pairs with at
+    least one probe-side endpoint are generated and the banded join
+    runs probe-bands × all-bands — the incremental-ingest shape where
+    per-batch work is O(batch × collision) and accumulated state never
+    re-self-joins (``streaming/media_index.py``).  Pairs are normalized
+    (lid < rid) in both modes, so probe-mode output is a subset of the
+    full relation row-for-row."""
+    if band_bytes < 1:
+        raise ValueError("dhash_pairs: band_bytes must be >= 1")
+    if n_blocks % band_bytes != 0:
+        raise ValueError(
+            f"dhash_pairs: band_bytes={band_bytes} does not divide the "
+            f"{n_blocks}-byte signature"
+        )
+    n_bands = n_blocks // band_bytes
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"dhash_pairs: max_hamming={max_hamming} exceeds the "
+            f"pigeonhole guarantee of {n_bands - 1} at {n_bands} bands "
+            f"({band_bytes}-byte); shrink band_bytes or max_hamming"
+        )
+    banded = _banded(signatures, band_bytes, n_bands)
     offenders = (
         banded.groupBy("band_no", "band_val")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -272,18 +287,23 @@ def dhash_pairs(
             f"band_bytes, pre-drop degenerate signatures, or raise the "
             f"bound if the pair volume is priced in"
         )
-    left = banded.select(
-        F.col("id").alias("lid"),
+    probe_banded = (
+        banded if probe is None else _banded(probe, band_bytes, n_bands)
+    )
+    left = probe_banded.select(
+        F.col("id").alias("_pid"),
         F.col("blocks").alias("_lb"),
         "band_no",
         "band_val",
     )
     right = banded.select(
-        F.col("id").alias("rid"),
+        F.col("id").alias("_xid"),
         F.col("blocks").alias("_rb"),
         "band_no",
         "band_val",
     )
+    # hamming is symmetric (popcount of XOR), so it can be computed
+    # before the (lid, rid) normalization that dedups orientations
     hamming = F.aggregate(
         F.zip_with(
             "_lb", "_rb", lambda x, y: F.bit_count(x.bitwiseXOR(y))
@@ -291,10 +311,22 @@ def dhash_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("int")
+    # full mode sees each pair in both orientations — keep one at the
+    # join (halves the intermediate); probe mode must keep both (only
+    # the probe side drives) and normalize after
+    cond = (
+        F.col("_pid") < F.col("_xid")
+        if probe is None
+        else F.col("_pid") != F.col("_xid")
+    )
     return (
         left.join(right, ["band_no", "band_val"])
-        .where(F.col("lid") < F.col("rid"))
-        .select("lid", "rid", hamming.alias("hamming"))
+        .where(cond)
+        .select(
+            F.least("_pid", "_xid").alias("lid"),
+            F.greatest("_pid", "_xid").alias("rid"),
+            hamming.alias("hamming"),
+        )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )

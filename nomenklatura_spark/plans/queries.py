@@ -5548,8 +5548,7 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8-row x 9-col dHash grid via the integer (i*src)//dst map, luma is the
 # exact 299/587/114 integer grid, and asset 2d+1 (the PPM re-encode)
 # flips byte 0 by +128 mod 256 when d%5=0.
-_MEDIA_DEDUP_SQL = """
-    WITH px AS (
+_MEDIA_DEDUP_SQL_BODY = """px AS (
         SELECT d.doc_id, a.a, r.r, c.c, ch.ch,
                ((((r.r * 6) // 8) * 18 + ((c.c * 18) // 9)) * 3 + ch.ch)
                    AS k
@@ -5602,11 +5601,7 @@ _MEDIA_DEDUP_SQL = """
         JOIN blocks lb ON lb.id = c.lid
         JOIN blocks rb ON rb.id = c.rid AND rb.block_no = lb.block_no
         GROUP BY c.lid, c.rid
-    )
-    SELECT lid, rid, hamming FROM ham
-    WHERE hamming <= 6
-    ORDER BY lid, rid
-"""
+    )"""
 
 
 def q_media_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5692,6 +5687,72 @@ _MEDIA_DEDUP_AUDIO_SQL = """
     SELECT lid, rid, hamming FROM ham
     WHERE hamming <= 6
     ORDER BY lid, rid
+"""
+
+_MEDIA_DEDUP_SQL = f"""
+    WITH {_MEDIA_DEDUP_SQL_BODY}
+    SELECT lid, rid, hamming FROM ham
+    WHERE hamming <= 6
+    ORDER BY lid, rid
+"""
+
+
+def q_media_dedup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media KEEP-LIST served from maintained state
+    (``streaming/media_index.py``): the synthetic BMP/PPM near-dup
+    assets fold into the incremental dHash index in three id-sliced
+    ingest batches — each pair's two formats land in DIFFERENT batches,
+    so the cross-batch probe join (batch bands × state bands, state
+    never re-self-joins) is what finds them — components merge by the
+    star-compression fold, and the keep-list (one deterministic min-id
+    survivor per near-dup cluster) is answered from state alone.  The
+    oracle replays the whole chain from scratch: pixels, dHash, banding,
+    Hamming filter, then the recursive-CTE closure and the min-id keep
+    rule."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.multimodal.decode import (
+        synthetic_media_pair_assets,
+    )
+    from nomenklatura_spark.streaming.media_index import (
+        MediaDedupIndexState,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthetic_media_pair_assets(docs)
+    root = tempfile.mkdtemp(prefix="nk_media_idx_")
+    try:
+        state = MediaDedupIndexState(spark, root)
+        for b in range(3):
+            state.apply_batch(assets.where(F.col("asset_id") % 3 == b))
+        out = state.serve_keep_list().orderBy("asset_id")
+        # driver-materialize (keep-list grain) before dropping the
+        # on-disk state — see events_hll_weekly_served
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MEDIA_DEDUP_SERVED_SQL = f"""
+    WITH RECURSIVE {_MEDIA_DEDUP_SQL_BODY},
+    mpairs AS (SELECT lid, rid FROM ham WHERE hamming <= 6),
+    medges AS (
+        SELECT lid AS a, rid AS b FROM mpairs
+        UNION SELECT rid, lid FROM mpairs
+    ),
+    mnodes AS (SELECT DISTINCT a AS node FROM medges),
+    mwalk(node, reached) AS (
+        SELECT node, node FROM mnodes
+        UNION
+        SELECT w.node, e.b FROM mwalk w JOIN medges e ON e.a = w.reached
+    ),
+    mcomp AS (
+        SELECT node, min(reached) AS component FROM mwalk GROUP BY node
+    )
+    SELECT node AS asset_id, (node = component) AS keep
+    FROM mcomp
+    ORDER BY asset_id
 """
 
 
@@ -7661,6 +7722,7 @@ QUERIES = {
     "doc_pack_bpe": q_doc_pack_bpe,
     "doc_bpe_fertility": q_doc_bpe_fertility,
     "media_dedup_audio": q_media_dedup_audio,
+    "media_dedup_served": q_media_dedup_served,
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
@@ -7691,6 +7753,7 @@ ORACLES = {
     "media_features": _MEDIA_FEATURES_SQL,
     "media_dedup": _MEDIA_DEDUP_SQL,
     "media_dedup_audio": _MEDIA_DEDUP_AUDIO_SQL,
+    "media_dedup_served": _MEDIA_DEDUP_SERVED_SQL,
     "media_decode": _MEDIA_DECODE_SQL.format(
         pixels=_MEDIA_PIXELS_SQL, audio=_MEDIA_AUDIO_SQL
     ),

@@ -1,0 +1,184 @@
+"""Incremental media near-dup index — the dHash tier's streaming ingest
+path (§2.12 shape, the ``dedup_index`` contract applied to pixels).
+
+A training-data ingest pipeline dedups every incoming batch of
+images/audio against everything already ingested, without rescanning
+the corpus.  The dHash construction (``multimodal/dhash.py``) is
+deterministic (no seed state), so the index is a materialised view
+maintained by key:
+
+- ``signatures`` (id, blocks, dhash) are keyed by asset: an upsert
+  batch replaces exactly the touched ids (retract + insert), the same
+  contract as the text dedup index.  The expensive leg — the
+  Arrow-batched DECODE — runs once per asset at ingest, never again.
+- A batch's candidates are (batch bands ⋈ state bands) ∪ (batch
+  self-pairs) — bounded equi-joins on (band_no, band_val); the state
+  side never re-self-joins, so per-batch work is O(batch × collision),
+  and the exact popcount-of-XOR filter reads only signature rows.
+  Over any batch sequence the accumulated pair log equals a
+  from-scratch ``dhash_pairs`` over the union of live signatures
+  (pytest-pinned): cand(A∪B) = cand(A×A) ∪ cand(A×B) ∪ cand(B×B) and
+  each term is produced by some batch.
+- ``components`` are maintained INCREMENTALLY by the same
+  star-compression fold as the text index (append-only pairs merge,
+  never split; min-id labels compose — ``streaming/dedup_index.py``
+  has the exactness argument), and ``serve_keep_list`` answers the
+  training-feed question — which asset of each near-dup cluster
+  survives — from state alone (keeper = min asset id, deterministic).
+
+Replay-idempotent by construction (upsert-by-asset + distinct-merged
+pair log + merge-only component fold), so no batch guard is needed.
+State is versioned parquet snapshots behind the shared VERSION pointer
+(crash-safe swap, time travel); on a cluster each relation is a Delta
+MERGE and the pairs log an append-only table.
+
+Scale shape: ingest cost per batch is one decode pass over the BATCH
+(map-only, Arrow-batched) + a signature-sized band join against state
++ a mapping-sized component fold.  The band-bucket skew bound and the
+``band_bytes`` widening knob are inherited from ``dhash_pairs``
+verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nomenklatura_spark.multimodal.dhash import (
+    dhash_pairs,
+    dhash_signatures,
+)
+from nomenklatura_spark.streaming.state import (
+    VersionedState,
+    start_maintenance_stream,
+)
+
+_SIG_SCHEMA = "id long, blocks array<int>, dhash string"
+_PAIR_SCHEMA = "lid long, rid long, hamming int"
+_COMP_SCHEMA = "node long, component long"
+
+
+class MediaDedupIndexState(VersionedState):
+    """Versioned on-disk state: dHash signatures + pair log +
+    incrementally-maintained components."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        max_hamming: int = 6,
+        band_bytes: int = 1,
+        max_bucket: int = 100_000,
+        n_blocks: int = 8,
+    ) -> None:
+        super().__init__(spark, state_dir)
+        self.max_hamming = max_hamming
+        self.band_bytes = band_bytes
+        self.max_bucket = max_bucket
+        self.n_blocks = n_blocks
+
+    def signatures(self, version: int | None = None) -> DataFrame:
+        return self._read("signatures", _SIG_SCHEMA, version)
+
+    def pairs(self, version: int | None = None) -> DataFrame:
+        return self._read("pairs", _PAIR_SCHEMA, version)
+
+    def components(self, version: int | None = None) -> DataFrame:
+        return self._read("components", _COMP_SCHEMA, version)
+
+    def apply_batch(
+        self,
+        assets: DataFrame,
+        id_col: str = "asset_id",
+        payload_col: str = "payload",
+    ) -> DataFrame:
+        """Fold one micro-batch of media assets into the index; returns
+        the near-dup pairs this batch surfaced (within-batch + vs
+        state).  The batch is decoded ONCE (localCheckpoint) and only
+        signatures touch state."""
+        batch_sigs = dhash_signatures(
+            assets, id_col=id_col, payload_col=payload_col
+        ).localCheckpoint()
+        state_sigs = self.signatures()
+        touched = batch_sigs.select("id").distinct()
+        # candidates: batch self-pairs + batch vs state, via the probe
+        # mode of dhash_pairs — the banded join runs batch-bands ×
+        # merged-bands, so accumulated state never re-self-joins (a
+        # state-state pair was emitted by an earlier fold)
+        merged_sigs = (
+            state_sigs.join(touched, "id", "left_anti")
+            .unionByName(batch_sigs)
+            .localCheckpoint()
+        )
+        new_pairs = dhash_pairs(
+            merged_sigs,
+            max_hamming=self.max_hamming,
+            band_bytes=self.band_bytes,
+            max_bucket=self.max_bucket,
+            n_blocks=self.n_blocks,
+            probe=batch_sigs,
+        ).localCheckpoint()
+
+        v = self.version()
+        nv = v + 1
+        merged_pairs = (
+            self.pairs()
+            .unionByName(new_pairs)
+            .groupBy("lid", "rid")
+            .agg(F.min("hamming").alias("hamming"))
+        )
+        from nomenklatura_spark.resolver.components import (
+            connected_components,
+        )
+
+        star = self.components().select(
+            F.col("component").alias("lid"), F.col("node").alias("rid")
+        )
+        merged_comps = connected_components(
+            star.unionByName(new_pairs.select("lid", "rid")),
+            src="lid",
+            dst="rid",
+        )
+        merged_sigs.write.mode("overwrite").parquet(
+            self._path("signatures", nv)
+        )
+        merged_pairs.write.mode("overwrite").parquet(
+            self._path("pairs", nv)
+        )
+        merged_comps.write.mode("overwrite").parquet(
+            self._path("components", nv)
+        )
+        self._bump(nv)
+        return new_pairs
+
+    def serve_keep_list(self) -> DataFrame:
+        """(asset_id, keep) from state alone: one deterministic keeper
+        (min asset id) per near-dup component; assets in no component
+        (no near-dup found) are not listed — they trivially survive.
+        The keep-list is what a training-data materialization anti-joins
+        its media table against."""
+        comp = self.components()
+        return comp.select(
+            F.col("node").alias("asset_id"),
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
+
+
+def maintain_media_dedup_stream(
+    stream: DataFrame,
+    state: MediaDedupIndexState,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Structured Streaming driver: each micro-batch of assets folds
+    into the media dedup index via ``foreachBatch`` (multi-relation
+    snapshot swap — sinks can't express it).  Replay-idempotent, so no
+    batch guard (module docstring)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        state.apply_batch(batch, id_col, payload_col)
+
+    return start_maintenance_stream(stream, _process, checkpoint_dir,
+                                    trigger_once)

@@ -1,0 +1,141 @@
+"""Incremental media dedup index (streaming/media_index.py): the
+accumulated pair log and maintained components must be
+indistinguishable from a from-scratch dHash dedup over the union of
+live assets; cross-batch duplicates must be found against state;
+re-ingesting a changed asset must retract its stale signature."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nomenklatura_spark.multimodal.decode import encode_bmp, encode_ppm
+from nomenklatura_spark.multimodal.dhash import dhash_pairs, dhash_signatures
+from nomenklatura_spark.resolver.components import connected_components
+from nomenklatura_spark.streaming.media_index import (
+    MediaDedupIndexState,
+    maintain_media_dedup_stream,
+)
+
+ASSET_SCHEMA = "asset_id long, media_type string, payload binary"
+
+
+def _px(seed: int, h: int = 12, w: int = 20) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(
+        np.uint8
+    )
+
+
+def _adf(spark, rows):
+    return spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in rows], ASSET_SCHEMA
+    )
+
+
+# batch 1: 1 and 2 are a cross-format dup pair; 3 is unrelated
+B1 = [
+    (1, encode_bmp(_px(1))),
+    (2, encode_ppm(_px(1))),
+    (3, encode_bmp(_px(3))),
+]
+# batch 2: 11 duplicates batch-1's asset 1 (cross-batch, vs state);
+# 12/13 are a within-batch dup pair; 3 is RE-INGESTED with new pixels
+B2 = [
+    (11, encode_ppm(_px(1))),
+    (12, encode_bmp(_px(7))),
+    (13, encode_ppm(_px(7))),
+    (3, encode_bmp(_px(99))),
+]
+
+
+def test_incremental_pairs_and_components_match_scratch(spark, tmp_path):
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    p1 = state.apply_batch(_adf(spark, B1))
+    assert {(r["lid"], r["rid"]) for r in p1.collect()} == {(1, 2)}
+    p2 = state.apply_batch(_adf(spark, B2))
+    got2 = {(r["lid"], r["rid"]) for r in p2.collect()}
+    assert (1, 11) in got2 and (2, 11) in got2  # vs state
+    assert (12, 13) in got2  # within batch
+
+    # live corpus: batch-2's asset 3 replaces batch-1's
+    final = {i: p for i, p in B1} | {i: p for i, p in B2}
+    scratch = dhash_pairs(
+        dhash_signatures(_adf(spark, list(final.items()))).localCheckpoint()
+    )
+    live = sorted(
+        map(
+            tuple,
+            state.pairs()
+            .join(scratch.select("lid", "rid"), ["lid", "rid"])
+            .collect(),
+        )
+    )
+    assert live == sorted(map(tuple, scratch.collect()))
+    # every scratch pair was surfaced by some batch
+    logged = {(r["lid"], r["rid"]) for r in state.pairs().collect()}
+    assert {(r["lid"], r["rid"]) for r in scratch.collect()} <= logged
+    # the re-ingested asset holds exactly ONE signature generation
+    assert state.signatures().where("id = 3").count() == 1
+
+    # maintained components == from-scratch over the full pair log
+    got = sorted(map(tuple, state.components().collect()))
+    want = sorted(
+        map(
+            tuple,
+            connected_components(
+                state.pairs(), src="lid", dst="rid"
+            ).collect(),
+        )
+    )
+    assert got == want
+    comp_of = dict(got)
+    assert comp_of[1] == comp_of[2] == comp_of[11]  # merged across batches
+
+    # replay idempotence: refolding batch 2 changes nothing
+    state.apply_batch(_adf(spark, B2))
+    assert sorted(map(tuple, state.components().collect())) == want
+
+
+def test_keep_list_serves_min_id_keeper(spark, tmp_path):
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    state.apply_batch(_adf(spark, B1))
+    state.apply_batch(_adf(spark, B2))
+    keep = {r["asset_id"]: r["keep"] for r in
+            state.serve_keep_list().collect()}
+    # cluster {1, 2, 11}: min id 1 survives
+    assert keep[1] is True and keep[2] is False and keep[11] is False
+    # cluster {12, 13}: 12 survives
+    assert keep[12] is True and keep[13] is False
+    # asset 3 has no near-dup: not listed (trivially survives)
+    assert 3 not in keep
+
+
+def test_time_travel_and_version_swap(spark, tmp_path):
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    state.apply_batch(_adf(spark, B1))
+    v1 = state.version()
+    state.apply_batch(_adf(spark, B2))
+    old = {r["node"] for r in state.components(v1).collect()}
+    assert 11 not in old and 1 in old
+
+
+def test_streaming_media_maintenance(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    _adf(spark, B1).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(ASSET_SCHEMA).parquet(str(src))
+    q = maintain_media_dedup_stream(
+        stream, state, checkpoint_dir=str(tmp_path / "chk")
+    )
+    try:
+        q.processAllAvailable()
+        assert {(r["lid"], r["rid"]) for r in state.pairs().collect()} == {
+            (1, 2)
+        }
+        _adf(spark, B2).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        pairs = {(r["lid"], r["rid"]) for r in state.pairs().collect()}
+        assert (1, 11) in pairs and (12, 13) in pairs
+    finally:
+        q.stop()
