@@ -4105,6 +4105,61 @@ def _doc_sample_weighted_sql() -> str:
     """
 
 
+def q_doc_sample_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded weight-proportional corpus sample served from
+    MAINTAINED min-k state (``streaming/sample_index.py``): documents
+    fold into the k-row priority-sample index in three id-sliced
+    ingest batches (min-k is a monoid — min-k(A∪B) = min-k(min-k(A)∪B)
+    — so each fold is a TakeOrdered over batch + k rows and the corpus
+    is never rescanned), and the sample is answered from state alone.
+    The oracle is the from-scratch priority sample over the full
+    corpus (same salt, same integer-exact (h+1) DIV weight keys, ties
+    by the index's string id), so a hash-green row proves maintained
+    == rescan-everything.  Ids ride as strings in state (index
+    contract) and cast back at the serving edge."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.sample_index import SampleIndexState
+    from nomenklatura_spark.textops.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="nk_sample_idx_")
+    try:
+        state = SampleIndexState(spark, root, k=PSAMPLE_K)
+        for b in range(3):
+            state.apply_batch(
+                docs.where(F.col("doc_id") % 3 == b),
+                token_count(F.col("text")),
+            )
+        out = state.serve_sample().select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            "weight",
+            "priority_key",
+        )
+        # driver-materialize (k rows) before dropping the on-disk state
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _doc_sample_served_sql() -> str:
+    wc = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+    return f"""
+        WITH feat AS (
+            SELECT doc_id,
+                GREATEST(CAST({wc} AS BIGINT), 1) AS weight,
+                CAST(('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id, weight, (h + 1) // weight AS priority_key
+        FROM feat
+        ORDER BY priority_key, CAST(doc_id AS VARCHAR)
+        LIMIT {PSAMPLE_K}
+    """
+
+
 def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k weighted sample PER SOURCE (``priority_sample`` with
     ``strata_col``): the per-domain variant a mixing stage runs so no
@@ -7723,6 +7778,7 @@ QUERIES = {
     "doc_bpe_fertility": q_doc_bpe_fertility,
     "media_dedup_audio": q_media_dedup_audio,
     "media_dedup_served": q_media_dedup_served,
+    "doc_sample_served": q_doc_sample_served,
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
@@ -7754,6 +7810,7 @@ ORACLES = {
     "media_dedup": _MEDIA_DEDUP_SQL,
     "media_dedup_audio": _MEDIA_DEDUP_AUDIO_SQL,
     "media_dedup_served": _MEDIA_DEDUP_SERVED_SQL,
+    "doc_sample_served": _doc_sample_served_sql(),
     "media_decode": _MEDIA_DECODE_SQL.format(
         pixels=_MEDIA_PIXELS_SQL, audio=_MEDIA_AUDIO_SQL
     ),
