@@ -1431,6 +1431,81 @@ _DOC_NEGATIVES_SQL = """
 """
 
 
+def q_doc_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling with the candidate POOL served from maintained
+    state: the pool — the one corpus-derived artifact in negative
+    sampling — is exactly a uniform min-k draw (k smallest
+    ``md5('negpair:pool:'||id)`` keys), i.e. the maintained sample
+    index (``streaming/sample_index.py``) at weight 1 with that salt.
+    Documents fold into the pool index in three id-sliced batches; at
+    serve time the 64-row pool reads from state (collected to a literal
+    — it IS broadcast-sized), joins its ``source`` group tags, and the
+    per-anchor md5 ranking runs as in ``doc_negatives``.  The oracle is
+    the from-scratch pool + ranking, so hash-green proves the
+    maintained pool is bit-identical to the batch draw.  Completes the
+    at-rest contrastive feed beside ``doc_positives_served``."""
+    import shutil
+    import tempfile
+
+    from nomenklatura_spark.streaming.sample_index import SampleIndexState
+    from nomenklatura_spark.textops.contrastive import (
+        sample_negative_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="nk_negpool_idx_")
+    try:
+        state = SampleIndexState(spark, root, k=64, salt="negpair:pool")
+        for b in range(3):
+            state.apply_batch(
+                docs.where(F.col("doc_id") % 3 == b), F.lit(1)
+            )
+        pool_rows = (
+            state.sample()
+            .select(F.col("id").cast("bigint").alias("doc_id"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    pool = spark.createDataFrame(pool_rows, "doc_id bigint").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return sample_negative_pairs(
+        docs, k=5, pool_size=64, group_col="source", pool=pool
+    ).orderBy("anchor_id", "neg_rank")
+
+
+# the pool CTE ties by the INDEX's string id (never fires on 60-bit md5
+# keys, pinned for exactness-by-construction); ranking replays
+# _DOC_NEGATIVES_SQL
+_DOC_NEGATIVES_SERVED_SQL = """
+    WITH pool AS (
+        SELECT doc_id AS neg_id, source AS neg_src
+        FROM documents
+        ORDER BY CAST(('0x' || substr(md5('negpair:pool:'
+                   || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 CAST(doc_id AS VARCHAR)
+        LIMIT 64
+    ),
+    ranked AS (
+        SELECT d.doc_id AS anchor_id, p.neg_id AS negative_id,
+               row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY CAST(('0x' || substr(md5('negpair:'
+                       || CAST(d.doc_id AS VARCHAR) || '|'
+                       || CAST(p.neg_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                       p.neg_id
+               ) AS neg_rank
+        FROM documents d
+        JOIN pool p ON p.neg_id <> d.doc_id
+                   AND p.neg_src IS DISTINCT FROM d.source
+    )
+    SELECT anchor_id, negative_id, neg_rank
+    FROM ranked WHERE neg_rank <= 5
+    ORDER BY anchor_id, neg_rank
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — connected components over the near-dup pair graph."""
     pairs = _spark_ngram_pairs(spark, sf_dir)
@@ -7779,6 +7854,7 @@ QUERIES = {
     "media_dedup_audio": q_media_dedup_audio,
     "media_dedup_served": q_media_dedup_served,
     "doc_sample_served": q_doc_sample_served,
+    "doc_negatives_served": q_doc_negatives_served,
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
@@ -7811,6 +7887,7 @@ ORACLES = {
     "media_dedup_audio": _MEDIA_DEDUP_AUDIO_SQL,
     "media_dedup_served": _MEDIA_DEDUP_SERVED_SQL,
     "doc_sample_served": _doc_sample_served_sql(),
+    "doc_negatives_served": _DOC_NEGATIVES_SERVED_SQL,
     "media_decode": _MEDIA_DECODE_SQL.format(
         pixels=_MEDIA_PIXELS_SQL, audio=_MEDIA_AUDIO_SQL
     ),

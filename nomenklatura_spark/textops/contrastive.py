@@ -60,11 +60,20 @@ def sample_negative_pairs(
     group_col: str | None = None,
     salt: str = "negpair",
     max_pool: int = 1_000_000,
+    pool: DataFrame | None = None,
 ) -> DataFrame:
     """(anchor_id, negative_id, neg_rank) — k deterministic uniform
     negatives per anchor from a broadcast candidate pool (module
     docstring).  ``neg_rank`` is 1..k in hash order, so a caller can
-    take a prefix for curriculum-style schedules."""
+    take a prefix for curriculum-style schedules.
+
+    With ``pool`` set, the caller supplies the candidate pool — columns
+    ``id_col`` (and ``group_col`` if the exclusion is on) — instead of
+    the corpus-derived TakeOrdered draw; the streaming serving path
+    (``doc_negatives_served``) passes the pool maintained by the
+    min-k sample index, which reproduces the built-in draw exactly
+    (same ``{salt}:pool`` md5 keys, weight 1).  ``pool_size`` then only
+    caps the broadcast (the ``max_pool`` contract still applies)."""
     if k < 1:
         raise ValueError("sample_negative_pairs: k must be >= 1")
     if pool_size < k:
@@ -83,15 +92,20 @@ def sample_negative_pairs(
     pool_cols = [F.col(id_col).alias("_neg_id")]
     if group_col is not None:
         pool_cols.append(F.col(group_col).alias("_neg_grp"))
-    pool = (
-        docs.select(
-            *pool_cols,
-            md5_bucket(f"{salt}:pool", F.col(id_col), _MOD).alias("_pk"),
+    if pool is not None:
+        pool = pool.select(*pool_cols).limit(pool_size)
+    else:
+        pool = (
+            docs.select(
+                *pool_cols,
+                md5_bucket(
+                    f"{salt}:pool", F.col(id_col), _MOD
+                ).alias("_pk"),
+            )
+            .orderBy("_pk", "_neg_id")
+            .limit(pool_size)
+            .drop("_pk")
         )
-        .orderBy("_pk", "_neg_id")
-        .limit(pool_size)
-        .drop("_pk")
-    )
     anchor_cols = [F.col(id_col).alias("anchor_id")]
     if group_col is not None:
         anchor_cols.append(F.col(group_col).alias("_a_grp"))

@@ -63,6 +63,49 @@ def test_negatives_null_group_is_one_shared_group(spark):
     }
 
 
+def test_negatives_caller_supplied_pool(spark):
+    """A caller-supplied pool (the streaming serving path) reproduces
+    the built-in draw when it carries the same rows, and the maintained
+    min-k sample index at weight 1 with the pool salt IS that pool."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.streaming.sample_index import SampleIndexState
+
+    docs = _docs(spark)
+    builtin = sorted(
+        map(
+            tuple,
+            sample_negative_pairs(
+                docs, k=3, pool_size=16, group_col="source"
+            ).collect(),
+        )
+    )
+    import tempfile, shutil
+
+    root = tempfile.mkdtemp(prefix="nk_test_negpool_")
+    try:
+        state = SampleIndexState(spark, root, k=16, salt="negpair:pool")
+        state.apply_batch(docs.where(F.col("doc_id") % 2 == 0), F.lit(1))
+        state.apply_batch(docs.where(F.col("doc_id") % 2 == 1), F.lit(1))
+        pool = (
+            state.sample()
+            .select(F.col("id").cast("bigint").alias("doc_id"))
+            .join(docs.select("doc_id", "source"), "doc_id")
+        )
+        served = sorted(
+            map(
+                tuple,
+                sample_negative_pairs(
+                    docs, k=3, pool_size=16, group_col="source",
+                    pool=pool,
+                ).collect(),
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert served == builtin
+
+
 def test_negatives_deterministic_and_pool_shared(spark):
     docs = _docs(spark)
     a = sorted(map(tuple, sample_negative_pairs(docs, k=2, pool_size=8).collect()))
