@@ -93,6 +93,14 @@ BENCH_QUERIES = [
     "media_dedup_audio",
     "doc_bpe_fertility",
     "doc_positives_served",
+    # late-r10: the remaining at-rest serving rows — the maintained
+    # min-k sample (3 TakeOrdered folds + serve), the negative pool
+    # served from that index, and the media keep-list (3 media-index
+    # folds — decode + probe-mode band join + component merge — plus
+    # the state-only serve).
+    "doc_sample_served",
+    "doc_negatives_served",
+    "media_dedup_served",
 ]
 
 
