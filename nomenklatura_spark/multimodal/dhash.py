@@ -66,6 +66,36 @@ from nomenklatura_spark.multimodal.decode import (
 _LUMA = (299, 587, 114)  # ITU-R 601, scaled x1000 (integer-exact)
 
 
+def dhash_blocks(
+    px: np.ndarray, grid_w: int = 8, grid_h: int = 8
+) -> list[int]:
+    """Pure kernel: H×W×3 uint8 pixels → ``grid_h`` row-bytes (module
+    docstring construction).  Exposed for property tests; the Spark
+    path is a thin Arrow-batched wrapper around this."""
+    g = _resample_nearest(px, grid_w + 1, grid_h).astype(np.int64)
+    luma = (
+        _LUMA[0] * g[:, :, 0]
+        + _LUMA[1] * g[:, :, 1]
+        + _LUMA[2] * g[:, :, 2]
+    )
+    bits = luma[:, :-1] > luma[:, 1:]
+    weights = (1 << np.arange(grid_w)).astype(np.int64)
+    return [int(v) for v in (bits * weights).sum(axis=1)]
+
+
+def audio_dhash_blocks(
+    samples: np.ndarray, n_frames: int = 65
+) -> list[int]:
+    """Pure kernel: int16 samples → ``(n_frames - 1) / 8`` row-bytes
+    of sign-of-delta bits over the integer frame resample."""
+    n = len(samples)
+    idx = (np.arange(n_frames) * n) // n_frames
+    frames = samples[idx].astype(np.int64)
+    bits = (frames[:-1] > frames[1:]).reshape((n_frames - 1) // 8, 8)
+    weights = (1 << np.arange(8)).astype(np.int64)
+    return [int(v) for v in (bits * weights).sum(axis=1)]
+
+
 def dhash_signatures(
     assets: DataFrame,
     id_col: str = "asset_id",
@@ -87,9 +117,6 @@ def dhash_signatures(
             "dhash_signatures: grid_w > 8 would overflow the row-byte "
             "block encoding; widen grid_h instead"
         )
-    n_cols = grid_w + 1
-    weights = (1 << np.arange(grid_w)).astype(np.int64)
-
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, blocks, hexes = [], [], []
@@ -111,17 +138,10 @@ def dhash_signatures(
                     blocks.append(None)
                     hexes.append(None)
                     continue
-                g = _resample_nearest(px, n_cols, grid_h).astype(np.int64)
-                luma = (
-                    _LUMA[0] * g[:, :, 0]
-                    + _LUMA[1] * g[:, :, 1]
-                    + _LUMA[2] * g[:, :, 2]
-                )
-                bits = luma[:, :-1] > luma[:, 1:]
-                vals = (bits * weights).sum(axis=1)
+                vals = dhash_blocks(px, grid_w, grid_h)
                 ids.append(aid)
-                blocks.append([int(v) for v in vals])
-                hexes.append("".join(f"{int(v):02x}" for v in vals))
+                blocks.append(vals)
+                hexes.append("".join(f"{v:02x}" for v in vals))
             yield pd.DataFrame(
                 {"id": ids, "blocks": blocks, "dhash": hexes}
             )
@@ -154,9 +174,6 @@ def audio_dhash_signatures(
             "audio_dhash_signatures: n_frames - 1 must be a positive "
             "multiple of 8 (whole row-bytes)"
         )
-    n_blocks = (n_frames - 1) // 8
-    weights = (1 << np.arange(8)).astype(np.int64)
-
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, blocks, hexes = [], [], []
@@ -171,14 +188,10 @@ def audio_dhash_signatures(
                     blocks.append(None)
                     hexes.append(None)
                     continue
-                n = len(samples)
-                idx = (np.arange(n_frames) * n) // n_frames
-                frames = samples[idx].astype(np.int64)
-                bits = (frames[:-1] > frames[1:]).reshape(n_blocks, 8)
-                vals = (bits * weights).sum(axis=1)
+                vals = audio_dhash_blocks(samples, n_frames)
                 ids.append(aid)
-                blocks.append([int(v) for v in vals])
-                hexes.append("".join(f"{int(v):02x}" for v in vals))
+                blocks.append(vals)
+                hexes.append("".join(f"{v:02x}" for v in vals))
             yield pd.DataFrame(
                 {"id": ids, "blocks": blocks, "dhash": hexes}
             )

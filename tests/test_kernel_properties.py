@@ -268,3 +268,91 @@ def test_overlap_prefix_lemma(case):
         "qualifying pair with disjoint prefixes — candidate generation "
         "would have missed it"
     )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=24),
+    st.integers(min_value=2, max_value=24),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_dhash_blocks_match_naive_reference(h, w, seed):
+    """The vectorized dHash kernel must equal an independent per-cell
+    double loop (resample index map, 299/587/114 luma, bit c =
+    luma[r,c] > luma[r,c+1] weighted 2^c) for any image shape."""
+    import numpy as _np
+
+    from nomenklatura_spark.multimodal.dhash import dhash_blocks
+
+    rng = _np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(_np.uint8)
+    got = dhash_blocks(px)
+    want = []
+    for r in range(8):
+        sr = (r * h) // 8
+        lum = []
+        for c in range(9):
+            sc = (c * w) // 9
+            p = px[sr, sc].astype(int)
+            lum.append(299 * p[0] + 587 * p[1] + 114 * p[2])
+        want.append(
+            sum((1 << c) for c in range(8) if lum[c] > lum[c + 1])
+        )
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=4000),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_audio_dhash_blocks_match_naive_reference(n, seed):
+    import numpy as _np
+
+    from nomenklatura_spark.multimodal.dhash import audio_dhash_blocks
+
+    rng = _np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, size=n).astype(_np.int16)
+    got = audio_dhash_blocks(samples)
+    frames = [int(samples[(i * n) // 65]) for i in range(65)]
+    want = [
+        sum(
+            (1 << j)
+            for j in range(8)
+            if frames[b * 8 + j] > frames[b * 8 + j + 1]
+        )
+        for b in range(8)
+    ]
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=8,
+             max_size=8),
+    st.sets(st.integers(min_value=0, max_value=63), max_size=7),
+    st.sampled_from([1, 2]),
+)
+def test_banding_pigeonhole_property(blocks, flip_bits, band_bytes):
+    """For ANY signature and ANY <= n_bands-1 bit flips, at least one
+    band value must be preserved — the completeness fact the banded
+    equi-join rests on, checked against the exact band-combine
+    arithmetic (byte j of band i weighted 256^j) at both band widths."""
+    n_bands = 8 // band_bytes
+    if len(flip_bits) > n_bands - 1:
+        flip_bits = set(list(flip_bits)[: n_bands - 1])
+    other = list(blocks)
+    for bit in flip_bits:
+        other[bit // 8] ^= 1 << (bit % 8)
+
+    def bands(bl):
+        return [
+            sum(bl[i * band_bytes + j] << (8 * j)
+                for j in range(band_bytes))
+            for i in range(n_bands)
+        ]
+    a, b = bands(blocks), bands(other)
+    assert any(x == y for x, y in zip(a, b))
+    # and hamming computed per-block equals the flip count
+    ham = sum(bin(x ^ y).count("1") for x, y in zip(blocks, other))
+    assert ham == len(flip_bits)

@@ -608,3 +608,65 @@ def test_event_paths_single_shuffle_no_self_join(spark, sf_dir):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert join not in plan
     assert "partial_count" in plan
+
+
+def test_dhash_band_join_stays_jvm_side(spark):
+    """After the Arrow-batched signature pass, the banded Hamming join
+    must be pure JVM: equi hash/sort-merge join on (band_no, band_val),
+    hamming via zip_with/bit_count expressions — NO Python evaluation
+    (a row-at-a-time UDF here would throttle the 100 TB pair stage),
+    and no nested-loop join anywhere."""
+    import numpy as np
+
+    from nomenklatura_spark.multimodal.decode import encode_bmp
+    from nomenklatura_spark.multimodal.dhash import (
+        dhash_pairs,
+        dhash_signatures,
+    )
+
+    rng = np.random.RandomState(0)
+    rows = [
+        (i, "image",
+         bytearray(encode_bmp(
+             rng.randint(0, 256, size=(8, 10, 3)).astype("uint8"))))
+        for i in range(12)
+    ]
+    sigs = dhash_signatures(
+        spark.createDataFrame(
+            rows, "asset_id long, media_type string, payload binary"
+        )
+    ).localCheckpoint()
+    plan = _plan(dhash_pairs(sigs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for join in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan
+    assert "bit_count" in plan and "zip_with" in plan
+
+    # probe mode keeps the identical JVM-side shape
+    probe = sigs.where(F.col("id") < 3)
+    plan_p = _plan(dhash_pairs(sigs, probe=probe))
+    assert "BatchEvalPython" not in plan_p
+    for join in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan_p
+
+
+def test_sample_index_fold_is_take_ordered(spark, tmp_path):
+    """The maintained-sample fold must compile to a TakeOrdered (every
+    task keeps a local top-k, driver merges tasks x k) — an orderBy
+    that global-sorts the batch would shuffle the corpus per fold."""
+    from nomenklatura_spark.streaming.sample_index import SampleIndexState
+
+    state = SampleIndexState(spark, str(tmp_path / "s"), k=5)
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    w = F.size(F.split("text", " "))
+    batch = state._keyed(docs, "doc_id", w)
+    merged = (
+        state.sample()
+        .join(batch.select("id"), "id", "left_anti")
+        .unionByName(batch)
+        .orderBy("priority_key", "id")
+        .limit(state.k)
+    )
+    assert "TakeOrderedAndProject" in _plan(merged)
