@@ -1677,16 +1677,9 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cluster_metrics(labels)
 
 
-_DEDUP_EVAL_SQL = f"""
-    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY},
-    comp AS (SELECT node, min(reached) AS component FROM walk GROUP BY node),
-    lab AS (
-        SELECT d.doc_id,
-               md5(array_to_string(list_sort(list_distinct({_DOC_WORDS})),
-                   ' ')) AS g,
-               coalesce(c.component, d.doc_id) AS p
-        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-    ),
+# pairwise + BCubed metrics over a `lab(g, p)` CTE — shared by the text
+# and media dedup-eval oracles (engine: dedup/eval.py)
+_CLUSTER_METRICS_TAIL_SQL = """
     gs AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
                AS gold_pairs
            FROM (SELECT count(*) AS n FROM lab GROUP BY g)),
@@ -1726,6 +1719,19 @@ _DEDUP_EVAL_SQL = f"""
                               + CAST(brq AS DOUBLE) / (nn * 1e12)), 6)
                 ELSE 0.0 END AS bcubed_f1
     FROM ts, gs, ps, bq
+"""
+
+_DEDUP_EVAL_SQL = f"""
+    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY},
+    comp AS (SELECT node, min(reached) AS component FROM walk GROUP BY node),
+    lab AS (
+        SELECT d.doc_id,
+               md5(array_to_string(list_sort(list_distinct({_DOC_WORDS})),
+                   ' ')) AS g,
+               coalesce(c.component, d.doc_id) AS p
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    {_CLUSTER_METRICS_TAIL_SQL}
 """
 
 
@@ -5886,6 +5892,71 @@ _MEDIA_DEDUP_SERVED_SQL = f"""
 """
 
 
+def q_media_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media tier's quality gate — ``dedup/eval.py``'s pairwise +
+    BCubed metrics scoring the dHash clustering against the PLANTED
+    ground truth (gold = the document behind each asset pair: the BMP
+    and the PPM re-encode of one pixel stream must cluster).  The
+    batch-row sibling of the text tier's ``dedup_eval``: precision
+    below 1.0 means noise imagery collided within Hamming 6; recall
+    below 1.0 means a decode/banding regression dropped a planted
+    pair — the end-to-end alarm the hash-match alone wouldn't localize.
+    Singleton assets label themselves (coalesce), the quadratic pair
+    space is never materialized (cluster-size aggregates only), and
+    the BCubed sums ride the DECIMAL(38,0) grid with the executable
+    per-cell cap."""
+    from nomenklatura_spark.dedup.eval import pairwise_cluster_metrics
+    from nomenklatura_spark.multimodal.decode import (
+        synthetic_media_pair_assets,
+    )
+    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthetic_media_pair_assets(docs)
+    pairs = media_dedup_pairs(assets, max_hamming=6)
+    comps = connected_components(pairs, src="lid", dst="rid")
+    labels = (
+        assets.select(F.col("asset_id").alias("id"))
+        .withColumn("gold", F.expr("id DIV 2"))
+        .join(comps.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "gold",
+            F.coalesce("component", F.col("id")).alias("pred"),
+        )
+    )
+    return pairwise_cluster_metrics(labels, "gold", "pred")
+
+
+_MEDIA_DEDUP_EVAL_SQL = f"""
+    WITH RECURSIVE {_MEDIA_DEDUP_SQL_BODY},
+    mpairs AS (SELECT lid, rid FROM ham WHERE hamming <= 6),
+    medges AS (
+        SELECT lid AS a, rid AS b FROM mpairs
+        UNION SELECT rid, lid FROM mpairs
+    ),
+    mnodes AS (SELECT DISTINCT a AS node FROM medges),
+    mwalk(node, reached) AS (
+        SELECT node, node FROM mnodes
+        UNION
+        SELECT w.node, e.b FROM mwalk w JOIN medges e ON e.a = w.reached
+    ),
+    mcomp AS (
+        SELECT node, min(reached) AS component FROM mwalk GROUP BY node
+    ),
+    lab AS (
+        SELECT d.doc_id AS g,
+               coalesce(c.component, d.doc_id * 2 + a.a) AS p
+        FROM documents d
+        CROSS JOIN (VALUES (0), (1)) a(a)
+        LEFT JOIN mcomp c ON c.node = d.doc_id * 2 + a.a
+    ),
+    {_CLUSTER_METRICS_TAIL_SQL}
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: synthetic assets → mapInPandas features.
 
@@ -7855,6 +7926,7 @@ QUERIES = {
     "media_dedup_served": q_media_dedup_served,
     "doc_sample_served": q_doc_sample_served,
     "doc_negatives_served": q_doc_negatives_served,
+    "media_dedup_eval": q_media_dedup_eval,
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
@@ -7888,6 +7960,7 @@ ORACLES = {
     "media_dedup_served": _MEDIA_DEDUP_SERVED_SQL,
     "doc_sample_served": _doc_sample_served_sql(),
     "doc_negatives_served": _DOC_NEGATIVES_SERVED_SQL,
+    "media_dedup_eval": _MEDIA_DEDUP_EVAL_SQL,
     "media_decode": _MEDIA_DECODE_SQL.format(
         pixels=_MEDIA_PIXELS_SQL, audio=_MEDIA_AUDIO_SQL
     ),

@@ -185,6 +185,46 @@ def test_audio_poison_pill_and_validation(spark):
         audio_dhash_signatures(_assets_df(spark, []), n_frames=10)
 
 
+def test_media_eval_alarm_fires_on_dropped_pairs(spark):
+    """The media quality gate must DEGRADE when the pairing under-
+    merges: with max_hamming=0 an edited near-dup pair is missed and
+    recall drops below 1 while precision stays 1 (no false merges)."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.dedup.eval import pairwise_cluster_metrics
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+
+    from nomenklatura_spark.multimodal.dhash import dhash_blocks
+
+    a = _px(21)
+    edited = a.copy()
+    edited[0, 0, :] = 255  # force the (0,0) luma comparison to flip
+    if dhash_blocks(edited) == dhash_blocks(a):
+        edited[0, 0, :] = 0
+    assert dhash_blocks(edited) != dhash_blocks(a)
+    b = _px(22)
+    rows = [
+        (0, encode_bmp(a)),
+        (1, encode_ppm(edited)),   # doc 0's near-dup, hamming > 0
+        (2, encode_bmp(b)),
+        (3, encode_ppm(b)),        # doc 1's exact cross-format dup
+    ]
+    assets = _assets_df(spark, rows)
+    pairs = media_dedup_pairs(assets, max_hamming=0)
+    comps = connected_components(pairs, src="lid", dst="rid")
+    labels = (
+        assets.select(F.col("asset_id").alias("id"))
+        .withColumn("gold", F.expr("id DIV 2"))
+        .join(comps.withColumnRenamed("node", "id"), "id", "left")
+        .select("gold", F.coalesce("component", F.col("id")).alias("pred"))
+    )
+    (got,) = pairwise_cluster_metrics(labels, "gold", "pred").collect()
+    assert got["pair_precision"] == 1.0
+    assert got["pair_recall"] == 0.5  # the edited pair was missed
+
+
 def test_signature_matches_reference_construction(spark):
     """Pin the exact bit layout: bit c of row r is
     luma[r, c] > luma[r, c+1] weighted 2^c, rows resampled by the
