@@ -203,7 +203,17 @@ def audio_dhash_signatures(
 
 def _banded(signatures: DataFrame, band_bytes: int,
             n_bands: int) -> DataFrame:
-    """(id, blocks, band_no, band_val) — the exploded band relation."""
+    """(id, blocks, band_no, band_val) — the exploded band relation.
+
+    A signature whose block array does not hold exactly
+    ``n_bands * band_bytes`` row-bytes explodes to a single SENTINEL
+    band (band_no = -1, band_val = actual block count): ``element_at``
+    past the array end yields NULL band values that silently match
+    nothing, so a mismatched ``n_blocks`` would quietly void the
+    pigeonhole completeness guarantee — the sentinel makes the
+    ``dhash_pairs`` contract scan raise instead (loud-failure
+    contract)."""
+    n_blocks = n_bands * band_bytes
     band_val = [
         sum(
             (
@@ -216,25 +226,70 @@ def _banded(signatures: DataFrame, band_bytes: int,
         ).alias(f"_band{i}")
         for i in range(n_bands)
     ]
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_no"),
+                band_val[i].alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    sentinel = F.array(
+        F.struct(
+            F.lit(-1).alias("band_no"),
+            F.size("blocks").cast("long").alias("band_val"),
+        )
+    )
     return (
         signatures.where(F.col("blocks").isNotNull())
         .select(
             "id",
             "blocks",
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_no"),
-                            band_val[i].alias("band_val"),
-                        )
-                        for i in range(n_bands)
-                    ]
-                )
+                F.when(F.size("blocks") == n_blocks, bands_arr)
+                .otherwise(sentinel)
             ).alias("b"),
         )
         .select("id", "blocks", F.col("b.band_no"), F.col("b.band_val"))
     )
+
+
+def _raise_band_offenders(
+    offenders: list, n_blocks: int, band_bytes: int, max_bucket: int
+) -> None:
+    """Shared loud-failure path for the band contract scan: sentinel
+    rows (band_no = -1, ``_banded``) mean the caller's ``n_blocks``
+    does not match the produced signatures; real rows above
+    ``max_bucket`` mean a degenerate bucket would turn the band join
+    quadratic."""
+    sizes = [r for r in offenders if r["band_no"] == -1]
+    if sizes:
+        found = ", ".join(
+            f"{r['band_val']}-block x{r['n']}" for r in sizes
+        )
+        raise ValueError(
+            f"dhash_pairs: n_blocks={n_blocks} does not match the "
+            f"produced signatures ({found}) — element_at past the block "
+            f"array yields NULL bands that match nothing and silently "
+            f"void the pigeonhole guarantee; pass the n_blocks the "
+            f"producing signature pass actually built (grid_h for "
+            f"images, (n_frames - 1) / 8 for audio)"
+        )
+    if offenders:
+        names = ", ".join(
+            f"band{r['band_no']}=0x{r['band_val']:0{2 * band_bytes}x}"
+            f"({r['n']})"
+            for r in offenders
+        )
+        raise ValueError(
+            f"dhash_pairs: signature bucket(s) above the "
+            f"max_bucket={max_bucket} band-join bound: {names} (top 10 "
+            f"shown) — flat/degenerate images collapse onto few "
+            f"signatures and turn the band join quadratic; widen "
+            f"band_bytes, pre-drop degenerate signatures, or raise the "
+            f"bound if the pair volume is priced in"
+        )
 
 
 def dhash_pairs(
@@ -281,25 +336,12 @@ def dhash_pairs(
     offenders = (
         banded.groupBy("band_no", "band_val")
         .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > max_bucket)
+        .where((F.col("n") > max_bucket) | (F.col("band_no") == -1))
         .orderBy(F.col("n").desc(), "band_no", "band_val")
         .limit(10)
         .collect()
     )
-    if offenders:
-        names = ", ".join(
-            f"band{r['band_no']}=0x{r['band_val']:0{2 * band_bytes}x}"
-            f"({r['n']})"
-            for r in offenders
-        )
-        raise ValueError(
-            f"dhash_pairs: signature bucket(s) above the "
-            f"max_bucket={max_bucket} band-join bound: {names} (top 10 "
-            f"shown) — flat/degenerate images collapse onto few "
-            f"signatures and turn the band join quadratic; widen "
-            f"band_bytes, pre-drop degenerate signatures, or raise the "
-            f"bound if the pair volume is priced in"
-        )
+    _raise_band_offenders(offenders, n_blocks, band_bytes, max_bucket)
     probe_banded = (
         banded if probe is None else _banded(probe, band_bytes, n_bands)
     )

@@ -96,8 +96,12 @@ class MediaDedupIndexState(VersionedState):
         the near-dup pairs this batch surfaced (within-batch + vs
         state).  The batch is decoded ONCE (localCheckpoint) and only
         signatures touch state."""
+        # grid_h derives from n_blocks so the signatures this index
+        # builds always match the n_blocks its dhash_pairs calls band —
+        # a mismatch would explode to sentinel bands and raise there
         batch_sigs = dhash_signatures(
-            assets, id_col=id_col, payload_col=payload_col
+            assets, id_col=id_col, payload_col=payload_col,
+            grid_h=self.n_blocks,
         ).localCheckpoint()
         state_sigs = self.signatures()
         touched = batch_sigs.select("id").distinct()

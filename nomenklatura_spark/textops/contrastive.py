@@ -93,7 +93,23 @@ def sample_negative_pairs(
     if group_col is not None:
         pool_cols.append(F.col(group_col).alias("_neg_grp"))
     if pool is not None:
-        pool = pool.select(*pool_cols).limit(pool_size)
+        # same md5 ordering as the built-in draw: limit over an
+        # unordered relation takes whatever partitions arrive first, so
+        # a supplied pool larger than pool_size would break the
+        # everything-deterministic contract — and because the keys
+        # match the built-in draw, ordering a superset pool reproduces
+        # the built-in prefix exactly
+        pool = (
+            pool.select(
+                *pool_cols,
+                md5_bucket(
+                    f"{salt}:pool", F.col(id_col), _MOD
+                ).alias("_pk"),
+            )
+            .orderBy("_pk", "_neg_id")
+            .limit(pool_size)
+            .drop("_pk")
+        )
     else:
         pool = (
             docs.select(

@@ -236,3 +236,31 @@ def test_negatives_plan_group_limits_map_side(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # k rows per anchor leave the map side
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_negatives_oversized_supplied_pool_is_deterministic(spark):
+    """ADVICE r10: a caller-supplied pool LARGER than pool_size must
+    take a deterministic subset — the same md5 pool ordering as the
+    built-in draw, so supplying the whole corpus as the pool reproduces
+    the built-in draw exactly (not whatever partitions arrive first)."""
+    docs = _docs(spark)
+    builtin = sorted(
+        map(
+            tuple,
+            sample_negative_pairs(
+                docs, k=3, pool_size=8, group_col="source"
+            ).collect(),
+        )
+    )
+    # the whole corpus (> pool_size rows), deliberately shuffled into a
+    # different partitioning than the built-in path reads
+    supplied = docs.select("doc_id", "source").repartition(7)
+    served = sorted(
+        map(
+            tuple,
+            sample_negative_pairs(
+                docs, k=3, pool_size=8, group_col="source", pool=supplied
+            ).collect(),
+        )
+    )
+    assert served == builtin

@@ -243,3 +243,34 @@ def test_signature_matches_reference_construction(spark):
     ]
     assert row["blocks"] == want
     assert row["dhash"] == "".join(f"{v:02x}" for v in want)
+
+
+def test_n_blocks_mismatch_raises_loudly(spark):
+    """ADVICE r10: banding 8-block signatures as n_blocks=16 would
+    element_at past the array into NULL bands that match nothing —
+    the pigeonhole guarantee silently voided.  The sentinel band makes
+    the contract scan raise instead, naming the found block count."""
+    rows = [(i, encode_bmp(_px(i))) for i in range(4)]
+    sigs = dhash_signatures(_assets_df(spark, rows)).localCheckpoint()
+    with pytest.raises(ValueError, match="n_blocks=16 does not match"):
+        dhash_pairs(sigs, n_blocks=16, band_bytes=2)
+
+
+def test_media_index_derives_grid_from_n_blocks(spark, tmp_path):
+    """The index's signature pass must build the n_blocks it bands
+    (ADVICE r10): n_blocks=16 produces 16-block (8x16 grid) signatures
+    and the fold still finds the planted duplicate."""
+    from nomenklatura_spark.streaming.media_index import (
+        MediaDedupIndexState,
+    )
+
+    state = MediaDedupIndexState(
+        spark, str(tmp_path / "s16"), n_blocks=16, band_bytes=2
+    )
+    base = _px(5)
+    rows = [(0, encode_bmp(base)), (1, encode_ppm(base)),
+            (2, encode_bmp(_px(6)))]
+    pairs = state.apply_batch(_assets_df(spark, rows))
+    assert {(r["lid"], r["rid"]) for r in pairs.collect()} == {(0, 1)}
+    sizes = {len(r["blocks"]) for r in state.signatures().collect()}
+    assert sizes == {16}
