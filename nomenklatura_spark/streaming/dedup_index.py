@@ -15,25 +15,37 @@ the index is a materialised view maintained by key:
   side never self-joins again, so per-batch work is O(batch × collision)
   not O(corpus²).  Cross-batch estimated jaccard reads only the
   signature rows of collided ids.
-- Emitted pairs accumulate in an append-only ``pairs`` log — over any
-  sequence of batches the union equals the from-scratch
-  ``minhash_dedup_pairs`` over the union of documents (pytest-pinned),
-  because candidates(A∪B) = cand(A×A) ∪ cand(A×B) ∪ cand(B×B) and each
-  term is produced by some batch.
-- ``components`` is maintained INCREMENTALLY: because the pair log is
-  append-only, new pairs can only MERGE components, never split them —
-  the G10 rebuild-on-split rule (``resolver/incremental.py``) without
-  the split case.  Each fold runs connected components over the
+- Emitted pairs accumulate in a ``pairs`` log that is append-only for
+  new ids — over any sequence of batches, INCLUDING re-ingests with
+  changed text, the live log equals the from-scratch
+  ``minhash_dedup_pairs`` over the union of live documents
+  (pytest-pinned): candidates(A∪B) = cand(A×A) ∪ cand(A×B) ∪ cand(B×B)
+  and each term is produced by some batch; a changed-content upsert
+  RETRACTS the id's stale pairs before the batch join re-derives its
+  live ones (the cross join regenerates every pair with a batch-side
+  endpoint, so retract-then-append is exact and a no-op for unchanged
+  re-ingest).
+- ``components`` is maintained INCREMENTALLY
+  (``resolver/components.fold_components_incremental``): append-only
+  folds can only MERGE components — connected components over the
   previous mapping compressed to stars (node → component edges) plus
-  only the batch's new pairs — O(state mapping + batch), the corpus is
+  only the batch's new pairs, O(state mapping + batch), the corpus is
   never rescanned.  Exactness: the star graph has the same connected
   partition as the full log (each component label is a member node),
   so star ∪ new connects exactly what log ∪ new connects; and since a
   component label is the MIN node id of its members, the min over a
   merged star set equals the min over the merged log set — the
   maintained labels are bit-identical to a from-scratch run
-  (pytest-pinned).  Replay-idempotent: refolding the same batch adds
-  edges already implied by the stars.
+  (pytest-pinned).  A changed-content upsert is the SPLIT case the
+  merge fold cannot express — the reference's G10 rule (deleted
+  positives force a rebuild of affected clusters,
+  ``/root/reference/nomenklatura/resolver/resolver.py:130-173``):
+  only the components holding a changed id or a new-pair endpoint are
+  re-derived from the retracted-and-refreshed log (the affected node
+  set is edge-closed; the helper's docstring has the argument).
+  Replay-idempotent: refolding the same batch finds every signature
+  already in state, so retraction stands down and the star fold adds
+  edges already implied.
 - ``serve_positive_pairs`` answers the contrastive positive feed
   (``textops/contrastive.build_positive_pairs``) from the maintained
   components alone — the training-data serving verb, like the funnel
@@ -141,6 +153,26 @@ class DedupIndexState(VersionedState):
 
         state_sigs = self.signatures()
         state_bands = self.bands()
+        touched = batch_sigs.select("id").distinct()
+        # split case (module docstring): ids re-ingested with a CHANGED
+        # signature must retract their stale pairs — compare the per-id
+        # signature vectors (touched-sized aggregate, tiny); unchanged
+        # re-ingest re-derives identical pairs so retraction stands down
+        sig_vec = F.sort_array(
+            F.collect_list(F.struct("seed", "minhash"))
+        )
+        changed = (
+            state_sigs.join(touched, "id", "semi")
+            .groupBy("id")
+            .agg(sig_vec.alias("_old"))
+            .join(
+                batch_sigs.groupBy("id").agg(sig_vec.alias("_new")), "id"
+            )
+            .where(~F.col("_old").eqNullSafe(F.col("_new")))
+            .select("id")
+            .localCheckpoint()
+        )
+        has_changed = not changed.isEmpty()
 
         # within-batch candidates
         within = lsh_candidate_pairs(batch_sigs, self.n_hashes, self.band_size)
@@ -170,37 +202,48 @@ class DedupIndexState(VersionedState):
             .localCheckpoint()
         )
 
-        # upsert-by-document + append pairs, then swap the version pointer
+        # upsert-by-document + pair-log refresh, then swap the pointer
         v = self.version()
         nv = v + 1
-        touched = batch_sigs.select("id").distinct()
         merged_sigs = state_sigs.join(touched, "id", "left_anti").unionByName(
             batch_sigs
         )
         merged_bands = self.bands().join(touched, "id", "left_anti").unionByName(
             batch_bands
         )
+        old_pairs = self.pairs()
+        if has_changed:
+            # retract every pair touching a changed id; the batch join
+            # has already re-derived the live ones (every pair with a
+            # batch-side endpoint), so retract-then-append is exact
+            old_pairs = old_pairs.join(
+                changed.select(F.col("id").alias("lid")), "lid",
+                "left_anti",
+            ).join(
+                changed.select(F.col("id").alias("rid")), "rid",
+                "left_anti",
+            )
         merged_pairs = (
-            self.pairs()
-            .unionByName(new_pairs)
+            old_pairs.unionByName(new_pairs)
             .groupBy("lid", "rid")
             .agg(F.max("est_jaccard").alias("est_jaccard"))
         )
-        # incremental component fold: previous mapping compressed to
-        # stars + only the new pairs — append-only edges merge, never
-        # split, so this equals a from-scratch run over the whole log
-        # (module docstring has the exactness argument)
+        # incremental component fold: star-compression merge, or the
+        # bounded G10 split-case rebuild when signatures changed
+        # (module docstring has both exactness arguments)
         from nomenklatura_spark.resolver.components import (
-            connected_components,
+            fold_components_incremental,
         )
 
-        star = self.components().select(
-            F.col("component").alias("lid"), F.col("node").alias("rid")
-        )
-        merged_comps = connected_components(
-            star.unionByName(new_pairs.select("lid", "rid")),
-            src="lid",
-            dst="rid",
+        if has_changed:
+            # the split-case rebuild reads merged_pairs too — share one
+            # materialization between the CC and the snapshot write
+            merged_pairs = merged_pairs.localCheckpoint()
+        merged_comps = fold_components_incremental(
+            self.components(),
+            new_pairs,
+            merged_pairs=merged_pairs,
+            changed=changed if has_changed else None,
         )
         merged_sigs.write.mode("overwrite").parquet(self._path("signatures", nv))
         merged_bands.write.mode("overwrite").parquet(self._path("bands", nv))

@@ -15,19 +15,35 @@ maintained by key:
   self-pairs) — bounded equi-joins on (band_no, band_val); the state
   side never re-self-joins, so per-batch work is O(batch × collision),
   and the exact popcount-of-XOR filter reads only signature rows.
-  Over any batch sequence the accumulated pair log equals a
-  from-scratch ``dhash_pairs`` over the union of live signatures
-  (pytest-pinned): cand(A∪B) = cand(A×A) ∪ cand(A×B) ∪ cand(B×B) and
-  each term is produced by some batch.
-- ``components`` are maintained INCREMENTALLY by the same
-  star-compression fold as the text index (append-only pairs merge,
-  never split; min-id labels compose — ``streaming/dedup_index.py``
-  has the exactness argument), and ``serve_keep_list`` answers the
-  training-feed question — which asset of each near-dup cluster
-  survives — from state alone (keeper = min asset id, deterministic).
+  Over any batch sequence — INCLUDING re-ingests with changed pixels —
+  the live pair log equals a from-scratch ``dhash_pairs`` over the
+  union of live signatures (pytest-pinned).  Append-only folds add
+  probe-derived pairs (cand(A∪B) = cand(A×A) ∪ cand(A×B) ∪ cand(B×B),
+  each term produced by some batch); a changed-content upsert RETRACTS
+  the id's stale pairs from the log before the probe re-derives its
+  live ones (the probe regenerates every pair with a batch-side
+  endpoint, so retract-then-append is exact, and is a no-op for
+  unchanged re-ingest).
+- ``components`` are maintained INCREMENTALLY: append-only folds use
+  the star-compression merge (pairs merge, never split; min-id labels
+  compose — ``streaming/dedup_index.py`` has the exactness argument).
+  A changed-content upsert is the SPLIT case the merge fold cannot
+  express — the reference's G10 rule (deleted judgements force a
+  rebuild of affected clusters,
+  ``/root/reference/nomenklatura/resolver/resolver.py:130-173``)
+  applied here: only the components holding a changed id or a new-pair
+  endpoint are re-derived from the retracted-and-refreshed log (the
+  affected node set is edge-closed, so the bounded rebuild equals a
+  from-scratch run — ``apply_batch`` has the argument).
+  ``serve_keep_list`` answers the training-feed question — which asset
+  of each near-dup cluster survives — from state alone (keeper = min
+  asset id, deterministic).
 
 Replay-idempotent by construction (upsert-by-asset + distinct-merged
-pair log + merge-only component fold), so no batch guard is needed.
+pair log + component fold keyed on signature CHANGE: refolding a batch
+finds every signature already in state, so the retraction path stands
+down and the regenerated pairs are the logged ones), so no batch guard
+is needed.
 State is versioned parquet snapshots behind the shared VERSION pointer
 (crash-safe swap, time travel); on a cluster each relation is a Delta
 MERGE and the pairs log an append-only table.
@@ -105,6 +121,20 @@ class MediaDedupIndexState(VersionedState):
         ).localCheckpoint()
         state_sigs = self.signatures()
         touched = batch_sigs.select("id").distinct()
+        # split case (module docstring): ids re-ingested with a CHANGED
+        # signature must retract their stale pairs — unchanged re-ingest
+        # re-derives identical pairs, so the retraction stands down and
+        # the fold stays merge-only (touched-sized join, tiny)
+        changed = (
+            state_sigs.join(touched, "id", "semi")
+            .select("id", F.col("dhash").alias("_old"))
+            .join(batch_sigs.select("id", F.col("dhash").alias("_new")),
+                  "id")
+            .where(~F.col("_old").eqNullSafe(F.col("_new")))
+            .select("id")
+            .localCheckpoint()
+        )
+        has_changed = not changed.isEmpty()
         # candidates: batch self-pairs + batch vs state, via the probe
         # mode of dhash_pairs — the banded join runs batch-bands ×
         # merged-bands, so accumulated state never re-self-joins (a
@@ -125,23 +155,36 @@ class MediaDedupIndexState(VersionedState):
 
         v = self.version()
         nv = v + 1
+        old_pairs = self.pairs()
+        if has_changed:
+            # retract every pair touching a changed id; the probe has
+            # already re-derived the live ones (every pair with a
+            # batch-side endpoint), so retract-then-append is exact
+            old_pairs = old_pairs.join(
+                changed.select(F.col("id").alias("lid")), "lid",
+                "left_anti",
+            ).join(
+                changed.select(F.col("id").alias("rid")), "rid",
+                "left_anti",
+            )
         merged_pairs = (
-            self.pairs()
-            .unionByName(new_pairs)
+            old_pairs.unionByName(new_pairs)
             .groupBy("lid", "rid")
             .agg(F.min("hamming").alias("hamming"))
         )
         from nomenklatura_spark.resolver.components import (
-            connected_components,
+            fold_components_incremental,
         )
 
-        star = self.components().select(
-            F.col("component").alias("lid"), F.col("node").alias("rid")
-        )
-        merged_comps = connected_components(
-            star.unionByName(new_pairs.select("lid", "rid")),
-            src="lid",
-            dst="rid",
+        if has_changed:
+            # the split-case rebuild reads merged_pairs too — share one
+            # materialization between the CC and the snapshot write
+            merged_pairs = merged_pairs.localCheckpoint()
+        merged_comps = fold_components_incremental(
+            self.components(),
+            new_pairs,
+            merged_pairs=merged_pairs,
+            changed=changed if has_changed else None,
         )
         merged_sigs.write.mode("overwrite").parquet(
             self._path("signatures", nv)

@@ -57,16 +57,10 @@ def test_incremental_matches_scratch(spark, tmp_path):
         threshold=0.3,
     )
     maintained = state.pairs()
-    # the pair log may retain pairs involving superseded doc versions
-    # (an append-only log); restricted to the live candidate set it must
-    # agree exactly with the from-scratch run
-    live = _pairset(
-        maintained.join(scratch.select("lid", "rid"), ["lid", "rid"])
-    )
-    assert live == _pairset(scratch)
-    # and every scratch pair must have been surfaced by some batch
-    missing = _pairset(scratch) - _pairset(maintained)
-    assert not missing
+    # since r11 the live log EQUALS the from-scratch run — a
+    # changed-content re-ingest retracts its stale pairs (G10 split
+    # case), so no superseded-version pairs survive
+    assert _pairset(maintained) == _pairset(scratch)
     # cross-batch dup (a1~b1) must have been found against state
     assert any(l == "a1" and r == "b1" for l, r, _ in _pairset(maintained))
     # the rewritten a3 signatures replaced the old rows (upsert-by-doc)
@@ -97,6 +91,74 @@ def test_incremental_components_match_scratch(spark, tmp_path):
     state.apply_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA))
     again = sorted(map(tuple, state.components().collect()))
     assert again == want
+
+
+def test_changed_reingest_retracts_pairs_and_splits_components(
+    spark, tmp_path
+):
+    """The G10 split case for the TEXT index: re-ingesting a document
+    that HAD pairs with changed text must retract its stale pairs and
+    re-derive the affected components — otherwise the positive feed
+    keeps serving pairs for content that no longer exists."""
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+
+    state = DedupIndexState(spark, str(tmp_path / "state"), threshold=0.3)
+    state.apply_batch(spark.createDataFrame(BATCH1, DOC_SCHEMA))
+    state.apply_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA))
+    comp_before = dict(
+        map(tuple, state.components().select("node", "component").collect())
+    )
+    assert "a2" in comp_before  # a2 HAD pairs (a1~a2 from batch 1)
+
+    # re-ingest a2 with unrelated text
+    B3 = [
+        (
+            "a2",
+            "totally unrelated replacement text about database "
+            "internals, write-ahead logs and storage engine compaction",
+        )
+    ]
+    state.apply_batch(spark.createDataFrame(B3, DOC_SCHEMA))
+
+    final = (
+        {d: t for d, t in BATCH1}
+        | {d: t for d, t in BATCH2}
+        | {d: t for d, t in B3}
+    )
+    scratch = minhash_dedup_pairs(
+        spark.createDataFrame(list(final.items()), DOC_SCHEMA),
+        "doc_id",
+        "text",
+        threshold=0.3,
+    ).localCheckpoint()
+    assert _pairset(state.pairs()) == _pairset(scratch)
+    assert not any(
+        "a2" in (l, r) for l, r, _ in _pairset(state.pairs())
+    )
+
+    # components equal a from-scratch run over the live log; a2 is out,
+    # the rest of its old component stays merged via its own edges
+    got = sorted(map(tuple, state.components().collect()))
+    want = sorted(
+        map(
+            tuple,
+            connected_components(scratch, src="lid", dst="rid").collect(),
+        )
+    )
+    assert got == want
+    comp_of = dict(got)
+    assert "a2" not in comp_of
+    assert comp_of["a1"] == comp_of["b1"]
+    # the positive feed no longer serves the stale doc
+    assert not any(
+        "a2" in (r["anchor_id"], r["positive_id"])
+        for r in state.serve_positive_pairs(k=3).collect()
+    )
+    # replay idempotence holds through the split case
+    state.apply_batch(spark.createDataFrame(B3, DOC_SCHEMA))
+    assert sorted(map(tuple, state.components().collect())) == want
 
 
 def test_serve_positive_pairs_from_state(spark, tmp_path):

@@ -57,23 +57,15 @@ def test_incremental_pairs_and_components_match_scratch(spark, tmp_path):
     assert (1, 11) in got2 and (2, 11) in got2  # vs state
     assert (12, 13) in got2  # within batch
 
-    # live corpus: batch-2's asset 3 replaces batch-1's
+    # live corpus: batch-2's asset 3 replaces batch-1's; since r11 the
+    # log EQUALS scratch (changed-content retraction — no stale pairs)
     final = {i: p for i, p in B1} | {i: p for i, p in B2}
     scratch = dhash_pairs(
         dhash_signatures(_adf(spark, list(final.items()))).localCheckpoint()
     )
-    live = sorted(
-        map(
-            tuple,
-            state.pairs()
-            .join(scratch.select("lid", "rid"), ["lid", "rid"])
-            .collect(),
-        )
+    assert sorted(map(tuple, state.pairs().collect())) == sorted(
+        map(tuple, scratch.collect())
     )
-    assert live == sorted(map(tuple, scratch.collect()))
-    # every scratch pair was surfaced by some batch
-    logged = {(r["lid"], r["rid"]) for r in state.pairs().collect()}
-    assert {(r["lid"], r["rid"]) for r in scratch.collect()} <= logged
     # the re-ingested asset holds exactly ONE signature generation
     assert state.signatures().where("id = 3").count() == 1
 
@@ -94,6 +86,62 @@ def test_incremental_pairs_and_components_match_scratch(spark, tmp_path):
     # replay idempotence: refolding batch 2 changes nothing
     state.apply_batch(_adf(spark, B2))
     assert sorted(map(tuple, state.components().collect())) == want
+
+
+def test_changed_reingest_retracts_pairs_and_splits_components(
+    spark, tmp_path
+):
+    """The G10 split case (r10 verdict headline): re-ingesting an asset
+    that HAD pairs with CHANGED pixels must retract its stale pairs and
+    re-derive the affected components — otherwise serve_keep_list keeps
+    suppressing an asset whose new content near-matches nothing."""
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    state.apply_batch(_adf(spark, B1))
+    state.apply_batch(_adf(spark, B2))
+    # asset 2 is in cluster {1, 2, 11} with pairs (1,2) and (2,11);
+    # re-ingest it with unrelated pixels (and 13, from cluster {12,13})
+    B3 = [(2, encode_bmp(_px(50))), (13, encode_bmp(_px(60)))]
+    state.apply_batch(_adf(spark, B3))
+
+    final = (
+        {i: p for i, p in B1}
+        | {i: p for i, p in B2}
+        | {i: p for i, p in B3}
+    )
+    scratch = dhash_pairs(
+        dhash_signatures(_adf(spark, list(final.items()))).localCheckpoint()
+    ).localCheckpoint()
+    # the live log equals from-scratch: stale pairs (1,2), (2,11) and
+    # (12,13) are GONE, the untouched pair (1,11) survives
+    logged = sorted(map(tuple, state.pairs().collect()))
+    assert logged == sorted(map(tuple, scratch.collect()))
+    pairs_set = {(lid, rid) for lid, rid, _ in logged}
+    assert (1, 11) in pairs_set
+    assert not any(2 in p or 13 in p for p in pairs_set)
+
+    # maintained components equal a from-scratch run over the live log
+    got = sorted(map(tuple, state.components().collect()))
+    want = sorted(
+        map(
+            tuple,
+            connected_components(scratch, src="lid", dst="rid").collect(),
+        )
+    )
+    assert got == want
+    comp_of = dict(got)
+    assert comp_of[1] == comp_of[11]
+    assert 2 not in comp_of and 13 not in comp_of and 12 not in comp_of
+
+    # the keep-list un-suppresses the changed assets
+    keep = {r["asset_id"]: r["keep"] for r in
+            state.serve_keep_list().collect()}
+    assert 2 not in keep and 13 not in keep  # trivially survive now
+    assert keep[1] is True and keep[11] is False
+
+    # replay idempotence holds through the split case
+    state.apply_batch(_adf(spark, B3))
+    assert sorted(map(tuple, state.components().collect())) == want
+    assert sorted(map(tuple, state.pairs().collect())) == logged
 
 
 def test_keep_list_serves_min_id_keeper(spark, tmp_path):
