@@ -7818,7 +7818,22 @@ QUERIES = {
     # doc_positives_served then took doc_positives' seat — the served
     # row exercises the same build_positive_pairs operator PLUS the
     # maintained incremental-component fold, the
-    # events_funnel_served-over-events_funnel precedent.)
+    # events_funnel_served-over-events_funnel precedent.  r11 rotation:
+    # the late-r10 serving tier on-board — media_dedup_served took
+    # media_dedup's seat, doc_negatives_served took doc_negatives' and
+    # doc_sample_served took doc_sample_weighted's (each served row
+    # derives the SAME relation as its batch sibling — same salts, same
+    # integer keys — PLUS the maintained incremental fold, the
+    # served-over-batch precedent above); media_dedup_eval took
+    # dedup_containment's seat (both sub-document/near-dup quality
+    # surfaces: containment's word-trigram partial-mirror detection is
+    # covered on-board by doc_dup_passages, the duplicated-window tier
+    # over the same word n-gram multisets, while media_dedup_eval is a
+    # tier with no other board representation); training_batch_served —
+    # the end-to-end composed training feed — took doc_pack's seat (its
+    # packing leg runs the same running-sum shard budgeting; the
+    # doc_pack oracle stays contract-checked past-cap alongside
+    # doc_pack_bpe).)
     "resolver_candidates": q_resolver_candidates,
     "statements_versioned": q_statements_versioned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -7827,9 +7842,9 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
-    "media_dedup": q_media_dedup,
+    "media_dedup_served": q_media_dedup_served,
     "pair_scores_v2": q_pair_scores_v2,
-    "doc_negatives": q_doc_negatives,
+    "doc_negatives_served": q_doc_negatives_served,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "graph_kcore": q_graph_kcore,
@@ -7838,8 +7853,8 @@ QUERIES = {
     "events_topk_served": q_events_topk_served,
     "events_anomaly_served": q_events_anomaly_served,
     "events_hourly_served": q_events_hourly_served,
-    "doc_sample_weighted": q_doc_sample_weighted,
-    "dedup_containment": q_dedup_containment,
+    "doc_sample_served": q_doc_sample_served,
+    "media_dedup_eval": q_media_dedup_eval,
     "doc_cluster_keywords": q_doc_cluster_keywords,
     "doc_positives_served": q_doc_positives_served,
     "events_funnel_served": q_events_funnel_served,
@@ -7923,10 +7938,10 @@ QUERIES = {
     "doc_pack_bpe": q_doc_pack_bpe,
     "doc_bpe_fertility": q_doc_bpe_fertility,
     "media_dedup_audio": q_media_dedup_audio,
-    "media_dedup_served": q_media_dedup_served,
-    "doc_sample_served": q_doc_sample_served,
-    "doc_negatives_served": q_doc_negatives_served,
-    "media_dedup_eval": q_media_dedup_eval,
+    "media_dedup": q_media_dedup,
+    "doc_negatives": q_doc_negatives,
+    "doc_sample_weighted": q_doc_sample_weighted,
+    "dedup_containment": q_dedup_containment,
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
