@@ -292,6 +292,63 @@ def _raise_band_offenders(
         )
 
 
+def full_bucket_scan(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Top-10 band-contract offenders over a full band relation: real
+    buckets above ``max_bucket`` plus sentinel rows (band_no = -1,
+    ``_banded``).  One groupBy over the whole relation — the batch
+    path's shape, and the ``validate_buckets`` repair verb after
+    tightening ``max_bucket`` over maintained state."""
+    return (
+        banded.groupBy("band_no", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > max_bucket) | (F.col("band_no") == -1))
+        .orderBy(F.col("n").desc(), "band_no", "band_val")
+        .limit(10)
+    )
+
+
+def probe_bucket_scan(
+    band_counts: DataFrame, probe_banded: DataFrame, max_bucket: int
+) -> DataFrame:
+    """The BATCH-bounded band-contract scan (``dhash_pairs`` probe
+    mode): only probe-side buckets can have newly crossed the bound
+    (counts change only through touched buckets — the induction in
+    ``dhash_pairs``'s docstring), and sentinel bands can only enter
+    through the probe (state signatures passed their own fold's scan).
+    The probe bucket list is aggregated batch-side and BROADCAST, so
+    the maintained counts relation is read map-side — no full-state
+    groupBy anywhere in this plan (plan-asserted in
+    ``tests/test_layout.py``)."""
+    probe_buckets = probe_banded.groupBy("band_no", "band_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        band_counts.join(
+            F.broadcast(probe_buckets.select("band_no", "band_val")),
+            ["band_no", "band_val"],
+            "semi",
+        )
+        .where(F.col("n") > max_bucket)
+        .unionByName(probe_buckets.where(F.col("band_no") == -1))
+        .orderBy(F.col("n").desc(), "band_no", "band_val")
+        .limit(10)
+    )
+
+
+def band_bucket_counts(
+    signatures: DataFrame, band_bytes: int = 1, n_blocks: int = 8
+) -> DataFrame:
+    """(band_no, band_val, n) — the band-bucket histogram of a
+    signature relation, the relation ``MediaDedupIndexState`` maintains
+    incrementally so each fold's contract scan never re-aggregates
+    state (``probe_bucket_scan``)."""
+    return (
+        _banded(signatures, band_bytes, n_blocks // band_bytes)
+        .groupBy("band_no", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def dhash_pairs(
     signatures: DataFrame,
     max_hamming: int = 6,
@@ -299,6 +356,7 @@ def dhash_pairs(
     max_bucket: int = 100_000,
     n_blocks: int = 8,
     probe: DataFrame | None = None,
+    band_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(lid, rid, hamming) — candidate pairs within ``max_hamming``
     bits, complete by pigeonhole: the ``n_blocks`` row-bytes band into
@@ -317,7 +375,22 @@ def dhash_pairs(
     per-batch work is O(batch × collision) and accumulated state never
     re-self-joins (``streaming/media_index.py``).  Pairs are normalized
     (lid < rid) in both modes, so probe-mode output is a subset of the
-    full relation row-for-row."""
+    full relation row-for-row.
+
+    ``band_counts`` (probe mode only) makes the bucket-skew contract
+    scan BATCH-bounded: a maintained (band_no, band_val, n) relation
+    counting ``signatures``'s live band buckets — the scan then checks
+    only probe-side buckets against it (probe-sized aggregate +
+    broadcast join, no full-state groupBy) instead of re-aggregating
+    the whole band relation.  Complete by induction: bucket counts only
+    change through buckets the batch touches (upserts add batch bands,
+    retraction only shrinks), and the fold that would first push a
+    bucket past the bound raises BEFORE its snapshot commits, so every
+    untouched state bucket already passed an earlier fold's scan.  The
+    induction assumes ``max_bucket`` is not TIGHTENED over existing
+    state — after lowering it, run the full scan once (call without
+    ``band_counts``; ``MediaDedupIndexState.validate_buckets`` is the
+    repair verb)."""
     if band_bytes < 1:
         raise ValueError("dhash_pairs: band_bytes must be >= 1")
     if n_blocks % band_bytes != 0:
@@ -333,17 +406,21 @@ def dhash_pairs(
             f"({band_bytes}-byte); shrink band_bytes or max_hamming"
         )
     banded = _banded(signatures, band_bytes, n_bands)
-    offenders = (
-        banded.groupBy("band_no", "band_val")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") > max_bucket) | (F.col("band_no") == -1))
-        .orderBy(F.col("n").desc(), "band_no", "band_val")
-        .limit(10)
-        .collect()
-    )
-    _raise_band_offenders(offenders, n_blocks, band_bytes, max_bucket)
     probe_banded = (
         banded if probe is None else _banded(probe, band_bytes, n_bands)
+    )
+    if band_counts is None:
+        scan = full_bucket_scan(banded, max_bucket)
+    else:
+        if probe is None:
+            raise ValueError(
+                "dhash_pairs: band_counts is the probe-mode "
+                "batch-bounded contract scan — full mode must run the "
+                "full scan (call without band_counts)"
+            )
+        scan = probe_bucket_scan(band_counts, probe_banded, max_bucket)
+    _raise_band_offenders(
+        scan.collect(), n_blocks, band_bytes, max_bucket
     )
     left = probe_banded.select(
         F.col("id").alias("_pid"),

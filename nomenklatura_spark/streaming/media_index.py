@@ -51,8 +51,12 @@ MERGE and the pairs log an append-only table.
 Scale shape: ingest cost per batch is one decode pass over the BATCH
 (map-only, Arrow-batched) + a signature-sized band join against state
 + a mapping-sized component fold.  The band-bucket skew bound and the
-``band_bytes`` widening knob are inherited from ``dhash_pairs``
-verbatim.
+``band_bytes`` widening knob are inherited from ``dhash_pairs``; the
+fold's contract scan is BATCH-bounded — a maintained ``band_counts``
+histogram (counts change only through buckets the batch touches) is
+checked against batch-side buckets via a broadcast semi-join, never a
+full-state groupBy (``probe_bucket_scan``; ``validate_buckets`` is the
+full-scan repair verb after tightening ``max_bucket``).
 """
 
 from __future__ import annotations
@@ -61,8 +65,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from nomenklatura_spark.multimodal.dhash import (
+    _banded,
+    _raise_band_offenders,
+    band_bucket_counts,
     dhash_pairs,
     dhash_signatures,
+    full_bucket_scan,
 )
 from nomenklatura_spark.streaming.state import (
     VersionedState,
@@ -72,6 +80,7 @@ from nomenklatura_spark.streaming.state import (
 _SIG_SCHEMA = "id long, blocks array<int>, dhash string"
 _PAIR_SCHEMA = "lid long, rid long, hamming int"
 _COMP_SCHEMA = "node long, component long"
+_COUNT_SCHEMA = "band_no int, band_val long, n bigint"
 
 
 class MediaDedupIndexState(VersionedState):
@@ -101,6 +110,29 @@ class MediaDedupIndexState(VersionedState):
 
     def components(self, version: int | None = None) -> DataFrame:
         return self._read("components", _COMP_SCHEMA, version)
+
+    def band_counts(self, version: int | None = None) -> DataFrame:
+        """(band_no, band_val, n) — the live signatures' band-bucket
+        histogram, maintained incrementally (counts change only through
+        buckets the batch touches) so each fold's bucket-skew contract
+        scan checks batch-side buckets against it instead of
+        re-aggregating the state-sized band relation
+        (``multimodal/dhash.probe_bucket_scan``)."""
+        return self._read("band_counts", _COUNT_SCHEMA, version)
+
+    def validate_buckets(self) -> None:
+        """Full-relation re-validation of the bucket-skew bound — the
+        repair verb after TIGHTENING ``max_bucket`` over existing state
+        (the fold's batch-bounded scan only sees buckets each batch
+        touches, so a lowered bound is otherwise checked lazily)."""
+        n_bands = self.n_blocks // self.band_bytes
+        offenders = full_bucket_scan(
+            _banded(self.signatures(), self.band_bytes, n_bands),
+            self.max_bucket,
+        ).collect()
+        _raise_band_offenders(
+            offenders, self.n_blocks, self.band_bytes, self.max_bucket
+        )
 
     def apply_batch(
         self,
@@ -144,6 +176,61 @@ class MediaDedupIndexState(VersionedState):
             .unionByName(batch_sigs)
             .localCheckpoint()
         )
+        # maintain the band-bucket histogram incrementally: counts only
+        # change through buckets the batch touches (batch bands added,
+        # touched ids' old bands retracted), so the delta is
+        # batch-sized and state only flows through anti/left joins —
+        # never a full-state groupBy.  The merged histogram feeds the
+        # fold's BATCH-bounded skew scan (probe_bucket_scan) and the
+        # snapshot.
+        delta = (
+            band_bucket_counts(batch_sigs, self.band_bytes, self.n_blocks)
+            .unionByName(
+                band_bucket_counts(
+                    state_sigs.join(touched, "id", "semi"),
+                    self.band_bytes,
+                    self.n_blocks,
+                ).select(
+                    "band_no", "band_val", (-F.col("n")).alias("n")
+                )
+            )
+            .groupBy("band_no", "band_val")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint()
+        )
+        prev_counts = self.band_counts()
+        # state streams through anti/inner joins with the batch-sized
+        # delta BROADCAST as the build side (outer joins can't build
+        # their preserved side, so delta-only buckets come from a
+        # second anti join against the touched-and-present set)
+        touched_present = (
+            prev_counts.withColumnRenamed("n", "_prev")
+            .join(F.broadcast(delta), ["band_no", "band_val"])
+            .select(
+                "band_no",
+                "band_val",
+                (F.col("_prev") + F.col("n")).alias("n"),
+            )
+            .localCheckpoint()
+        )
+        merged_counts = (
+            prev_counts.join(
+                F.broadcast(delta.select("band_no", "band_val")),
+                ["band_no", "band_val"],
+                "left_anti",
+            )
+            .unionByName(touched_present.where(F.col("n") > 0))
+            .unionByName(
+                delta.join(
+                    F.broadcast(
+                        touched_present.select("band_no", "band_val")
+                    ),
+                    ["band_no", "band_val"],
+                    "left_anti",
+                ).where(F.col("n") > 0)
+            )
+            .localCheckpoint()
+        )
         new_pairs = dhash_pairs(
             merged_sigs,
             max_hamming=self.max_hamming,
@@ -151,6 +238,7 @@ class MediaDedupIndexState(VersionedState):
             max_bucket=self.max_bucket,
             n_blocks=self.n_blocks,
             probe=batch_sigs,
+            band_counts=merged_counts,
         ).localCheckpoint()
 
         v = self.version()
@@ -194,6 +282,9 @@ class MediaDedupIndexState(VersionedState):
         )
         merged_comps.write.mode("overwrite").parquet(
             self._path("components", nv)
+        )
+        merged_counts.write.mode("overwrite").parquet(
+            self._path("band_counts", nv)
         )
         self._bump(nv)
         return new_pairs

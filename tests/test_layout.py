@@ -650,6 +650,58 @@ def test_dhash_band_join_stays_jvm_side(spark):
         assert join not in plan_p
 
 
+def test_media_fold_skew_scan_is_batch_bounded(spark, tmp_path):
+    """The media fold's bucket contract scan must read the MAINTAINED
+    band_counts histogram via a broadcast semi-join against the batch's
+    bucket list — the state signature relation must be absent from the
+    scan plan and nothing state-sized may be aggregated (the r10 nit:
+    the scan used to re-groupBy the merged band relation every fold)."""
+    import numpy as np
+
+    from nomenklatura_spark.multimodal.decode import encode_bmp
+    from nomenklatura_spark.multimodal.dhash import (
+        _banded,
+        dhash_signatures,
+        probe_bucket_scan,
+    )
+    from nomenklatura_spark.streaming.media_index import (
+        MediaDedupIndexState,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, "image",
+         bytearray(encode_bmp(
+             rng.randint(0, 256, size=(8, 10, 3)).astype("uint8"))))
+        for i in range(10)
+    ]
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    state.apply_batch(spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    ))
+    batch_sigs = dhash_signatures(
+        spark.createDataFrame(
+            rows[:3], "asset_id long, media_type string, payload binary"
+        )
+    ).localCheckpoint()  # sever the decode lineage: probe side only
+    plan = _plan(
+        probe_bucket_scan(
+            state.band_counts(), _banded(batch_sigs, 1, 8), 100_000
+        )
+    )
+    # the maintained histogram is a parquet scan with the bound PUSHED
+    # (Spark truncates scan paths in plan strings, so match structure,
+    # not the band_counts directory name)
+    assert "FileScan parquet [band_no" in plan
+    assert "GreaterThan(n,100000)" in plan  # bound reaches the scan
+    # no parquet scan of the state signature relation anywhere
+    assert "FileScan parquet [id" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the only aggregates (and their exchanges) are over the
+    # batch-side bucket list, once per branch of the sentinel union
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_sample_index_fold_is_take_ordered(spark, tmp_path):
     """The maintained-sample fold must compile to a TakeOrdered (every
     task keeps a local top-k, driver merges tasks x k) — an orderBy

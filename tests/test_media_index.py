@@ -144,6 +144,50 @@ def test_changed_reingest_retracts_pairs_and_splits_components(
     assert sorted(map(tuple, state.pairs().collect())) == logged
 
 
+def test_band_counts_maintained_and_batch_bounded_skew(spark, tmp_path):
+    """The maintained band-bucket histogram equals a from-scratch
+    aggregation over live signatures after EVERY fold — including the
+    changed-content re-ingest, whose retraction shrinks buckets — and
+    the fold's batch-bounded contract scan still trips the loud
+    max_bucket bound when a batch pushes a bucket over against
+    accumulated state (the scan reads the histogram, not the state)."""
+    import pytest
+
+    from nomenklatura_spark.multimodal.dhash import band_bucket_counts
+
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    for batch in (B1, B2, [(2, encode_bmp(_px(50)))]):
+        state.apply_batch(_adf(spark, batch))
+        got = sorted(map(tuple, state.band_counts().collect()))
+        want = sorted(
+            map(
+                tuple,
+                band_bucket_counts(
+                    state.signatures(), state.band_bytes, state.n_blocks
+                ).collect(),
+            )
+        )
+        assert got == want and got  # non-trivial histogram
+
+    # skew still fires THROUGH the fold: 4 flat images fill a bucket to
+    # the bound, the 5th crosses it against accumulated state
+    flat_state = MediaDedupIndexState(
+        spark, str(tmp_path / "flat"), max_bucket=4
+    )
+    flat = np.full((10, 10, 3), 128, dtype=np.uint8)
+    flat_state.apply_batch(
+        _adf(spark, [(i, encode_bmp(flat)) for i in range(4)])
+    )
+    with pytest.raises(ValueError, match="max_bucket"):
+        flat_state.apply_batch(_adf(spark, [(9, encode_bmp(flat))]))
+    # the aborted fold committed nothing (snapshot swap is last)
+    assert flat_state.signatures().count() == 4
+    # validate_buckets is the full-scan repair verb after tightening
+    flat_state.max_bucket = 3
+    with pytest.raises(ValueError, match="max_bucket"):
+        flat_state.validate_buckets()
+
+
 def test_keep_list_serves_min_id_keeper(spark, tmp_path):
     state = MediaDedupIndexState(spark, str(tmp_path / "state"))
     state.apply_batch(_adf(spark, B1))
