@@ -54,6 +54,50 @@ from nomenklatura_spark.textops.analysis import (
 )
 
 # ---------------------------------------------------------------------------
+# fold/serve profiling for the *_served rows
+
+# Each *_served call overwrites its row here with
+# {"fold": [per-batch ingest walls], "serve": serving wall} — bench.py
+# snapshots it per pass so the detail record splits the by-design
+# ingest cost from the regression-sensitive serve cost (a serve-path
+# regression must not hide under fold noise: doc_positives_served's
+# r10 idle wall was 16.8s of which the serve was 0.79s).
+SERVE_PROFILE: dict[str, dict] = {}
+
+
+class _fold_serve:
+    """``p = _fold_serve("row")``; ``with p.fold(): state.apply_batch``
+    per ingest batch, ``with p.serve(): out.collect()`` around the
+    state-only answer.  Wall-clock only — no Spark instrumentation, so
+    the timed plans are byte-identical with or without profiling."""
+
+    def __init__(self, name: str) -> None:
+        self.rec = SERVE_PROFILE[name] = {"fold": [], "serve": None}
+
+    def fold(self):
+        return self._timed("fold")
+
+    def serve(self):
+        return self._timed("serve")
+
+    def _timed(self, kind: str):
+        import contextlib
+        import time
+
+        @contextlib.contextmanager
+        def _cm():
+            t0 = time.perf_counter()
+            yield
+            dt = round(time.perf_counter() - t0, 3)
+            if kind == "fold":
+                self.rec["fold"].append(dt)
+            else:
+                self.rec["serve"] = dt
+
+        return _cm()
+
+
+# ---------------------------------------------------------------------------
 # shared constants
 
 MAX_PAIR_COST = 1770       # 60*59/2 — reference default budget
@@ -666,12 +710,14 @@ def q_events_hourly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_counts_idx_")
     try:
         state = CountsIndexState(spark, root, bucket="hour")
+        prof = _fold_serve("events_hourly_served")
         for b, (lo, hi) in enumerate([(21, 31), (1, 10), (11, 20)]):
-            state.apply_batch(
-                events.where(F.col("day").between(lo, hi)),
-                value_col="value_int",
-                batch_id=b,
-            )
+            with prof.fold():
+                state.apply_batch(
+                    events.where(F.col("day").between(lo, hi)),
+                    value_col="value_int",
+                    batch_id=b,
+                )
         out = (
             state.counts()
             .select(
@@ -684,7 +730,9 @@ def q_events_hourly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # driver-materialize (view-grain rows) before dropping the
         # on-disk state — see events_hll_weekly_served
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -721,10 +769,12 @@ def q_events_anomaly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_counts_idx_")
     try:
         state = CountsIndexState(spark, root, bucket="hour")
+        prof = _fold_serve("events_anomaly_served")
         for b, (lo, hi) in enumerate([(11, 20), (21, 31), (1, 10)]):
-            state.apply_batch(
-                events.where(F.col("day").between(lo, hi)), batch_id=b
-            )
+            with prof.fold():
+                state.apply_batch(
+                    events.where(F.col("day").between(lo, hi)), batch_id=b
+                )
         served = anomalies_from_counts(
             state.counts().select(
                 F.col("k").alias("key"),
@@ -745,7 +795,9 @@ def q_events_anomaly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robust_z",
         ).orderBy("event_type", "hour")
         # driver-materialize (alert-sized) before dropping the state
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1456,15 +1508,20 @@ def q_doc_negatives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_negpool_idx_")
     try:
         state = SampleIndexState(spark, root, k=64, salt="negpair:pool")
+        prof = _fold_serve("doc_negatives_served")
         for b in range(3):
-            state.apply_batch(
-                docs.where(F.col("doc_id") % 3 == b), F.lit(1)
+            with prof.fold():
+                state.apply_batch(
+                    docs.where(F.col("doc_id") % 3 == b), F.lit(1)
+                )
+        # "serve" here is only the state read of the pool — the
+        # per-anchor ranking below runs lazily in the returned frame
+        with prof.serve():
+            pool_rows = (
+                state.sample()
+                .select(F.col("id").cast("bigint").alias("doc_id"))
+                .collect()
             )
-        pool_rows = (
-            state.sample()
-            .select(F.col("id").cast("bigint").alias("doc_id"))
-            .collect()
-        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     pool = spark.createDataFrame(pool_rows, "doc_id bigint").join(
@@ -1592,10 +1649,12 @@ def q_doc_positives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_dedup_idx_")
     try:
         state = DedupIndexState(spark, root)
+        prof = _fold_serve("doc_positives_served")
         for b in range(3):
-            state.apply_batch(
-                docs.where(F.col("doc_id") % 3 == b), "doc_id", "text"
-            )
+            with prof.fold():
+                state.apply_batch(
+                    docs.where(F.col("doc_id") % 3 == b), "doc_id", "text"
+                )
         out = (
             state.serve_positive_pairs(k=2)
             .select(
@@ -1607,7 +1666,9 @@ def q_doc_positives_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # driver-materialize (feed-grain rows) before dropping the
         # on-disk state — see events_hll_weekly_served
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2920,15 +2981,19 @@ def q_events_retention_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_ret_idx_")
     try:
         state = RetentionIndexState(spark, root)
+        prof = _fold_serve("events_retention_served")
         for b, (lo, hi) in enumerate([(11, 20), (21, 31), (1, 10)]):
-            state.apply_batch(
-                events.where(F.col("day_of_month").between(lo, hi)),
-                batch_id=b,
-            )
+            with prof.fold():
+                state.apply_batch(
+                    events.where(F.col("day_of_month").between(lo, hi)),
+                    batch_id=b,
+                )
         out = state.retention().orderBy("cohort_day", "day_offset")
         # driver-materialize (cohort-grain rows) before dropping the
         # on-disk state — see events_hll_weekly_served
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -3249,13 +3314,17 @@ def q_events_funnel_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = FunnelIndexState(
             spark, root, ["view", "click", "purchase"], within="7 DAYS"
         )
+        prof = _fold_serve("events_funnel_served")
         for b, (lo, hi) in enumerate([(11, 20), (21, 31), (1, 10)]):
-            state.apply_batch(
-                events.where(F.col("day").between(lo, hi)), batch_id=b
-            )
+            with prof.fold():
+                state.apply_batch(
+                    events.where(F.col("day").between(lo, hi)), batch_id=b
+                )
         out = state.counts()
         # driver-materialize (k rows) — see events_hll_weekly_served
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -3288,10 +3357,12 @@ def q_events_sessions_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_sess_idx_")
     try:
         state = SessionIndexState(spark, root, gap_seconds=1800)
+        prof = _fold_serve("events_sessions_served")
         for b, (lo, hi) in enumerate([(21, 31), (1, 10), (11, 20)]):
-            state.apply_batch(
-                events.where(F.col("day").between(lo, hi)), batch_id=b
-            )
+            with prof.fold():
+                state.apply_batch(
+                    events.where(F.col("day").between(lo, hi)), batch_id=b
+                )
         out = (
             state.sessions()
             .select(
@@ -3309,7 +3380,9 @@ def q_events_sessions_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # driver-materialize (session-grain rows) before dropping the
         # on-disk state — see events_hll_weekly_served
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -3381,17 +3454,19 @@ def q_events_hll_weekly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_hll_weekly_")
     try:
         state = HllIndexState(spark, root, p=8)
+        prof = _fold_serve("events_hll_weekly_served")
         # ingest arrival slicing is deliberately NOT the query window:
         # the week answer must assemble from increments that straddle it
         for b, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 31)]):
-            state.apply_batch(
-                keyed.where(F.dayofmonth("day").between(lo, hi)).select(
-                    "k", "user_id"
-                ),
-                "k",
-                "user_id",
-                batch_id=b,
-            )
+            with prof.fold():
+                state.apply_batch(
+                    keyed.where(
+                        F.dayofmonth("day").between(lo, hi)
+                    ).select("k", "user_id"),
+                    "k",
+                    "user_id",
+                    batch_id=b,
+                )
         week_lo, week_hi = "2024-01-08", "2024-01-14"
         parsed = state.registers().select(
             F.split("key", "[|]").getItem(0).alias("event_type"),
@@ -3419,7 +3494,9 @@ def q_events_hll_weekly_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is deleted — an executor loss on a real cluster would then
         # kill the frame; rows held by the driver have no such
         # dependency
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -3448,16 +3525,18 @@ def q_events_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_hh_served_")
     try:
         state = HeavyHittersIndexState(spark, root, local_threshold=15)
+        prof = _fold_serve("events_topk_served")
         slices = [(21, 31), (1, 10), (11, 20)]
         # batch ids are monotone (the additive replay guard's contract);
         # the DATA slices arrive out of time order
         for b, (lo, hi) in enumerate(slices):
-            state.apply_batch(
-                events.where(F.dayofmonth("ts").between(lo, hi)),
-                "user_id",
-                batch_id=b,
-                scope="hh",
-            )
+            with prof.fold():
+                state.apply_batch(
+                    events.where(F.dayofmonth("ts").between(lo, hi)),
+                    "user_id",
+                    batch_id=b,
+                    scope="hh",
+                )
         top = state.serve_topk(20)
         exact = events.groupBy(
             F.col("user_id").cast("string").alias("value")
@@ -3471,7 +3550,9 @@ def q_events_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("n_cms"), "user_id")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -3674,15 +3755,17 @@ def q_events_quantiles_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         state = HistIndexState(spark, root, n_bins=32)
         state.set_bounds(b["lo"], b["hi"])
+        prof = _fold_serve("events_quantiles_served")
         slices = [(11, 20), (21, 31), (1, 10)]  # out of time order
         for n, (lo, hi) in enumerate(slices):
-            state.apply_batch(
-                events.where(F.dayofmonth("ts").between(lo, hi)),
-                "event_type",
-                "value",
-                batch_id=n,
-                scope="hq",
-            )
+            with prof.fold():
+                state.apply_batch(
+                    events.where(F.dayofmonth("ts").between(lo, hi)),
+                    "event_type",
+                    "value",
+                    batch_id=n,
+                    scope="hq",
+                )
         p50 = state.quantile(0.5)
         p95 = state.quantile(0.95)
         out = (
@@ -3690,7 +3773,9 @@ def q_events_quantiles_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("key").alias("event_type"), "n", "q50", "q95")
             .orderBy("event_type")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4208,18 +4293,22 @@ def q_doc_sample_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_sample_idx_")
     try:
         state = SampleIndexState(spark, root, k=PSAMPLE_K)
+        prof = _fold_serve("doc_sample_served")
         for b in range(3):
-            state.apply_batch(
-                docs.where(F.col("doc_id") % 3 == b),
-                token_count(F.col("text")),
-            )
+            with prof.fold():
+                state.apply_batch(
+                    docs.where(F.col("doc_id") % 3 == b),
+                    token_count(F.col("text")),
+                )
         out = state.serve_sample().select(
             F.col("id").cast("bigint").alias("doc_id"),
             "weight",
             "priority_key",
         )
         # driver-materialize (k rows) before dropping the on-disk state
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -5860,12 +5949,18 @@ def q_media_dedup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_media_idx_")
     try:
         state = MediaDedupIndexState(spark, root)
+        prof = _fold_serve("media_dedup_served")
         for b in range(3):
-            state.apply_batch(assets.where(F.col("asset_id") % 3 == b))
+            with prof.fold():
+                state.apply_batch(
+                    assets.where(F.col("asset_id") % 3 == b)
+                )
         out = state.serve_keep_list().orderBy("asset_id")
         # driver-materialize (keep-list grain) before dropping the
         # on-disk state — see events_hll_weekly_served
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -6648,8 +6743,15 @@ def q_doc_drift_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="nk_vocab_drift_")
     try:
         state = VocabIndexState(spark, root)
-        state.apply_batch(docs.where(F.col("doc_id") % 2 == 0), batch_id=0)
-        state.apply_batch(docs.where(F.col("doc_id") % 2 == 1), batch_id=1)
+        prof = _fold_serve("doc_drift_served")
+        with prof.fold():
+            state.apply_batch(
+                docs.where(F.col("doc_id") % 2 == 0), batch_id=0
+            )
+        with prof.fold():
+            state.apply_batch(
+                docs.where(F.col("doc_id") % 2 == 1), batch_id=1
+            )
         drift = unigram_drift_from_counts(
             state.vocab(version=0).select("word", "count"),
             state.vocab(version=1).select("word", "count"),
@@ -6658,7 +6760,9 @@ def q_doc_drift_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("delta")).desc(), F.col("word")
         ).limit(25)
         # driver-materialize (25 rows) — see events_hll_weekly_served
-        return spark.createDataFrame(out.collect(), out.schema)
+        with prof.serve():
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
