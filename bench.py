@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "doc_sample_served",
     "doc_negatives_served",
     "media_dedup_served",
+    # r11: the end-to-end composed training feed (text curation + media
+    # keep-list + packing + contrastive columns in one plan — wall is
+    # the curation legs + the media decode/band join; it took doc_pack's
+    # board seat, whose packing rule runs inside this row).
+    "training_batch_served",
 ]
 
 

@@ -7642,6 +7642,229 @@ def _corpus_curate_sql() -> str:
     """
 
 
+def q_training_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-feed materialization — the artifact a
+    training run actually mounts, composed from the tiers the engine
+    already serves, as ONE plan:
+
+    1. TEXT curation (``plans/curate.curate_verdicts``): quality gate,
+       exact-fingerprint dedup, n-gram near-dup survivor selection,
+       benchmark decontamination, boilerplate cut — each leg oracled by
+       ``corpus_curate``.
+    2. MEDIA gate: the document's PRIMARY media asset (asset
+       ``2*doc_id`` of the synthetic pair device) must survive the
+       dHash keep-list (min-id keeper per near-dup cluster — the
+       relation ``media_dedup_served`` serves from state; incremental
+       == scratch is pinned there, so this row composes the batch
+       relation).
+    3. PACKING: the surviving docs pack into ``PACK_MAX_TOKENS`` shards
+       by the stratified running-sum budget (``doc_pack``'s rule) —
+       shard numbering runs over the FILTERED corpus, which is what a
+       training run reads.
+    4. CONTRASTIVE attach: ``n_positives`` — how many near-dup partners
+       the kept anchor has in its component (the positives
+       ``build_positive_pairs`` serves, ``doc_positives``'s graph) —
+       and ``in_neg_pool`` — membership in the 64-doc uniform negative
+       pool (``doc_negatives``' md5 min-k draw, the relation the
+       sample index maintains).
+
+    Every leg is independently oracled, so the oracle here is a join of
+    those oracle CTEs; the lineage pytest walks each served doc through
+    every gate (``tests/test_curate.py``)."""
+    from nomenklatura_spark.multimodal.decode import (
+        synthetic_media_pair_assets,
+    )
+    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
+    from nomenklatura_spark.plans.curate import curate_verdicts
+    from nomenklatura_spark.textops.analysis import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _spark_ngram_pairs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    verdicts = curate_verdicts(docs, pairs, bench, boiler_max=0.85)
+
+    assets = synthetic_media_pair_assets(docs.select("doc_id"))
+    mcomp = connected_components(
+        media_dedup_pairs(assets, max_hamming=6), src="lid", dst="rid"
+    )
+    media_drop = mcomp.where(
+        (F.col("node") != F.col("component")) & (F.col("node") % 2 == 0)
+    ).select(F.expr("node DIV 2").alias("doc_id"))
+
+    kept = (
+        verdicts.where("keep")
+        .select("doc_id")
+        .join(media_drop, "doc_id", "left_anti")
+    )
+
+    comps = connected_components(pairs, src="lid", dst="rid")
+    csz = comps.groupBy("component").agg(F.count(F.lit(1)).alias("_sz"))
+    npos = comps.join(csz, "component").select(
+        F.col("node").alias("doc_id"),
+        (F.col("_sz") - 1).cast("int").alias("n_positives"),
+    )
+    from nomenklatura_spark.functions.hashing import md5_bucket
+
+    pool = (
+        docs.select(
+            "doc_id",
+            md5_bucket("negpair:pool", F.col("doc_id"), 16**15).alias(
+                "_pk"
+            ),
+        )
+        .orderBy("_pk", "doc_id")
+        .limit(64)
+        .select("doc_id", F.lit(True).alias("_pool"))
+    )
+
+    base = (
+        kept.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("_ws", words(F.col("text")))
+        .select(
+            "doc_id",
+            lang_id(F.col("text"), ws=F.col("_ws")).alias("lang_pred"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang_pred")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_MAX_TOKENS
+    )
+    return (
+        base.withColumn("shard", shard.cast("int"))
+        .join(npos, "doc_id", "left")
+        .join(pool, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "n_tokens",
+            "shard",
+            F.coalesce("n_positives", F.lit(0)).alias("n_positives"),
+            F.coalesce("_pool", F.lit(False)).alias("in_neg_pool"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _training_batch_served_sql() -> str:
+    fingerprint = (
+        "md5(array_to_string(list_sort(list_distinct("
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),"
+        " x -> x != ''))), ' '))"
+    )
+    wc = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+    return f"""
+    WITH RECURSIVE {_COMPONENT_WALK_SQL_BODY},
+    comps AS (SELECT node, min(reached) AS component FROM walk GROUP BY node),
+    quality AS (SELECT doc_id, q_keep FROM ({_quality_sql()})),
+    fp AS (SELECT doc_id, {fingerprint} AS f FROM documents),
+    exact AS (
+        SELECT doc_id,
+               doc_id = min(doc_id) OVER (PARTITION BY f) AS keep_exact
+        FROM fp
+    ),
+    cws AS (SELECT doc_id, {_DOC_WORDS} AS w FROM documents),
+    g5 AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 4, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM cws
+    ),
+    bench5 AS (SELECT doc_id AS bench_id, sh FROM g5 WHERE doc_id % 50 = 0),
+    bsizes AS (SELECT bench_id, count(*) AS n_bench FROM bench5 GROUP BY bench_id),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM g5 g JOIN bench5 b ON g.sh = b.sh
+        JOIN bsizes s ON s.bench_id = b.bench_id
+        WHERE g.doc_id != b.bench_id
+        GROUP BY g.doc_id, b.bench_id, s.n_bench
+        HAVING count(*) * 1.0 / s.n_bench >= 0.5
+    ),
+    g2 AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 1, 0)),
+            i -> w[i] || ' ' || w[i+1])) AS sh
+        FROM cws
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq2 AS (SELECT sh, count(*) AS gram_df FROM g2 GROUP BY sh),
+    boiler2 AS (SELECT sh FROM dfreq2, nd WHERE gram_df * 20 >= n_docs),
+    bratio AS (
+        SELECT g.doc_id,
+               round(CASE WHEN count(*) > 0
+                     THEN count(b.sh) * 1.0 / count(*) ELSE 0.0 END, 6) AS r
+        FROM g2 g LEFT JOIN boiler2 b ON g.sh = b.sh
+        GROUP BY g.doc_id
+    ),
+    {_MEDIA_DEDUP_SQL_BODY},
+    mpairs AS (SELECT lid, rid FROM ham WHERE hamming <= 6),
+    medges AS (
+        SELECT lid AS a, rid AS b FROM mpairs
+        UNION SELECT rid, lid FROM mpairs
+    ),
+    mnodes AS (SELECT DISTINCT a AS node FROM medges),
+    mwalk(node, reached) AS (
+        SELECT node, node FROM mnodes
+        UNION
+        SELECT w.node, e.b FROM mwalk w JOIN medges e ON e.a = w.reached
+    ),
+    mcomp AS (
+        SELECT node, min(reached) AS component FROM mwalk GROUP BY node
+    ),
+    media_drop AS (
+        SELECT node // 2 AS doc_id FROM mcomp
+        WHERE node != component AND node % 2 = 0
+    ),
+    kept AS (
+        SELECT d.doc_id
+        FROM documents d
+        JOIN quality q USING (doc_id)
+        JOIN exact e USING (doc_id)
+        LEFT JOIN comps c ON c.node = d.doc_id
+        LEFT JOIN contaminated x ON x.doc_id = d.doc_id
+        LEFT JOIN bratio br ON br.doc_id = d.doc_id
+        LEFT JOIN media_drop md ON md.doc_id = d.doc_id
+        WHERE q.q_keep AND e.keep_exact
+          AND coalesce(c.component, d.doc_id) = d.doc_id
+          AND x.doc_id IS NULL
+          AND coalesce(br.r, 0.0) < 0.85
+          AND md.doc_id IS NULL
+    ),
+    {_langid_pred_ctes()},
+    toks AS (SELECT doc_id, CAST({wc} AS BIGINT) AS n_tokens FROM documents),
+    packed AS (
+        SELECT k.doc_id, p.lang_pred, t.n_tokens,
+            CAST(floor((sum(t.n_tokens) OVER (
+                PARTITION BY p.lang_pred ORDER BY k.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - t.n_tokens) / {PACK_MAX_TOKENS}) AS INT) AS shard
+        FROM kept k JOIN pred p USING (doc_id) JOIN toks t USING (doc_id)
+    ),
+    csz AS (SELECT component, count(*) AS sz FROM comps GROUP BY component),
+    npos AS (
+        SELECT c.node AS doc_id, CAST(s.sz - 1 AS INT) AS n_positives
+        FROM comps c JOIN csz s USING (component)
+    ),
+    pool AS (
+        SELECT doc_id FROM documents
+        ORDER BY CAST(('0x' || substr(md5('negpair:pool:'
+                 || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+        LIMIT 64
+    )
+    SELECT pk.doc_id, pk.lang_pred, pk.n_tokens, pk.shard,
+           coalesce(np.n_positives, 0) AS n_positives,
+           (pl.doc_id IS NOT NULL) AS in_neg_pool
+    FROM packed pk
+    LEFT JOIN npos np ON np.doc_id = pk.doc_id
+    LEFT JOIN pool pl ON pl.doc_id = pk.doc_id
+    ORDER BY pk.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # BPE encode-to-ids (tokenizer-apply at corpus scale)
 
@@ -7982,7 +8205,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "linker_apply": q_linker_apply,
     "doc_search_hybrid": q_doc_search_hybrid,
-    "doc_pack": q_doc_pack,
+    "training_batch_served": q_training_batch_served,
     "xref_suggestions": q_xref_suggestions,
     "doc_hard_negatives": q_doc_hard_negatives,
     "doc_dup_passages": q_doc_dup_passages,
@@ -8046,6 +8269,7 @@ QUERIES = {
     "doc_negatives": q_doc_negatives,
     "doc_sample_weighted": q_doc_sample_weighted,
     "dedup_containment": q_dedup_containment,
+    "doc_pack": q_doc_pack,
     "orders_profile": q_orders_profile,
     "doc_lm_bigram": q_doc_lm_bigram,
     "doc_sample_stratified": q_doc_sample_stratified,
@@ -8128,6 +8352,7 @@ ORACLES = {
     "doc_vocab": _DOC_VOCAB_SQL,
     "dedup_survivors": _DEDUP_SURVIVORS_SQL,
     "corpus_curate": _corpus_curate_sql(),
+    "training_batch_served": _training_batch_served_sql(),
     "doc_lm_score": _DOC_LM_SCORE_SQL,
     "doc_quality_classifier": _quality_clf_sql(),
     "doc_clusters": _doc_clusters_sql(),

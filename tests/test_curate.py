@@ -131,3 +131,93 @@ def test_keep_is_conjunction_of_stage_flags(spark, sf_dir):
             and r.keep_decontam
             and r.keep_boiler
         )
+
+
+def test_training_batch_lineage(spark, sf_dir):
+    """Every doc in the composed training feed is traceable through
+    each gate: it passed the full text-curation conjunction AND its
+    primary media asset survived the dHash keep-list — and every doc
+    failing either gate is absent.  The attached contrastive columns
+    replay their source relations (component co-member count, md5
+    min-k pool membership)."""
+    from pyspark.sql import functions as F
+
+    from nomenklatura_spark.functions.hashing import md5_bucket
+    from nomenklatura_spark.multimodal.decode import (
+        synthetic_media_pair_assets,
+    )
+    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
+    from nomenklatura_spark.plans.queries import (
+        QUERIES,
+        _spark_ngram_pairs,
+    )
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+    from nomenklatura_spark.session import load_table
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["training_batch_served"](spark, sf_dir).collect()
+    }
+    assert out  # non-degenerate at the smoke SF
+
+    # gate 1: the text-curation conjunction
+    curate = {
+        r.doc_id: r.keep
+        for r in QUERIES["corpus_curate"](spark, sf_dir).collect()
+    }
+    # gate 2: primary asset survives the media keep-list
+    docs = load_table(spark, sf_dir, "documents")
+    mcomp = connected_components(
+        media_dedup_pairs(
+            synthetic_media_pair_assets(docs.select("doc_id")),
+            max_hamming=6,
+        ),
+        src="lid",
+        dst="rid",
+    )
+    media_dropped = {
+        r.node // 2
+        for r in mcomp.where(
+            (F.col("node") != F.col("component"))
+            & (F.col("node") % 2 == 0)
+        ).collect()
+    }
+    expected = {
+        d for d, keep in curate.items() if keep and d not in media_dropped
+    }
+    assert set(out) == expected
+
+    # contrastive columns replay their source relations
+    comps = connected_components(
+        _spark_ngram_pairs(spark, sf_dir), src="lid", dst="rid"
+    ).collect()
+    sizes: dict = {}
+    for r in comps:
+        sizes[r.component] = sizes.get(r.component, 0) + 1
+    by_node = {r.node: sizes[r.component] - 1 for r in comps}
+    pool = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id",
+            md5_bucket("negpair:pool", F.col("doc_id"), 16**15).alias(
+                "_pk"
+            ),
+        )
+        .orderBy("_pk", "doc_id")
+        .limit(64)
+        .collect()
+    }
+    for d, r in out.items():
+        assert r.n_positives == by_node.get(d, 0)
+        assert r.in_neg_pool == (d in pool)
+    # the packing leg shards in doc_id order within each language
+    by_lang: dict = {}
+    for r in sorted(out.values(), key=lambda r: r.doc_id):
+        by_lang.setdefault(r.lang_pred, []).append(r)
+    for rows in by_lang.values():
+        run = 0
+        for r in rows:
+            assert r.shard == run // 2048
+            run += r.n_tokens
