@@ -45,7 +45,10 @@ the index is a materialised view maintained by key:
   set is edge-closed; the helper's docstring has the argument).
   Replay-idempotent: refolding the same batch finds every signature
   already in state, so retraction stands down and the star fold adds
-  edges already implied.
+  edges already implied.  ``delete`` is the deletion half of the same
+  rule: outright removal retracts signatures + pairs and re-derives
+  only the affected components — post-delete state equals a
+  from-scratch build over the remaining documents.
 - ``serve_positive_pairs`` answers the contrastive positive feed
   (``textops/contrastive.build_positive_pairs``) from the maintained
   components alone — the training-data serving verb, like the funnel
@@ -253,6 +256,63 @@ class DedupIndexState(VersionedState):
         )
         self._bump(nv)
         return new_pairs
+
+    def delete(self, ids: DataFrame) -> None:
+        """Remove documents from the index outright — the DELETION half
+        of the reference's G10 rule (a deleted positive judgement
+        forces a rebuild of the affected clusters,
+        ``/root/reference/nomenklatura/resolver/resolver.py:130-173``),
+        bounded the same way as the changed-content upsert: signatures,
+        bands and every pair touching a deleted id are retracted, and
+        ONLY the components that held a deleted id are re-derived from
+        the retracted log (the affected set is edge-closed —
+        ``fold_components_incremental``'s split case with no new
+        pairs), so post-delete state is bit-identical to a from-scratch
+        build over the remaining documents (pytest-pinned).  Ids absent
+        from the index are ignored, so a redelivered delete is a no-op;
+        an EMPTY id set does not bump the version.  ``ids``: one-column
+        DataFrame of document ids."""
+        from nomenklatura_spark.resolver.components import (
+            fold_components_incremental,
+        )
+
+        gone = (
+            ids.select(F.col(ids.columns[0]).cast("string").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if gone.isEmpty():
+            return
+        v = self.version()
+        nv = v + 1
+        merged_sigs = self.signatures().join(gone, "id", "left_anti")
+        merged_bands = self.bands().join(gone, "id", "left_anti")
+        merged_pairs = (
+            self.pairs()
+            .join(gone.select(F.col("id").alias("lid")), "lid", "left_anti")
+            .join(gone.select(F.col("id").alias("rid")), "rid", "left_anti")
+            # USING joins move the key column first — restore the
+            # relation's declared order before the snapshot write
+            .select("lid", "rid", "est_jaccard")
+            .localCheckpoint()
+        )
+        merged_comps = fold_components_incremental(
+            self.components(),
+            self.spark.createDataFrame([], _PAIR_SCHEMA).select(
+                "lid", "rid"
+            ),
+            merged_pairs=merged_pairs,
+            changed=gone,
+        )
+        merged_sigs.write.mode("overwrite").parquet(
+            self._path("signatures", nv)
+        )
+        merged_bands.write.mode("overwrite").parquet(self._path("bands", nv))
+        merged_pairs.write.mode("overwrite").parquet(self._path("pairs", nv))
+        merged_comps.write.mode("overwrite").parquet(
+            self._path("components", nv)
+        )
+        self._bump(nv)
 
 
 def maintain_dedup_stream(

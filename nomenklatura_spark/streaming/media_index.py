@@ -35,9 +35,11 @@ maintained by key:
   endpoint are re-derived from the retracted-and-refreshed log (the
   affected node set is edge-closed, so the bounded rebuild equals a
   from-scratch run — ``apply_batch`` has the argument).
-  ``serve_keep_list`` answers the training-feed question — which asset
-  of each near-dup cluster survives — from state alone (keeper = min
-  asset id, deterministic).
+  ``delete`` is the deletion half of the same rule (outright removal;
+  post-delete state equals a from-scratch build over the remaining
+  assets).  ``serve_keep_list`` answers the training-feed question —
+  which asset of each near-dup cluster survives — from state alone
+  (keeper = min asset id, deterministic).
 
 Replay-idempotent by construction (upsert-by-asset + distinct-merged
 pair log + component fold keyed on signature CHANGE: refolding a batch
@@ -288,6 +290,87 @@ class MediaDedupIndexState(VersionedState):
         )
         self._bump(nv)
         return new_pairs
+
+    def delete(self, ids: DataFrame) -> None:
+        """Remove assets from the index outright — the DELETION half of
+        the G10 rule, bounded like the changed-content upsert
+        (``streaming/dedup_index.py`` has the full contract): the
+        signatures, the band-histogram contributions and every pair
+        touching a deleted id are retracted, and only the components
+        holding a deleted id are re-derived from the retracted log
+        (``fold_components_incremental``'s split case with no new
+        pairs) — post-delete state is bit-identical to a from-scratch
+        build over the remaining assets (pytest-pinned).  Absent ids
+        are ignored (redelivery no-op); an empty id set does not bump
+        the version.  ``ids``: one-column DataFrame of asset ids."""
+        from nomenklatura_spark.resolver.components import (
+            fold_components_incremental,
+        )
+
+        gone = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if gone.isEmpty():
+            return
+        v = self.version()
+        nv = v + 1
+        state_sigs = self.signatures()
+        gone_counts = band_bucket_counts(
+            state_sigs.join(gone, "id", "semi"),
+            self.band_bytes,
+            self.n_blocks,
+        ).localCheckpoint()
+        prev_counts = self.band_counts()
+        merged_counts = (
+            prev_counts.join(
+                F.broadcast(gone_counts.select("band_no", "band_val")),
+                ["band_no", "band_val"],
+                "left_anti",
+            )
+            .unionByName(
+                prev_counts.withColumnRenamed("n", "_prev")
+                .join(F.broadcast(gone_counts), ["band_no", "band_val"])
+                .select(
+                    "band_no",
+                    "band_val",
+                    (F.col("_prev") - F.col("n")).alias("n"),
+                )
+                .where(F.col("n") > 0)
+            )
+        )
+        merged_sigs = state_sigs.join(gone, "id", "left_anti")
+        merged_pairs = (
+            self.pairs()
+            .join(gone.select(F.col("id").alias("lid")), "lid", "left_anti")
+            .join(gone.select(F.col("id").alias("rid")), "rid", "left_anti")
+            # USING joins move the key column first — restore the
+            # relation's declared order before the snapshot write
+            .select("lid", "rid", "hamming")
+            .localCheckpoint()
+        )
+        merged_comps = fold_components_incremental(
+            self.components(),
+            self.spark.createDataFrame([], _PAIR_SCHEMA).select(
+                "lid", "rid"
+            ),
+            merged_pairs=merged_pairs,
+            changed=gone,
+        )
+        merged_sigs.write.mode("overwrite").parquet(
+            self._path("signatures", nv)
+        )
+        merged_pairs.write.mode("overwrite").parquet(
+            self._path("pairs", nv)
+        )
+        merged_comps.write.mode("overwrite").parquet(
+            self._path("components", nv)
+        )
+        merged_counts.write.mode("overwrite").parquet(
+            self._path("band_counts", nv)
+        )
+        self._bump(nv)
 
     def serve_keep_list(self) -> DataFrame:
         """(asset_id, keep) from state alone: one deterministic keeper

@@ -161,6 +161,61 @@ def test_changed_reingest_retracts_pairs_and_splits_components(
     assert sorted(map(tuple, state.components().collect())) == want
 
 
+def test_delete_equals_scratch_over_remaining(spark, tmp_path):
+    """The delete verb (the deletion half of G10): removing a document
+    that HAD pairs retracts its pairs and re-derives the affected
+    components — post-delete state is bit-identical to a from-scratch
+    build over the remaining documents; absent-id deletes are no-ops."""
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+
+    state = DedupIndexState(spark, str(tmp_path / "state"), threshold=0.3)
+    state.apply_batch(spark.createDataFrame(BATCH1, DOC_SCHEMA))
+    state.apply_batch(spark.createDataFrame(BATCH2, DOC_SCHEMA))
+    assert any("a2" in (l, r) for l, r, _ in _pairset(state.pairs()))
+
+    state.delete(spark.createDataFrame([("a2",)], "doc_id string"))
+    remaining = {
+        d: t
+        for d, t in ({d: t for d, t in BATCH1}
+                     | {d: t for d, t in BATCH2}).items()
+        if d != "a2"
+    }
+    scratch = minhash_dedup_pairs(
+        spark.createDataFrame(list(remaining.items()), DOC_SCHEMA),
+        "doc_id",
+        "text",
+        threshold=0.3,
+    ).localCheckpoint()
+    assert _pairset(state.pairs()) == _pairset(scratch)
+    assert state.signatures().where("id = 'a2'").count() == 0
+    assert state.bands().where("id = 'a2'").count() == 0
+    got = sorted(map(tuple, state.components().collect()))
+    want = sorted(
+        map(
+            tuple,
+            connected_components(scratch, src="lid", dst="rid").collect(),
+        )
+    )
+    assert got == want
+    assert not any(
+        "a2" in (r["anchor_id"], r["positive_id"])
+        for r in state.serve_positive_pairs(k=3).collect()
+    )
+
+    # redelivered delete (id already gone): state unchanged, version
+    # bumps once more; an EMPTY delete does not bump at all
+    v = state.version()
+    state.delete(spark.createDataFrame([("a2",)], "doc_id string"))
+    assert state.version() == v + 1
+    assert sorted(map(tuple, state.components().collect())) == want
+    state.delete(
+        spark.createDataFrame([], "doc_id string")
+    )
+    assert state.version() == v + 1
+
+
 def test_serve_positive_pairs_from_state(spark, tmp_path):
     """The contrastive positive feed served from maintained components
     equals build_positive_pairs over the from-scratch components, and

@@ -144,6 +144,56 @@ def test_changed_reingest_retracts_pairs_and_splits_components(
     assert sorted(map(tuple, state.pairs().collect())) == logged
 
 
+def test_delete_equals_scratch_over_remaining(spark, tmp_path):
+    """The delete verb (the deletion half of G10): removing an asset
+    that HAD pairs retracts its pairs and band-histogram contributions
+    and re-derives the affected components — post-delete state is
+    bit-identical to a from-scratch build over the remaining assets."""
+    from nomenklatura_spark.multimodal.dhash import band_bucket_counts
+
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    state.apply_batch(_adf(spark, B1))
+    state.apply_batch(_adf(spark, B2))
+    # delete asset 2 (cluster {1,2,11}, pairs (1,2),(2,11)) and 12
+    # (cluster {12,13})
+    state.delete(spark.createDataFrame([(2,), (12,)], "asset_id long"))
+
+    remaining = [
+        (i, p)
+        for i, p in ({i: p for i, p in B1} | {i: p for i, p in B2}).items()
+        if i not in (2, 12)
+    ]
+    sigs = dhash_signatures(_adf(spark, remaining)).localCheckpoint()
+    scratch = dhash_pairs(sigs).localCheckpoint()
+    assert sorted(map(tuple, state.pairs().collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    got = sorted(map(tuple, state.components().collect()))
+    want = sorted(
+        map(
+            tuple,
+            connected_components(scratch, src="lid", dst="rid").collect(),
+        )
+    )
+    assert got == want
+    comp_of = dict(got)
+    assert comp_of[1] == comp_of[11] and 2 not in comp_of
+    assert 12 not in comp_of and 13 not in comp_of  # 13's only dup left
+    # the band histogram shed exactly the deleted contributions
+    assert sorted(map(tuple, state.band_counts().collect())) == sorted(
+        map(
+            tuple,
+            band_bucket_counts(
+                sigs, state.band_bytes, state.n_blocks
+            ).collect(),
+        )
+    )
+    # keep-list: 11 still suppressed behind 1; 13 trivially survives
+    keep = {r["asset_id"]: r["keep"] for r in
+            state.serve_keep_list().collect()}
+    assert keep[1] is True and keep[11] is False and 13 not in keep
+
+
 def test_band_counts_maintained_and_batch_bounded_skew(spark, tmp_path):
     """The maintained band-bucket histogram equals a from-scratch
     aggregation over live signatures after EVERY fold — including the
