@@ -322,15 +322,34 @@ def maintain_dedup_stream(
     text_col: str = "text",
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
+    tombstone_col: str | None = None,
 ) -> StreamingQuery:
     """Structured Streaming driver: each micro-batch of documents folds
     into the dedup index via ``foreachBatch`` (the merge is a multi-table
     transaction, which sinks can't express).  Replay-idempotent by
-    construction (upsert-by-document + max-merged pair log), so no batch
-    guard is needed.  ``trigger_once`` drains the backlog and terminates
-    (availableNow), for cron-style catch-up runs."""
+    construction (upsert-by-document + max-merged pair log; deletes are
+    absent-id no-ops), so no batch guard is needed.  ``trigger_once``
+    drains the backlog and terminates (availableNow), for cron-style
+    catch-up runs.
+
+    ``tombstone_col`` names an optional boolean column for CDC-shaped
+    feeds: rows where it is true DELETE their id from the index
+    (``DedupIndexState.delete`` — the G10 deletion path), other rows
+    upsert as usual.  Within one micro-batch tombstones win over
+    upserts of the same id (the delete folds after the upsert), so a
+    batch that both rewrites and tombstones a document resolves to
+    deleted — the deterministic reading of an intra-batch conflict."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        state.apply_batch(batch, id_col, text_col)
+        if tombstone_col is None:
+            state.apply_batch(batch, id_col, text_col)
+            return
+        dead = batch.where(F.col(tombstone_col)).select(id_col)
+        live = batch.where(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        )
+        if not live.isEmpty():
+            state.apply_batch(live, id_col, text_col)
+        state.delete(dead)
 
     return start_maintenance_stream(stream, _process, checkpoint_dir, trigger_once)

@@ -392,14 +392,29 @@ def maintain_media_dedup_stream(
     payload_col: str = "payload",
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
+    tombstone_col: str | None = None,
 ) -> StreamingQuery:
     """Structured Streaming driver: each micro-batch of assets folds
     into the media dedup index via ``foreachBatch`` (multi-relation
     snapshot swap — sinks can't express it).  Replay-idempotent, so no
-    batch guard (module docstring)."""
+    batch guard (module docstring).  ``tombstone_col`` names an
+    optional boolean column for CDC-shaped feeds: true rows DELETE
+    their asset (``delete`` — the G10 deletion path), others upsert;
+    within one micro-batch tombstones win over upserts of the same id
+    (``streaming/dedup_index.maintain_dedup_stream`` has the
+    contract)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        state.apply_batch(batch, id_col, payload_col)
+        if tombstone_col is None:
+            state.apply_batch(batch, id_col, payload_col)
+            return
+        dead = batch.where(F.col(tombstone_col)).select(id_col)
+        live = batch.where(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        )
+        if not live.isEmpty():
+            state.apply_batch(live, id_col, payload_col)
+        state.delete(dead)
 
     return start_maintenance_stream(stream, _process, checkpoint_dir,
                                     trigger_once)

@@ -246,6 +246,77 @@ def test_serve_positive_pairs_from_state(spark, tmp_path):
     assert "b1" not in old and "a1" in old
 
 
+def test_streaming_tombstones_delete(spark, tmp_path):
+    """CDC-shaped ingest: a boolean tombstone column routes rows to the
+    G10 delete path; within one micro-batch a tombstone wins over an
+    upsert of the same id.  Post-stream state equals a from-scratch
+    build over the live documents."""
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    state = DedupIndexState(spark, str(tmp_path / "state"), threshold=0.3)
+    schema = "doc_id string, text string, deleted boolean"
+    stream = spark.readStream.schema(schema).json(str(src))
+
+    with open(src / "b1.json", "w") as fh:
+        for d, t in BATCH1:
+            fh.write(
+                json.dumps({"doc_id": d, "text": t, "deleted": False})
+                + "\n"
+            )
+    q = maintain_dedup_stream(
+        stream,
+        state,
+        checkpoint_dir=str(tmp_path / "chk"),
+        tombstone_col="deleted",
+    )
+    try:
+        q.processAllAvailable()
+        assert {(r["lid"], r["rid"]) for r in state.pairs().collect()} == {
+            ("a1", "a2")
+        }
+        # batch 2: b-docs upsert, a2 is tombstoned — and ALSO carries a
+        # rewritten text in the same batch (tombstone must win)
+        with open(src / "b2.json", "w") as fh:
+            for d, t in BATCH2:
+                fh.write(
+                    json.dumps({"doc_id": d, "text": t, "deleted": False})
+                    + "\n"
+                )
+            fh.write(
+                json.dumps(
+                    {"doc_id": "a2", "text": BASE, "deleted": True}
+                )
+                + "\n"
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {d: t for d, t in BATCH1 if d != "a2"} | {
+        d: t for d, t in BATCH2
+    }
+    scratch = minhash_dedup_pairs(
+        spark.createDataFrame(list(live.items()), DOC_SCHEMA),
+        "doc_id",
+        "text",
+        threshold=0.3,
+    ).localCheckpoint()
+    assert _pairset(state.pairs()) == _pairset(scratch)
+    assert state.signatures().where("id = 'a2'").count() == 0
+    got = sorted(map(tuple, state.components().collect()))
+    want = sorted(
+        map(
+            tuple,
+            connected_components(scratch, src="lid", dst="rid").collect(),
+        )
+    )
+    assert got == want
+
+
 def test_streaming_dedup_maintenance(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()

@@ -261,6 +261,67 @@ def test_time_travel_and_version_swap(spark, tmp_path):
     assert 11 not in old and 1 in old
 
 
+def test_streaming_media_tombstones_delete(spark, tmp_path):
+    """CDC-shaped media ingest: tombstoned assets route to the G10
+    delete path; post-stream state equals from-scratch over the live
+    assets (stale pairs retracted, components re-derived)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    state = MediaDedupIndexState(spark, str(tmp_path / "state"))
+    ts_schema = "asset_id long, media_type string, payload binary, deleted boolean"
+
+    def _tdf(rows, dead=()):
+        return spark.createDataFrame(
+            [
+                (i, "image", bytearray(p), i in dead)
+                for i, p in rows
+            ],
+            ts_schema,
+        )
+
+    _tdf(B1).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(ts_schema).parquet(str(src))
+    q = maintain_media_dedup_stream(
+        stream,
+        state,
+        checkpoint_dir=str(tmp_path / "chk"),
+        tombstone_col="deleted",
+    )
+    try:
+        q.processAllAvailable()
+        assert {(r["lid"], r["rid"]) for r in state.pairs().collect()} == {
+            (1, 2)
+        }
+        # batch 2 upserts B2 and tombstones asset 2 in the same batch
+        _tdf(B2 + [(2, encode_bmp(_px(1)))], dead={2}).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = [
+        (i, p)
+        for i, p in ({i: p for i, p in B1} | {i: p for i, p in B2}).items()
+        if i != 2
+    ]
+    scratch = dhash_pairs(
+        dhash_signatures(_adf(spark, live)).localCheckpoint()
+    ).localCheckpoint()
+    assert sorted(map(tuple, state.pairs().collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    got = sorted(map(tuple, state.components().collect()))
+    want = sorted(
+        map(
+            tuple,
+            connected_components(scratch, src="lid", dst="rid").collect(),
+        )
+    )
+    assert got == want
+    assert state.signatures().where("id = 2").count() == 0
+
+
 def test_streaming_media_maintenance(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
