@@ -160,22 +160,32 @@ class DedupIndexState(VersionedState):
         # split case (module docstring): ids re-ingested with a CHANGED
         # signature must retract their stale pairs — compare the per-id
         # signature vectors (touched-sized aggregate, tiny); unchanged
-        # re-ingest re-derives identical pairs so retraction stands down
-        sig_vec = F.sort_array(
-            F.collect_list(F.struct("seed", "minhash"))
-        )
-        changed = (
-            state_sigs.join(touched, "id", "semi")
-            .groupBy("id")
-            .agg(sig_vec.alias("_old"))
-            .join(
-                batch_sigs.groupBy("id").agg(sig_vec.alias("_new")), "id"
+        # re-ingest re-derives identical pairs so retraction stands
+        # down.  The first fold skips the machinery (version pointer
+        # read is free; nothing to retract against), and the checkpoint
+        # on `changed` is lazy — the common all-new-ids fold pays one
+        # emptiness probe, nothing more.
+        if self.version() < 0:
+            changed = None
+            has_changed = False
+        else:
+            sig_vec = F.sort_array(
+                F.collect_list(F.struct("seed", "minhash"))
             )
-            .where(~F.col("_old").eqNullSafe(F.col("_new")))
-            .select("id")
-            .localCheckpoint()
-        )
-        has_changed = not changed.isEmpty()
+            changed = (
+                state_sigs.join(touched, "id", "semi")
+                .groupBy("id")
+                .agg(sig_vec.alias("_old"))
+                .join(
+                    batch_sigs.groupBy("id").agg(sig_vec.alias("_new")),
+                    "id",
+                )
+                .where(~F.col("_old").eqNullSafe(F.col("_new")))
+                .select("id")
+            )
+            has_changed = not changed.isEmpty()
+            if has_changed:
+                changed = changed.localCheckpoint()
 
         # within-batch candidates
         within = lsh_candidate_pairs(batch_sigs, self.n_hashes, self.band_size)

@@ -158,17 +158,32 @@ class MediaDedupIndexState(VersionedState):
         # split case (module docstring): ids re-ingested with a CHANGED
         # signature must retract their stale pairs — unchanged re-ingest
         # re-derives identical pairs, so the retraction stands down and
-        # the fold stays merge-only (touched-sized join, tiny)
-        changed = (
-            state_sigs.join(touched, "id", "semi")
-            .select("id", F.col("dhash").alias("_old"))
-            .join(batch_sigs.select("id", F.col("dhash").alias("_new")),
-                  "id")
-            .where(~F.col("_old").eqNullSafe(F.col("_new")))
-            .select("id")
-            .localCheckpoint()
-        )
-        has_changed = not changed.isEmpty()
+        # the fold stays merge-only (touched-sized join, tiny).  The
+        # first fold skips the machinery outright (version pointer read
+        # is free; no state to retract against), and the checkpoint on
+        # `changed` is lazy — the common all-new-ids fold pays one
+        # emptiness probe, nothing more.
+        first = self.version() < 0
+        if first:
+            touched_state = None
+            changed = None
+            has_changed = False
+        else:
+            touched_state = state_sigs.join(
+                touched, "id", "semi"
+            ).localCheckpoint()
+            changed = (
+                touched_state.select("id", F.col("dhash").alias("_old"))
+                .join(
+                    batch_sigs.select("id", F.col("dhash").alias("_new")),
+                    "id",
+                )
+                .where(~F.col("_old").eqNullSafe(F.col("_new")))
+                .select("id")
+            )
+            has_changed = not changed.isEmpty()
+            if has_changed:
+                changed = changed.localCheckpoint()
         # candidates: batch self-pairs + batch vs state, via the probe
         # mode of dhash_pairs — the banded join runs batch-bands ×
         # merged-bands, so accumulated state never re-self-joins (a
@@ -181,58 +196,47 @@ class MediaDedupIndexState(VersionedState):
         # maintain the band-bucket histogram incrementally: counts only
         # change through buckets the batch touches (batch bands added,
         # touched ids' old bands retracted), so the delta is
-        # batch-sized and state only flows through anti/left joins —
-        # never a full-state groupBy.  The merged histogram feeds the
-        # fold's BATCH-bounded skew scan (probe_bucket_scan) and the
-        # snapshot.
-        delta = (
-            band_bucket_counts(batch_sigs, self.band_bytes, self.n_blocks)
-            .unionByName(
-                band_bucket_counts(
-                    state_sigs.join(touched, "id", "semi"),
-                    self.band_bytes,
-                    self.n_blocks,
-                ).select(
-                    "band_no", "band_val", (-F.col("n")).alias("n")
+        # batch-sized and state only flows through semi/anti joins with
+        # the BROADCAST delta bucket list — never a full-state groupBy
+        # (outer joins can't build their preserved side, hence the
+        # semi + re-sum shape).  The merged histogram feeds the fold's
+        # BATCH-bounded skew scan (probe_bucket_scan) and the snapshot.
+        batch_counts = band_bucket_counts(
+            batch_sigs, self.band_bytes, self.n_blocks
+        )
+        if first:
+            merged_counts = batch_counts.localCheckpoint()
+        else:
+            delta = (
+                batch_counts.unionByName(
+                    band_bucket_counts(
+                        touched_state, self.band_bytes, self.n_blocks
+                    ).select(
+                        "band_no", "band_val", (-F.col("n")).alias("n")
+                    )
                 )
+                .groupBy("band_no", "band_val")
+                .agg(F.sum("n").alias("n"))
+                .localCheckpoint()
             )
-            .groupBy("band_no", "band_val")
-            .agg(F.sum("n").alias("n"))
-            .localCheckpoint()
-        )
-        prev_counts = self.band_counts()
-        # state streams through anti/inner joins with the batch-sized
-        # delta BROADCAST as the build side (outer joins can't build
-        # their preserved side, so delta-only buckets come from a
-        # second anti join against the touched-and-present set)
-        touched_present = (
-            prev_counts.withColumnRenamed("n", "_prev")
-            .join(F.broadcast(delta), ["band_no", "band_val"])
-            .select(
-                "band_no",
-                "band_val",
-                (F.col("_prev") + F.col("n")).alias("n"),
+            prev_counts = self.band_counts()
+            delta_keys = F.broadcast(delta.select("band_no", "band_val"))
+            updated = (
+                prev_counts.join(
+                    delta_keys, ["band_no", "band_val"], "semi"
+                )
+                .unionByName(delta)
+                .groupBy("band_no", "band_val")
+                .agg(F.sum("n").alias("n"))
+                .where(F.col("n") > 0)
             )
-            .localCheckpoint()
-        )
-        merged_counts = (
-            prev_counts.join(
-                F.broadcast(delta.select("band_no", "band_val")),
-                ["band_no", "band_val"],
-                "left_anti",
+            merged_counts = (
+                prev_counts.join(
+                    delta_keys, ["band_no", "band_val"], "left_anti"
+                )
+                .unionByName(updated)
+                .localCheckpoint()
             )
-            .unionByName(touched_present.where(F.col("n") > 0))
-            .unionByName(
-                delta.join(
-                    F.broadcast(
-                        touched_present.select("band_no", "band_val")
-                    ),
-                    ["band_no", "band_val"],
-                    "left_anti",
-                ).where(F.col("n") > 0)
-            )
-            .localCheckpoint()
-        )
         new_pairs = dhash_pairs(
             merged_sigs,
             max_hamming=self.max_hamming,
