@@ -481,6 +481,24 @@ def _spark_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs_cached(spark, sf_dir)
 
 
+@plan_cache(maxsize=4)
+def _media_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash near-dup pair relation over the synthetic media assets,
+    memoized+persisted per (session, sf_dir): the decode is the
+    expensive leg and both ``media_dedup`` and the composed
+    ``training_batch_served`` read the same relation — a real pipeline
+    materializes the pair graph once (the ``_ngram_pairs_cached``
+    pattern; pair rows are tens of bytes, pixels are never cached)."""
+    from nomenklatura_spark.multimodal.decode import (
+        synthetic_media_pair_assets,
+    )
+    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthetic_media_pair_assets(docs)
+    return media_dedup_pairs(assets, max_hamming=6).persist()
+
+
 @plan_cache(maxsize=8)
 def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -5758,14 +5776,7 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing either container.  Signatures are one Arrow-batched
     map-only pass; the band join shuffles 10-byte signature rows,
     never pixels."""
-    from nomenklatura_spark.multimodal.decode import (
-        synthetic_media_pair_assets,
-    )
-    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    assets = synthetic_media_pair_assets(docs)
-    return media_dedup_pairs(assets, max_hamming=6).orderBy("lid", "rid")
+    return _media_pairs_cached(spark, sf_dir).orderBy("lid", "rid")
 
 
 # Pixel bytes replay _MEDIA_PIXELS_SQL's device: byte k of doc d is hex
@@ -6004,14 +6015,13 @@ def q_media_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nomenklatura_spark.multimodal.decode import (
         synthetic_media_pair_assets,
     )
-    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
     from nomenklatura_spark.resolver.components import (
         connected_components,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     assets = synthetic_media_pair_assets(docs)
-    pairs = media_dedup_pairs(assets, max_hamming=6)
+    pairs = _media_pairs_cached(spark, sf_dir)
     comps = connected_components(pairs, src="lid", dst="rid")
     labels = (
         assets.select(F.col("asset_id").alias("id"))
@@ -7671,10 +7681,6 @@ def q_training_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every leg is independently oracled, so the oracle here is a join of
     those oracle CTEs; the lineage pytest walks each served doc through
     every gate (``tests/test_curate.py``)."""
-    from nomenklatura_spark.multimodal.decode import (
-        synthetic_media_pair_assets,
-    )
-    from nomenklatura_spark.multimodal.dhash import media_dedup_pairs
     from nomenklatura_spark.plans.curate import curate_verdicts
     from nomenklatura_spark.textops.analysis import words
 
@@ -7683,9 +7689,8 @@ def q_training_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 50 == 0)
     verdicts = curate_verdicts(docs, pairs, bench, boiler_max=0.85)
 
-    assets = synthetic_media_pair_assets(docs.select("doc_id"))
     mcomp = connected_components(
-        media_dedup_pairs(assets, max_hamming=6), src="lid", dst="rid"
+        _media_pairs_cached(spark, sf_dir), src="lid", dst="rid"
     )
     media_drop = mcomp.where(
         (F.col("node") != F.col("component")) & (F.col("node") % 2 == 0)
