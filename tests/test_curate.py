@@ -221,3 +221,18 @@ def test_training_batch_lineage(spark, sf_dir):
         for r in rows:
             assert r.shard == run // 2048
             run += r.n_tokens
+
+
+def test_served_rows_record_fold_serve_profile(spark, sf_dir):
+    """The fold/serve split the bench detail record depends on: a
+    *_served query call overwrites its SERVE_PROFILE row with one wall
+    per ingest fold plus the serve wall — if this contract breaks, the
+    bench's fold_serve field silently goes empty."""
+    from nomenklatura_spark.plans.queries import QUERIES, SERVE_PROFILE
+
+    SERVE_PROFILE.pop("doc_sample_served", None)
+    QUERIES["doc_sample_served"](spark, sf_dir).collect()
+    prof = SERVE_PROFILE["doc_sample_served"]
+    assert len(prof["fold"]) == 3  # three id-sliced ingest batches
+    assert all(isinstance(w, float) and w >= 0 for w in prof["fold"])
+    assert isinstance(prof["serve"], float) and prof["serve"] >= 0
