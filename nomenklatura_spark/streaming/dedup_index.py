@@ -69,11 +69,7 @@ from nomenklatura_spark.streaming.state import (
     VersionedState,
     start_maintenance_stream,
 )
-from nomenklatura_spark.dedup.minhash import (
-    lsh_candidate_pairs,
-    minhash_signatures,
-    minhash_similarity,
-)
+from nomenklatura_spark.dedup.minhash import minhash_similarity
 
 _SIG_SCHEMA = "id string, seed int, minhash long"
 _BAND_SCHEMA = "id string, band int, band_key string"
@@ -147,12 +143,25 @@ class DedupIndexState(VersionedState):
     def apply_batch(self, docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
         """Fold one micro-batch of documents into the index; returns the
-        near-dup pairs this batch surfaced (within-batch + vs state)."""
+        near-dup pairs this batch surfaced (within-batch + vs state).
+
+        Fold shape (r11 optimization — value-identical, pinned by the
+        incremental-equals-scratch tests): the batch band relation is
+        checkpointed ONCE and read by the within-join, the cross-join
+        and the bands snapshot write (the previous shape re-ran the
+        collect_list banding groupBy in each).  Independent driver
+        actions overlap on a small thread pool (guide §2.6 back-fill):
+        the changed-id probe runs beside the band materialization, and
+        the snapshot writes run beside the component fold — the fold's
+        wall is its critical path, not the sum of its actions."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from nomenklatura_spark.dedup.minhash import minhash_signatures
+
         batch_sigs = minhash_signatures(
             docs, id_col, text_col, self.k, self.mode, self.n_hashes
         ).select(F.col("id").cast("string").alias("id"), "seed", "minhash")
         batch_sigs = batch_sigs.localCheckpoint()
-        batch_bands = _bands_of(batch_sigs, self.band_size)
 
         state_sigs = self.signatures()
         state_bands = self.bands()
@@ -162,12 +171,12 @@ class DedupIndexState(VersionedState):
         # signature vectors (touched-sized aggregate, tiny); unchanged
         # re-ingest re-derives identical pairs so retraction stands
         # down.  The first fold skips the machinery (version pointer
-        # read is free; nothing to retract against), and the checkpoint
-        # on `changed` is lazy — the common all-new-ids fold pays one
-        # emptiness probe, nothing more.
-        if self.version() < 0:
+        # read is free; nothing to retract against); later folds run
+        # the probe on a worker thread UNDER the band materialization
+        # (the two are independent — §2.6).
+        first = self.version() < 0
+        if first:
             changed = None
-            has_changed = False
         else:
             sig_vec = F.sort_array(
                 F.collect_list(F.struct("seed", "minhash"))
@@ -183,12 +192,25 @@ class DedupIndexState(VersionedState):
                 .where(~F.col("_old").eqNullSafe(F.col("_new")))
                 .select("id")
             )
-            has_changed = not changed.isEmpty()
-            if has_changed:
-                changed = changed.localCheckpoint()
+        bands_plan = _bands_of(batch_sigs, self.band_size)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_bands = pool.submit(bands_plan.localCheckpoint)
+            has_changed = (not first) and (not changed.isEmpty())
+            batch_bands = f_bands.result()
+        if has_changed:
+            changed = changed.localCheckpoint()
 
-        # within-batch candidates
-        within = lsh_candidate_pairs(batch_sigs, self.n_hashes, self.band_size)
+        # within-batch candidates: the batch bands self-join (the same
+        # relation ``lsh_candidate_pairs`` builds, read from the one
+        # checkpointed band pass)
+        l = batch_bands.select(F.col("id").alias("lid"), "band", "band_key")
+        r = batch_bands.select(F.col("id").alias("rid"), "band", "band_key")
+        within = (
+            l.join(r, ["band", "band_key"])
+            .where(F.col("lid") < F.col("rid"))
+            .select("lid", "rid")
+            .distinct()
+        )
         # cross candidates: batch vs state (state never re-self-joins)
         cross = (
             batch_bands.select(
@@ -205,9 +227,9 @@ class DedupIndexState(VersionedState):
             )
             .distinct()
         )
-        all_sigs = state_sigs.join(
-            batch_sigs.select("id").distinct(), "id", "left_anti"
-        ).unionByName(batch_sigs)
+        all_sigs = state_sigs.join(touched, "id", "left_anti").unionByName(
+            batch_sigs
+        )
         cands = within.unionByName(cross).distinct()
         new_pairs = (
             minhash_similarity(all_sigs, cands)
@@ -221,7 +243,7 @@ class DedupIndexState(VersionedState):
         merged_sigs = state_sigs.join(touched, "id", "left_anti").unionByName(
             batch_sigs
         )
-        merged_bands = self.bands().join(touched, "id", "left_anti").unionByName(
+        merged_bands = state_bands.join(touched, "id", "left_anti").unionByName(
             batch_bands
         )
         old_pairs = self.pairs()
@@ -252,18 +274,32 @@ class DedupIndexState(VersionedState):
             # the split-case rebuild reads merged_pairs too — share one
             # materialization between the CC and the snapshot write
             merged_pairs = merged_pairs.localCheckpoint()
-        merged_comps = fold_components_incremental(
-            self.components(),
-            new_pairs,
-            merged_pairs=merged_pairs,
-            changed=changed if has_changed else None,
-        )
-        merged_sigs.write.mode("overwrite").parquet(self._path("signatures", nv))
-        merged_bands.write.mode("overwrite").parquet(self._path("bands", nv))
-        merged_pairs.write.mode("overwrite").parquet(self._path("pairs", nv))
-        merged_comps.write.mode("overwrite").parquet(
-            self._path("components", nv)
-        )
+
+        # the three data snapshot writes are independent of the
+        # component fold — run them beside it (§2.6); the component
+        # write chains after its fold inside the same worker, so the
+        # fold wall is max(writes, CC + comps write), not the sum
+        def _write(df: DataFrame, rel: str) -> None:
+            df.write.mode("overwrite").parquet(self._path(rel, nv))
+
+        def _fold_and_write_comps() -> None:
+            merged_comps = fold_components_incremental(
+                self.components(),
+                new_pairs,
+                merged_pairs=merged_pairs,
+                changed=changed if has_changed else None,
+            )
+            _write(merged_comps, "components")
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(_write, merged_sigs, "signatures"),
+                pool.submit(_write, merged_bands, "bands"),
+                pool.submit(_write, merged_pairs, "pairs"),
+                pool.submit(_fold_and_write_comps),
+            ]
+            for f in futs:
+                f.result()
         self._bump(nv)
         return new_pairs
 

@@ -146,6 +146,8 @@ class MediaDedupIndexState(VersionedState):
         the near-dup pairs this batch surfaced (within-batch + vs
         state).  The batch is decoded ONCE (localCheckpoint) and only
         signatures touch state."""
+        from concurrent.futures import ThreadPoolExecutor
+
         # grid_h derives from n_blocks so the signatures this index
         # builds always match the n_blocks its dhash_pairs calls band —
         # a mismatch would explode to sentinel bands and raise there
@@ -155,88 +157,109 @@ class MediaDedupIndexState(VersionedState):
         ).localCheckpoint()
         state_sigs = self.signatures()
         touched = batch_sigs.select("id").distinct()
-        # split case (module docstring): ids re-ingested with a CHANGED
-        # signature must retract their stale pairs — unchanged re-ingest
-        # re-derives identical pairs, so the retraction stands down and
-        # the fold stays merge-only (touched-sized join, tiny).  The
-        # first fold skips the machinery outright (version pointer read
-        # is free; no state to retract against), and the checkpoint on
-        # `changed` is lazy — the common all-new-ids fold pays one
-        # emptiness probe, nothing more.
         first = self.version() < 0
-        if first:
-            touched_state = None
+        merged_sigs_plan = state_sigs.join(
+            touched, "id", "left_anti"
+        ).unionByName(batch_sigs)
+        batch_counts = band_bucket_counts(
+            batch_sigs, self.band_bytes, self.n_blocks
+        )
+
+        # The merged-signature materialization is independent of the
+        # changed-id probe and the histogram fold — run it on a worker
+        # thread while the main thread walks the state-delta chain
+        # (guide §2.6: overlap independent jobs so the fold wall is the
+        # critical path, not the sum of sequential driver actions).
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_merged_sigs = pool.submit(merged_sigs_plan.localCheckpoint)
+            # split case (module docstring): ids re-ingested with a
+            # CHANGED signature must retract their stale pairs —
+            # unchanged re-ingest re-derives identical pairs, so the
+            # retraction stands down and the fold stays merge-only
+            # (touched-sized join, tiny).  The first fold skips the
+            # machinery outright (version pointer read is free; no
+            # state to retract against); a fold whose touched ids are
+            # all NEW (the common append-only case — one materialized
+            # emptiness probe) skips both the changed probe and the
+            # histogram's retraction leg.
             changed = None
             has_changed = False
-        else:
-            touched_state = state_sigs.join(
-                touched, "id", "semi"
-            ).localCheckpoint()
-            changed = (
-                touched_state.select("id", F.col("dhash").alias("_old"))
-                .join(
-                    batch_sigs.select("id", F.col("dhash").alias("_new")),
-                    "id",
+            if first:
+                merged_counts = batch_counts.localCheckpoint()
+            else:
+                touched_state = state_sigs.join(
+                    touched, "id", "semi"
+                ).localCheckpoint()
+                overlap = not touched_state.isEmpty()
+                if overlap:
+                    changed = (
+                        touched_state.select(
+                            "id", F.col("dhash").alias("_old")
+                        )
+                        .join(
+                            batch_sigs.select(
+                                "id", F.col("dhash").alias("_new")
+                            ),
+                            "id",
+                        )
+                        .where(~F.col("_old").eqNullSafe(F.col("_new")))
+                        .select("id")
+                    )
+                    has_changed = not changed.isEmpty()
+                    if has_changed:
+                        changed = changed.localCheckpoint()
+                # maintain the band-bucket histogram incrementally:
+                # counts only change through buckets the batch touches
+                # (batch bands added, touched ids' old bands
+                # retracted), so the delta is batch-sized and state
+                # only flows through semi/anti joins with the
+                # BROADCAST delta bucket list — never a full-state
+                # groupBy (outer joins can't build their preserved
+                # side, hence the semi + re-sum shape).  The merged
+                # histogram feeds the fold's BATCH-bounded skew scan
+                # (probe_bucket_scan) and the snapshot.  The
+                # retraction leg only exists when some touched id was
+                # already in state.
+                delta = batch_counts
+                if overlap:
+                    delta = batch_counts.unionByName(
+                        band_bucket_counts(
+                            touched_state, self.band_bytes, self.n_blocks
+                        ).select(
+                            "band_no", "band_val", (-F.col("n")).alias("n")
+                        )
+                    )
+                delta = (
+                    delta.groupBy("band_no", "band_val")
+                    .agg(F.sum("n").alias("n"))
+                    .localCheckpoint()
                 )
-                .where(~F.col("_old").eqNullSafe(F.col("_new")))
-                .select("id")
-            )
-            has_changed = not changed.isEmpty()
-            if has_changed:
-                changed = changed.localCheckpoint()
+                prev_counts = self.band_counts()
+                delta_keys = F.broadcast(
+                    delta.select("band_no", "band_val")
+                )
+                updated = (
+                    prev_counts.join(
+                        delta_keys, ["band_no", "band_val"], "semi"
+                    )
+                    .unionByName(delta)
+                    .groupBy("band_no", "band_val")
+                    .agg(F.sum("n").alias("n"))
+                    .where(F.col("n") > 0)
+                )
+                merged_counts = (
+                    prev_counts.join(
+                        delta_keys, ["band_no", "band_val"], "left_anti"
+                    )
+                    .unionByName(updated)
+                    .localCheckpoint()
+                )
+            merged_sigs = f_merged_sigs.result()
+
         # candidates: batch self-pairs + batch vs state, via the probe
         # mode of dhash_pairs — the banded join runs batch-bands ×
         # merged-bands, so accumulated state never re-self-joins (a
         # state-state pair was emitted by an earlier fold)
-        merged_sigs = (
-            state_sigs.join(touched, "id", "left_anti")
-            .unionByName(batch_sigs)
-            .localCheckpoint()
-        )
-        # maintain the band-bucket histogram incrementally: counts only
-        # change through buckets the batch touches (batch bands added,
-        # touched ids' old bands retracted), so the delta is
-        # batch-sized and state only flows through semi/anti joins with
-        # the BROADCAST delta bucket list — never a full-state groupBy
-        # (outer joins can't build their preserved side, hence the
-        # semi + re-sum shape).  The merged histogram feeds the fold's
-        # BATCH-bounded skew scan (probe_bucket_scan) and the snapshot.
-        batch_counts = band_bucket_counts(
-            batch_sigs, self.band_bytes, self.n_blocks
-        )
-        if first:
-            merged_counts = batch_counts.localCheckpoint()
-        else:
-            delta = (
-                batch_counts.unionByName(
-                    band_bucket_counts(
-                        touched_state, self.band_bytes, self.n_blocks
-                    ).select(
-                        "band_no", "band_val", (-F.col("n")).alias("n")
-                    )
-                )
-                .groupBy("band_no", "band_val")
-                .agg(F.sum("n").alias("n"))
-                .localCheckpoint()
-            )
-            prev_counts = self.band_counts()
-            delta_keys = F.broadcast(delta.select("band_no", "band_val"))
-            updated = (
-                prev_counts.join(
-                    delta_keys, ["band_no", "band_val"], "semi"
-                )
-                .unionByName(delta)
-                .groupBy("band_no", "band_val")
-                .agg(F.sum("n").alias("n"))
-                .where(F.col("n") > 0)
-            )
-            merged_counts = (
-                prev_counts.join(
-                    delta_keys, ["band_no", "band_val"], "left_anti"
-                )
-                .unionByName(updated)
-                .localCheckpoint()
-            )
         new_pairs = dhash_pairs(
             merged_sigs,
             max_hamming=self.max_hamming,
@@ -274,24 +297,32 @@ class MediaDedupIndexState(VersionedState):
             # the split-case rebuild reads merged_pairs too — share one
             # materialization between the CC and the snapshot write
             merged_pairs = merged_pairs.localCheckpoint()
-        merged_comps = fold_components_incremental(
-            self.components(),
-            new_pairs,
-            merged_pairs=merged_pairs,
-            changed=changed if has_changed else None,
-        )
-        merged_sigs.write.mode("overwrite").parquet(
-            self._path("signatures", nv)
-        )
-        merged_pairs.write.mode("overwrite").parquet(
-            self._path("pairs", nv)
-        )
-        merged_comps.write.mode("overwrite").parquet(
-            self._path("components", nv)
-        )
-        merged_counts.write.mode("overwrite").parquet(
-            self._path("band_counts", nv)
-        )
+
+        # the three data snapshot writes are independent of the
+        # component fold — run them beside it (§2.6); the component
+        # write chains after its fold in the same worker, so the fold
+        # wall is max(writes, CC + comps write), not the sum
+        def _write(df: DataFrame, rel: str) -> None:
+            df.write.mode("overwrite").parquet(self._path(rel, nv))
+
+        def _fold_and_write_comps() -> None:
+            merged_comps = fold_components_incremental(
+                self.components(),
+                new_pairs,
+                merged_pairs=merged_pairs,
+                changed=changed if has_changed else None,
+            )
+            _write(merged_comps, "components")
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(_write, merged_sigs, "signatures"),
+                pool.submit(_write, merged_pairs, "pairs"),
+                pool.submit(_write, merged_counts, "band_counts"),
+                pool.submit(_fold_and_write_comps),
+            ]
+            for f in futs:
+                f.result()
         self._bump(nv)
         return new_pairs
 
