@@ -212,9 +212,26 @@ class FunnelIndexState(VersionedState):
                 F.col("q1").isNull() | (F.col("t") <= self._horizon())
             )
         disc_upd = rej.groupBy("u", "step").agg(F.max("t").alias("_ad"))
-        pruned = self._cap_orphans(pruned, q, prev_markers, disc_upd, k, qarr)
+        pruned, bad_plan = self._cap_orphans(
+            pruned, q, prev_markers, disc_upd, k, qarr
+        )
         nv = self.version() + 1
-        pruned.write.mode("overwrite").parquet(self._path("times", nv))
+        # the decidability probe and the snapshot write are independent
+        # reads of the same checkpointed fold relations — overlap them
+        # (guide §2.6); an undecidable fold still raises BEFORE the
+        # pointer bump, so no state commits (``_raise_undecidable``)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_bad = pool.submit(bad_plan.collect)
+            f_write = pool.submit(
+                lambda: pruned.write.mode("overwrite").parquet(
+                    self._path("times", nv)
+                )
+            )
+            bad = f_bad.result()
+            f_write.result()
+        self._raise_undecidable(bad)
         if batch_id is None:
             self._bump(nv)
         else:
@@ -333,7 +350,12 @@ class FunnelIndexState(VersionedState):
         no_disc = self.spark.createDataFrame(
             [], "u string, step int, _ad timestamp"
         )
-        rebuilt = self._cap_orphans(pruned, q, no_markers, no_disc, k, qarr)
+        rebuilt, bad_plan = self._cap_orphans(
+            pruned, q, no_markers, no_disc, k, qarr
+        )
+        # the rebuild provably never re-raises (docstring), but the
+        # probe still runs — a broken invariant must stay loud
+        self._raise_undecidable(bad_plan.collect())
         untouched = prev.where(~F.col("u").isin(users))
         out = untouched.unionByName(rebuilt)
         nv = self.version() + 1
@@ -354,9 +376,12 @@ class FunnelIndexState(VersionedState):
         ``max_orphan_times`` smallest times per chain-incomplete
         (u, step), write a (u, -step, bound, discard_max) marker when
         anything was discarded, drop markers whose keys became decidably
-        exact, and raise loudly ONLY on keys whose discard ceiling
-        proves a discarded time could be the true answer
-        (``discard_max > q_{i-1}``).  ``pruned`` carries the q1..qk
+        exact.  Returns ``(capped_relation, bad_plan)`` — ``bad_plan``
+        is the decidability probe (keys whose discard ceiling proves a
+        discarded time could be the true answer,
+        ``discard_max > q_{i-1}``); the caller collects it and feeds
+        ``_raise_undecidable`` BEFORE the version bump, so the
+        exact-or-loud contract is unchanged.  ``pruned`` carries the q1..qk
         columns; ``prev_markers`` is (u, step, _b, _d) with step
         re-positivized; ``disc_upd`` is (u, step, _ad), the per-key max
         of this fold's still-horizon-relevant rejected arrivals."""
@@ -433,25 +458,36 @@ class FunnelIndexState(VersionedState):
             & ~horizon_closed
             & F.coalesce(F.col("_d") > q_prev, F.lit(False))
         )
-        bad = marked.where(undecidable).select("u", "step").limit(3).collect()
-        if bad:
-            keys = ", ".join(f"(u={r['u']}, step={r['step']})" for r in bad)
-            raise ValueError(
-                "funnel index: the step chain resolved beyond the "
-                f"capped orphan prefix for {keys} — times above the "
-                f"kept {cap} smallest were discarded and the true "
-                "next-step time may be among them. Repair with "
-                "repair_users(raw_history, [users...]) — a targeted "
-                "rescan of exactly those users — or raise "
-                "max_orphan_times."
-            )
+        bad_plan = marked.where(undecidable).select("u", "step").limit(3)
         marker_rows = marked.where(~resolved).select(
             "u",
             (-F.col("step")).alias("step"),
             F.col("_b").alias("t"),
             F.col("_d").alias("d"),
         )
-        return solid.unionByName(kept_orphans).unionByName(marker_rows)
+        out = solid.unionByName(kept_orphans).unionByName(marker_rows)
+        return out, bad_plan
+
+    def _raise_undecidable(self, bad: list) -> None:
+        """The exact-or-loud raise for ``_cap_orphans``'s decidability
+        probe.  Callers run the probe's collect and the snapshot write
+        CONCURRENTLY (the write is uncommitted until ``_bump``, so an
+        undecidable fold still raises before any state becomes
+        visible — the crash-safe pointer swap already tolerates laid-
+        down-but-unreferenced ``v{N}`` files)."""
+        if not bad:
+            return
+        cap = self.max_orphan_times
+        keys = ", ".join(f"(u={r['u']}, step={r['step']})" for r in bad)
+        raise ValueError(
+            "funnel index: the step chain resolved beyond the "
+            f"capped orphan prefix for {keys} — times above the "
+            f"kept {cap} smallest were discarded and the true "
+            "next-step time may be among them. Repair with "
+            "repair_users(raw_history, [users...]) — a targeted "
+            "rescan of exactly those users — or raise "
+            "max_orphan_times."
+        )
 
     def counts(self, version: int | None = None) -> DataFrame:
         """The funnel answer from state alone — identical shape and

@@ -287,12 +287,28 @@ class HeavyHittersIndexState(VersionedState):
         floor0: int,
         folds: int,
     ) -> int:
+        # the three relations are independent once their shared input
+        # is materialized — write them concurrently (guide §2.6); all
+        # complete before the caller's single pointer bump, so the
+        # crash-consistency story is unchanged
+        from concurrent.futures import ThreadPoolExecutor
+
         nv = self.version() + 1
-        counters.write.mode("overwrite").parquet(self._path("counters", nv))
-        cands.write.mode("overwrite").parquet(self._path("candidates", nv))
-        self.spark.createDataFrame(
+
+        def _write(df: DataFrame, rel: str) -> None:
+            df.write.mode("overwrite").parquet(self._path(rel, nv))
+
+        meta = self.spark.createDataFrame(
             [(int(floor0), int(folds))], _META_SCHEMA
-        ).write.mode("overwrite").parquet(self._path("meta", nv))
+        )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_write, counters, "counters"),
+                pool.submit(_write, cands, "candidates"),
+                pool.submit(_write, meta, "meta"),
+            ]
+            for f in futs:
+                f.result()
         self._meta_cache = (nv, int(floor0), int(folds))
         return nv
 
@@ -305,7 +321,12 @@ class HeavyHittersIndexState(VersionedState):
     ) -> None:
         if batch_id is not None and batch_id <= self.last_batch(scope):
             return
-        vals = df.select(F.col(value_col).cast("string").alias("value"))
+        # checkpointed ONCE: the counter write and the candidate write
+        # both aggregate this projection — without it each write job
+        # re-runs the upstream scan + filter
+        vals = df.select(
+            F.col(value_col).cast("string").alias("value")
+        ).localCheckpoint(eager=True)
         batch_sketch = cms_sketch(vals, "value", self.depth, self.width,
                                   self.prefix).select(
             "d", "bucket", F.col("cnt").cast("long").alias("cnt")
