@@ -103,14 +103,36 @@ class SampleIndexState(VersionedState):
         state = self.sample()
         # executable upsert boundary (module docstring): an in-sample id
         # re-ingested with a WORSE priority key invalidates min-k state
-        offenders = (
+        offenders_plan = (
             state.join(batch.withColumnRenamed("priority_key", "_new"),
                        "id")
             .where(F.col("_new") > F.col("priority_key"))
             .orderBy("id")
             .limit(10)
-            .collect()
         )
+        merged = (
+            state.join(batch.select("id"), "id", "left_anti")
+            .unionByName(batch)
+            .orderBy("priority_key", "id")
+            .limit(self.k)
+        )
+        nv = self.version() + 1
+        # the boundary probe and the snapshot write are independent
+        # reads of the checkpointed batch + k-row state — overlap them
+        # (guide §2.6); a boundary violation still raises BEFORE the
+        # pointer bump, so no state commits (the crash-safe swap
+        # tolerates laid-down-but-unreferenced snapshot dirs)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_off = pool.submit(offenders_plan.collect)
+            f_write = pool.submit(
+                lambda: merged.write.mode("overwrite").parquet(
+                    self._path("sample", nv)
+                )
+            )
+            offenders = f_off.result()
+            f_write.result()
         if offenders:
             names = ", ".join(
                 f"{r['id']}({r['priority_key']}->{r['_new']})"
@@ -124,14 +146,6 @@ class SampleIndexState(VersionedState):
                 f"rebuild(full_history, weight) (exact rescan) or "
                 f"ingest content-stable ids."
             )
-        merged = (
-            state.join(batch.select("id"), "id", "left_anti")
-            .unionByName(batch)
-            .orderBy("priority_key", "id")
-            .limit(self.k)
-        )
-        nv = self.version() + 1
-        merged.write.mode("overwrite").parquet(self._path("sample", nv))
         self._bump(nv)
 
     def rebuild(
