@@ -84,6 +84,22 @@ class CountsIndexState(VersionedState):
                 F.count(F.lit(1)).alias("cnt"), F.sum("_v").alias("sv")
             )
         )
+        if self.version() < 0:
+            # bootstrap fold: a full-outer merge against the empty
+            # counter relation is the identity on the batch rollup
+            # (cnt = 0 + batch cnt; sv keeps the batch's NULL-ness) —
+            # write the rollup itself and keep the first fold's plan
+            # free of the dead empty-side join
+            merged = batch
+            nv = self.version() + 1
+            merged.write.mode("overwrite").parquet(
+                self._path("counts", nv)
+            )
+            if batch_id is None:
+                self._bump(nv)
+            else:
+                self._bump(nv, batch_id, scope)
+            return batch
         merged = (
             self.counts()
             .select(

@@ -211,26 +211,38 @@ class DedupIndexState(VersionedState):
             .select("lid", "rid")
             .distinct()
         )
-        # cross candidates: batch vs state (state never re-self-joins)
-        cross = (
-            batch_bands.select(
-                F.col("id").alias("lid"), "band", "band_key"
+        if first:
+            # bootstrap fold (empty state): the cross join against the
+            # empty state bands, the anti-join signature merge and the
+            # pair-log union below are all identities — candidates are
+            # the within-batch pairs alone and the signature relation is
+            # the batch itself, keeping the first fold's plans free of
+            # dead empty-side subtrees (the measured fold-1 anomaly)
+            all_sigs = batch_sigs
+            cands = within
+        else:
+            # cross candidates: batch vs state (state never re-self-joins)
+            cross = (
+                batch_bands.select(
+                    F.col("id").alias("lid"), "band", "band_key"
+                )
+                .join(
+                    state_bands.select(
+                        F.col("id").alias("rid"), "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+                .where(F.col("lid") != F.col("rid"))
+                .select(
+                    F.least("lid", "rid").alias("lid"),
+                    F.greatest("lid", "rid").alias("rid"),
+                )
+                .distinct()
             )
-            .join(
-                state_bands.select(F.col("id").alias("rid"), "band", "band_key"),
-                ["band", "band_key"],
-            )
-            .where(F.col("lid") != F.col("rid"))
-            .select(
-                F.least("lid", "rid").alias("lid"),
-                F.greatest("lid", "rid").alias("rid"),
-            )
-            .distinct()
-        )
-        all_sigs = state_sigs.join(touched, "id", "left_anti").unionByName(
-            batch_sigs
-        )
-        cands = within.unionByName(cross).distinct()
+            all_sigs = state_sigs.join(
+                touched, "id", "left_anti"
+            ).unionByName(batch_sigs)
+            cands = within.unionByName(cross).distinct()
         new_pairs = (
             minhash_similarity(all_sigs, cands)
             .where(F.col("est_jaccard") >= self.threshold)
@@ -240,29 +252,38 @@ class DedupIndexState(VersionedState):
         # upsert-by-document + pair-log refresh, then swap the pointer
         v = self.version()
         nv = v + 1
-        merged_sigs = state_sigs.join(touched, "id", "left_anti").unionByName(
-            batch_sigs
-        )
-        merged_bands = state_bands.join(touched, "id", "left_anti").unionByName(
-            batch_bands
-        )
-        old_pairs = self.pairs()
-        if has_changed:
-            # retract every pair touching a changed id; the batch join
-            # has already re-derived the live ones (every pair with a
-            # batch-side endpoint), so retract-then-append is exact
-            old_pairs = old_pairs.join(
-                changed.select(F.col("id").alias("lid")), "lid",
-                "left_anti",
-            ).join(
-                changed.select(F.col("id").alias("rid")), "rid",
-                "left_anti",
+        if first:
+            # all three merges are identities over the batch relations
+            # (empty state side); new_pairs is (lid, rid)-unique by the
+            # similarity groupBy, so the max-merge is one too
+            merged_sigs = batch_sigs
+            merged_bands = batch_bands
+            merged_pairs = new_pairs
+        else:
+            merged_sigs = state_sigs.join(
+                touched, "id", "left_anti"
+            ).unionByName(batch_sigs)
+            merged_bands = state_bands.join(
+                touched, "id", "left_anti"
+            ).unionByName(batch_bands)
+            old_pairs = self.pairs()
+            if has_changed:
+                # retract every pair touching a changed id; the batch
+                # join has already re-derived the live ones (every pair
+                # with a batch-side endpoint), so retract-then-append
+                # is exact
+                old_pairs = old_pairs.join(
+                    changed.select(F.col("id").alias("lid")), "lid",
+                    "left_anti",
+                ).join(
+                    changed.select(F.col("id").alias("rid")), "rid",
+                    "left_anti",
+                )
+            merged_pairs = (
+                old_pairs.unionByName(new_pairs)
+                .groupBy("lid", "rid")
+                .agg(F.max("est_jaccard").alias("est_jaccard"))
             )
-        merged_pairs = (
-            old_pairs.unionByName(new_pairs)
-            .groupBy("lid", "rid")
-            .agg(F.max("est_jaccard").alias("est_jaccard"))
-        )
         # incremental component fold: star-compression merge, or the
         # bounded G10 split-case rebuild when signatures changed
         # (module docstring has both exactness arguments)
@@ -283,12 +304,23 @@ class DedupIndexState(VersionedState):
             df.write.mode("overwrite").parquet(self._path(rel, nv))
 
         def _fold_and_write_comps() -> None:
-            merged_comps = fold_components_incremental(
-                self.components(),
-                new_pairs,
-                merged_pairs=merged_pairs,
-                changed=changed if has_changed else None,
-            )
+            if first:
+                # empty previous mapping: the star union is empty, so
+                # the merge fold IS plain CC over the new pairs
+                from nomenklatura_spark.resolver.components import (
+                    connected_components,
+                )
+
+                merged_comps = connected_components(
+                    new_pairs.select("lid", "rid"), src="lid", dst="rid"
+                )
+            else:
+                merged_comps = fold_components_incremental(
+                    self.components(),
+                    new_pairs,
+                    merged_pairs=merged_pairs,
+                    changed=changed if has_changed else None,
+                )
             _write(merged_comps, "components")
 
         with ThreadPoolExecutor(max_workers=4) as pool:

@@ -159,33 +159,53 @@ class FunnelIndexState(VersionedState):
         if batch_id is not None and batch_id <= self.last_batch(scope):
             return self.spark.createDataFrame([], _TIMES_SCHEMA)
         batch = self._route(df, user_col, ts_col, type_col)
-        prev = self.times()
-        prev_markers = prev.where(F.col("step") < 0).select(
-            "u",
-            (-F.col("step")).alias("step"),
-            F.col("t").alias("_b"),
-            F.col("d").alias("_d"),
-        )
-        unioned = (
-            prev.where(F.col("step") > 0)
-            .select("u", "step", "t")
-            .unionByName(batch)
-            .distinct()
-        )
-        # Cap invariant across folds: a MARKED key (some larger times
-        # already discarded) must never re-admit an arrival above its
-        # bound — otherwise a later chain could resolve to the arrival
-        # while a discarded smaller time was the true answer, and the
-        # decidability check below would pass silently.  Such arrivals
-        # join the discarded set; the REJECTED side is kept so its
-        # maximum can extend the marker's discard ceiling below.
-        # Checkpointed ONCE, bound column included: the admitted side,
-        # the rejected side, the q derivation and the prune are all
-        # filters/joins over this materialization — without it the
-        # distinct shuffle re-runs in every action of the fold.
-        joined = unioned.join(
-            prev_markers.select("u", "step", "_b"), ["u", "step"], "left"
-        ).localCheckpoint(eager=True)
+        bootstrap = self.version() < 0
+        if bootstrap:
+            # Bootstrap fold (empty state): the union with prev, the
+            # marker join, the rejected side and the discard update are
+            # all provably degenerate (left join against an empty side
+            # keeps every row with a NULL bound; nothing can be
+            # rejected; there are no prior markers).  Building the fold
+            # WITHOUT the empty-relation joins keeps the plans that
+            # every downstream action re-analyzes (the q derivation,
+            # the prune, the probe, the state write) free of dead
+            # empty-side join subtrees — measured ~0.8s/fold locally,
+            # the "fold 1 hotter than folds 2-3" anomaly (guide §1.2:
+            # fix the plan, not the config).
+            joined = (
+                batch.distinct()
+                .withColumn("_b", F.lit(None).cast("timestamp"))
+                .localCheckpoint(eager=True)
+            )
+            prev_markers = None
+        else:
+            prev = self.times()
+            prev_markers = prev.where(F.col("step") < 0).select(
+                "u",
+                (-F.col("step")).alias("step"),
+                F.col("t").alias("_b"),
+                F.col("d").alias("_d"),
+            )
+            unioned = (
+                prev.where(F.col("step") > 0)
+                .select("u", "step", "t")
+                .unionByName(batch)
+                .distinct()
+            )
+            # Cap invariant across folds: a MARKED key (some larger times
+            # already discarded) must never re-admit an arrival above its
+            # bound — otherwise a later chain could resolve to the arrival
+            # while a discarded smaller time was the true answer, and the
+            # decidability check below would pass silently.  Such arrivals
+            # join the discarded set; the REJECTED side is kept so its
+            # maximum can extend the marker's discard ceiling below.
+            # Checkpointed ONCE, bound column included: the admitted side,
+            # the rejected side, the q derivation and the prune are all
+            # filters/joins over this materialization — without it the
+            # distinct shuffle re-runs in every action of the fold.
+            joined = unioned.join(
+                prev_markers.select("u", "step", "_b"), ["u", "step"], "left"
+            ).localCheckpoint(eager=True)
         merged = joined.where(
             F.col("_b").isNull() | (F.col("t") <= F.col("_b"))
         ).drop("_b")
@@ -206,12 +226,15 @@ class FunnelIndexState(VersionedState):
         # irrelevant and must NOT raise the discard ceiling; with q1
         # still unknown the horizon is unknown, so include them
         # conservatively
-        rej = rejected.join(q.select("u", "q1"), "u", "left")
-        if self.within is not None:
-            rej = rej.where(
-                F.col("q1").isNull() | (F.col("t") <= self._horizon())
-            )
-        disc_upd = rej.groupBy("u", "step").agg(F.max("t").alias("_ad"))
+        if bootstrap:
+            disc_upd = None
+        else:
+            rej = rejected.join(q.select("u", "q1"), "u", "left")
+            if self.within is not None:
+                rej = rej.where(
+                    F.col("q1").isNull() | (F.col("t") <= self._horizon())
+                )
+            disc_upd = rej.groupBy("u", "step").agg(F.max("t").alias("_ad"))
         pruned, bad_plan = self._cap_orphans(
             pruned, q, prev_markers, disc_upd, k, qarr
         )
@@ -344,14 +367,8 @@ class FunnelIndexState(VersionedState):
         k = len(self.steps)
         qarr = F.array(*[F.col(f"q{i}") for i in range(1, k + 1)])
         pruned = self._pruned(full, q, k, qarr)
-        no_markers = self.spark.createDataFrame(
-            [], "u string, step int, _b timestamp, _d timestamp"
-        )
-        no_disc = self.spark.createDataFrame(
-            [], "u string, step int, _ad timestamp"
-        )
         rebuilt, bad_plan = self._cap_orphans(
-            pruned, q, no_markers, no_disc, k, qarr
+            pruned, q, None, None, k, qarr
         )
         # the rebuild provably never re-raises (docstring), but the
         # probe still runs — a broken invariant must stay loud
@@ -367,8 +384,8 @@ class FunnelIndexState(VersionedState):
         self,
         pruned: DataFrame,
         q: DataFrame,
-        prev_markers: DataFrame,
-        disc_upd: DataFrame,
+        prev_markers: DataFrame | None,
+        disc_upd: DataFrame | None,
         k: int,
         qarr,
     ) -> DataFrame:
@@ -420,19 +437,33 @@ class FunnelIndexState(VersionedState):
             F.element_at("_ts", cap).alias("_nb"),
             F.element_at("_ts", -1).alias("_nd"),
         )
-        markers = (
-            prev_markers.join(new_markers, ["u", "step"], "full_outer")
-            .join(disc_upd, ["u", "step"], "left")
-            .select(
+        if prev_markers is None and disc_upd is None:
+            # no prior markers and nothing rejected (the bootstrap fold,
+            # and repair_users' from-scratch rebuild): the full-outer /
+            # left joins below degenerate to the new markers themselves
+            # (least(NULL, b) = b, greatest(NULL, d, NULL) = d) — build
+            # them directly so no empty-side join subtree rides into the
+            # probe plan
+            markers = new_markers.select(
                 "u",
                 "step",
-                # the bound only ever lowers; the ceiling only rises
-                F.least(F.col("_b"), F.col("_nb")).alias("_b"),
-                F.greatest(
-                    F.col("_d"), F.col("_nd"), F.col("_ad")
-                ).alias("_d"),
+                F.col("_nb").alias("_b"),
+                F.col("_nd").alias("_d"),
             )
-        )
+        else:
+            markers = (
+                prev_markers.join(new_markers, ["u", "step"], "full_outer")
+                .join(disc_upd, ["u", "step"], "left")
+                .select(
+                    "u",
+                    "step",
+                    # the bound only ever lowers; the ceiling only rises
+                    F.least(F.col("_b"), F.col("_nb")).alias("_b"),
+                    F.greatest(
+                        F.col("_d"), F.col("_nd"), F.col("_ad")
+                    ).alias("_d"),
+                )
+            )
         # decidability per marked key, against the marker's own bound
         # and discard ceiling.  No isEmpty() pre-check: the collect
         # below is the same one driver action, and an empty marker

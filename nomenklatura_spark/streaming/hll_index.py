@@ -74,12 +74,19 @@ class HllIndexState(VersionedState):
             self.p,
             self.prefix,
         ).select("key", "bucket", F.col("reg").cast("int").alias("reg"))
-        merged = (
-            self.registers()
-            .unionByName(batch)
-            .groupBy("key", "bucket")
-            .agg(F.max("reg").alias("reg"))
-        )
+        if self.version() < 0:
+            # bootstrap fold: hll_registers is already (key, bucket)-
+            # unique (it ends in that groupBy), so the union with the
+            # empty register relation and the max-merge are an identity
+            # — keep the first fold's plan as lean as a steady-state one
+            merged = batch
+        else:
+            merged = (
+                self.registers()
+                .unionByName(batch)
+                .groupBy("key", "bucket")
+                .agg(F.max("reg").alias("reg"))
+            )
         nv = self.version() + 1
         merged.write.mode("overwrite").parquet(self._path("registers", nv))
         if batch_id is None:

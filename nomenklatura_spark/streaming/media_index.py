@@ -158,35 +158,44 @@ class MediaDedupIndexState(VersionedState):
         state_sigs = self.signatures()
         touched = batch_sigs.select("id").distinct()
         first = self.version() < 0
-        merged_sigs_plan = state_sigs.join(
-            touched, "id", "left_anti"
-        ).unionByName(batch_sigs)
         batch_counts = band_bucket_counts(
             batch_sigs, self.band_bytes, self.n_blocks
         )
 
-        # The merged-signature materialization is independent of the
-        # changed-id probe and the histogram fold — run it on a worker
-        # thread while the main thread walks the state-delta chain
-        # (guide §2.6: overlap independent jobs so the fold wall is the
-        # critical path, not the sum of sequential driver actions).
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            f_merged_sigs = pool.submit(merged_sigs_plan.localCheckpoint)
-            # split case (module docstring): ids re-ingested with a
-            # CHANGED signature must retract their stale pairs —
-            # unchanged re-ingest re-derives identical pairs, so the
-            # retraction stands down and the fold stays merge-only
-            # (touched-sized join, tiny).  The first fold skips the
-            # machinery outright (version pointer read is free; no
-            # state to retract against); a fold whose touched ids are
-            # all NEW (the common append-only case — one materialized
-            # emptiness probe) skips both the changed probe and the
-            # histogram's retraction leg.
+        if first:
+            # bootstrap fold (empty state): the anti-join signature
+            # merge is the batch itself — and the batch is ALREADY
+            # checkpointed, so the merged-signature materialization
+            # pass disappears outright; no probe, no retraction leg
             changed = None
             has_changed = False
-            if first:
-                merged_counts = batch_counts.localCheckpoint()
-            else:
+            merged_sigs = batch_sigs
+            merged_counts = batch_counts.localCheckpoint()
+        else:
+            merged_sigs_plan = state_sigs.join(
+                touched, "id", "left_anti"
+            ).unionByName(batch_sigs)
+
+            # The merged-signature materialization is independent of the
+            # changed-id probe and the histogram fold — run it on a
+            # worker thread while the main thread walks the state-delta
+            # chain (guide §2.6: overlap independent jobs so the fold
+            # wall is the critical path, not the sum of sequential
+            # driver actions).
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                f_merged_sigs = pool.submit(
+                    merged_sigs_plan.localCheckpoint
+                )
+                # split case (module docstring): ids re-ingested with a
+                # CHANGED signature must retract their stale pairs —
+                # unchanged re-ingest re-derives identical pairs, so the
+                # retraction stands down and the fold stays merge-only
+                # (touched-sized join, tiny).  A fold whose touched ids
+                # are all NEW (the common append-only case — one
+                # materialized emptiness probe) skips both the changed
+                # probe and the histogram's retraction leg.
+                changed = None
+                has_changed = False
                 touched_state = state_sigs.join(
                     touched, "id", "semi"
                 ).localCheckpoint()
@@ -272,23 +281,29 @@ class MediaDedupIndexState(VersionedState):
 
         v = self.version()
         nv = v + 1
-        old_pairs = self.pairs()
-        if has_changed:
-            # retract every pair touching a changed id; the probe has
-            # already re-derived the live ones (every pair with a
-            # batch-side endpoint), so retract-then-append is exact
-            old_pairs = old_pairs.join(
-                changed.select(F.col("id").alias("lid")), "lid",
-                "left_anti",
-            ).join(
-                changed.select(F.col("id").alias("rid")), "rid",
-                "left_anti",
+        if first:
+            # empty pair log: the union / min-merge is an identity
+            # (dhash_pairs is (lid, rid)-distinct)
+            merged_pairs = new_pairs
+        else:
+            old_pairs = self.pairs()
+            if has_changed:
+                # retract every pair touching a changed id; the probe
+                # has already re-derived the live ones (every pair with
+                # a batch-side endpoint), so retract-then-append is
+                # exact
+                old_pairs = old_pairs.join(
+                    changed.select(F.col("id").alias("lid")), "lid",
+                    "left_anti",
+                ).join(
+                    changed.select(F.col("id").alias("rid")), "rid",
+                    "left_anti",
+                )
+            merged_pairs = (
+                old_pairs.unionByName(new_pairs)
+                .groupBy("lid", "rid")
+                .agg(F.min("hamming").alias("hamming"))
             )
-        merged_pairs = (
-            old_pairs.unionByName(new_pairs)
-            .groupBy("lid", "rid")
-            .agg(F.min("hamming").alias("hamming"))
-        )
         from nomenklatura_spark.resolver.components import (
             fold_components_incremental,
         )
@@ -306,12 +321,23 @@ class MediaDedupIndexState(VersionedState):
             df.write.mode("overwrite").parquet(self._path(rel, nv))
 
         def _fold_and_write_comps() -> None:
-            merged_comps = fold_components_incremental(
-                self.components(),
-                new_pairs,
-                merged_pairs=merged_pairs,
-                changed=changed if has_changed else None,
-            )
+            if first:
+                # empty previous mapping: the star union is empty, so
+                # the merge fold IS plain CC over the new pairs
+                from nomenklatura_spark.resolver.components import (
+                    connected_components,
+                )
+
+                merged_comps = connected_components(
+                    new_pairs.select("lid", "rid"), src="lid", dst="rid"
+                )
+            else:
+                merged_comps = fold_components_incremental(
+                    self.components(),
+                    new_pairs,
+                    merged_pairs=merged_pairs,
+                    changed=changed if has_changed else None,
+                )
             _write(merged_comps, "components")
 
         with ThreadPoolExecutor(max_workers=4) as pool:

@@ -67,7 +67,13 @@ class RetentionIndexState(VersionedState):
             F.col(user_col).cast("string").alias("u"),
             F.to_date(ts_col).alias("day"),
         ).where(F.col("day").isNotNull())
-        merged = self.presence().unionByName(batch).distinct()
+        if self.version() < 0:
+            # bootstrap fold: no state to union — distinct the batch
+            # alone (identical set; keeps the empty-side union out of
+            # the first fold's plan)
+            merged = batch.distinct()
+        else:
+            merged = self.presence().unionByName(batch).distinct()
         nv = self.version() + 1
         merged.write.mode("overwrite").parquet(self._path("presence", nv))
         if batch_id is None:

@@ -100,6 +100,19 @@ class SampleIndexState(VersionedState):
             )
             .localCheckpoint()
         )
+        if self.version() < 0:
+            # bootstrap fold (empty state): nothing can offend the
+            # upsert boundary (no in-sample ids exist) and the anti-join
+            # union degenerates to the batch itself — write the min-k of
+            # the batch alone, keeping the first fold's plan free of
+            # empty-state join subtrees (the measured fold-1 anomaly)
+            merged = batch.orderBy("priority_key", "id").limit(self.k)
+            nv = self.version() + 1
+            merged.write.mode("overwrite").parquet(
+                self._path("sample", nv)
+            )
+            self._bump(nv)
+            return
         state = self.sample()
         # executable upsert boundary (module docstring): an in-sample id
         # re-ingested with a WORSE priority key invalidates min-k state

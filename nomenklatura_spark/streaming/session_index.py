@@ -166,16 +166,26 @@ class SessionIndexState(VersionedState):
             F.lit(1).cast("bigint").alias("n"),
             val.alias("sv"),
         ).where(F.col("s").isNotNull())
-        touched = batch.select("u").distinct()
-        prev = self.sessions()
-        # checkpointed ONCE: the offender pre-count and the windowed
-        # fold both read this materialization — otherwise the semi-join
-        # union is computed twice per fold (once per action)
-        fold_input = (
-            prev.join(touched, "u", "left_semi")
-            .unionByName(batch)
-            .localCheckpoint(eager=True)
-        )
+        bootstrap = self.version() < 0
+        if bootstrap:
+            # bootstrap fold (empty state): the touched semi-join, the
+            # union with prev and the pass-through anti-join are all
+            # degenerate — fold the batch alone, keeping the first
+            # fold's plans free of empty-state join subtrees (the
+            # measured fold-1 anomaly); the offender bound still runs
+            prev = touched = None
+            fold_input = batch.localCheckpoint(eager=True)
+        else:
+            touched = batch.select("u").distinct()
+            prev = self.sessions()
+            # checkpointed ONCE: the offender pre-count and the windowed
+            # fold both read this materialization — otherwise the
+            # semi-join union is computed twice per fold (one per action)
+            fold_input = (
+                prev.join(touched, "u", "left_semi")
+                .unionByName(batch)
+                .localCheckpoint(eager=True)
+            )
         offenders = (
             fold_input.groupBy("u")
             .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -194,9 +204,11 @@ class SessionIndexState(VersionedState):
                 f"(top 10 shown); filter or cap those users upstream, "
                 f"or raise the bound if the executors have the memory"
             )
-        folded = fold_session_intervals(
-            fold_input, self.gap_seconds
-        ).unionByName(prev.join(touched, "u", "left_anti"))
+        folded = fold_session_intervals(fold_input, self.gap_seconds)
+        if not bootstrap:
+            folded = folded.unionByName(
+                prev.join(touched, "u", "left_anti")
+            )
         nv = self.version() + 1
         folded.write.mode("overwrite").parquet(self._path("sessions", nv))
         if batch_id is None:

@@ -72,12 +72,20 @@ class CmsIndexState(VersionedState):
         batch = cms_sketch(
             df, value_col, self.depth, self.width, self.prefix, weight_col
         ).select("d", "bucket", F.col("cnt").cast("long").alias("cnt"))
-        merged = (
-            self.counters()
-            .unionByName(batch)
-            .groupBy("d", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
+        if self.version() < 0:
+            # bootstrap fold: the sketch is already (d, bucket)-unique
+            # (cms_sketch ends in that groupBy), so the union with the
+            # empty counter relation and the re-aggregate are an
+            # identity — skip them and keep the first fold's plan as
+            # lean as a steady-state one (the measured fold-1 anomaly)
+            merged = batch
+        else:
+            merged = (
+                self.counters()
+                .unionByName(batch)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
         nv = self.version() + 1
         merged.write.mode("overwrite").parquet(self._path("counters", nv))
         if batch_id is None:
@@ -142,12 +150,17 @@ class HistIndexState(VersionedState):
             self.bounds(),
             self.n_bins,
         ).select("key", "bin", F.col("cnt").cast("long").alias("cnt"))
-        merged = (
-            self.bins()
-            .unionByName(batch)
-            .groupBy("key", "bin")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
+        if self.version() < 0:
+            # bootstrap fold: hist_sketch is (key, bin)-unique — the
+            # empty-union re-aggregate is an identity (see CmsIndexState)
+            merged = batch
+        else:
+            merged = (
+                self.bins()
+                .unionByName(batch)
+                .groupBy("key", "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
         nv = self.version() + 1
         merged.write.mode("overwrite").parquet(self._path("bins", nv))
         if batch_id is None:
@@ -331,19 +344,27 @@ class HeavyHittersIndexState(VersionedState):
                                   self.prefix).select(
             "d", "bucket", F.col("cnt").cast("long").alias("cnt")
         )
-        merged = (
-            self.counters()
-            .unionByName(batch_sketch)
-            .groupBy("d", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
         local_heavy = (
             vals.groupBy("value")
             .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") >= self.local_threshold)
             .select("value")
         )
-        cands = self.candidates().union(local_heavy).distinct()
+        if self.version() < 0:
+            # bootstrap fold: the sketch is (d, bucket)-unique and the
+            # local-heavy keys are groupBy-distinct, so the empty-state
+            # unions / re-aggregates are identities — skip them (the
+            # measured fold-1 anomaly, see CmsIndexState.apply_batch)
+            merged = batch_sketch
+            cands = local_heavy
+        else:
+            merged = (
+                self.counters()
+                .unionByName(batch_sketch)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            cands = self.candidates().union(local_heavy).distinct()
         floor0, folds = self._floor_meta()
         nv = self._write_all(merged, cands, floor0, folds + 1)
         if batch_id is None:
