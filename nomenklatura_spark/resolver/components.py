@@ -133,11 +133,23 @@ def fold_components_incremental(
     mapping — the incremental leg of the dedup indexes (§2.12).
 
     Merge case (``changed`` is None — nothing was retracted): pairs are
-    append-only, so components can only MERGE — run CC over the
-    previous mapping compressed to STARS (component → node edges) plus
-    only the new pairs, O(mapping + batch).  Exact because the star
-    graph has the same connected partition as the full pair log and
-    min-id labels compose (``streaming/dedup_index.py`` docstring).
+    append-only, so components can only MERGE.  The batch pairs are
+    CONTRACTED through the previous mapping first (endpoint → its old
+    component; endpoints the mapping has never seen ride as
+    themselves), CC runs on that BATCH-sized component graph alone, and
+    the previous mapping is composed with the resulting relabel map in
+    one broadcast join — the mapping itself never re-enters CC's
+    symmetrize/contract shuffles (r11: the earlier shape ran CC over
+    the star-compressed mapping plus the batch, re-shuffling
+    O(mapping) every fold; this one shuffles O(batch) and touches the
+    mapping with a single map-side join).  Exact by the contraction
+    argument: CC of the quotient graph mirrors CC of old ∪ new (merges
+    only happen along edges), and min-id labels compose — an old
+    component's label IS its minimum member id, so the min over a
+    merged group's component labels and raw new ids equals the min
+    over all its members, bit-identical to a from-scratch run
+    (pytest-pinned incremental-equals-scratch in
+    ``tests/test_dedup_index.py`` / ``tests/test_media_index.py``).
 
     Split case (``changed`` = the ids whose signatures changed this
     fold, their stale pairs already RETRACTED from ``merged_pairs``):
@@ -159,14 +171,51 @@ def fold_components_incremental(
     ``tests/test_media_index.py`` / ``tests/test_dedup_index.py``).
     """
     if changed is None:
-        star = prev.select(
-            F.col("component").alias("lid"), F.col("node").alias("rid")
+        lmap = prev.select(
+            F.col("node").alias("lid"), F.col("component").alias("_lc")
         )
-        return connected_components(
-            star.unionByName(new_pairs.select("lid", "rid")),
-            src="lid",
-            dst="rid",
+        rmap = prev.select(
+            F.col("node").alias("rid"), F.col("component").alias("_rc")
         )
+        cj = (
+            new_pairs.select("lid", "rid")
+            .join(lmap, "lid", "left")
+            .join(rmap, "rid", "left")
+        )
+        contracted = cj.select(
+            F.coalesce("_lc", "lid").alias("lid"),
+            F.coalesce("_rc", "rid").alias("rid"),
+        )
+        # batch-sized CC over the component graph; every old component
+        # id is itself a node of ``prev`` (label = min member), so the
+        # relabel step below reaches it through its component column
+        merge_labels = connected_components(
+            contracted, src="lid", dst="rid"
+        )
+        step = merge_labels.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("_nc"),
+        )
+        relabeled = prev.join(step, "component", "left").select(
+            "node", F.coalesce("_nc", "component").alias("component")
+        )
+        # endpoints the previous mapping had never seen enter as new
+        # rows — identified at contraction time (their map join missed),
+        # so no anti-join against the mapping-sized relation is needed
+        new_ids = (
+            cj.where(F.col("_lc").isNull())
+            .select(F.col("lid").alias("node"))
+            .union(
+                cj.where(F.col("_rc").isNull()).select(
+                    F.col("rid").alias("node")
+                )
+            )
+            .distinct()
+        )
+        new_nodes = merge_labels.join(new_ids, "node", "semi").select(
+            "node", "component"
+        )
+        return relabeled.unionByName(new_nodes)
     if merged_pairs is None:
         raise ValueError(
             "fold_components_incremental: the split case needs the "
