@@ -216,6 +216,56 @@ def test_components_match_union_find_on_random_graphs(spark):
         assert got == expected, f"seed {seed}"
 
 
+def test_merge_fold_contraction_equals_scratch(spark):
+    """The merge case of fold_components_incremental (r11: batch pairs
+    contracted through the previous mapping, CC on the quotient graph
+    only) must stay bit-identical to a from-scratch connected_components
+    over the full pair log — including batches that merge existing
+    components across the mapping, introduce brand-new nodes, and add
+    pairs entirely inside one component (no-op relabels)."""
+    import random
+
+    from nomenklatura_spark.resolver.components import (
+        connected_components,
+        fold_components_incremental,
+    )
+
+    for seed in (5, 41):
+        rnd = random.Random(seed)
+        nodes = [f"n{i:03d}" for i in range(50)]
+        batches = []
+        for b in range(3):
+            # later batches reuse earlier nodes (merges + intra-component
+            # no-ops) and mint unseen ones (new-endpoint path)
+            pool = nodes[: 20 + 15 * b]
+            batch = [
+                (rnd.choice(pool), rnd.choice(pool)) for _ in range(12)
+            ]
+            batches.append([(a, c) for a, c in batch if a != c])
+
+        mapping = None
+        log = []
+        for batch in batches:
+            log.extend(batch)
+            bdf = spark.createDataFrame(batch, "lid string, rid string")
+            if mapping is None:
+                mapping = connected_components(bdf, src="lid", dst="rid")
+            else:
+                mapping = fold_components_incremental(mapping, bdf)
+            mapping = mapping.localCheckpoint(eager=True)
+            scratch = connected_components(
+                spark.createDataFrame(log, "lid string, rid string"),
+                src="lid",
+                dst="rid",
+            )
+            got = {r["node"]: r["component"] for r in mapping.collect()}
+            want = {r["node"]: r["component"] for r in scratch.collect()}
+            assert got == want, f"seed {seed}"
+            # the fold must emit each node exactly once (a mapping, not
+            # a multiset)
+            assert len(mapping.collect()) == len(got), f"seed {seed}"
+
+
 def test_get_candidates_excludes_decided_and_ranks(spark):
     from nomenklatura_spark.resolver.edges import get_candidates
 
