@@ -162,18 +162,25 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Best-of-3 per query: one bench run shares the machine with the
-    # round driver's own periodic jobs, and a single timing regularly
-    # absorbs a transient CPU-contention spike (observed 3-6x on
-    # individual queries, fast again in isolation; the round-4 numbers
-    # were 18% contention artifacts end to end). The minimum of three
-    # full plan-build+execute passes is the steady-state number a
-    # long-lived cluster job sees; the 1-min /proc/loadavg is recorded
-    # next to each timing so a contended run is identifiable from the
-    # JSON instead of looking like a code regression.
+    # 3 passes per query, reported COLD (r12 — the r11 verdict's #1):
+    # the session memoizes producer relations (pair graphs, codebooks,
+    # embeddings) per (session, corpus), and under the old best-of-3-min
+    # a memoized query's recorded wall timed the orderBy of a cached
+    # relation, not the work (media_dedup read 0.254s against a ~4s real
+    # producer).  Every query's 3-pass block now starts from a cleared
+    # plan-cache working set, pass 1 is the COLD wall (headline: the
+    # producer cost is inside the timed region, nothing can hide in a
+    # session cache) and min(pass 2, 3) is the WARM wall (the old
+    # methodology's steady-state number, kept in the detail record so
+    # rounds measured under the old scheme stay comparable).  A single
+    # pass still regularly absorbs a transient contention spike
+    # (observed 3-6x), so all three passes go to the detail record and
+    # the 1-min /proc/loadavg is recorded next to each timing.
+    from nomenklatura_spark.plans.cache import clear_plan_caches
     from nomenklatura_spark.plans.queries import SERVE_PROFILE
 
     timings: dict[str, float] = {}
+    warm_timings: dict[str, float] = {}
     loads: dict[str, float] = {}
     passes_detail: dict[str, list[float]] = {}
     fold_serve: dict[str, dict] = {}
@@ -181,35 +188,37 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         loads[name] = _load1()
+        # memo-proofing: drop every session plan cache (and unpersist
+        # the relations inside) so pass 1 pays the full producer chain
+        clear_plan_caches()
         walls: list[float] = []
-        best_prof: dict | None = None
+        cold_prof: dict | None = None
         for _ in range(3):
             SERVE_PROFILE.pop(name, None)
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - start
-            # keep the fold/serve split of the best (min) pass — the
-            # *_served rows' headline wall is dominated by by-design
-            # ingest folds; the serve is the regression-sensitive part
-            # and must not hide under fold noise (r10 verdict #4)
-            if name in SERVE_PROFILE and (
-                not walls or wall < min(walls)
-            ):
-                best_prof = SERVE_PROFILE[name]
+            # keep the fold/serve split of the COLD pass — the *_served
+            # rows' headline wall is dominated by by-design ingest
+            # folds; the serve is the regression-sensitive part and
+            # must not hide under fold noise (r10 verdict #4)
+            if name in SERVE_PROFILE and not walls:
+                cold_prof = SERVE_PROFILE[name]
             walls.append(wall)
-        if best_prof is not None:
-            fold_serve[name] = best_prof
-        elapsed = round(min(walls), 3)
+        if cold_prof is not None:
+            fold_serve[name] = cold_prof
+        elapsed = round(walls[0], 3)
         timings[name] = elapsed
+        warm_timings[name] = round(min(walls[1:]), 3)
         # all three passes go to the detail record: a transient spike
-        # shows as one slow pass (min is the truth), a machine-window
-        # shift shows as ALL passes slow (min can't hide it) — the
-        # distinction the r9 regression triage had to reconstruct from
-        # zero-code-change witness rows
+        # shows as one slow pass, a machine-window shift shows as ALL
+        # passes slow — the distinction the r9 regression triage had to
+        # reconstruct from zero-code-change witness rows
         passes_detail[name] = [round(w, 3) for w in walls]
         total += elapsed
-        print(f"# {name}: {elapsed:.3f}s (load {loads[name]}, "
+        print(f"# {name}: cold {elapsed:.3f}s / warm "
+              f"{warm_timings[name]:.3f}s (load {loads[name]}, "
               f"passes {passes_detail[name]})", file=sys.stderr)
 
     # Matcher throughput — BASELINE.md's headline ER metric (reference
@@ -280,7 +289,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "method": "best_of_3_per_query",
+        "method": "cold_pass_of_3_per_query",
         "loadavg_start": load_start,
         "loadavg_final": _load1(),
         "compares_per_sec": compare,
@@ -289,6 +298,11 @@ def main() -> None:
     detail = dict(out)
     detail["loadavg_1m"] = loads
     detail["passes"] = passes_detail
+    # the old methodology's number (steady-state best-of-warm-passes,
+    # session caches hot) — kept per query so rounds recorded under the
+    # pre-r12 scheme stay comparable
+    detail["queries_warm"] = warm_timings
+    detail["warm_total"] = round(sum(warm_timings.values()), 3)
     # per-served-row {fold: [...], serve: s} from each row's best pass
     detail["fold_serve"] = fold_serve
     if scaling is not None:
@@ -714,6 +728,72 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             f"(ratio {wn / max(w1, 1e-9):.2f})",
             file=sys.stderr,
         )
+    # r12 (verdict #6): steady-state ingest-fold probes for the two
+    # heaviest maintained indexes.  The per-query 8v32 ratios sit at ~1
+    # for the *_served rows because their sf0.1 walls measure the local
+    # ~0.2s/job scheduling floor, not data — these probes instead hold
+    # the fold SHAPE fixed (state = 2 prior folds, time the 3rd) and
+    # move the data volume 10x, the curve that witnesses the O(batch)
+    # contraction/write claims.  One timed pass per scale (the fold
+    # mutates state, so it cannot be re-run for a min; the recorded
+    # loadavg is the contention witness).
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from nomenklatura_spark.streaming.dedup_index import DedupIndexState
+    from nomenklatura_spark.streaming.media_index import (
+        MediaDedupIndexState,
+    )
+
+    def _text_fold_wall(d) -> float:
+        root = _tmp.mkdtemp(prefix="nk_scale_dfold_")
+        try:
+            st = DedupIndexState(spark, root)
+            for b in range(2):
+                st.apply_batch(
+                    d.where(F.col("doc_id") % 3 == b), "doc_id", "text"
+                )
+            start = time.perf_counter()
+            st.apply_batch(
+                d.where(F.col("doc_id") % 3 == 2), "doc_id", "text"
+            )
+            return time.perf_counter() - start
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
+    def _media_fold_wall(a) -> float:
+        root = _tmp.mkdtemp(prefix="nk_scale_mfold_")
+        try:
+            st = MediaDedupIndexState(spark, root)
+            for b in range(2):
+                st.apply_batch(a.where(F.col("asset_id") % 3 == b))
+            start = time.perf_counter()
+            st.apply_batch(a.where(F.col("asset_id") % 3 == 2))
+            return time.perf_counter() - start
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
+    for name, fn, base, big in (
+        ("dedup_index_fold", _text_fold_wall, docs, docs_n),
+        ("media_index_fold", _media_fold_wall, media_assets,
+         media_assets_n),
+    ):
+        _settled()
+        load = _load1()
+        w1 = fn(base)
+        wn = fn(big)
+        section[name] = {
+            "x1": round(w1, 3),
+            f"x{n_repl}": round(wn, 3),
+            "ratio": round(wn / max(w1, 1e-9), 2),
+            "load": load,
+        }
+        print(
+            f"# scaling {name}: x1 {w1:.2f}s -> x{n_repl} {wn:.2f}s "
+            f"(ratio {wn / max(w1, 1e-9):.2f})",
+            file=sys.stderr,
+        )
+
     # Store update-loop: wall per judgement batch must stay CONSTANT as
     # batches accumulate — `SparkStore.update()` checkpoints the re-keyed
     # statements and releases the superseded mapping, so batch N is one
