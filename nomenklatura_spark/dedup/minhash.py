@@ -62,15 +62,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    n_hashes: int = 32,
-    band_size: int = 4,
+def banded_signatures(
+    signatures: DataFrame, band_size: int = 4
 ) -> DataFrame:
-    """Banded LSH join: docs sharing any band bucket → candidate pairs
-    (lid < rid). The band bucket join is the same bounded token-join
-    pattern as the blocker's J1."""
-    banded = (
+    """(id, band, band_key) — the ONE LSH banding construction, shared
+    by the batch path (``lsh_candidate_pairs``) and the incremental
+    index (``streaming/dedup_index``), so the two can't drift (ADVICE
+    r11)."""
+    return (
         signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("id", "band")
         .agg(
@@ -83,6 +82,22 @@ def lsh_candidate_pairs(
                 ),
             ).alias("band_key")
         )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame | None,
+    n_hashes: int = 32,
+    band_size: int = 4,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """Banded LSH join: docs sharing any band bucket → candidate pairs
+    (lid < rid). The band bucket join is the same bounded token-join
+    pattern as the blocker's J1.  ``bands`` (a pre-materialized band
+    relation) skips the banding groupBy — the incremental index
+    checkpoints its batch bands once and passes them here."""
+    banded = (
+        banded_signatures(signatures, band_size) if bands is None else bands
     )
     l = banded.select(F.col("id").alias("lid"), "band", "band_key")
     r = banded.select(F.col("id").alias("rid"), "band", "band_key")

@@ -57,7 +57,13 @@ the index is a materialised view maintained by key:
 State is versioned parquet snapshots with a VERSION pointer (crash-safe
 swap, time travel) exactly like ``BlockingIndexState``; on a cluster the
 merge is a Delta ``MERGE INTO`` per relation and the pairs log is an
-append-only table.
+append-only table.  Since r12 the big relations (signatures, bands,
+pairs) are hash-BUCKETED by key and each version is assembled file-wise
+(``VersionedState._write_bucketed`` — untouched buckets hardlink from
+the previous version, retraction rewrites only the buckets holding the
+retracted keys, new rows append), so a steady-state append-only fold
+writes O(batch) bytes regardless of state size — the local analog of
+Delta MERGE's copy-on-write file reuse.
 """
 
 from __future__ import annotations
@@ -78,20 +84,11 @@ _COMP_SCHEMA = "node string, component string"
 
 
 def _bands_of(signatures: DataFrame, band_size: int) -> DataFrame:
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda x: x["minhash"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
-    )
-    return banded
+    """The batch path's banding, verbatim (one construction — ADVICE
+    r11): ``dedup/minhash.banded_signatures``."""
+    from nomenklatura_spark.dedup.minhash import banded_signatures
+
+    return banded_signatures(signatures, band_size)
 
 
 class DedupIndexState(VersionedState):
@@ -113,13 +110,13 @@ class DedupIndexState(VersionedState):
         self.threshold = threshold
 
     def signatures(self, version: int | None = None) -> DataFrame:
-        return self._read("signatures", _SIG_SCHEMA, version)
+        return self._read_bucketed("signatures", _SIG_SCHEMA, version)
 
     def bands(self, version: int | None = None) -> DataFrame:
-        return self._read("bands", _BAND_SCHEMA, version)
+        return self._read_bucketed("bands", _BAND_SCHEMA, version)
 
     def pairs(self, version: int | None = None) -> DataFrame:
-        return self._read("pairs", _PAIR_SCHEMA, version)
+        return self._read_bucketed("pairs", _PAIR_SCHEMA, version)
 
     def components(self, version: int | None = None) -> DataFrame:
         """(node, component) over the accumulated pair log, maintained
@@ -145,15 +142,18 @@ class DedupIndexState(VersionedState):
         """Fold one micro-batch of documents into the index; returns the
         near-dup pairs this batch surfaced (within-batch + vs state).
 
-        Fold shape (r11 optimization — value-identical, pinned by the
-        incremental-equals-scratch tests): the batch band relation is
-        checkpointed ONCE and read by the within-join, the cross-join
-        and the bands snapshot write (the previous shape re-ran the
-        collect_list banding groupBy in each).  Independent driver
-        actions overlap on a small thread pool (guide §2.6 back-fill):
-        the changed-id probe runs beside the band materialization, and
-        the snapshot writes run beside the component fold — the fold's
-        wall is its critical path, not the sum of its actions."""
+        Fold shape (r11/r12 optimizations — value-identical, pinned by
+        the incremental-equals-scratch tests): the batch band relation
+        is checkpointed ONCE and read by the within-join, the
+        cross-join and the bands snapshot write; independent driver
+        actions overlap on a small thread pool (guide §2.6 back-fill);
+        and the state relations are BUCKETED (``_write_bucketed``) so a
+        steady-state append-only fold writes only the batch's own rows
+        and hardlinks every untouched bucket from the previous version
+        — per-fold write cost is O(batch), not O(state) (guide §6; the
+        local analog of Delta MERGE's copy-on-write).  Only a fold that
+        retracts rows (changed-content / unchanged re-ingest) rewrites
+        buckets, and only the buckets holding the retracted keys."""
         from concurrent.futures import ThreadPoolExecutor
 
         from nomenklatura_spark.dedup.minhash import minhash_signatures
@@ -172,45 +172,52 @@ class DedupIndexState(VersionedState):
         # re-ingest re-derives identical pairs so retraction stands
         # down.  The first fold skips the machinery (version pointer
         # read is free; nothing to retract against); later folds run
-        # the probe on a worker thread UNDER the band materialization
-        # (the two are independent — §2.6).
+        # the probe on the main thread UNDER the band materialization
+        # (the two are independent — §2.6).  ``touched_state`` — the
+        # state signature rows of re-ingested ids — witnesses overlap
+        # (empty for the steady-state append-only fold), feeds the
+        # changed probe AND names the buckets the bucketed writes must
+        # rewrite.
         first = self.version() < 0
-        if first:
-            changed = None
-        else:
-            sig_vec = F.sort_array(
-                F.collect_list(F.struct("seed", "minhash"))
-            )
-            changed = (
-                state_sigs.join(touched, "id", "semi")
-                .groupBy("id")
-                .agg(sig_vec.alias("_old"))
-                .join(
-                    batch_sigs.groupBy("id").agg(sig_vec.alias("_new")),
-                    "id",
-                )
-                .where(~F.col("_old").eqNullSafe(F.col("_new")))
-                .select("id")
-            )
+        changed = None
+        has_changed = False
+        has_overlap = False
+        touched_state = None
         bands_plan = _bands_of(batch_sigs, self.band_size)
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_bands = pool.submit(bands_plan.localCheckpoint)
-            has_changed = (not first) and (not changed.isEmpty())
+            if not first:
+                touched_state = state_sigs.join(
+                    touched, "id", "semi"
+                ).localCheckpoint()
+                has_overlap = not touched_state.isEmpty()
+                if has_overlap:
+                    sig_vec = F.sort_array(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    )
+                    changed = (
+                        touched_state.groupBy("id")
+                        .agg(sig_vec.alias("_old"))
+                        .join(
+                            batch_sigs.groupBy("id").agg(
+                                sig_vec.alias("_new")
+                            ),
+                            "id",
+                        )
+                        .where(~F.col("_old").eqNullSafe(F.col("_new")))
+                        .select("id")
+                    )
+                    has_changed = not changed.isEmpty()
+                    if has_changed:
+                        changed = changed.localCheckpoint()
             batch_bands = f_bands.result()
-        if has_changed:
-            changed = changed.localCheckpoint()
 
-        # within-batch candidates: the batch bands self-join (the same
-        # relation ``lsh_candidate_pairs`` builds, read from the one
-        # checkpointed band pass)
-        l = batch_bands.select(F.col("id").alias("lid"), "band", "band_key")
-        r = batch_bands.select(F.col("id").alias("rid"), "band", "band_key")
-        within = (
-            l.join(r, ["band", "band_key"])
-            .where(F.col("lid") < F.col("rid"))
-            .select("lid", "rid")
-            .distinct()
-        )
+        # within-batch candidates: lsh_candidate_pairs over the one
+        # checkpointed band pass (ADVICE r11: the batch path's own
+        # candidate construction, not an inline copy that could drift)
+        from nomenklatura_spark.dedup.minhash import lsh_candidate_pairs
+
+        within = lsh_candidate_pairs(None, bands=batch_bands)
         if first:
             # bootstrap fold (empty state): the cross join against the
             # empty state bands, the anti-join signature merge and the
@@ -221,18 +228,22 @@ class DedupIndexState(VersionedState):
             all_sigs = batch_sigs
             cands = within
         else:
-            # cross candidates: batch vs state (state never re-self-joins)
+            # cross candidates: batch vs LIVE state bands (state never
+            # re-self-joins).  The anti-join drops the band rows of
+            # re-ingested ids, so a STALE band can never nominate a
+            # pair a from-scratch LSH run would not candidate (r11
+            # verdict #3) — touched ids' live bands are on the batch
+            # side of the within-join already.
             cross = (
                 batch_bands.select(
                     F.col("id").alias("lid"), "band", "band_key"
                 )
                 .join(
-                    state_bands.select(
+                    state_bands.join(touched, "id", "left_anti").select(
                         F.col("id").alias("rid"), "band", "band_key"
                     ),
                     ["band", "band_key"],
                 )
-                .where(F.col("lid") != F.col("rid"))
                 .select(
                     F.least("lid", "rid").alias("lid"),
                     F.greatest("lid", "rid").alias("rid"),
@@ -249,41 +260,118 @@ class DedupIndexState(VersionedState):
             .localCheckpoint()
         )
 
-        # upsert-by-document + pair-log refresh, then swap the pointer
+        # upsert-by-document + pair-log refresh, then swap the pointer.
+        # Bucketed write plans: ``*_data`` is what the fold actually
+        # writes, ``rb_*`` the buckets it rewrites (None = write all /
+        # carry nothing, [] = pure append — every old bucket hardlinks).
         v = self.version()
         nv = v + 1
-        if first:
-            # all three merges are identities over the batch relations
-            # (empty state side); new_pairs is (lid, rid)-unique by the
-            # similarity groupBy, so the max-merge is one too
-            merged_sigs = batch_sigs
-            merged_bands = batch_bands
-            merged_pairs = new_pairs
+        live_pairs = None
+        if first or not has_overlap:
+            # bootstrap, or the steady-state append-only fold: no state
+            # row is retracted, and a new pair always has a batch-side
+            # endpoint that was not in state, so it cannot collide with
+            # a logged pair — appending the batch relations verbatim is
+            # exactly the anti-join-merge (new_pairs is (lid,rid)-unique
+            # by the similarity groupBy)
+            rb_ids: list[int] | None = None if first else []
+            rb_pairs: list[int] | None = None if first else []
+            sig_data, band_data, pair_data = (
+                batch_sigs, batch_bands, new_pairs,
+            )
         else:
-            merged_sigs = state_sigs.join(
-                touched, "id", "left_anti"
-            ).unionByName(batch_sigs)
-            merged_bands = state_bands.join(
-                touched, "id", "left_anti"
-            ).unionByName(batch_bands)
+            # re-ingest fold: rewrite ONLY the buckets holding retracted
+            # rows.  For the by-id relations those are the buckets of
+            # the overlapping ids; for the pair log, the lid-buckets of
+            # any pair (old or new) touching an overlapping id — an
+            # old/new collision or a retraction can only involve those.
+            rb_ids = [
+                row[0]
+                for row in touched_state.select(
+                    self._bucket_of(F.col("id")).alias("_b")
+                )
+                .distinct()
+                .collect()
+            ]
+            sig_data = (
+                self._read_buckets("signatures", _SIG_SCHEMA, rb_ids)
+                .join(touched, "id", "left_anti")
+                .select("id", "seed", "minhash")
+                .unionByName(batch_sigs)
+            )
+            band_data = (
+                self._read_buckets("bands", _BAND_SCHEMA, rb_ids)
+                .join(touched, "id", "left_anti")
+                .select("id", "band", "band_key")
+                .unionByName(batch_bands)
+            )
+            overlap_ids = touched_state.select("id").distinct()
+            ovl = overlap_ids.select(F.col("id").alias("lid"))
+            ovr = overlap_ids.select(F.col("id").alias("rid"))
             old_pairs = self.pairs()
+
+            def _touching_lids(pairs_df: DataFrame) -> DataFrame:
+                return (
+                    pairs_df.join(ovl, "lid", "semi")
+                    .select("lid")
+                    .unionByName(
+                        pairs_df.join(ovr, "rid", "semi").select("lid")
+                    )
+                )
+
+            rb_pairs = [
+                row[0]
+                for row in _touching_lids(old_pairs)
+                .unionByName(_touching_lids(new_pairs))
+                .select(self._bucket_of(F.col("lid")).alias("_b"))
+                .distinct()
+                .collect()
+            ]
+            old_rb = self._read_buckets("pairs", _PAIR_SCHEMA, rb_pairs)
             if has_changed:
                 # retract every pair touching a changed id; the batch
                 # join has already re-derived the live ones (every pair
                 # with a batch-side endpoint), so retract-then-append
-                # is exact
-                old_pairs = old_pairs.join(
-                    changed.select(F.col("id").alias("lid")), "lid",
-                    "left_anti",
-                ).join(
-                    changed.select(F.col("id").alias("rid")), "rid",
-                    "left_anti",
+                # is exact.  Changed ids overlap by definition, so all
+                # their pairs live in rewrite buckets.
+                old_rb = (
+                    old_rb.join(
+                        changed.select(F.col("id").alias("lid")), "lid",
+                        "left_anti",
+                    )
+                    .join(
+                        changed.select(F.col("id").alias("rid")), "rid",
+                        "left_anti",
+                    )
+                    .select("lid", "rid", "est_jaccard")
                 )
-            merged_pairs = (
-                old_pairs.unionByName(new_pairs)
+            in_rb = (
+                self._bucket_of(F.col("lid")).isin(rb_pairs)
+                if rb_pairs
+                else F.lit(False)
+            )
+            pair_data = (
+                old_rb.unionByName(new_pairs.where(in_rb))
                 .groupBy("lid", "rid")
                 .agg(F.max("est_jaccard").alias("est_jaccard"))
+                .unionByName(new_pairs.where(~in_rb))
             )
+            if has_changed:
+                # the split-case component rebuild reads the FULL live
+                # log (every bucket, post-retraction) — a plan over the
+                # materialized state parquet + the new-pair checkpoint
+                live_pairs = (
+                    old_pairs.join(
+                        changed.select(F.col("id").alias("lid")), "lid",
+                        "left_anti",
+                    )
+                    .join(
+                        changed.select(F.col("id").alias("rid")), "rid",
+                        "left_anti",
+                    )
+                    .select("lid", "rid", "est_jaccard")
+                    .unionByName(new_pairs)
+                )
         # incremental component fold: star-compression merge, or the
         # bounded G10 split-case rebuild when signatures changed
         # (module docstring has both exactness arguments)
@@ -291,18 +379,10 @@ class DedupIndexState(VersionedState):
             fold_components_incremental,
         )
 
-        if has_changed:
-            # the split-case rebuild reads merged_pairs too — share one
-            # materialization between the CC and the snapshot write
-            merged_pairs = merged_pairs.localCheckpoint()
-
-        # the three data snapshot writes are independent of the
+        # the three bucketed data writes are independent of the
         # component fold — run them beside it (§2.6); the component
         # write chains after its fold inside the same worker, so the
         # fold wall is max(writes, CC + comps write), not the sum
-        def _write(df: DataFrame, rel: str) -> None:
-            df.write.mode("overwrite").parquet(self._path(rel, nv))
-
         def _fold_and_write_comps() -> None:
             if first:
                 # empty previous mapping: the star union is empty, so
@@ -318,16 +398,27 @@ class DedupIndexState(VersionedState):
                 merged_comps = fold_components_incremental(
                     self.components(),
                     new_pairs,
-                    merged_pairs=merged_pairs,
+                    merged_pairs=live_pairs,
                     changed=changed if has_changed else None,
                 )
-            _write(merged_comps, "components")
+            merged_comps.write.mode("overwrite").parquet(
+                self._path("components", nv)
+            )
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
-                pool.submit(_write, merged_sigs, "signatures"),
-                pool.submit(_write, merged_bands, "bands"),
-                pool.submit(_write, merged_pairs, "pairs"),
+                pool.submit(
+                    self._write_bucketed, "signatures", nv, sig_data,
+                    "id", rb_ids,
+                ),
+                pool.submit(
+                    self._write_bucketed, "bands", nv, band_data,
+                    "id", rb_ids,
+                ),
+                pool.submit(
+                    self._write_bucketed, "pairs", nv, pair_data,
+                    "lid", rb_pairs,
+                ),
                 pool.submit(_fold_and_write_comps),
             ]
             for f in futs:
@@ -363,30 +454,66 @@ class DedupIndexState(VersionedState):
             return
         v = self.version()
         nv = v + 1
-        merged_sigs = self.signatures().join(gone, "id", "left_anti")
-        merged_bands = self.bands().join(gone, "id", "left_anti")
-        merged_pairs = (
-            self.pairs()
-            .join(gone.select(F.col("id").alias("lid")), "lid", "left_anti")
-            .join(gone.select(F.col("id").alias("rid")), "rid", "left_anti")
+        # bucketed retraction: only the buckets holding a deleted id's
+        # rows are rewritten (partition-pruned read of just those);
+        # every other bucket hardlinks from v{N-1} (``_write_bucketed``)
+        gone_l = gone.select(F.col("id").alias("lid"))
+        gone_r = gone.select(F.col("id").alias("rid"))
+        rb_ids = [
+            row[0]
+            for row in self.signatures()
+            .join(gone, "id", "semi")
+            .select(self._bucket_of(F.col("id")).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        old_pairs = self.pairs()
+        rb_pairs = [
+            row[0]
+            for row in old_pairs.join(gone_l, "lid", "semi")
+            .select("lid")
+            .unionByName(
+                old_pairs.join(gone_r, "rid", "semi").select("lid")
+            )
+            .select(self._bucket_of(F.col("lid")).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        sig_data = (
+            self._read_buckets("signatures", _SIG_SCHEMA, rb_ids)
+            .join(gone, "id", "left_anti")
+            .select("id", "seed", "minhash")
+        )
+        band_data = (
+            self._read_buckets("bands", _BAND_SCHEMA, rb_ids)
+            .join(gone, "id", "left_anti")
+            .select("id", "band", "band_key")
+        )
+        pair_data = (
+            self._read_buckets("pairs", _PAIR_SCHEMA, rb_pairs)
+            .join(gone_l, "lid", "left_anti")
+            .join(gone_r, "rid", "left_anti")
             # USING joins move the key column first — restore the
             # relation's declared order before the snapshot write
             .select("lid", "rid", "est_jaccard")
-            .localCheckpoint()
+        )
+        # the split-case component rebuild reads the FULL live log
+        live_pairs = (
+            old_pairs.join(gone_l, "lid", "left_anti")
+            .join(gone_r, "rid", "left_anti")
+            .select("lid", "rid", "est_jaccard")
         )
         merged_comps = fold_components_incremental(
             self.components(),
             self.spark.createDataFrame([], _PAIR_SCHEMA).select(
                 "lid", "rid"
             ),
-            merged_pairs=merged_pairs,
+            merged_pairs=live_pairs,
             changed=gone,
         )
-        merged_sigs.write.mode("overwrite").parquet(
-            self._path("signatures", nv)
-        )
-        merged_bands.write.mode("overwrite").parquet(self._path("bands", nv))
-        merged_pairs.write.mode("overwrite").parquet(self._path("pairs", nv))
+        self._write_bucketed("signatures", nv, sig_data, "id", rb_ids)
+        self._write_bucketed("bands", nv, band_data, "id", rb_ids)
+        self._write_bucketed("pairs", nv, pair_data, "lid", rb_pairs)
         merged_comps.write.mode("overwrite").parquet(
             self._path("components", nv)
         )

@@ -48,7 +48,12 @@ down and the regenerated pairs are the logged ones), so no batch guard
 is needed.
 State is versioned parquet snapshots behind the shared VERSION pointer
 (crash-safe swap, time travel); on a cluster each relation is a Delta
-MERGE and the pairs log an append-only table.
+MERGE and the pairs log an append-only table.  Since r12 the signature
+and pair relations are hash-BUCKETED by key and each version is
+assembled file-wise (``VersionedState._write_bucketed`` — untouched
+buckets hardlink, retraction rewrites only its buckets, new rows
+append), so a steady-state append-only fold writes O(batch) bytes
+regardless of state size.
 
 Scale shape: ingest cost per batch is one decode pass over the BATCH
 (map-only, Arrow-batched) + a signature-sized band join against state
@@ -105,10 +110,10 @@ class MediaDedupIndexState(VersionedState):
         self.n_blocks = n_blocks
 
     def signatures(self, version: int | None = None) -> DataFrame:
-        return self._read("signatures", _SIG_SCHEMA, version)
+        return self._read_bucketed("signatures", _SIG_SCHEMA, version)
 
     def pairs(self, version: int | None = None) -> DataFrame:
-        return self._read("pairs", _PAIR_SCHEMA, version)
+        return self._read_bucketed("pairs", _PAIR_SCHEMA, version)
 
     def components(self, version: int | None = None) -> DataFrame:
         return self._read("components", _COMP_SCHEMA, version)
@@ -145,7 +150,18 @@ class MediaDedupIndexState(VersionedState):
         """Fold one micro-batch of media assets into the index; returns
         the near-dup pairs this batch surfaced (within-batch + vs
         state).  The batch is decoded ONCE (localCheckpoint) and only
-        signatures touch state."""
+        signatures touch state.
+
+        Fold shape (r12): the signature and pair relations are BUCKETED
+        (``_write_bucketed``), so the steady-state append-only fold
+        writes only the batch's own rows and hardlinks every untouched
+        bucket — O(batch) write cost per fold, not O(state) — and the
+        merged-signature relation is no longer materialized at all (its
+        only consumer is the probe join, which reads the state parquet
+        and the batch checkpoint directly).  Independent driver actions
+        overlap on a small pool (§2.6): the overlap probe runs beside
+        the batch-side histogram delta, and the changed-id probe beside
+        the merged-histogram checkpoint."""
         from concurrent.futures import ThreadPoolExecutor
 
         # grid_h derives from n_blocks so the signatures this index
@@ -162,45 +178,80 @@ class MediaDedupIndexState(VersionedState):
             batch_sigs, self.band_bytes, self.n_blocks
         )
 
+        changed = None
+        has_changed = False
+        overlap = False
+        touched_state = None
         if first:
             # bootstrap fold (empty state): the anti-join signature
             # merge is the batch itself — and the batch is ALREADY
-            # checkpointed, so the merged-signature materialization
-            # pass disappears outright; no probe, no retraction leg
-            changed = None
-            has_changed = False
+            # checkpointed; no probe, no retraction leg
             merged_sigs = batch_sigs
             merged_counts = batch_counts.localCheckpoint()
         else:
-            merged_sigs_plan = state_sigs.join(
-                touched, "id", "left_anti"
-            ).unionByName(batch_sigs)
-
-            # The merged-signature materialization is independent of the
-            # changed-id probe and the histogram fold — run it on a
-            # worker thread while the main thread walks the state-delta
-            # chain (guide §2.6: overlap independent jobs so the fold
-            # wall is the critical path, not the sum of sequential
-            # driver actions).
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                f_merged_sigs = pool.submit(
-                    merged_sigs_plan.localCheckpoint
+            # The overlap probe (state signature rows of touched ids —
+            # the changed probe's input, the histogram retraction leg's
+            # input, and the rewrite-bucket source) is independent of
+            # the batch-side histogram delta: run the two actions
+            # concurrently (§2.6).  The delta is built OPTIMISTICALLY
+            # without the retraction leg — the steady-state fold has no
+            # overlap, so that delta is final; a re-ingest fold rebuilds
+            # it with the touched ids' old bands retracted.
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_touched = pool.submit(
+                    state_sigs.join(touched, "id", "semi").localCheckpoint
                 )
-                # split case (module docstring): ids re-ingested with a
-                # CHANGED signature must retract their stale pairs —
-                # unchanged re-ingest re-derives identical pairs, so the
-                # retraction stands down and the fold stays merge-only
-                # (touched-sized join, tiny).  A fold whose touched ids
-                # are all NEW (the common append-only case — one
-                # materialized emptiness probe) skips both the changed
-                # probe and the histogram's retraction leg.
-                changed = None
-                has_changed = False
-                touched_state = state_sigs.join(
-                    touched, "id", "semi"
-                ).localCheckpoint()
+                f_delta = pool.submit(batch_counts.localCheckpoint)
+                touched_state = f_touched.result()
                 overlap = not touched_state.isEmpty()
+                delta = f_delta.result()
+            if overlap:
+                # retraction leg: counts only change through buckets
+                # the batch touches, so the delta stays batch-sized
+                delta = (
+                    batch_counts.unionByName(
+                        band_bucket_counts(
+                            touched_state, self.band_bytes, self.n_blocks
+                        ).select(
+                            "band_no", "band_val", (-F.col("n")).alias("n")
+                        )
+                    )
+                    .groupBy("band_no", "band_val")
+                    .agg(F.sum("n").alias("n"))
+                    .localCheckpoint()
+                )
+            # merge the delta into the maintained histogram: state only
+            # flows through semi/anti joins with the BROADCAST delta
+            # bucket list — never a full-state groupBy (outer joins
+            # can't build their preserved side, hence the semi + re-sum
+            # shape).  The merged histogram feeds the fold's
+            # BATCH-bounded skew scan (probe_bucket_scan) and the
+            # snapshot.  Its checkpoint is independent of the
+            # changed-id probe — run the two concurrently (§2.6).
+            prev_counts = self.band_counts()
+            delta_keys = F.broadcast(
+                delta.select("band_no", "band_val")
+            )
+            updated = (
+                prev_counts.join(
+                    delta_keys, ["band_no", "band_val"], "semi"
+                )
+                .unionByName(delta)
+                .groupBy("band_no", "band_val")
+                .agg(F.sum("n").alias("n"))
+                .where(F.col("n") > 0)
+            )
+            merged_counts_plan = prev_counts.join(
+                delta_keys, ["band_no", "band_val"], "left_anti"
+            ).unionByName(updated)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_counts = pool.submit(merged_counts_plan.localCheckpoint)
                 if overlap:
+                    # split case (module docstring): ids re-ingested
+                    # with a CHANGED signature must retract their stale
+                    # pairs — unchanged re-ingest re-derives identical
+                    # pairs, so the retraction stands down and the fold
+                    # stays merge-only (touched-sized join, tiny)
                     changed = (
                         touched_state.select(
                             "id", F.col("dhash").alias("_old")
@@ -217,53 +268,14 @@ class MediaDedupIndexState(VersionedState):
                     has_changed = not changed.isEmpty()
                     if has_changed:
                         changed = changed.localCheckpoint()
-                # maintain the band-bucket histogram incrementally:
-                # counts only change through buckets the batch touches
-                # (batch bands added, touched ids' old bands
-                # retracted), so the delta is batch-sized and state
-                # only flows through semi/anti joins with the
-                # BROADCAST delta bucket list — never a full-state
-                # groupBy (outer joins can't build their preserved
-                # side, hence the semi + re-sum shape).  The merged
-                # histogram feeds the fold's BATCH-bounded skew scan
-                # (probe_bucket_scan) and the snapshot.  The
-                # retraction leg only exists when some touched id was
-                # already in state.
-                delta = batch_counts
-                if overlap:
-                    delta = batch_counts.unionByName(
-                        band_bucket_counts(
-                            touched_state, self.band_bytes, self.n_blocks
-                        ).select(
-                            "band_no", "band_val", (-F.col("n")).alias("n")
-                        )
-                    )
-                delta = (
-                    delta.groupBy("band_no", "band_val")
-                    .agg(F.sum("n").alias("n"))
-                    .localCheckpoint()
-                )
-                prev_counts = self.band_counts()
-                delta_keys = F.broadcast(
-                    delta.select("band_no", "band_val")
-                )
-                updated = (
-                    prev_counts.join(
-                        delta_keys, ["band_no", "band_val"], "semi"
-                    )
-                    .unionByName(delta)
-                    .groupBy("band_no", "band_val")
-                    .agg(F.sum("n").alias("n"))
-                    .where(F.col("n") > 0)
-                )
-                merged_counts = (
-                    prev_counts.join(
-                        delta_keys, ["band_no", "band_val"], "left_anti"
-                    )
-                    .unionByName(updated)
-                    .localCheckpoint()
-                )
-            merged_sigs = f_merged_sigs.result()
+                merged_counts = f_counts.result()
+            # the probe join's state side: a PLAN over the state
+            # parquet + the batch checkpoint — never materialized (r12;
+            # its only consumer is the one banded join below, and the
+            # bucketed writes no longer need the merged relation)
+            merged_sigs = state_sigs.join(
+                touched, "id", "left_anti"
+            ).unionByName(batch_sigs)
 
         # candidates: batch self-pairs + batch vs state, via the probe
         # mode of dhash_pairs — the banded join runs batch-bands ×
@@ -279,44 +291,108 @@ class MediaDedupIndexState(VersionedState):
             band_counts=merged_counts,
         ).localCheckpoint()
 
+        # bucketed write plans (``streaming/dedup_index.py`` has the
+        # full argument): an append-only fold appends the batch
+        # relations verbatim (a new pair always has a batch-side
+        # endpoint not in state, so it cannot collide with a logged
+        # pair; dhash_pairs output is (lid, rid)-unique); a re-ingest
+        # fold rewrites only the buckets holding retracted rows
         v = self.version()
         nv = v + 1
-        if first:
-            # empty pair log: the union / min-merge is an identity
-            # (dhash_pairs is (lid, rid)-distinct)
-            merged_pairs = new_pairs
+        live_pairs = None
+        if first or not overlap:
+            rb_ids: list[int] | None = None if first else []
+            rb_pairs: list[int] | None = None if first else []
+            sig_data, pair_data = batch_sigs, new_pairs
         else:
+            rb_ids = [
+                row[0]
+                for row in touched_state.select(
+                    self._bucket_of(F.col("id")).alias("_b")
+                )
+                .distinct()
+                .collect()
+            ]
+            sig_data = (
+                self._read_buckets("signatures", _SIG_SCHEMA, rb_ids)
+                .join(touched, "id", "left_anti")
+                .select("id", "blocks", "dhash")
+                .unionByName(batch_sigs)
+            )
+            overlap_ids = touched_state.select("id").distinct()
+            ovl = overlap_ids.select(F.col("id").alias("lid"))
+            ovr = overlap_ids.select(F.col("id").alias("rid"))
             old_pairs = self.pairs()
+
+            def _touching_lids(pairs_df: DataFrame) -> DataFrame:
+                return (
+                    pairs_df.join(ovl, "lid", "semi")
+                    .select("lid")
+                    .unionByName(
+                        pairs_df.join(ovr, "rid", "semi").select("lid")
+                    )
+                )
+
+            rb_pairs = [
+                row[0]
+                for row in _touching_lids(old_pairs)
+                .unionByName(_touching_lids(new_pairs))
+                .select(self._bucket_of(F.col("lid")).alias("_b"))
+                .distinct()
+                .collect()
+            ]
+            old_rb = self._read_buckets("pairs", _PAIR_SCHEMA, rb_pairs)
             if has_changed:
                 # retract every pair touching a changed id; the probe
                 # has already re-derived the live ones (every pair with
                 # a batch-side endpoint), so retract-then-append is
                 # exact
-                old_pairs = old_pairs.join(
-                    changed.select(F.col("id").alias("lid")), "lid",
-                    "left_anti",
-                ).join(
-                    changed.select(F.col("id").alias("rid")), "rid",
-                    "left_anti",
+                old_rb = (
+                    old_rb.join(
+                        changed.select(F.col("id").alias("lid")), "lid",
+                        "left_anti",
+                    )
+                    .join(
+                        changed.select(F.col("id").alias("rid")), "rid",
+                        "left_anti",
+                    )
+                    .select("lid", "rid", "hamming")
                 )
-            merged_pairs = (
-                old_pairs.unionByName(new_pairs)
+            in_rb = (
+                self._bucket_of(F.col("lid")).isin(rb_pairs)
+                if rb_pairs
+                else F.lit(False)
+            )
+            pair_data = (
+                old_rb.unionByName(new_pairs.where(in_rb))
                 .groupBy("lid", "rid")
                 .agg(F.min("hamming").alias("hamming"))
+                .unionByName(new_pairs.where(~in_rb))
             )
+            if has_changed:
+                # the split-case component rebuild reads the FULL live
+                # log — a plan over the state parquet + the new-pair
+                # checkpoint
+                live_pairs = (
+                    old_pairs.join(
+                        changed.select(F.col("id").alias("lid")), "lid",
+                        "left_anti",
+                    )
+                    .join(
+                        changed.select(F.col("id").alias("rid")), "rid",
+                        "left_anti",
+                    )
+                    .select("lid", "rid", "hamming")
+                    .unionByName(new_pairs)
+                )
         from nomenklatura_spark.resolver.components import (
             fold_components_incremental,
         )
 
-        if has_changed:
-            # the split-case rebuild reads merged_pairs too — share one
-            # materialization between the CC and the snapshot write
-            merged_pairs = merged_pairs.localCheckpoint()
-
-        # the three data snapshot writes are independent of the
-        # component fold — run them beside it (§2.6); the component
-        # write chains after its fold in the same worker, so the fold
-        # wall is max(writes, CC + comps write), not the sum
+        # the data writes are independent of the component fold — run
+        # them beside it (§2.6); the component write chains after its
+        # fold in the same worker, so the fold wall is
+        # max(writes, CC + comps write), not the sum
         def _write(df: DataFrame, rel: str) -> None:
             df.write.mode("overwrite").parquet(self._path(rel, nv))
 
@@ -335,15 +411,21 @@ class MediaDedupIndexState(VersionedState):
                 merged_comps = fold_components_incremental(
                     self.components(),
                     new_pairs,
-                    merged_pairs=merged_pairs,
+                    merged_pairs=live_pairs,
                     changed=changed if has_changed else None,
                 )
             _write(merged_comps, "components")
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
-                pool.submit(_write, merged_sigs, "signatures"),
-                pool.submit(_write, merged_pairs, "pairs"),
+                pool.submit(
+                    self._write_bucketed, "signatures", nv, sig_data,
+                    "id", rb_ids,
+                ),
+                pool.submit(
+                    self._write_bucketed, "pairs", nv, pair_data,
+                    "lid", rb_pairs,
+                ),
                 pool.submit(_write, merged_counts, "band_counts"),
                 pool.submit(_fold_and_write_comps),
             ]
@@ -401,30 +483,58 @@ class MediaDedupIndexState(VersionedState):
                 .where(F.col("n") > 0)
             )
         )
-        merged_sigs = state_sigs.join(gone, "id", "left_anti")
-        merged_pairs = (
-            self.pairs()
-            .join(gone.select(F.col("id").alias("lid")), "lid", "left_anti")
-            .join(gone.select(F.col("id").alias("rid")), "rid", "left_anti")
+        # bucketed retraction: only the buckets holding a deleted id's
+        # rows are rewritten; the rest hardlink (``_write_bucketed``)
+        gone_l = gone.select(F.col("id").alias("lid"))
+        gone_r = gone.select(F.col("id").alias("rid"))
+        rb_ids = [
+            row[0]
+            for row in state_sigs.join(gone, "id", "semi")
+            .select(self._bucket_of(F.col("id")).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        old_pairs = self.pairs()
+        rb_pairs = [
+            row[0]
+            for row in old_pairs.join(gone_l, "lid", "semi")
+            .select("lid")
+            .unionByName(
+                old_pairs.join(gone_r, "rid", "semi").select("lid")
+            )
+            .select(self._bucket_of(F.col("lid")).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        sig_data = (
+            self._read_buckets("signatures", _SIG_SCHEMA, rb_ids)
+            .join(gone, "id", "left_anti")
+            .select("id", "blocks", "dhash")
+        )
+        pair_data = (
+            self._read_buckets("pairs", _PAIR_SCHEMA, rb_pairs)
+            .join(gone_l, "lid", "left_anti")
+            .join(gone_r, "rid", "left_anti")
             # USING joins move the key column first — restore the
             # relation's declared order before the snapshot write
             .select("lid", "rid", "hamming")
-            .localCheckpoint()
+        )
+        # the split-case component rebuild reads the FULL live log
+        live_pairs = (
+            old_pairs.join(gone_l, "lid", "left_anti")
+            .join(gone_r, "rid", "left_anti")
+            .select("lid", "rid", "hamming")
         )
         merged_comps = fold_components_incremental(
             self.components(),
             self.spark.createDataFrame([], _PAIR_SCHEMA).select(
                 "lid", "rid"
             ),
-            merged_pairs=merged_pairs,
+            merged_pairs=live_pairs,
             changed=gone,
         )
-        merged_sigs.write.mode("overwrite").parquet(
-            self._path("signatures", nv)
-        )
-        merged_pairs.write.mode("overwrite").parquet(
-            self._path("pairs", nv)
-        )
+        self._write_bucketed("signatures", nv, sig_data, "id", rb_ids)
+        self._write_bucketed("pairs", nv, pair_data, "lid", rb_pairs)
         merged_comps.write.mode("overwrite").parquet(
             self._path("components", nv)
         )

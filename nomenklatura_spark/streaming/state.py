@@ -20,10 +20,18 @@ skip batches at or below ``last_batch()`` or redelivery double-counts.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+# Hash-bucket count for the big key-partitioned state relations
+# (signatures/bands/pairs of the dedup indexes).  Scale-dependent:
+# size so one bucket is a sensible rewrite unit (~a Delta file's worth
+# of rows); the local default keeps file counts small at test scale.
+# On a cluster this is a deployment conf, like Delta's file sizing.
+DEFAULT_STATE_BUCKETS = int(os.environ.get("NK_STATE_BUCKETS", "16"))
 
 
 class VersionedState:
@@ -32,6 +40,7 @@ class VersionedState:
     def __init__(self, spark: SparkSession, state_dir: str) -> None:
         self.spark = spark
         self.state_dir = state_dir
+        self.n_buckets = DEFAULT_STATE_BUCKETS
         os.makedirs(state_dir, exist_ok=True)
 
     @property
@@ -91,6 +100,129 @@ class VersionedState:
         # (A version below the vacuum horizon also lands here — time
         # travel past vacuum(keep_last) is gone by design, like Delta.)
         return self.spark.read.parquet(self._path(rel, v))
+
+    # -- bucketed relations -------------------------------------------------
+    #
+    # The big key-partitioned relations (dedup signatures/bands/pairs)
+    # are stored hash-BUCKETED by key (``_bucket = pmod(xxhash64(key),
+    # n_buckets)`` partition directories) and each new version is
+    # assembled file-wise, the local analog of a Delta ``MERGE INTO``'s
+    # copy-on-write: bucket directories whose rows are untouched by the
+    # fold are HARDLINKED from the previous version (metadata-only, the
+    # parquet bytes are shared), buckets that lose rows (a retraction /
+    # delete) are rewritten from a partition-PRUNED read of just those
+    # buckets, and the batch's new rows are appended as fresh files.
+    # An append-only fold (no touched id previously in state — the
+    # steady-state ingest case) therefore writes O(batch) bytes per
+    # fold regardless of state size, where the pre-r12 layout re-read
+    # and re-wrote the whole relation every fold.  Every version
+    # directory stays COMPLETE (hardlinks count as files), so the
+    # crash-safe pointer swap, time travel and ``vacuum`` are unchanged
+    # — vacuum's rmtree drops directory entries and the shared bytes
+    # live until the last version referencing them goes.
+
+    def _bucket_of(self, col: "F.Column") -> "F.Column":
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _read_bucketed(
+        self, rel: str, schema: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a bucketed relation, dropping the ``_bucket`` partition
+        column (the declared relation schema is bucket-free)."""
+        v = self.version() if version is None else version
+        if v < 0:
+            return self.spark.createDataFrame([], schema)
+        path = self._path(rel, v)
+        if not os.path.isdir(path):
+            # same loud contract as _read: a missing snapshot at a live
+            # version is state corruption
+            return self.spark.read.parquet(path)
+        if not self._has_parquet(path):
+            # a version can legitimately hold zero rows (partitioned
+            # writes lay down no data files for an empty frame)
+            return self.spark.createDataFrame([], schema)
+        cols = self.spark.createDataFrame([], schema).columns
+        return self.spark.read.parquet(path).select(*cols)
+
+    def _read_buckets(
+        self, rel: str, schema: str, buckets: list[int],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Partition-pruned read of just ``buckets`` — the rewrite
+        side of a fold reads only the directories it will rewrite."""
+        v = self.version() if version is None else version
+        if v < 0 or not buckets:
+            return self.spark.createDataFrame([], schema)
+        path = self._path(rel, v)
+        if not self._has_parquet(path):
+            return self.spark.createDataFrame([], schema)
+        cols = self.spark.createDataFrame([], schema).columns
+        return (
+            self.spark.read.parquet(path)
+            .where(F.col("_bucket").isin(buckets))
+            .select(*cols)
+        )
+
+    def _write_bucketed(
+        self,
+        rel: str,
+        new_version: int,
+        data: DataFrame,
+        key: str,
+        rewrite_buckets: list[int] | None,
+    ) -> None:
+        """Assemble ``rel/v{new_version}``: hardlink every bucket of
+        the previous version NOT named in ``rewrite_buckets``, then
+        append ``data`` (hash-partitioned by bucket of ``key``).
+
+        ``rewrite_buckets=None`` carries nothing over (bootstrap or a
+        full rewrite); ``[]`` carries everything (pure append).  The
+        caller guarantees ``data`` holds the complete new content of
+        every bucket in ``rewrite_buckets`` plus only NEW rows for the
+        carried buckets."""
+        dst = self._path(rel, new_version)
+        if os.path.exists(dst):
+            # orphan from a crashed fold (laid down, pointer never
+            # swapped) — same tolerated-orphan contract as the
+            # non-bucketed writers' mode("overwrite")
+            shutil.rmtree(dst)
+        os.makedirs(dst, exist_ok=True)
+        src = self._path(rel, new_version - 1)
+        if rewrite_buckets is not None and os.path.isdir(src):
+            skip = {f"_bucket={b}" for b in rewrite_buckets}
+            for d in os.listdir(src):
+                if not d.startswith("_bucket=") or d in skip:
+                    continue
+                sdir = os.path.join(src, d)
+                if not os.path.isdir(sdir):
+                    continue
+                ddir = os.path.join(dst, d)
+                os.makedirs(ddir, exist_ok=True)
+                for fname in os.listdir(sdir):
+                    if fname.startswith(("_", ".")):
+                        continue
+                    spath = os.path.join(sdir, fname)
+                    dpath = os.path.join(ddir, fname)
+                    try:
+                        os.link(spath, dpath)
+                    except OSError:
+                        shutil.copy2(spath, dpath)
+        (
+            data.withColumn("_bucket", self._bucket_of(F.col(key)))
+            # one small shuffle of the (batch-sized) write set so each
+            # bucket lands in ~one file instead of tasks x buckets
+            .repartition(self.n_buckets, "_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(dst)
+        )
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete snapshot directories older than the newest
