@@ -132,6 +132,18 @@ def fold_components_incremental(
     """Fold one batch's pairs into a maintained (node, component)
     mapping — the incremental leg of the dedup indexes (§2.12).
 
+    CONTRACT on ``prev`` (ADVICE r11): its ``component`` labels must be
+    MIN-MEMBER NODE IDS — i.e. ``prev`` is the output of
+    ``connected_components`` or of this fold itself.  The merge case's
+    exactness rests on every label being a node of its own component
+    (the relabel join reaches old components through their label) and
+    on min-label composition; a differently-labeled mapping (e.g.
+    ``canonical_ids`` output, whose labels are max-(weight, id)) would
+    silently produce wrong components.  The dedup indexes only ever
+    feed this function its own output, so the invariant holds by
+    construction rather than by a per-fold assertion (checking "every
+    label is a member node" would cost a mapping-sized join per fold).
+
     Merge case (``changed`` is None — nothing was retracted): pairs are
     append-only, so components can only MERGE.  The batch pairs are
     CONTRACTED through the previous mapping first (endpoint → its old
