@@ -745,6 +745,39 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
         MediaDedupIndexState,
     )
 
+    # DISJOINT-text replicas with NUMERIC ids for the text-fold probe
+    # (the generic replicate() copies text verbatim, so its replicas are
+    # mutual near-dups and a fold probe over them measures pair-output
+    # explosion, not the operator — the same discipline as
+    # replicate_disjoint_text, numeric ids kept for the %3 batch slices;
+    # the x1 side pays the identical token transform)
+    from nomenklatura_spark.textops.analysis import words as _words
+
+    def _disjoint_docs(n: int):
+        reps_n = spark.range(n).select(F.col("id").alias("_rep"))
+        return (
+            docs.crossJoin(F.broadcast(reps_n))
+            .select(
+                (
+                    F.col("doc_id") + F.col("_rep") * 1_000_000_000_000
+                ).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        _words(F.col("text")),
+                        lambda w: F.concat(
+                            F.lit("x"), F.col("_rep").cast("string"),
+                            F.lit("_"), w,
+                        ),
+                    ),
+                ).alias("text"),
+            )
+        )
+
+    docs_dj1 = _disjoint_docs(1).persist()
+    docs_djn = _disjoint_docs(n_repl).persist()
+    docs_dj1.count(), docs_djn.count()
+
     def _text_fold_wall(d) -> float:
         root = _tmp.mkdtemp(prefix="nk_scale_dfold_")
         try:
@@ -774,7 +807,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
             _sh.rmtree(root, ignore_errors=True)
 
     for name, fn, base, big in (
-        ("dedup_index_fold", _text_fold_wall, docs, docs_n),
+        ("dedup_index_fold", _text_fold_wall, docs_dj1, docs_djn),
         ("media_index_fold", _media_fold_wall, media_assets,
          media_assets_n),
     ):
@@ -824,6 +857,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
                    tri_edges, tri_edges_n, lp_trade, lp_seeds,
                    lp_trade_n, lp_seeds_n, ev, ev_n,
                    docs_c1, docs_cn, media_assets, media_assets_n,
+                   docs_dj1, docs_djn,
                    *cb1, *cbn):
             df.unpersist()
         return section
@@ -861,6 +895,7 @@ def _scaling_section(spark, sf_dir: str, cpus: int, n_repl: int = 10) -> dict:
                tri_edges, tri_edges_n, lp_trade, lp_seeds,
                lp_trade_n, lp_seeds_n, ev, ev_n,
                docs_c1, docs_cn, media_assets, media_assets_n,
+               docs_dj1, docs_djn,
                *cb1, *cbn):
         df.unpersist()
     return section
